@@ -1,0 +1,115 @@
+"""Transcript table source.
+
+The engine's input contract (BASELINE.json ``input_hint``) is an
+Iceberg table of multi-turn conversation transcripts::
+
+    (conv_id string, turn_idx int, role string, text string,
+     tool string, ts timestamp)
+
+In production this is a real Iceberg scan (``spark.read.table``).
+In-sandbox we derive a deterministic transcript corpus from the
+driver-provided ``documents`` parquet (one conversation per document,
+turns = fixed-width word windows), so that the DuckDB oracle can
+re-derive the *identical* table from the same parquet — giving the
+correctness harness a shared ground truth without external data.
+
+Reference analogue: the corpus scan + raw-text read of
+``generate_bb_training_data_2016.py:20-36,596-606`` (SURVEY.md §2.1
+S1/S2) — a directory walk becomes a single partition-prunable table
+scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TURN_WORDS = 8
+EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the transcript table (full schema, real timestamp).
+
+    Stays entirely in native Column expressions (whole-stage codegen):
+    split → sequence/transform → posexplode. At 100 TB the equivalent
+    is a straight Iceberg scan; this derivation exists only so tests,
+    bench, and the DuckDB oracle share one deterministic input.
+    """
+    docs = documents(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    n_turns = F.greatest(F.ceil(F.size(ws) / F.lit(TURN_WORDS)), F.lit(1)).cast("int")
+    df = (
+        docs.select(
+            F.col("doc_id"),
+            ws.alias("ws"),
+            F.sequence(F.lit(0), n_turns - 1).alias("idxs"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.col("idxs"),
+                    lambda i: F.struct(
+                        i.cast("int").alias("turn_idx"),
+                        F.array_join(
+                            F.slice(F.col("ws"), i * TURN_WORDS + 1, TURN_WORDS), " "
+                        ).alias("text"),
+                    ),
+                )
+            ).alias("turn"),
+        )
+        .select(
+            F.concat(F.lit("conv-"), F.col("doc_id").cast("string")).alias("conv_id"),
+            F.col("turn.turn_idx").alias("turn_idx"),
+            F.when(F.col("turn.turn_idx") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.col("turn.text").alias("text"),
+            F.when(
+                (F.col("turn.turn_idx") % 2 == 1) & (F.col("turn.turn_idx") % 3 == 0),
+                F.lit("search"),
+            )
+            .when(
+                (F.col("turn.turn_idx") % 2 == 1) & (F.col("turn.turn_idx") % 5 == 0),
+                F.lit("code"),
+            )
+            .otherwise(F.lit(None).cast("string"))
+            .alias("tool"),
+            F.timestamp_seconds(
+                F.lit(EPOCH_2024)
+                + F.col("doc_id") * 3600
+                + F.col("turn.turn_idx") * 13
+            ).alias("ts"),
+        )
+    )
+    return df
+
+
+def duck_transcripts_cte() -> str:
+    """DuckDB CTE body producing the identical transcript table.
+
+    Exposes ``ts_epoch`` (bigint) rather than a timestamp so value
+    hashing is format-independent. Downstream oracle queries compose
+    with ``WITH transcripts AS ({this})``.
+    """
+    w = TURN_WORDS
+    return f"""
+        SELECT 'conv-' || CAST(doc_id AS VARCHAR) AS conv_id,
+               CAST(turn_idx AS INT) AS turn_idx,
+               CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               array_to_string(ws[turn_idx*{w}+1 : turn_idx*{w}+{w}], ' ') AS text,
+               CASE WHEN turn_idx % 2 = 1 AND turn_idx % 3 = 0 THEN 'search'
+                    WHEN turn_idx % 2 = 1 AND turn_idx % 5 = 0 THEN 'code'
+                    ELSE NULL END AS tool,
+               CAST({EPOCH_2024} + doc_id*3600 + turn_idx*13 AS BIGINT) AS ts_epoch
+        FROM (
+            SELECT doc_id, ws,
+                   UNNEST(range(GREATEST(CAST(CEIL(len(ws)/{w}.0) AS BIGINT), 1))) AS turn_idx
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        )
+    """

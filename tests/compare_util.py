@@ -1,0 +1,42 @@
+"""Shared Spark-vs-DuckDB comparison helper for oracle parity tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def assert_frames_match(spark_df, con, sql: str) -> pd.DataFrame:
+    """Order-insensitive, dtype-lenient equality of a Spark DataFrame
+    against a DuckDB query (mirrors the driver's correctness gate)."""
+    spd = spark_df.toPandas()
+    dpd = con.sql(sql).df()
+    assert sorted(spd.columns) == sorted(dpd.columns), (
+        f"columns differ: {sorted(spd.columns)} vs {sorted(dpd.columns)}"
+    )
+    cols = sorted(spd.columns)
+    spd = spd[cols].sort_values(cols).reset_index(drop=True)
+    dpd = dpd[cols].sort_values(cols).reset_index(drop=True)
+    assert len(spd) == len(dpd), f"row counts differ: {len(spd)} vs {len(dpd)}"
+    pd.testing.assert_frame_equal(spd, dpd, check_dtype=False)
+    return spd
