@@ -1,0 +1,432 @@
+"""Pure-numpy kernels for featurization and relation scoring.
+
+These implement the *computation* of the reference's NLP/model stages
+(SURVEY.md §2.9 G1–G5, §2.10 M1–M7) with no Spark dependency, so the
+same code runs (a) inside Arrow batches via ``mapInPandas`` on
+executors and (b) single-node for training. Tests re-derive the same
+quantities independently (loops, no shared helpers) to give parity
+teeth.
+
+Reference semantics re-expressed:
+
+- G1 dependency parse (``generate_sdp.py:72-78``): the reference shells
+  out to the Stanford parser per sentence — irreproducible in-sandbox,
+  so the engine pins a small deterministic dependency grammar
+  (SURVEY.md §7.3.5): heads always point left (acyclic by
+  construction), the attachment target is the nearest preceding token
+  whose portable hash ≡ 0 (mod 3), else the previous token; token 0 is
+  the sentence root. POS tags come from the alias dictionary + a
+  closed function-word list + hash parity.
+- G2 inter-sentence graph (``generate_sdp.py:90-107``): per-sentence
+  edges on global token indices; roots of adjacent sentences chained;
+  undirected.
+- G3 entity token resolution (``generate_sdp.py:31-61``): the
+  reference re-finds entities by string match with occurrence-priority
+  heuristics; our candidates carry exact (sent_idx, tok_idx)
+  coordinates, so resolution is exact positional arithmetic — same
+  observable result on clean input, minus the string-ambiguity quirks.
+- G4 iSDP (``generate_sdp.py:111-114``): unweighted BFS shortest path
+  (networkx ``shortest_path`` equivalent); unreachable → quarantine.
+- G5 ADP (``recursive_net_utils/data_utils.py:13-149``): a dummy root
+  joins sentence roots (``combine_parents_list``); the TreeRNN consumes
+  a topologically-ordered flattened (x, tree, out_idx) schedule
+  (``tree_rnn.py:71-106``).
+- M1–M7 (``rnn/elman_bidirection_RC.py``): embedding gather + feature
+  concat, forward/backward Elman recurrences, bi-combiner
+  ``tanh(h_f + h_b + h_bi W)``, softmax head. The reference scores one
+  example per Theano call; here every recurrence step is a batched
+  (B, d) matmul across the Arrow chunk.
+
+Everything is float64 end-to-end (the reference mixes float64/float32 —
+``tree_rnn.py:7`` — a latent inconsistency we do not copy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .config import ENTITY_ALIASES
+
+# ---------------------------------------------------------------- hashing
+
+def h15(s: str) -> int:
+    """Portable 60-bit hash (same as hashing.py; duplicated to keep
+    kernels import-free of Spark modules)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- G1: parser
+
+FUNCTION_WORDS = {"the": "DT", "a": "DT", "and": "CC", "of": "IN", "to": "IN"}
+
+POS_LIST = ["DT", "CC", "IN", "OP", "NN", "JJ", "VB"]
+REL_LIST = ["root", "det", "dep", "mod", "link"]
+IOB_LIST = ["O", "E1", "E2"]
+
+
+def pos_tag(word: str) -> str:
+    w = word.lower()
+    if w in FUNCTION_WORDS:
+        return FUNCTION_WORDS[w]
+    if w in ENTITY_ALIASES:
+        return "OP" if ENTITY_ALIASES[w][1] == "OP" else "NN"
+    return "JJ" if h15(w) % 2 == 0 else "VB"
+
+
+def head_of(words: list[str], i: int) -> int:
+    """Deterministic head for token i (0-based); -1 for the root."""
+    if i == 0:
+        return -1
+    for j in range(i - 1, -1, -1):
+        if h15(words[j].lower()) % 3 == 0:
+            return j
+    return i - 1
+
+
+def dep_rel(words: list[str], i: int) -> str:
+    if i == 0:
+        return "root"
+    p = pos_tag(words[i])
+    if p == "DT":
+        return "det"
+    return "mod" if h15(words[i].lower()) % 5 == 0 else "dep"
+
+
+def parse_sentence(words: list[str]) -> list[tuple[int, str, str, int, str]]:
+    """→ [(addr, word, pos, head, rel)] with 0-based addr, head -1=root.
+
+    (The reference emits 1-based addresses with head 0 = root,
+    ``generate_sdp.py:77``; we keep 0-based internally and only shift
+    in golden-format tests.)
+    """
+    return [
+        (i, w, pos_tag(w), head_of(words, i), dep_rel(words, i))
+        for i, w in enumerate(words)
+    ]
+
+
+# ------------------------------------------------- G2/G4: graph + BFS SDP
+
+def build_edges(sent_words: list[list[str]]) -> tuple[list[tuple[int, int]], list[int]]:
+    """Undirected edge list over global token indices + per-sentence root
+    global indices; adjacent-sentence roots chained (generate_sdp.py:106)."""
+    edges: list[tuple[int, int]] = []
+    roots: list[int] = []
+    offset = 0
+    for words in sent_words:
+        roots.append(offset)  # token 0 is the root of each sentence
+        for i in range(len(words)):
+            h = head_of(words, i)
+            if h >= 0:
+                edges.append((offset + i, offset + h))
+        offset += len(words)
+    for a, b in zip(roots, roots[1:]):
+        edges.append((a, b))
+    return edges, roots
+
+
+def bfs_path(n_nodes: int, edges: list[tuple[int, int]], src: int, dst: int) -> list[int] | None:
+    """Unweighted shortest path (== nx.shortest_path on an undirected
+    graph, generate_sdp.py:111-114); None when unreachable."""
+    adj: list[list[int]] = [[] for _ in range(n_nodes)]
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    prev = [-2] * n_nodes
+    prev[src] = -1
+    queue = [src]
+    while queue:
+        nxt: list[int] = []
+        for u in queue:
+            if u == dst:
+                path = []
+                while u != -1:
+                    path.append(u)
+                    u = prev[u]
+                return path[::-1]
+            for v in adj[u]:
+                if prev[v] == -2:
+                    prev[v] = u
+                    nxt.append(v)
+        queue = nxt
+    return None
+
+
+# ------------------------------------------------------------- G5: ADP tree
+
+def combined_parents(sent_words: list[list[str]]) -> list[int]:
+    """Window-level parent array with a dummy root at index n (the
+    ``combine_parents_list`` dummy-root semantics, data_utils.py:13-31):
+    sentence roots attach to the dummy root; other tokens keep their
+    in-sentence head shifted to global indices."""
+    parents: list[int] = []
+    offset = 0
+    total = sum(len(w) for w in sent_words)
+    for words in sent_words:
+        for i in range(len(words)):
+            h = head_of(words, i)
+            parents.append(total if h < 0 else offset + h)
+        offset += len(words)
+    return parents  # dummy root = index `total` (implicit, no row)
+
+
+def tree_schedule(parents: list[int]) -> list[int]:
+    """Topological (leaves-first) evaluation order over real nodes +
+    dummy root, mirroring tree_rnn.gen_nn_inputs' bottom-up schedule."""
+    n = len(parents)
+    children: list[list[int]] = [[] for _ in range(n + 1)]
+    for i, p in enumerate(parents):
+        children[p].append(i)
+    order: list[int] = []
+    state = [0] * (n + 1)
+
+    def visit(u: int) -> None:
+        stack = [(u, False)]
+        while stack:
+            node, done = stack.pop()
+            if done:
+                order.append(node)
+                continue
+            stack.append((node, True))
+            for c in children[node]:
+                stack.append((c, False))
+
+    visit(n)
+    return order  # post-order: children before parents, dummy root last
+
+
+# ---------------------------------------------------------- embeddings (M1)
+
+EMB_DIM = 16
+FEAT_DIM = 5  # PI / POS / IOB embedding width (reference uses 5)
+HIDDEN = 16
+N_CLASSES = 2
+MAX_POS = 32  # position-feature clip bound (A4 without the 2-pass scan)
+
+
+def _unit_vec(key: str, dim: int) -> np.ndarray:
+    rs = np.random.RandomState(h15(key) % (2**32))
+    return rs.uniform(-0.5, 0.5, dim)
+
+
+_word_cache: dict[str, np.ndarray] = {}
+
+
+def word_vec(word: str) -> np.ndarray:
+    """Deterministic per-word embedding (the reference loads word2vec
+    text files, features_bb2016.py:2420-2439; in-sandbox the table is a
+    hash-seeded deterministic analogue — same lookup semantics, `<unk>`
+    impossible by construction)."""
+    w = word.lower()
+    v = _word_cache.get(w)
+    if v is None:
+        v = _unit_vec("word:" + w, EMB_DIM)
+        _word_cache[w] = v
+    return v
+
+
+def pos_vec_table() -> np.ndarray:
+    return np.stack([_unit_vec("pos:" + p, FEAT_DIM) for p in POS_LIST])
+
+
+def iob_vec_table() -> np.ndarray:
+    return np.stack([_unit_vec("iob:" + t, FEAT_DIM) for t in IOB_LIST])
+
+
+def pi_vec_table() -> np.ndarray:
+    """Position-indicator embeddings for clipped distances 0..MAX_POS."""
+    return np.stack([_unit_vec(f"pi:{d}", FEAT_DIM) for d in range(MAX_POS + 1)])
+
+
+# ------------------------------------------------------------ model weights
+
+def init_weights(seed: int = 7) -> dict[str, np.ndarray]:
+    """Frozen model parameters (SURVEY.md §7.1 phase 1:
+    random-but-frozen; phase 4 replaces with trained values).
+    x-feature width = EMB_DIM + 2*FEAT_DIM (PI e1/e2) + FEAT_DIM (POS)
+    + FEAT_DIM (IOB)."""
+    rs = np.random.RandomState(seed)
+    xdim = EMB_DIM + 4 * FEAT_DIM
+
+    def mat(*shape: int) -> np.ndarray:
+        return rs.uniform(-0.1, 0.1, shape)
+
+    return {
+        "W_xh_f": mat(xdim, HIDDEN),
+        "W_hh_f": mat(HIDDEN, HIDDEN),
+        "b_f": mat(HIDDEN),
+        "W_xh_b": mat(xdim, HIDDEN),
+        "W_hh_b": mat(HIDDEN, HIDDEN),
+        "b_b": mat(HIDDEN),
+        "W_hh_bi": mat(HIDDEN, HIDDEN),
+        "b_bi": mat(HIDDEN),
+        # TreeRNN (shared-mode analogue: its own small set here)
+        "W_hx_t": mat(EMB_DIM, HIDDEN),
+        "W_hh_t": mat(HIDDEN, HIDDEN),
+        "b_t": mat(HIDDEN),
+        "W_tree_proj": mat(HIDDEN, FEAT_DIM),
+        # softmax head; input = HIDDEN (+FEAT_DIM when ADP enabled)
+        "W_hy": mat(HIDDEN, N_CLASSES),
+        "b_y": mat(N_CLASSES),
+        "W_hy_adp": mat(HIDDEN + FEAT_DIM, N_CLASSES),
+    }
+
+
+def weights_to_lists(w: dict[str, np.ndarray]) -> dict[str, list]:
+    return {k: v.tolist() for k, v in w.items()}
+
+
+def weights_from_lists(d: dict[str, list]) -> dict[str, np.ndarray]:
+    return {k: np.asarray(v, dtype=np.float64) for k, v in d.items()}
+
+
+# ------------------------------------------------------- featurize (per row)
+
+def featurize_window(
+    sent_texts: list[str],
+    sent1: int,
+    tok1: int,
+    sent2: int,
+    tok2: int,
+    smin: int,
+) -> dict[str, list] | None:
+    """One candidate window → SDP feature arrays (G1–G5, M11–M13).
+
+    Returns None when the SDP is unreachable (quarantine route, F3) or
+    the window tokenizes empty (F5).
+    """
+    sent_words = [s.split(" ") if s else [] for s in sent_texts]
+    if any(len(w) == 0 for w in sent_words):
+        return None
+    offsets = np.cumsum([0] + [len(w) for w in sent_words])
+    g1 = int(offsets[sent1 - smin] + tok1)
+    g2 = int(offsets[sent2 - smin] + tok2)
+    all_words = [w for ws in sent_words for w in ws]
+    n = len(all_words)
+    if g1 >= n or g2 >= n:
+        return None
+    edges, _roots = build_edges(sent_words)
+    path = bfs_path(n, edges, g1, g2)
+    if path is None:
+        return None
+    sdp_words = [all_words[i] for i in path]
+    sdp_pos = [POS_LIST.index(pos_tag(w)) for w in sdp_words]
+    sdp_iob = [
+        1 if i == g1 else 2 if i == g2 else 0 for i in path
+    ]
+    p1 = path.index(g1)
+    p2 = path.index(g2)
+    pi1 = [min(abs(i - p1), MAX_POS) for i in range(len(path))]
+    pi2 = [min(abs(i - p2), MAX_POS) for i in range(len(path))]
+    parents = combined_parents(sent_words)
+    order = tree_schedule(parents)
+    return {
+        "sdp_gidx": path,
+        "sdp_words": sdp_words,
+        "sdp_pos": sdp_pos,
+        "sdp_iob": sdp_iob,
+        "pi_e1": pi1,
+        "pi_e2": pi2,
+        "win_words": all_words,
+        "parents": parents,
+        "tree_order": order,
+    }
+
+
+# ------------------------------------------------------ batched forward pass
+
+def score_batch(
+    rows: list[dict],
+    weights: dict[str, np.ndarray],
+    use_adp: bool = True,
+) -> np.ndarray:
+    """Batched iDepNN forward pass → (B, 2) class probabilities.
+
+    Pads SDP sequences to the batch max length; every timestep is one
+    (B, xdim) @ (xdim, H) matmul — the vectorization the reference
+    lacks (minibatch=1, elman-bidirection.py:910-2484).
+    """
+    B = len(rows)
+    if B == 0:
+        return np.zeros((0, N_CLASSES))
+    pos_t = pos_vec_table()
+    iob_t = iob_vec_table()
+    pi_t = pi_vec_table()
+    lens = np.array([len(r["sdp_words"]) for r in rows])
+    L = int(lens.max())
+    xdim = EMB_DIM + 4 * FEAT_DIM
+    X = np.zeros((B, L, xdim))
+    for b, r in enumerate(rows):
+        for t, w in enumerate(r["sdp_words"]):
+            X[b, t] = np.concatenate(
+                [
+                    word_vec(w),
+                    pi_t[r["pi_e1"][t]],
+                    pi_t[r["pi_e2"][t]],
+                    pos_t[r["sdp_pos"][t]],
+                    iob_t[r["sdp_iob"][t]],
+                ]
+            )
+    mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float64)
+
+    W = weights
+    h_f = np.zeros((B, L, HIDDEN))
+    h = np.zeros((B, HIDDEN))
+    for t in range(L):
+        m = mask[:, t : t + 1]
+        h_new = np.tanh(X[:, t] @ W["W_xh_f"] + h @ W["W_hh_f"] + W["b_f"])
+        h = m * h_new + (1 - m) * h
+        h_f[:, t] = h
+    h_b = np.zeros((B, L, HIDDEN))
+    h = np.zeros((B, HIDDEN))
+    # backward pass runs on the reversed *valid* sequence per row: pad
+    # is at the tail, so step indices are lens-1 .. 0 per row — emulate
+    # with index gather.
+    for step in range(L):
+        t_idx = lens - 1 - step  # per-row timestep, may be negative
+        valid = (t_idx >= 0).astype(np.float64)[:, None]
+        t_safe = np.clip(t_idx, 0, L - 1)
+        x_t = X[np.arange(B), t_safe]
+        h_new = np.tanh(x_t @ W["W_xh_b"] + h @ W["W_hh_b"] + W["b_b"])
+        h = valid * h_new + (1 - valid) * h
+        h_b[np.arange(B), t_safe] = np.where(valid > 0, h, h_b[np.arange(B), t_safe])
+    # bi-combiner: h_bi_t = tanh(h_f_t + h_b_t + h_bi_{t-1} W)
+    h_bi = np.zeros((B, HIDDEN))
+    for t in range(L):
+        m = mask[:, t : t + 1]
+        h_new = np.tanh(h_f[:, t] + h_b[:, t] + h_bi @ W["W_hh_bi"] + W["b_bi"])
+        h_bi = m * h_new + (1 - m) * h_bi
+
+    if use_adp:
+        tree_feat = np.zeros((B, FEAT_DIM))
+        for b, r in enumerate(rows):
+            tree_feat[b] = _tree_state(r, W)
+        logits = np.concatenate([h_bi, tree_feat], axis=1) @ W["W_hy_adp"] + W["b_y"]
+    else:
+        logits = h_bi @ W["W_hy"] + W["b_y"]
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def _tree_state(r: dict, W: dict[str, np.ndarray]) -> np.ndarray:
+    """TreeRNN over the window dependency tree (M6): leaves-first
+    ``h = tanh(b + W_hx x + W_hh Σ child_h)``; the ADP feature is the
+    mean of SDP-token hidden states projected to FEAT_DIM (subtree
+    embedding per SDP token, elman_bidirection_RC.py:454-474)."""
+    words = r["win_words"]
+    parents = r["parents"]
+    order = r["tree_order"]
+    n = len(words)
+    h = np.zeros((n + 1, HIDDEN))
+    acc = np.zeros((n + 1, HIDDEN))
+    for u in order:
+        x = word_vec(words[u]) if u < n else np.zeros(EMB_DIM)
+        h[u] = np.tanh(W["b_t"] + x @ W["W_hx_t"] + acc[u] @ W["W_hh_t"])
+        p = parents[u] if u < n else None
+        if p is not None:
+            acc[p] += h[u]
+    sdp_states = h[np.asarray(r["sdp_gidx"], dtype=int)]
+    return sdp_states.mean(axis=0) @ W["W_tree_proj"]

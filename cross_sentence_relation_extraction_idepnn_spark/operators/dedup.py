@@ -1,0 +1,401 @@
+"""Document deduplication operators for the training-data pipeline.
+
+Four near-dup families over the ``documents`` table, each with an
+exactly-matching DuckDB oracle (portable md5-prefix hashing, see
+``hashing.py``):
+
+- exact:      md5 hash-groupBy (one shuffle on the hash, map-side combine)
+- minhash:    word-shingle → K-permutation MinHash signature → banded
+              LSH bucket join → verified Jaccard (the classic
+              scale path: candidate generation is a bucket equi-join,
+              never a cross join)
+- simhash:    32-bit SimHash over token hashes + byte-block join for
+              Hamming ≤ 3 candidate pairs
+- ngram:      blocked n-gram Jaccard (block key = min shingle hash)
+
+At 100 TB each stage is shuffle-bounded by (band/bucket key) — skewed
+buckets (boilerplate shingles) would be salted or frequency-capped;
+the band join broadcasts nothing and AQE splits hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..hashing import (
+    MERSENNE_P,
+    duck_h15,
+    duck_minhash_term,
+    perm_coeffs,
+    spark_h15,
+)
+
+NUM_PERMS = 8
+BAND_ROWS = 2  # 4 bands × 2 rows
+SHINGLE_N = 3
+MINHASH_TAU = 0.5
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+NGRAM_TAU = 0.3
+
+
+# ------------------------------------------------------------------ shingles
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct word 3-gram shingles per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.col("ws")
+    sh = F.array_distinct(
+        F.when(
+            F.size(ws) >= SHINGLE_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (SHINGLE_N - 1)),
+                lambda i: F.array_join(F.slice(ws, i, SHINGLE_N), " "),
+            ),
+        ).otherwise(F.array(F.array_join(ws, " ")))
+    )
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+    )
+
+
+def duck_shingles_cte() -> str:
+    n = SHINGLE_N
+    return f"""
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN len(ws) >= {n}
+                 THEN list_transform(range(1, len(ws) - {n - 2}),
+                                     i -> array_to_string(ws[i : i + {n - 1}], ' '))
+                 ELSE [array_to_string(ws, ' ')] END)) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    """
+
+
+# ------------------------------------------------------------------- exact
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+DUCK_DEDUP_EXACT = """
+    SELECT md5(text) AS text_md5,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM documents GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ minhash
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, perm_id, minv): MinHash signature in long form."""
+    sh = _shingles_df(spark, sf_dir).withColumn(
+        "hs", spark_h15(F.col("shingle")) % MERSENNE_P
+    )
+    perms = spark.createDataFrame(
+        [(i, *perm_coeffs(i)) for i in range(NUM_PERMS)],
+        schema="perm_id int, a long, b long",
+    )
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm_id")
+        .agg(
+            F.min(
+                (F.col("hs") * F.col("a") + F.col("b")) % MERSENNE_P
+            ).alias("minv")
+        )
+    )
+
+
+def duck_minhash_cte() -> str:
+    perm_rows = ", ".join(
+        f"({i}, {perm_coeffs(i)[0]}, {perm_coeffs(i)[1]})" for i in range(NUM_PERMS)
+    )
+    return f"""
+        SELECT doc_id, perm_id, MIN((hs * a + b) % {MERSENNE_P}) AS minv
+        FROM (SELECT doc_id, {duck_h15("shingle")} % {MERSENNE_P} AS hs
+              FROM shingles)
+        CROSS JOIN (VALUES {perm_rows}) AS perms(perm_id, a, b)
+        GROUP BY doc_id, perm_id
+    """
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) -> DataFrame:
+    """LSH band join → verified-Jaccard near-dup pairs
+    (doc_a, doc_b, jaccard)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("perm_id") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm_id", "minv"))),
+                    lambda s: s.minv.cast("string"),
+                ),
+                "-",
+            ).alias("band_sig")
+        )
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = _shingles_df(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
+        .join(
+            sh.alias("s2"),
+            (F.col("doc_b") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"n_inter": 0})
+        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def duck_minhash_pairs(tau: float = MINHASH_TAU) -> str:
+    return f"""
+        , sig AS ({duck_minhash_cte()})
+        , bands AS (
+            SELECT doc_id, CAST(perm_id / {BAND_ROWS} AS INT) AS band,
+                   array_to_string(list(CAST(minv AS VARCHAR) ORDER BY perm_id), '-') AS band_sig
+            FROM sig GROUP BY doc_id, CAST(perm_id / {BAND_ROWS} AS INT)
+        )
+        , cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.band_sig = y.band_sig
+             AND x.doc_id < y.doc_id
+        )
+        , counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+        , inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN shingles s1 ON s1.doc_id = c.doc_a
+            JOIN shingles s2 ON s2.doc_id = c.doc_b AND s1.shingle = s2.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               ROUND(COALESCE(i.n_inter, 0) * 1.0
+                     / (ca.n + cb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN counts ca ON ca.doc_id = c.doc_a
+        JOIN counts cb ON cb.doc_id = c.doc_b
+        WHERE COALESCE(i.n_inter, 0) * 1.0
+              / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= {tau}
+    """
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over distinct-token hashes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    ).withColumn("hs", spark_h15(F.col("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hs"), b) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(SIMHASH_BITS)
+            ]
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    return sim
+
+
+def duck_simhash_cte() -> str:
+    bit_sum = ", ".join(
+        f"SUM(CASE WHEN (hs // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+        FROM (
+            SELECT doc_id, {bit_sum}
+            FROM (SELECT doc_id, {duck_h15("tok")} AS hs
+                  FROM (SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+                        FROM documents))
+            GROUP BY doc_id
+        )
+    """
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str, max_ham: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs by Hamming(simhash) ≤ max_ham, candidate-generated
+    by byte-block equi-join (any shared 8-bit block at same position
+    ⇒ candidate; with 4 blocks, Hamming ≤ 3 guarantees a shared block —
+    pigeonhole). 8-bit blocks keep bucket collision rates ~256× lower
+    than nibbles, which is what bounds the candidate join at 100 TB."""
+    sim = simhash_docs(spark, sf_dir)
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        F.shiftright(F.col("simhash"), j * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["blk", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_ham)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def duck_simhash_pairs(max_ham: int = HAMMING_MAX) -> str:
+    return f"""
+        , sim AS ({duck_simhash_cte()})
+        , blocks AS (
+            SELECT doc_id, simhash, j AS blk,
+                   (simhash >> (j * 8)) & 255 AS val
+            FROM sim, (SELECT UNNEST(range(4)) AS j)
+        )
+        , cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.simhash AS sh_a, y.simhash AS sh_b
+            FROM blocks x JOIN blocks y
+              ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_ham}
+    """
+
+
+# -------------------------------------------------------------- ngram block
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, tau: float = NGRAM_TAU) -> DataFrame:
+    """Blocked n-gram Jaccard: block key = min shingle hash per doc
+    (docs sharing their minimal shingle are near-dup candidates), then
+    exact Jaccard ≥ tau."""
+    sh = _shingles_df(spark, sf_dir).withColumn("hs", spark_h15(F.col("shingle")))
+    blocks = sh.groupBy("doc_id").agg(
+        F.min("hs").alias("block"), F.count("*").alias("n")
+    )
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), "block")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+    )
+    inter = (
+        cand.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
+        .join(
+            sh.alias("s2"),
+            (F.col("doc_b") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"n_inter": 0})
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def duck_ngram_pairs(tau: float = NGRAM_TAU) -> str:
+    return f"""
+        , hs AS (SELECT doc_id, shingle, {duck_h15("shingle")} AS hs FROM shingles)
+        , blocks AS (SELECT doc_id, MIN(hs) AS block, COUNT(*) AS n FROM hs GROUP BY doc_id)
+        , cand AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS n_a, y.n AS n_b
+            FROM blocks x JOIN blocks y ON x.block = y.block AND x.doc_id < y.doc_id
+        )
+        , inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN shingles s1 ON s1.doc_id = c.doc_a
+            JOIN shingles s2 ON s2.doc_id = c.doc_b AND s1.shingle = s2.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               ROUND(COALESCE(i.n_inter, 0) * 1.0
+                     / (c.n_a + c.n_b - COALESCE(i.n_inter, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        WHERE COALESCE(i.n_inter, 0) * 1.0
+              / (c.n_a + c.n_b - COALESCE(i.n_inter, 0)) >= {tau}
+    """

@@ -1,0 +1,118 @@
+"""SDP/ADP featurization as a vectorized Arrow kernel (SURVEY.md §2.12 #3).
+
+``featurize_pair`` is the ``mapInPandas`` stage that turns each
+candidate window into inter-sentential dependency-path features:
+deterministic parse (G1), global graph with root chaining (G2), exact
+entity-index resolution (G3), BFS shortest path = iSDP (G4), flattened
+ADP tree schedule (G5), position/POS/IOB index arrays (M11–M13).
+
+The reference re-parses every candidate through a JVM subprocess
+(``generate_sdp.py:24-28,70-79``) — the dominant hot spot (SURVEY.md
+§4.2.1). Here parsing is in-process, batched, and *narrow*: no shuffle;
+Arrow batches cross the JVM↔Python boundary once.
+
+Rows whose SDP is unreachable or that tokenize empty are routed to the
+quarantine side-output (F3/F5 semantics,
+``generate_bb_training_data_2016.py:765-769``) via ``ok = false`` —
+the pipeline splits on the flag so both sides stay observable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import kernels
+
+CAND_COLS = [
+    "conv_id",
+    "cand_id",
+    "cand_seq",
+    "e1_id",
+    "e2_id",
+    "e1_surface",
+    "e2_surface",
+    "sent1",
+    "tok1",
+    "sent2",
+    "tok2",
+    "k",
+]
+
+FEAT_FIELDS = (
+    "sdp_gidx array<int>, sdp_words array<string>, sdp_pos array<int>, "
+    "sdp_iob array<int>, pi_e1 array<int>, pi_e2 array<int>, "
+    "win_words array<string>, parents array<int>, tree_order array<int>"
+)
+
+
+def candidate_windows(candidates: DataFrame, sentences: DataFrame) -> DataFrame:
+    """Attach the ordered window sentence texts to each candidate
+    (range join on sent_idx ∈ [smin, smax], grouped back)."""
+    c = candidates.withColumn("smin", F.least("sent1", "sent2")).withColumn(
+        "smax", F.greatest("sent1", "sent2")
+    )
+    joined = c.join(
+        sentences.select("conv_id", "sent_idx", "sent_text"),
+        on=[
+            c.conv_id == sentences.conv_id,
+            sentences.sent_idx.between(c.smin, c.smax),
+        ],
+    ).drop(sentences.conv_id)
+    gcols = CAND_COLS + ["smin", "smax"]
+    return (
+        joined.groupBy(*gcols)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sent_idx", "sent_text"))).alias("ws")
+        )
+        .withColumn("wtexts", F.transform(F.col("ws"), lambda s: s.sent_text))
+        .drop("ws")
+    )
+
+
+def featurize_pair(windows: DataFrame) -> DataFrame:
+    """candidate windows → feature arrays (+ ``ok`` quarantine flag)."""
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in windows.schema.fields
+        )
+        + ", ok boolean, "
+        + FEAT_FIELDS
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = {
+            "sdp_gidx": None,
+            "sdp_words": None,
+            "sdp_pos": None,
+            "sdp_iob": None,
+            "pi_e1": None,
+            "pi_e2": None,
+            "win_words": None,
+            "parents": None,
+            "tree_order": None,
+        }
+        for pdf in batches:
+            feats = []
+            for row in pdf.itertuples(index=False):
+                f = kernels.featurize_window(
+                    list(row.wtexts),
+                    int(row.sent1),
+                    int(row.tok1),
+                    int(row.sent2),
+                    int(row.tok2),
+                    int(row.smin),
+                )
+                if f is None:
+                    feats.append({"ok": False, **empty})
+                else:
+                    feats.append({"ok": True, **f})
+            out = pd.concat(
+                [pdf.reset_index(drop=True), pd.DataFrame(feats)], axis=1
+            )
+            yield out
+
+    return windows.mapInPandas(run, schema=out_schema)

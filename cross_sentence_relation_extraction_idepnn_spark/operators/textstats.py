@@ -1,0 +1,219 @@
+"""Text analysis for the training-data pipeline: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All four are pure Column algebra over ``documents`` with exact DuckDB
+oracles. The text-normalization idioms mirror the reference's T-chain
+(SURVEY.md §2.8): masking/lowercasing stay native ``regexp_replace``;
+the heuristics below are corpus-statistics analogues of
+``features_bb2016.py``'s normalization plumbing applied at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..hashing import duck_h15, spark_h15
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "fast"),
+    "qry": ("query", "scan", "join", "filter", "sort"),
+    "dat": ("data", "row", "table", "batch", "value"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+FP_WIN = 8  # char-shingle width for fingerprinting
+FP_STEP = 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _count_in(tokens, markers: tuple[str, ...]):
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_pred, score): argmax marker-token density; tie /
+    zero → 'und'. (An n-gram-frequency language heuristic — the corpus
+    is synthetic so the marker sets are corpus-tuned; the *shape* is
+    what scales: one narrow pass, no shuffle.)"""
+    toks = F.split(F.lower(F.col("text")), " ")
+    df = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    for lang, markers in LANG_MARKERS.items():
+        df = df.withColumn(f"c_{lang}", _count_in(F.col("toks"), markers))
+    best_count = F.greatest(*[F.col(f"c_{lang}") for lang in LANG_MARKERS])
+    n_best = sum(
+        F.when(F.col(f"c_{lang}") == best_count, 1).otherwise(0)
+        for lang in LANG_MARKERS
+    )
+    pred = F.when(best_count == 0, F.lit("und")).when(n_best > 1, F.lit("und"))
+    for lang in LANG_MARKERS:
+        pred = pred.when(F.col(f"c_{lang}") == best_count, F.lit(lang))
+    return df.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        F.round(best_count / F.greatest(F.size("toks"), F.lit(1)), 6).alias("score"),
+    )
+
+
+def duck_lang_id() -> str:
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        cols.append(
+            f"len(list_filter(toks, t -> list_contains({lst}, t))) AS c_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"c_{lang}" for lang in LANG_MARKERS) + ")"
+    nbest = " + ".join(
+        f"CASE WHEN c_{lang} = {best} THEN 1 ELSE 0 END" for lang in LANG_MARKERS
+    )
+    pred = f"CASE WHEN {best} = 0 THEN 'und' WHEN ({nbest}) > 1 THEN 'und' "
+    for lang in LANG_MARKERS:
+        pred += f"WHEN c_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+    return f"""
+        SELECT doc_id, {pred} AS lang_pred,
+               ROUND({best} * 1.0 / GREATEST(len(toks), 1), 6) AS score
+        FROM (
+            SELECT doc_id, toks, {", ".join(cols)}
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        )
+    """
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_tok_len, stopword_ratio,
+    type_token_ratio, quality): length/stopword/diversity heuristic."""
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        toks.alias("toks"),
+    )
+    df = df.withColumn(
+        "avg_tok_len",
+        F.round(
+            (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"), 6
+        ),
+    ).withColumn(
+        "stopword_ratio",
+        F.round(
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(stop, t)))
+            / F.col("n_tokens"),
+            6,
+        ),
+    ).withColumn(
+        "type_token_ratio",
+        F.round(F.size(F.array_distinct("toks")) / F.col("n_tokens"), 6),
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + (1 - F.col("stopword_ratio")) * 0.3
+        + F.col("type_token_ratio") * 0.3,
+        6,
+    )
+    return df.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "avg_tok_len",
+        "stopword_ratio",
+        "type_token_ratio",
+        quality.alias("quality"),
+    )
+
+
+def duck_quality() -> str:
+    stop = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+        SELECT doc_id, n_chars, n_tokens, avg_tok_len, stopword_ratio, type_token_ratio,
+               ROUND(LEAST(n_tokens / 64.0, 1.0) * 0.4
+                     + (1 - stopword_ratio) * 0.3
+                     + type_token_ratio * 0.3, 6) AS quality
+        FROM (
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   ROUND((length(text) - (len(toks) - 1)) * 1.0 / len(toks), 6) AS avg_tok_len,
+                   ROUND(len(list_filter(toks, t -> list_contains({stop}, t))) * 1.0
+                         / len(toks), 6) AS stopword_ratio,
+                   ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        )
+    """
+
+
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ws_tokens, re_tokens, bpe_ish_tokens): whitespace count,
+    regex token count (letters|digits|punct), and a deterministic
+    BPE-proxy (⌈len/4⌉ subwords per whitespace token)."""
+    toks = F.split(F.col("text"), " ")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)).alias(
+            "re_tokens"
+        ),
+        F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int"),
+        ).alias("bpe_ish_tokens"),
+    )
+
+
+def duck_token_counts() -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS re_tokens,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                                            t -> CAST(CEIL(length(t) / 4.0) AS INT))) AS INT)
+                   AS bpe_ish_tokens
+        FROM documents
+    """
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp_min, fp_xor): rolling char-shingle fingerprint —
+    min-hash and xor-fold of H over width-8 step-4 character windows."""
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - (FP_WIN - 1), F.lit(1)),
+        F.lit(FP_STEP),
+    )
+    hs = F.transform(
+        starts, lambda p: spark_h15(F.col("text").substr(p, F.lit(FP_WIN)))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_min(hs).alias("fp_min"),
+        F.aggregate(hs, F.lit(0).cast("long"), lambda a, v: a.bitwiseXOR(v)).alias(
+            "fp_xor"
+        ),
+    )
+
+
+def duck_fingerprint() -> str:
+    h = duck_h15("substr(text, CAST(p AS INT), 8)")
+    return f"""
+        SELECT doc_id, MIN(hv) AS fp_min, bit_xor(hv) AS fp_xor
+        FROM (
+            SELECT doc_id, {h} AS hv
+            FROM (
+                SELECT doc_id, text,
+                       UNNEST(range(1, GREATEST(length(text) - {FP_WIN - 1}, 1) + 1, {FP_STEP})) AS p
+                FROM documents
+            )
+        )
+        GROUP BY doc_id
+    """
