@@ -297,7 +297,7 @@ def featurize_window(
     Returns None when the SDP is unreachable (quarantine route, F3) or
     the window tokenizes empty (F5).
     """
-    sent_words = [s.split(" ") if s else [] for s in sent_texts]
+    sent_words = [s.split(" ") if s and s.strip() else [] for s in sent_texts]
     if any(len(w) == 0 for w in sent_words):
         return None
     offsets = np.cumsum([0] + [len(w) for w in sent_words])
