@@ -337,12 +337,12 @@ def featurize_window(
 
 # ------------------------------------------------------ batched forward pass
 
-def score_batch(
+def feature_batch(
     rows: list[dict],
     weights: dict[str, np.ndarray],
     use_adp: bool = True,
 ) -> np.ndarray:
-    """Batched iDepNN forward pass → (B, 2) class probabilities.
+    """Batched iDepNN recurrent features → (B, HIDDEN[+FEAT_DIM]).
 
     Pads SDP sequences to the batch max length; every timestep is one
     (B, xdim) @ (xdim, H) matmul — the vectorization the reference
@@ -350,7 +350,7 @@ def score_batch(
     """
     B = len(rows)
     if B == 0:
-        return np.zeros((0, N_CLASSES))
+        return np.zeros((0, HIDDEN + (FEAT_DIM if use_adp else 0)))
     pos_t = pos_vec_table()
     iob_t = iob_vec_table()
     pi_t = pi_vec_table()
@@ -403,12 +403,29 @@ def score_batch(
         tree_feat = np.zeros((B, FEAT_DIM))
         for b, r in enumerate(rows):
             tree_feat[b] = _tree_state(r, W)
-        logits = np.concatenate([h_bi, tree_feat], axis=1) @ W["W_hy_adp"] + W["b_y"]
-    else:
-        logits = h_bi @ W["W_hy"] + W["b_y"]
+        return np.concatenate([h_bi, tree_feat], axis=1)
+    return h_bi
+
+
+def softmax_head(feats: np.ndarray, W: dict[str, np.ndarray], use_adp: bool = True) -> np.ndarray:
+    """M7: softmax over the head weights; (B, n_feat) → (B, 2) probs."""
+    key = "W_hy_adp" if use_adp else "W_hy"
+    logits = feats @ W[key] + W["b_y"]
     logits -= logits.max(axis=1, keepdims=True)
     e = np.exp(logits)
     return e / e.sum(axis=1, keepdims=True)
+
+
+def score_batch(
+    rows: list[dict],
+    weights: dict[str, np.ndarray],
+    use_adp: bool = True,
+) -> np.ndarray:
+    """Batched iDepNN forward pass → (B, 2) class probabilities."""
+    feats = feature_batch(rows, weights, use_adp=use_adp)
+    if len(rows) == 0:
+        return np.zeros((0, N_CLASSES))
+    return softmax_head(feats, weights, use_adp=use_adp)
 
 
 def _tree_state(r: dict, W: dict[str, np.ndarray]) -> np.ndarray:

@@ -1,0 +1,209 @@
+"""End-to-end KG-construction pipeline (SURVEY.md §3 Spark lifecycle).
+
+``extract_triples`` chains the full dataflow::
+
+    transcripts → segment (W1/T1) → mentions (J7/J2)
+      → candidate pairs (J3/F2/W4/W5, optionally salted)
+      → windows → featurize (G1–G5, Arrow kernel)
+      → score (M1–M7, broadcast frozen weights) → threshold
+      → triples → canonicalize (G6) → dedup (A10)
+
+Shuffle topology: segmentation's sent_idx window and the candidate
+self-join both key on ``conv_id`` — one logical exchange; the dedup
+groupBy keys on (subj, pred, obj). Everything else is narrow.
+
+Skew: a single multi-million-turn conversation would hot-spot the
+``conv_id`` shuffle. ``salted_candidate_pairs`` splits each
+conversation into overlapping sentence blocks (overlap = MAX_K, so no
+cross-pair is lost — SURVEY.md §7.3.4) and dedupes pairs that fall in
+two blocks; AQE skew-join splitting covers residual imbalance.
+
+Checkpoint/resume: pass a warehouse path and every stage becomes a
+resumable parquet checkpoint with lineage counters (see checkpoint.py);
+kill the job at any point and a re-run reuses completed stages,
+producing the identical triple table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import MAX_K, SCORE_THRESHOLD
+from ..operators.candidates import CAND_ORDER, candidate_pairs
+from ..operators.graph import candidate_windows, featurize_pair
+from ..operators.linking import canonicalize, dedup_triples
+from ..operators.mentions import detect_mentions
+from ..operators.scoring import emit_triples, score_pairs
+from ..operators.segmentation import segment
+from ..sources.transcripts import transcripts
+from ..training import load_weights
+from .checkpoint import Checkpointer
+
+SALT_BLOCK = 64  # sentences per salt block (>> MAX_K)
+
+
+def salted_candidate_pairs(
+    mentions: DataFrame, max_k: int = MAX_K, block: int = SALT_BLOCK
+) -> DataFrame:
+    """J3 with skew salting: mentions are assigned to sentence blocks of
+    ``block`` sentences; a mention within ``max_k`` of a block's start
+    is replicated into the previous block, so every pair with
+    ``|Δsent| ≤ max_k`` co-occurs in at least one block. The self-join
+    keys on (conv_id, salt) — a hot conversation spreads over
+    ceil(n_sents/block) reducers. Duplicated pairs collapse via
+    dropDuplicates before nearest-pair selection, which repartitions by
+    the *finer* (conv_id, e1, e2) key anyway."""
+    m = mentions.withColumn("salt", (F.col("sent_idx") / block).cast("int"))
+    spill = (
+        mentions.filter((F.col("sent_idx") % block < max_k) & (F.col("sent_idx") >= block))
+        .withColumn("salt", (F.col("sent_idx") / block).cast("int") - 1)
+    )
+    salted = m.unionByName(spill)
+    m1 = salted.filter(F.col("ner_tag") == "OP").select(
+        "conv_id",
+        "salt",
+        F.col("entity_id").alias("e1_id"),
+        F.col("surface").alias("e1_surface"),
+        F.col("sent_idx").alias("sent1"),
+        F.col("tok_idx").alias("tok1"),
+    )
+    m2 = salted.filter(F.col("ner_tag") == "OBJ").select(
+        "conv_id",
+        "salt",
+        F.col("entity_id").alias("e2_id"),
+        F.col("surface").alias("e2_surface"),
+        F.col("sent_idx").alias("sent2"),
+        F.col("tok_idx").alias("tok2"),
+    )
+    pairs = (
+        m1.join(m2, ["conv_id", "salt"])
+        .withColumn("k", F.abs(F.col("sent2") - F.col("sent1")).cast("int"))
+        .filter(F.col("k") <= max_k)
+        .drop("salt")
+        .dropDuplicates(
+            ["conv_id", "e1_id", "e2_id", "sent1", "tok1", "sent2", "tok2"]
+        )
+    )
+    w_near = Window.partitionBy("conv_id", "e1_id", "e2_id").orderBy(*CAND_ORDER)
+    near = (
+        pairs.withColumn("rn", F.row_number().over(w_near))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_seq = Window.partitionBy("conv_id").orderBy(*CAND_ORDER, "e1_id", "e2_id")
+    return near.withColumn(
+        "cand_seq", F.row_number().over(w_seq).cast("int")
+    ).withColumn("cand_id", F.concat_ws("#", "conv_id", "cand_seq"))
+
+
+def extract_triples(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse: str | None = None,
+    threshold: float = SCORE_THRESHOLD,
+    max_k: int = MAX_K,
+    salted: bool = False,
+    resume: bool = True,
+    weights=None,
+) -> DataFrame:
+    """Full pipeline → per-candidate triples (pre-dedup).
+
+    With ``warehouse`` set, every stage checkpoints (resumable);
+    without, the whole chain runs as one lazy plan.
+    """
+    weights = weights if weights is not None else load_weights()
+    pair_fn = salted_candidate_pairs if salted else candidate_pairs
+
+    if warehouse is None:
+        sents = segment(transcripts(spark, sf_dir))
+        cands = pair_fn(detect_mentions(spark, sents), max_k=max_k)
+        feats = featurize_pair(candidate_windows(cands, sents))
+        scored = score_pairs(feats.filter("ok"), weights=weights)
+        return emit_triples(scored, threshold=threshold)
+
+    cp = Checkpointer(spark, warehouse)
+    sents = cp.stage(
+        "sentences",
+        lambda: segment(transcripts(spark, sf_dir)),
+        upstream=["transcripts"],
+        resume=resume,
+    )
+    mens = cp.stage(
+        "mentions",
+        lambda: detect_mentions(spark, sents),
+        upstream=["sentences"],
+        resume=resume,
+    )
+    cands = cp.stage(
+        "candidates",
+        lambda: pair_fn(mens, max_k=max_k),
+        upstream=["mentions"],
+        resume=resume,
+    )
+    feats = cp.stage(
+        "featurized",
+        lambda: featurize_pair(candidate_windows(cands, sents)),
+        upstream=["candidates", "sentences"],
+        resume=resume,
+    )
+    cp.stage(
+        "quarantine",
+        lambda: feats.filter(~F.col("ok")),
+        upstream=["featurized"],
+        resume=resume,
+    )
+    scored = cp.stage(
+        "scored",
+        lambda: score_pairs(feats.filter("ok"), weights=weights),
+        upstream=["featurized"],
+        resume=resume,
+    )
+    return cp.stage(
+        "triples",
+        lambda: emit_triples(scored, threshold=threshold),
+        upstream=["scored"],
+        resume=resume,
+    )
+
+
+def materialize_kg(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Triples → canonical entity map → deduped KG table.
+
+    Canonical components re-key subj/obj (G6) before the A10 dedup
+    shuffle; the component map is tiny → broadcast join.
+    """
+    triples = extract_triples(spark, sf_dir, warehouse=warehouse, **kwargs)
+    sents = (
+        Checkpointer(spark, warehouse).read("sentences")
+        if warehouse
+        else segment(transcripts(spark, sf_dir))
+    )
+    mens = detect_mentions(spark, sents)
+    canon = canonicalize(mens).withColumnRenamed("component", "canon")
+    t = (
+        triples.join(
+            F.broadcast(canon.withColumnRenamed("surface", "subj_surface")),
+            "subj_surface",
+            "left",
+        )
+        .withColumn("subj", F.upper(F.coalesce(F.col("canon"), F.col("subj"))))
+        .drop("canon")
+        .join(
+            F.broadcast(canon.withColumnRenamed("surface", "obj_surface")),
+            "obj_surface",
+            "left",
+        )
+        .withColumn("obj", F.upper(F.coalesce(F.col("canon"), F.col("obj"))))
+        .drop("canon")
+    )
+    kg = dedup_triples(t)
+    if warehouse:
+        cp = Checkpointer(spark, warehouse)
+        return cp.stage("kg", lambda: kg, upstream=["triples"], resume=kwargs.get("resume", True))
+    return kg
