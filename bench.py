@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "n_turns": ..., "turns_per_sec_cLOW": ..., "turns_per_sec_cHIGH": ...,
+   "scaling_efficiency": ...}
+
+The scaling block evidences the north rule's two-cluster-size criterion
+in-sandbox: the same end-to-end KG pipeline runs at two parallelism
+levels (local[CPUS/4] vs local[CPUS] — the N vs 4N stand-in) on the
+same input; efficiency = (tput_high / tput_low) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOW = max(CPUS // 4, 1)
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_pipeline(cores: int, sf_dir: str) -> tuple[int, int, float]:
+    """(n_turns, n_triples, pipeline_sec) at the given parallelism.
+
+    A fresh session per level; the input count runs before the timer so
+    both levels start page-cache-warm and JVM-warm.
+    """
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        extract_triples,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import get_spark
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    spark = get_spark(f"bench_c{cores}", cores=cores)
+    n_turns = transcripts(spark, sf_dir).count()
+    t0 = time.time()
+    n_triples = extract_triples(spark, sf_dir).count()
+    dt = time.time() - t0
+    spark.stop()
+    return n_turns, n_triples, dt
+
+
+def main() -> None:
+    timings: dict[str, float] = {}
+
+    # ---- scaling run at LOW parallelism (N executors stand-in) ----
+    if not SKIP_SCALING:
+        n_turns, _, sec_low = run_pipeline(LOW, SF_DIR)
+    else:
+        n_turns, sec_low = 0, 0.0
+
+    # ---- main run at HIGH parallelism (4N) ----
+    from cross_sentence_relation_extraction_idepnn_spark.operators import (
+        dedup,
+        linking,
+        similarity,
+        textstats,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        extract_triples,
+        materialize_kg,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import get_spark
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    spark = get_spark(f"bench_c{CPUS}", cores=CPUS)
+    if SKIP_SCALING:
+        n_turns = transcripts(spark, SF_DIR).count()
+    else:
+        transcripts(spark, SF_DIR).count()  # warm
+
+    t0 = time.time()
+    extract_triples(spark, SF_DIR).count()
+    sec_high = time.time() - t0
+    timings["kg_pipeline"] = round(sec_high, 3)
+
+    def timed(name: str, fn) -> None:
+        t = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t, 3)
+
+    timed("kg_materialize", materialize_kg)
+    timed("dedup_exact", dedup.dedup_exact)
+    timed("minhash_pairs", dedup.minhash_pairs)
+    timed("simhash_pairs", dedup.simhash_pairs)
+    timed("ngram_pairs", dedup.ngram_jaccard_pairs)
+    timed("cosine_topk", similarity.cosine_topk)
+    timed("lsh_ann_topk", similarity.lsh_ann_topk)
+    timed("lang_id", textstats.lang_id)
+    timed("quality_score", textstats.quality_score)
+    timed("token_counts", textstats.token_counts)
+    timed("doc_fingerprint", textstats.doc_fingerprint)
+    timed(
+        "canonicalize",
+        lambda s, d: linking.canonicalize(detect_mentions(s, segment(transcripts(s, d)))),
+    )
+
+    tput_high = n_turns / sec_high if sec_high > 0 else 0.0
+    tput_low = n_turns / sec_low if sec_low > 0 else 0.0
+    ratio = CPUS / LOW if LOW else 1
+    eff = (tput_high / tput_low) / ratio if tput_low > 0 else None
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(sec_high, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_turns": n_turns,
+        "cores_low": LOW,
+        "cores_high": CPUS,
+        "pipeline_sec_low": round(sec_low, 3),
+        "turns_per_sec_low": round(tput_low, 1),
+        "turns_per_sec_high": round(tput_high, 1),
+        "scaling_efficiency": round(eff, 3) if eff is not None else None,
+    }
+    spark.stop()
+    sys.stdout.write(json.dumps(result) + "\n")
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

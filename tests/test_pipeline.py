@@ -1,0 +1,179 @@
+"""End-to-end pipeline invariants (SURVEY.md §5.2.3–§5.2.6).
+
+- per-turn text equality under stable turn ordering (north rule)
+- Spark featurize/score path ≡ pure-numpy oracle on collected windows
+- salted candidate generation ≡ unsalted (skew path loses no pairs)
+- threshold routing, quarantine behavior, dedup grain
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cross_sentence_relation_extraction_idepnn_spark import kernels as K
+from cross_sentence_relation_extraction_idepnn_spark.config import MAX_K
+from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import (
+    candidate_pairs,
+)
+from cross_sentence_relation_extraction_idepnn_spark.operators.graph import (
+    candidate_windows,
+    featurize_pair,
+)
+from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+    dedup_triples,
+)
+from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+    detect_mentions,
+)
+from cross_sentence_relation_extraction_idepnn_spark.operators.scoring import (
+    emit_triples,
+    score_pairs,
+)
+from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+    segment,
+)
+from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+    extract_triples,
+    salted_candidate_pairs,
+)
+from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+    transcripts,
+)
+from cross_sentence_relation_extraction_idepnn_spark.training import load_weights
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark, sf_dir):
+    """North-rule per-row invariant: reassembling each turn's sentences
+    in stable (turn_idx, begin) order reproduces the turn text exactly."""
+    t = transcripts(spark, sf_dir)
+    s = segment(t)
+    rebuilt = s.groupBy("conv_id", "turn_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("begin", "sent_text"))),
+                lambda x: x.sent_text,
+            ),
+            " ",
+        ).alias("re_text")
+    )
+    bad = (
+        t.join(rebuilt, ["conv_id", "turn_idx"], "full")
+        .filter(
+            F.col("text").isNull()
+            | F.col("re_text").isNull()
+            | (F.col("text") != F.col("re_text"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_sentence_offsets_slice_turn_text(spark, sf_dir):
+    """W2 contract: text[begin:end] == sent_text for every sentence."""
+    t = transcripts(spark, sf_dir)
+    s = segment(t).join(t.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"])
+    bad = s.filter(
+        F.expr("substring(text, begin + 1, end - begin)") != F.col("sent_text")
+    ).count()
+    assert bad == 0
+
+
+def test_salted_equals_unsalted_candidates(spark, sf_dir):
+    """Skew-salted pair generation must produce the identical candidate
+    set (overlap blocks lose no cross-boundary pair). Block size is set
+    below typical conversation length to force real block splits."""
+    mens = detect_mentions(spark, segment(transcripts(spark, sf_dir)))
+    plain = candidate_pairs(mens).toPandas()
+    salted = salted_candidate_pairs(mens, block=8).toPandas()
+    cols = sorted(plain.columns)
+    a = plain[cols].sort_values(cols).reset_index(drop=True)
+    b = salted[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_spark_scoring_matches_numpy_oracle(spark, sf_dir):
+    """The distributed mapInPandas path must reproduce the single-node
+    kernel bit-for-bit (same float64 ops, different batching)."""
+    sents = segment(transcripts(spark, sf_dir))
+    cands = candidate_pairs(detect_mentions(spark, sents))
+    feats = featurize_pair(candidate_windows(cands, sents)).filter("ok")
+    W = load_weights()
+    scored = (
+        score_pairs(feats, weights=W)
+        .select("cand_id", "p_rel", "sdp_words", "sdp_pos", "sdp_iob",
+                "pi_e1", "pi_e2", "win_words", "parents", "tree_order", "sdp_gidx")
+        .toPandas()
+        .sort_values("cand_id")
+        .reset_index(drop=True)
+    )
+    assert len(scored) > 0
+    rows = [
+        {
+            k: list(r[k])
+            for k in ("sdp_words", "sdp_pos", "sdp_iob", "pi_e1", "pi_e2",
+                      "win_words", "parents", "tree_order", "sdp_gidx")
+        }
+        for _, r in scored.iterrows()
+    ]
+    probs = K.score_batch(rows, W)
+    np.testing.assert_allclose(scored["p_rel"].to_numpy(), probs[:, 1], rtol=1e-9)
+
+
+def test_threshold_routing_and_triple_shape(spark, sf_dir):
+    triples = extract_triples(spark, sf_dir, threshold=0.5)
+    pdf = triples.toPandas()
+    assert set(pdf.columns) == {
+        "conv_id", "subj", "pred", "obj", "subj_surface", "obj_surface",
+        "k", "score", "cand_id",
+    }
+    assert (pdf["score"] >= 0.5).all()
+    assert (pdf["k"] <= MAX_K).all()
+    assert (pdf["pred"] == "acts_on").all()
+    # threshold monotonicity: raising θ can only shrink the set
+    n_hi = extract_triples(spark, sf_dir, threshold=0.9).count()
+    assert n_hi <= len(pdf)
+
+
+def test_dedup_grain_and_support(spark, sf_dir):
+    triples = extract_triples(spark, sf_dir)
+    kg = dedup_triples(triples).toPandas()
+    assert kg.duplicated(subset=["subj", "pred", "obj"]).sum() == 0
+    assert int(kg["support"].sum()) == triples.count()
+
+
+def test_quarantine_rows_are_flagged_not_dropped(spark):
+    """F3/F5: a window containing a blank sentence routes to ok=false."""
+    sents = spark.createDataFrame(
+        [
+            ("c1", 0, 0, 0, "scan reads", 0, 10, 2),
+            ("c1", 0, 1, 1, "", 11, 11, 1),
+            ("c1", 1, 2, 0, "a table", 12, 19, 2),
+        ],
+        "conv_id string, turn_idx int, sent_idx int, sent_in_turn int, "
+        "sent_text string, begin int, end int, n_tokens int",
+    )
+    mens = detect_mentions(spark, sents)
+    cands = candidate_pairs(mens)
+    feats = featurize_pair(candidate_windows(cands, sents)).toPandas()
+    assert len(feats) == 1  # scan × table
+    assert not feats["ok"].iloc[0]
+
+
+def test_scoring_is_deterministic_across_runs(spark, sf_dir):
+    a = extract_triples(spark, sf_dir).toPandas().sort_values("cand_id").reset_index(drop=True)
+    b = extract_triples(spark, sf_dir).toPandas().sort_values("cand_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_emit_triples_column_contract(spark):
+    scored = spark.createDataFrame(
+        [("c1", "SCAN", "TABLE", "scan", "table", 1, "c1#1", 1, 0.73)],
+        "conv_id string, e1_id string, e2_id string, e1_surface string, "
+        "e2_surface string, k int, cand_id string, y_pred int, p_rel double",
+    )
+    out = emit_triples(scored, threshold=0.5).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.subj == "SCAN" and row.obj == "TABLE" and row.score == 0.73
