@@ -27,9 +27,11 @@ from cross_sentence_relation_extraction_idepnn_spark.functions.text import (
 )
 from cross_sentence_relation_extraction_idepnn_spark.operators import (
     dedup,
+    multimodal,
     similarity,
     textstats,
 )
+from cross_sentence_relation_extraction_idepnn_spark.streaming import events as stream_events_mod
 from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import (
     candidate_pairs,
     duck_full_prefix,
@@ -201,10 +203,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
+        "embedding_neardup": similarity.embedding_neardup_pairs,
+        # multimodal binary columns (decode stage is a deterministic stub;
+        # the Spark plumbing — binary schema, Arrow batches — is real)
+        "multimodal_meta": multimodal.asset_meta,
+        "frame_sample": lambda s, d: multimodal.frame_sample(multimodal.asset_table(s, d)),
+        # streaming twin: batch form of the windowed event aggregation
+        # (stream-vs-batch equivalence is asserted in tests/test_streaming.py)
+        "events_windowed": stream_events_mod.windowed_counts_batch,
         # model kernels — non-SQL-expressible (rows-only driver check)
         "featurized_sdp": _featurized,
         "triples": _triples,
         "kg": _kg,
+        "multimodal_features": lambda s, d: multimodal.decode_features(
+            multimodal.asset_table(s, d)
+        ).select("asset_id", "modality", "d0", "d1", "d2", F.size("feat").alias("feat_dim")),
     }
 
 
@@ -299,6 +312,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_pairs": f"{shingles_prefix} {dedup.duck_ngram_pairs()}",
         "cosine_topk": similarity.duck_cosine_topk(),
         "lsh_ann_topk": similarity.duck_lsh_ann_topk(),
+        "embedding_neardup": similarity.duck_embedding_neardup(),
+        "multimodal_meta": multimodal.duck_asset_meta(),
+        "frame_sample": multimodal.duck_frame_sample(),
+        "events_windowed": stream_events_mod.duck_windowed_counts(),
         "lang_id": textstats.duck_lang_id(),
         "quality_score": textstats.duck_quality(),
         "token_counts": textstats.duck_token_counts(),

@@ -51,6 +51,7 @@ def run_pipeline(cores: int, sf_dir: str) -> tuple[int, int, float]:
 
     spark = get_spark(f"bench_c{cores}", cores=cores)
     n_turns = transcripts(spark, sf_dir).count()
+    extract_triples(spark, sf_dir).count()  # warm: JIT + Python workers
     t0 = time.time()
     n_triples = extract_triples(spark, sf_dir).count()
     dt = time.time() - t0
@@ -93,8 +94,9 @@ def main() -> None:
     if SKIP_SCALING:
         n_turns = transcripts(spark, SF_DIR).count()
     else:
-        transcripts(spark, SF_DIR).count()  # warm
+        transcripts(spark, SF_DIR).count()  # warm input
 
+    extract_triples(spark, SF_DIR).count()  # warm: JIT + Python workers
     t0 = time.time()
     extract_triples(spark, SF_DIR).count()
     sec_high = time.time() - t0

@@ -337,25 +337,16 @@ def featurize_window(
 
 # ------------------------------------------------------ batched forward pass
 
-def feature_batch(
-    rows: list[dict],
-    weights: dict[str, np.ndarray],
-    use_adp: bool = True,
-) -> np.ndarray:
-    """Batched iDepNN recurrent features → (B, HIDDEN[+FEAT_DIM]).
-
-    Pads SDP sequences to the batch max length; every timestep is one
-    (B, xdim) @ (xdim, H) matmul — the vectorization the reference
-    lacks (minibatch=1, elman-bidirection.py:910-2484).
-    """
+def build_inputs(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """M1/M2/M11–M13 input assembly: rows → (X (B,L,xdim), lens (B,),
+    mask (B,L)). Shared by inference and BPTT training so both see
+    bit-identical inputs."""
     B = len(rows)
-    if B == 0:
-        return np.zeros((0, HIDDEN + (FEAT_DIM if use_adp else 0)))
     pos_t = pos_vec_table()
     iob_t = iob_vec_table()
     pi_t = pi_vec_table()
-    lens = np.array([len(r["sdp_words"]) for r in rows])
-    L = int(lens.max())
+    lens = np.array([len(r["sdp_words"]) for r in rows], dtype=np.int64)
+    L = int(lens.max()) if B else 0
     xdim = EMB_DIM + 4 * FEAT_DIM
     X = np.zeros((B, L, xdim))
     for b, r in enumerate(rows):
@@ -370,6 +361,25 @@ def feature_batch(
                 ]
             )
     mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float64)
+    return X, lens, mask
+
+
+def feature_batch(
+    rows: list[dict],
+    weights: dict[str, np.ndarray],
+    use_adp: bool = True,
+) -> np.ndarray:
+    """Batched iDepNN recurrent features → (B, HIDDEN[+FEAT_DIM]).
+
+    Pads SDP sequences to the batch max length; every timestep is one
+    (B, xdim) @ (xdim, H) matmul — the vectorization the reference
+    lacks (minibatch=1, elman-bidirection.py:910-2484).
+    """
+    B = len(rows)
+    if B == 0:
+        return np.zeros((0, HIDDEN + (FEAT_DIM if use_adp else 0)))
+    X, lens, mask = build_inputs(rows)
+    L = X.shape[1]
 
     W = weights
     h_f = np.zeros((B, L, HIDDEN))
@@ -400,11 +410,19 @@ def feature_batch(
         h_bi = m * h_new + (1 - m) * h_bi
 
     if use_adp:
-        tree_feat = np.zeros((B, FEAT_DIM))
-        for b, r in enumerate(rows):
-            tree_feat[b] = _tree_state(r, W)
+        tree_feat = tree_mean_states(rows, W) @ W["W_tree_proj"]
         return np.concatenate([h_bi, tree_feat], axis=1)
     return h_bi
+
+
+def tree_mean_states(rows: list[dict], W: dict[str, np.ndarray]) -> np.ndarray:
+    """(B, HIDDEN) mean TreeRNN hidden state over each row's SDP tokens
+    (the pre-projection half of M6 — projection by ``W_tree_proj`` is
+    linear, so training can reuse these as fixed inputs)."""
+    out = np.zeros((len(rows), HIDDEN))
+    for b, r in enumerate(rows):
+        out[b] = _tree_hidden_mean(r, W)
+    return out
 
 
 def softmax_head(feats: np.ndarray, W: dict[str, np.ndarray], use_adp: bool = True) -> np.ndarray:
@@ -433,6 +451,10 @@ def _tree_state(r: dict, W: dict[str, np.ndarray]) -> np.ndarray:
     ``h = tanh(b + W_hx x + W_hh Σ child_h)``; the ADP feature is the
     mean of SDP-token hidden states projected to FEAT_DIM (subtree
     embedding per SDP token, elman_bidirection_RC.py:454-474)."""
+    return _tree_hidden_mean(r, W) @ W["W_tree_proj"]
+
+
+def _tree_hidden_mean(r: dict, W: dict[str, np.ndarray]) -> np.ndarray:
     words = r["win_words"]
     parents = r["parents"]
     order = r["tree_order"]
@@ -446,4 +468,4 @@ def _tree_state(r: dict, W: dict[str, np.ndarray]) -> np.ndarray:
         if p is not None:
             acc[p] += h[u]
     sdp_states = h[np.asarray(r["sdp_gidx"], dtype=int)]
-    return sdp_states.mean(axis=0) @ W["W_tree_proj"]
+    return sdp_states.mean(axis=0)

@@ -23,18 +23,56 @@ from .. import kernels
 from ..config import PREDICATE, SCORE_THRESHOLD
 
 
-def score_pairs(featurized: DataFrame, weights=None, use_adp: bool = True) -> DataFrame:
-    """featurized (ok rows) → + (y_pred int, p_rel double)."""
+FEATURE_COLS = [
+    "sdp_gidx",
+    "sdp_words",
+    "sdp_pos",
+    "sdp_iob",
+    "pi_e1",
+    "pi_e2",
+    "win_words",
+    "parents",
+    "tree_order",
+]
+
+PASSTHROUGH_COLS = [
+    "conv_id",
+    "cand_id",
+    "cand_seq",
+    "e1_id",
+    "e2_id",
+    "e1_surface",
+    "e2_surface",
+    "k",
+]
+
+
+def score_pairs(
+    featurized: DataFrame,
+    weights=None,
+    use_adp: bool = True,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """featurized (ok rows) → (keep_cols…, y_pred int, p_rel double).
+
+    Arrow traffic is pruned on both sides of the kernel: only the
+    feature arrays + ``keep_cols`` enter Python, and only ``keep_cols``
+    + scores come back (the feature arrays never cross the boundary
+    twice). ``keep_cols`` defaults to the id/surface columns
+    ``emit_triples`` needs.
+    """
     if weights is None:
         weights = kernels.init_weights()
+    if keep_cols is None:
+        keep_cols = [c for c in PASSTHROUGH_COLS if c in featurized.columns]
     wlists = kernels.weights_to_lists(weights)
     sc = featurized.sparkSession.sparkContext
     bweights = sc.broadcast(wlists)
 
+    pruned = featurized.select(*keep_cols, *FEATURE_COLS)
+    keep_fields = [f for f in pruned.schema.fields if f.name in keep_cols]
     out_schema = (
-        ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in featurized.schema.fields
-        )
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep_fields)
         + ", y_pred int, p_rel double"
     )
 
@@ -42,26 +80,16 @@ def score_pairs(featurized: DataFrame, weights=None, use_adp: bool = True) -> Da
         W = kernels.weights_from_lists(bweights.value)
         for pdf in batches:
             rows = [
-                {
-                    "sdp_words": list(r.sdp_words),
-                    "sdp_pos": list(r.sdp_pos),
-                    "sdp_iob": list(r.sdp_iob),
-                    "pi_e1": list(r.pi_e1),
-                    "pi_e2": list(r.pi_e2),
-                    "win_words": list(r.win_words),
-                    "parents": list(r.parents),
-                    "tree_order": list(r.tree_order),
-                    "sdp_gidx": list(r.sdp_gidx),
-                }
+                {k: list(getattr(r, k)) for k in FEATURE_COLS}
                 for r in pdf.itertuples(index=False)
             ]
             probs = kernels.score_batch(rows, W, use_adp=use_adp)
-            out = pdf.reset_index(drop=True).copy()
+            out = pdf[keep_cols].reset_index(drop=True).copy()
             out["y_pred"] = probs.argmax(axis=1).astype("int32")
             out["p_rel"] = probs[:, 1]
             yield out
 
-    return featurized.mapInPandas(run, schema=out_schema)
+    return pruned.mapInPandas(run, schema=out_schema)
 
 
 def emit_triples(scored: DataFrame, threshold: float = SCORE_THRESHOLD) -> DataFrame:

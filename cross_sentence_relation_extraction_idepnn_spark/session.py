@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by *byte* size, which starves CPU-bound Arrow
+        # kernels (mapInPandas rows are cheap to ship, expensive to
+        # compute): keep small-input coalescing from dropping below
+        # full parallelism by lowering the per-partition floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

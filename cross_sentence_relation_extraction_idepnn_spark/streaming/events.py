@@ -1,0 +1,181 @@
+"""Structured Streaming ingest over the ``events`` table.
+
+The reference is purely batch (SURVEY.md §2.11), so nothing here is a
+parity target; this is the engine's streaming surface for continuous
+transcript/event feeds at production scale:
+
+- ``stream_events``: file-source ``readStream`` with an explicit schema
+  (schema inference is disabled on streams by design);
+- ``windowed_counts``: event-time tumbling window + watermark — late
+  rows beyond the watermark are dropped, state is bounded;
+- ``sessionize``: custom stateful operator via
+  ``applyInPandasWithState`` (per-user session aggregation with gap
+  timeout) — the state-store path a 100 TB streaming job would use;
+- ``run_available_now``: drives any of the above to a memory sink with
+  ``Trigger.AvailableNow`` so batch-vs-stream equivalence is testable.
+
+The *same* windowed aggregation is exposed in batch form
+(``windowed_counts_batch``) with a DuckDB oracle: the streaming result
+on a bounded input must equal the batch result — that equivalence is
+the streaming correctness test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+WINDOW = "10 minutes"
+WATERMARK = "30 minutes"
+
+
+def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one-file directory
+    glob; in production: Kafka/Iceberg incremental scan)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _windowed(events: DataFrame) -> DataFrame:
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_counts(stream: DataFrame) -> DataFrame:
+    """Streaming: tumbling event-time window per event_type."""
+    return _windowed(stream)
+
+
+def windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`windowed_counts` (oracle-checkable; the
+    watermark is a no-op on bounded batch input)."""
+    return (
+        events_batch(spark, sf_dir)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def duck_windowed_counts() -> str:
+    """DuckDB oracle: 10-minute tumbling windows on the raw timestamp.
+
+    ``win_start`` is epoch seconds floored to 600s — exactly Spark's
+    tumbling-window start for UTC session timezone.
+    """
+    return """
+        SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
+def sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user sessions with a ``gap``
+    timeout via ``applyInPandasWithState`` — events within ``gap`` of
+    each other belong to one session; a watermark-driven timeout emits
+    the closed session (session_id, user_id, n_events, sum_value,
+    start/end epoch seconds).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = (
+        "user_id bigint, n_events bigint, sum_value double, "
+        "start_epoch bigint, end_epoch bigint"
+    )
+    state_schema = "n bigint, s double, t0 bigint, t1 bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, s, t0, t1 = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "sum_value": s,
+                        "start_epoch": t0,
+                        "end_epoch": t1,
+                    }
+                ]
+            )
+            return
+        n, s, t0, t1 = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            ts = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            t0 = min([x for x in [t0, *ts] if x is not None])
+            t1 = max([x for x in [t1, *ts] if x is not None])
+        state.update((n, s, t0, t1))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+        yield pd.DataFrame(
+            columns=["user_id", "n_events", "sum_value", "start_epoch", "end_epoch"]
+        )
+
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink;
+    returns the sink table. Bounded-input equivalence harness."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)

@@ -1,4 +1,4 @@
-"""Single-node training of the relation-scoring head (SURVEY.md §3.3).
+"""Single-node training of the relation scorer (SURVEY.md §3.3).
 
 The reference trains end-to-end with per-example Theano steps
 (M8 NLL + L2 cost ``elman_bidirection_RC.py:532-550``; M9 SGD with
@@ -6,14 +6,26 @@ gradient clipping ``optimiser/grad_optimiser.py:83-103``). Per
 SURVEY.md §7.0 the distributed path is inference-only: training runs
 once, single-node, and ships frozen weights.
 
-Here the recurrent feature extractor stays at its deterministic frozen
-initialization and the softmax head (M7) is trained by full-batch
-gradient descent on NLL + L2 with gradient-norm clipping — the same
-cost/update family, applied to the parameters the parity metric
-actually exercises. Gold labels come from the synthetic corpus rule
-(relation holds iff the pair is intra-sentence or adjacent, k ≤ 1 —
-mirroring the reference's train-k≤1 configuration,
-``supplementary_material.pdf`` Table 3).
+``train_full`` is the end-to-end analogue: batched BPTT through the
+forward/backward Elman recurrences and the bi-combiner (M3/M4), plus
+the softmax head (M7) and the linear ADP projection, on NLL + L2 with
+global gradient-norm clipping — the reference's cost/update family
+vectorized across the whole batch instead of minibatch=1. The word/
+POS/IOB/PI embeddings and the TreeRNN recurrent weights stay at their
+deterministic frozen values (embeddings are hash-derived dimension
+tables here, so the reference's post-step embedding row-normalization
+M10 has no trainable target). ``train_head`` remains as the cheap
+head-only variant.
+
+Gold labels come from the synthetic corpus rule: the relation holds
+iff the entities are *dependency-proximate* — connected by at most
+``GOLD_MAX_HOPS`` edges on the inter-sentential dependency graph
+(the iSDP). This is the in-sandbox analogue of the reference's
+annotated relations: deterministic, computable by the numpy oracle,
+and a genuine function of the features the model consumes (k alone is
+not recoverable from SDP features in the synthetic grammar — path
+lengths overlap across k — which would cap any model's accuracy and
+leave scores knife-edge at the threshold; SURVEY.md §7.3.3).
 
 ``python -m cross_sentence_relation_extraction_idepnn_spark.training`` regenerates
 ``artifacts/weights.json``; the pipeline loads it at job start and
@@ -31,16 +43,20 @@ from . import kernels
 
 ARTIFACT = os.path.join(os.path.dirname(__file__), "artifacts", "weights.json")
 
-GOLD_MAX_K = 1
+GOLD_MAX_HOPS = 3
 L2 = 1e-4
 LR = 1.0
 EPOCHS = 400
 CLIP = 5.0
 
+FULL_EPOCHS = 150
+FULL_LR = 0.5
 
-def gold_label(k: int) -> int:
-    """Synthetic gold rule: relation holds iff k ≤ GOLD_MAX_K."""
-    return 1 if k <= GOLD_MAX_K else 0
+
+def gold_label(row: dict) -> int:
+    """Synthetic gold rule: relation holds iff the SDP between the
+    entities has at most GOLD_MAX_HOPS edges (dependency proximity)."""
+    return 1 if len(row["sdp_gidx"]) - 1 <= GOLD_MAX_HOPS else 0
 
 
 def train_head(
@@ -69,6 +85,150 @@ def train_head(
     out["W_hy_adp"] = W
     out["b_y"] = b
     return out
+
+
+TRAINED = [
+    "W_xh_f", "W_hh_f", "b_f",
+    "W_xh_b", "W_hh_b", "b_b",
+    "W_hh_bi", "b_bi",
+    "W_tree_proj", "W_hy_adp", "b_y",
+]
+
+
+def _reversed_inputs(X: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Xr[b, s] = X[b, lens[b]-1-s] for s < lens[b], else 0 — the
+    backward recurrence runs forward over Xr (identical numbers to the
+    inference kernel's per-row index-gather form)."""
+    B, L, D = X.shape
+    Xr = np.zeros_like(X)
+    ar = np.arange(L)
+    for b in range(B):
+        n = int(lens[b])
+        Xr[b, :n] = X[b, ar[:n][::-1]]
+    return Xr
+
+
+def _fwd_chain(inp, mask, U, b_vec):
+    """Masked Elman recurrence over precomputed per-step inputs
+    ``inp (B,L,H_or_x@W)``; returns (states H, tanh outputs T)."""
+    B, L, H = inp.shape[0], inp.shape[1], U.shape[0]
+    Hs = np.zeros((B, L, H))
+    Ts = np.zeros((B, L, H))
+    h = np.zeros((B, H))
+    for t in range(L):
+        m = mask[:, t : t + 1]
+        z = np.tanh(inp[:, t] + h @ U + b_vec)
+        Ts[:, t] = z
+        h = m * z + (1 - m) * h
+        Hs[:, t] = h
+    return Hs, Ts
+
+
+def _bwd_chain(dH_ext, mask, Hs, Ts, U):
+    """BPTT through a masked Elman chain. ``dH_ext[:, t]`` is the
+    external gradient into h_t. Returns (dinp (B,L,H), dU, db)."""
+    B, L, H = dH_ext.shape
+    dinp = np.zeros((B, L, H))
+    dU = np.zeros_like(U)
+    db = np.zeros(H)
+    carry = np.zeros((B, H))
+    for t in range(L - 1, -1, -1):
+        g = dH_ext[:, t] + carry
+        m = mask[:, t : t + 1]
+        dz = g * m * (1 - Ts[:, t] ** 2)
+        h_prev = Hs[:, t - 1] if t > 0 else np.zeros((B, H))
+        dU += h_prev.T @ dz
+        db += dz.sum(axis=0)
+        dinp[:, t] = dz
+        carry = dz @ U.T + g * (1 - m)
+    return dinp, dU, db
+
+
+def train_full(
+    rows: list[dict],
+    labels: np.ndarray,
+    base: dict[str, np.ndarray],
+    epochs: int = FULL_EPOCHS,
+    lr: float = FULL_LR,
+    l2: float = L2,
+    clip: float = CLIP,
+    verbose: bool = False,
+) -> dict[str, np.ndarray]:
+    """End-to-end BPTT training of the bi-RNN + head (M3/M4/M7/M8/M9),
+    batched across all examples. TreeRNN recurrent weights stay frozen;
+    its linear projection ``W_tree_proj`` and the head are trained."""
+    W = {k: v.copy() for k, v in base.items()}
+    X, lens, mask = kernels.build_inputs(rows)
+    Xr = _reversed_inputs(X, lens)
+    mask_r = mask  # same shape: s < lens[b]
+    B, L, _ = X.shape
+    S_mean = kernels.tree_mean_states(rows, W)  # frozen tree features
+    onehot = np.eye(kernels.N_CLASSES)[labels]
+    ar = np.arange(B)
+    last_t = lens - 1
+    H = kernels.HIDDEN
+
+    # valid (b, s) pairs and their original-index positions for the
+    # h_b scatter/gather: t = lens[b]-1-s
+    bidx, sidx = np.nonzero(mask > 0)
+    tidx = lens[bidx] - 1 - sidx
+
+    for epoch in range(epochs):
+        inp_f = X @ W["W_xh_f"]
+        Hf, Tf = _fwd_chain(inp_f, mask, W["W_hh_f"], W["b_f"])
+        inp_b = Xr @ W["W_xh_b"]
+        Hb_rev, Tb_rev = _fwd_chain(inp_b, mask_r, W["W_hh_b"], W["b_b"])
+        # h_b in original index space (valid positions only)
+        Hb = np.zeros_like(Hb_rev)
+        Hb[bidx, tidx] = Hb_rev[bidx, sidx]
+        inp_bi = Hf + Hb
+        Hbi, Tbi = _fwd_chain(inp_bi, mask, W["W_hh_bi"], W["b_bi"])
+        h_final = Hbi[ar, last_t]
+        tree_feat = S_mean @ W["W_tree_proj"]
+        feats = np.concatenate([h_final, tree_feat], axis=1)
+        logits = feats @ W["W_hy_adp"] + W["b_y"]
+        logits -= logits.max(axis=1, keepdims=True)
+        e = np.exp(logits)
+        p = e / e.sum(axis=1, keepdims=True)
+
+        # ---- backward
+        dlogits = (p - onehot) / B
+        g = {}
+        g["W_hy_adp"] = feats.T @ dlogits + l2 * W["W_hy_adp"]
+        g["b_y"] = dlogits.sum(axis=0)
+        dfeats = dlogits @ W["W_hy_adp"].T
+        dh_final = dfeats[:, :H]
+        dtree = dfeats[:, H:]
+        g["W_tree_proj"] = S_mean.T @ dtree + l2 * W["W_tree_proj"]
+
+        dHbi_ext = np.zeros_like(Hbi)
+        dHbi_ext[ar, last_t] = dh_final
+        dinp_bi, dU_bi, db_bi = _bwd_chain(dHbi_ext, mask, Hbi, Tbi, W["W_hh_bi"])
+        g["W_hh_bi"] = dU_bi + l2 * W["W_hh_bi"]
+        g["b_bi"] = db_bi
+
+        dinp_f, dU_f, db_f = _bwd_chain(dinp_bi, mask, Hf, Tf, W["W_hh_f"])
+        g["W_xh_f"] = np.einsum("blx,blh->xh", X, dinp_f) + l2 * W["W_xh_f"]
+        g["W_hh_f"] = dU_f + l2 * W["W_hh_f"]
+        g["b_f"] = db_f
+
+        # scatter dh_b (original space) into reversed space
+        dHb_rev_ext = np.zeros_like(Hb_rev)
+        dHb_rev_ext[bidx, sidx] = dinp_bi[bidx, tidx]
+        dinp_br, dU_b, db_b = _bwd_chain(dHb_rev_ext, mask_r, Hb_rev, Tb_rev, W["W_hh_b"])
+        g["W_xh_b"] = np.einsum("blx,blh->xh", Xr, dinp_br) + l2 * W["W_xh_b"]
+        g["W_hh_b"] = dU_b + l2 * W["W_hh_b"]
+        g["b_b"] = db_b
+
+        norm = float(np.sqrt(sum((gv**2).sum() for gv in g.values())))
+        scale = clip / norm if norm > clip else 1.0  # M9 norm cutoff
+        for k in TRAINED:
+            W[k] -= lr * scale * g[k]
+        if verbose and epoch % 25 == 0:
+            nll = float(-np.log(p[ar, labels] + 1e-12).mean())
+            acc = float((p.argmax(axis=1) == labels).mean())
+            print(f"epoch {epoch:4d} nll={nll:.4f} acc={acc:.4f} gnorm={norm:.3f}")
+    return W
 
 
 def save_weights(weights: dict[str, np.ndarray], path: str = ARTIFACT) -> None:
@@ -117,13 +277,12 @@ def _collect_training_set(sf_dir: str):
     return rows, ks
 
 
-def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     base = kernels.init_weights()
     rows, ks = _collect_training_set(sf_dir)
-    labels = np.array([gold_label(k) for k in ks])
-    feats = kernels.feature_batch(rows, base, use_adp=True)
-    trained = train_head(feats, labels, base)
-    probs = kernels.softmax_head(feats, trained, use_adp=True)
+    labels = np.array([gold_label(r) for r in rows])
+    trained = train_full(rows, labels, base, verbose=True)
+    probs = kernels.score_batch(rows, trained, use_adp=True)
     pred = probs.argmax(axis=1)
     acc = float((pred == labels).mean())
     tp = int(((pred == 1) & (labels == 1)).sum())

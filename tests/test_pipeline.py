@@ -96,26 +96,31 @@ def test_salted_equals_unsalted_candidates(spark, sf_dir):
 def test_spark_scoring_matches_numpy_oracle(spark, sf_dir):
     """The distributed mapInPandas path must reproduce the single-node
     kernel bit-for-bit (same float64 ops, different batching)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.scoring import (
+        FEATURE_COLS,
+    )
+
     sents = segment(transcripts(spark, sf_dir))
     cands = candidate_pairs(detect_mentions(spark, sents))
     feats = featurize_pair(candidate_windows(cands, sents)).filter("ok")
     W = load_weights()
     scored = (
         score_pairs(feats, weights=W)
-        .select("cand_id", "p_rel", "sdp_words", "sdp_pos", "sdp_iob",
-                "pi_e1", "pi_e2", "win_words", "parents", "tree_order", "sdp_gidx")
+        .select("cand_id", "p_rel")
         .toPandas()
         .sort_values("cand_id")
         .reset_index(drop=True)
     )
     assert len(scored) > 0
+    fpdf = (
+        feats.select("cand_id", *FEATURE_COLS)
+        .toPandas()
+        .sort_values("cand_id")
+        .reset_index(drop=True)
+    )
+    assert (fpdf["cand_id"] == scored["cand_id"]).all()
     rows = [
-        {
-            k: list(r[k])
-            for k in ("sdp_words", "sdp_pos", "sdp_iob", "pi_e1", "pi_e2",
-                      "win_words", "parents", "tree_order", "sdp_gidx")
-        }
-        for _, r in scored.iterrows()
+        {k: list(r[k]) for k in FEATURE_COLS} for _, r in fpdf.iterrows()
     ]
     probs = K.score_batch(rows, W)
     np.testing.assert_allclose(scored["p_rel"].to_numpy(), probs[:, 1], rtol=1e-9)

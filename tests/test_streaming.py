@@ -1,0 +1,51 @@
+"""Structured Streaming surface: stream-vs-batch equivalence on bounded
+input, and the custom stateful sessionizer."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cross_sentence_relation_extraction_idepnn_spark.streaming import events as S
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir):
+    """Watermarked tumbling-window agg over the stream (availableNow)
+    must equal the batch twin on the same bounded input."""
+    stream = S.stream_events(spark, sf_dir)
+    assert stream.isStreaming
+    got = (
+        S.run_available_now(S.windowed_counts(stream), "win_counts_test")
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        S.windowed_counts_batch(spark, sf_dir)
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sessionize_emits_closed_sessions(spark, sf_dir):
+    """availableNow drains the bounded stream; end-of-stream advances
+    the watermark to +inf, so every session times out and is emitted —
+    per-user totals must then equal the batch aggregation."""
+    sess = S.sessionize(S.stream_events(spark, sf_dir), gap_minutes=30)
+    got = S.run_available_now(sess, "sessions_test", output_mode="append").toPandas()
+    assert len(got) > 0
+    per_user = got.groupby("user_id")[["n_events", "sum_value"]].sum().reset_index()
+    want = (
+        S.events_batch(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .toPandas()
+    )
+    m = per_user.merge(want, on="user_id", suffixes=("_s", "_b"))
+    assert len(m) == len(want)
+    assert (m["n_events_s"] == m["n_events_b"]).all()
+    assert abs(m["sum_value_s"] - m["sum_value_b"]).max() < 1e-6
+    # session invariant: start ≤ end for every emitted session
+    assert (got["start_epoch"] <= got["end_epoch"]).all()
