@@ -25,6 +25,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LOW = max(CPUS // 4, 1)
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+# corpus replication for the scaling runs: sized so parallel kernel
+# work dominates fixed per-job overhead (the 10^12-turn regime)
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "8"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -35,25 +38,28 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def run_pipeline(cores: int, sf_dir: str) -> tuple[int, int, float]:
-    """(n_turns, n_triples, pipeline_sec) at the given parallelism.
+def run_pipeline(cores: int, sf_dir: str, copies: int) -> tuple[int, int, float]:
+    """(n_turns, n_triples, pipeline_sec) at the given parallelism over
+    the ``copies``-replicated corpus.
 
-    A fresh session per level; the input count runs before the timer so
-    both levels start page-cache-warm and JVM-warm.
+    A fresh session per level; a warm run precedes the timer so both
+    levels start JIT-warm with Python workers spawned.
     """
     from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
-        extract_triples,
+        triples_from_transcripts,
     )
     from cross_sentence_relation_extraction_idepnn_spark.session import get_spark
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
-        transcripts,
+        transcripts_scaled,
     )
 
     spark = get_spark(f"bench_c{cores}", cores=cores)
-    n_turns = transcripts(spark, sf_dir).count()
-    extract_triples(spark, sf_dir).count()  # warm: JIT + Python workers
+    tdf = transcripts_scaled(spark, sf_dir, copies)
+    n_turns = tdf.count()
+    triples_from_transcripts(spark, tdf).count()  # warm: JIT + workers
+    spark.catalog.clearCache()
     t0 = time.time()
-    n_triples = extract_triples(spark, sf_dir).count()
+    n_triples = triples_from_transcripts(spark, tdf).count()
     dt = time.time() - t0
     spark.stop()
     return n_turns, n_triples, dt
@@ -62,11 +68,12 @@ def run_pipeline(cores: int, sf_dir: str) -> tuple[int, int, float]:
 def main() -> None:
     timings: dict[str, float] = {}
 
-    # ---- scaling run at LOW parallelism (N executors stand-in) ----
+    # ---- scaling runs: same replicated input at N and 4N cores ----
     if not SKIP_SCALING:
-        n_turns, _, sec_low = run_pipeline(LOW, SF_DIR)
+        n_scaled, _, sec_low = run_pipeline(LOW, SF_DIR, SCALE_COPIES)
+        _, _, sec_high_scaled = run_pipeline(CPUS, SF_DIR, SCALE_COPIES)
     else:
-        n_turns, sec_low = 0, 0.0
+        n_scaled, sec_low, sec_high_scaled = 0, 0.0, 0.0
 
     # ---- main run at HIGH parallelism (4N) ----
     from cross_sentence_relation_extraction_idepnn_spark.operators import (
@@ -90,13 +97,11 @@ def main() -> None:
         transcripts,
     )
 
-    spark = get_spark(f"bench_c{CPUS}", cores=CPUS)
-    if SKIP_SCALING:
-        n_turns = transcripts(spark, SF_DIR).count()
-    else:
-        transcripts(spark, SF_DIR).count()  # warm input
+    spark = get_spark(f"bench_main_c{CPUS}", cores=CPUS)
+    n_turns = transcripts(spark, SF_DIR).count()
 
     extract_triples(spark, SF_DIR).count()  # warm: JIT + Python workers
+    spark.catalog.clearCache()
     t0 = time.time()
     extract_triples(spark, SF_DIR).count()
     sec_high = time.time() - t0
@@ -123,8 +128,8 @@ def main() -> None:
         lambda s, d: linking.canonicalize(detect_mentions(s, segment(transcripts(s, d)))),
     )
 
-    tput_high = n_turns / sec_high if sec_high > 0 else 0.0
-    tput_low = n_turns / sec_low if sec_low > 0 else 0.0
+    tput_high = n_scaled / sec_high_scaled if sec_high_scaled > 0 else 0.0
+    tput_low = n_scaled / sec_low if sec_low > 0 else 0.0
     ratio = CPUS / LOW if LOW else 1
     eff = (tput_high / tput_low) / ratio if tput_low > 0 else None
 
@@ -135,12 +140,19 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "n_turns": n_turns,
-        "cores_low": LOW,
-        "cores_high": CPUS,
-        "pipeline_sec_low": round(sec_low, 3),
-        "turns_per_sec_low": round(tput_low, 1),
-        "turns_per_sec_high": round(tput_high, 1),
-        "scaling_efficiency": round(eff, 3) if eff is not None else None,
+        "turns_per_sec": round(n_turns / sec_high, 1) if sec_high > 0 else None,
+        # scaling evidence: same replicated input at N and 4N cores
+        "scaling": {
+            "scale_copies": SCALE_COPIES,
+            "n_turns_scaled": n_scaled,
+            "cores_low": LOW,
+            "cores_high": CPUS,
+            "pipeline_sec_low": round(sec_low, 3),
+            "pipeline_sec_high": round(sec_high_scaled, 3),
+            "turns_per_sec_low": round(tput_low, 1),
+            "turns_per_sec_high": round(tput_high, 1),
+            "efficiency": round(eff, 3) if eff is not None else None,
+        },
     }
     spark.stop()
     sys.stdout.write(json.dumps(result) + "\n")

@@ -274,6 +274,99 @@ def init_weights(seed: int = 7) -> dict[str, np.ndarray]:
     }
 
 
+def init_lstm_weights(seed: int = 11) -> dict[str, np.ndarray]:
+    """Frozen bi-LSTM parameters (M5, ``elman_bidirection_RC_LSTM.py``):
+    per direction, 4 gates (i, f, c, o) with diagonal peepholes; the
+    bi-combiner sums separate matmuls of h_f, h_b, and the previous
+    combiner state (``..._LSTM.py:806-829``)."""
+    rs = np.random.RandomState(seed)
+    xdim = EMB_DIM + 4 * FEAT_DIM
+
+    def mat(*shape: int) -> np.ndarray:
+        return rs.uniform(-0.1, 0.1, shape)
+
+    w: dict[str, np.ndarray] = {}
+    for d in ("f", "b"):
+        for g in ("i", "f", "c", "o"):
+            w[f"W_x{g}_{d}"] = mat(xdim, HIDDEN)
+            w[f"W_h{g}_{d}"] = mat(HIDDEN, HIDDEN)
+            w[f"b_{g}_{d}"] = mat(HIDDEN)
+        for g in ("i", "f", "o"):
+            w[f"p_{g}_{d}"] = mat(HIDDEN)  # diagonal peephole
+    w["W_f_bi"] = mat(HIDDEN, HIDDEN)
+    w["W_b_bi"] = mat(HIDDEN, HIDDEN)
+    w["W_hh_bi"] = mat(HIDDEN, HIDDEN)
+    w["b_bi"] = mat(HIDDEN)
+    w["W_hy"] = mat(HIDDEN, N_CLASSES)
+    w["b_y"] = mat(N_CLASSES)
+    return w
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _lstm_step(x, h, c, W, d):
+    """One peephole-LSTM step for direction d over a (B, ·) batch."""
+    i = _sigmoid(x @ W[f"W_xi_{d}"] + h @ W[f"W_hi_{d}"] + c * W[f"p_i_{d}"] + W[f"b_i_{d}"])
+    f = _sigmoid(x @ W[f"W_xf_{d}"] + h @ W[f"W_hf_{d}"] + c * W[f"p_f_{d}"] + W[f"b_f_{d}"])
+    c_new = f * c + i * np.tanh(x @ W[f"W_xc_{d}"] + h @ W[f"W_hc_{d}"] + W[f"b_c_{d}"])
+    o = _sigmoid(x @ W[f"W_xo_{d}"] + h @ W[f"W_ho_{d}"] + c_new * W[f"p_o_{d}"] + W[f"b_o_{d}"])
+    return o * np.tanh(c_new), c_new
+
+
+def feature_batch_lstm(rows: list[dict], W: dict[str, np.ndarray]) -> np.ndarray:
+    """Bi-LSTM features → (B, HIDDEN): forward + backward peephole LSTM
+    over the SDP, combined by ``tanh(h_f W_f + h_b W_b + h_bi W_hh + b)``.
+    Same batched-matmul vectorization as the Elman kernel."""
+    B = len(rows)
+    if B == 0:
+        return np.zeros((0, HIDDEN))
+    X, lens, mask = build_inputs(rows)
+    L = X.shape[1]
+    h_f = np.zeros((B, L, HIDDEN))
+    h = np.zeros((B, HIDDEN))
+    c = np.zeros((B, HIDDEN))
+    for t in range(L):
+        m = mask[:, t : t + 1]
+        h_new, c_new = _lstm_step(X[:, t], h, c, W, "f")
+        h = m * h_new + (1 - m) * h
+        c = m * c_new + (1 - m) * c
+        h_f[:, t] = h
+    h_b = np.zeros((B, L, HIDDEN))
+    h = np.zeros((B, HIDDEN))
+    c = np.zeros((B, HIDDEN))
+    ar = np.arange(B)
+    for step in range(L):
+        t_idx = lens - 1 - step
+        valid = (t_idx >= 0).astype(np.float64)[:, None]
+        t_safe = np.clip(t_idx, 0, L - 1)
+        x_t = X[ar, t_safe]
+        h_new, c_new = _lstm_step(x_t, h, c, W, "b")
+        h = valid * h_new + (1 - valid) * h
+        c = valid * c_new + (1 - valid) * c
+        h_b[ar, t_safe] = np.where(valid > 0, h, h_b[ar, t_safe])
+    h_bi = np.zeros((B, HIDDEN))
+    for t in range(L):
+        m = mask[:, t : t + 1]
+        z = np.tanh(
+            h_f[:, t] @ W["W_f_bi"] + h_b[:, t] @ W["W_b_bi"] + h_bi @ W["W_hh_bi"] + W["b_bi"]
+        )
+        h_bi = m * z + (1 - m) * h_bi
+    return h_bi
+
+
+def score_batch_lstm(rows: list[dict], W: dict[str, np.ndarray]) -> np.ndarray:
+    """Bi-LSTM variant of :func:`score_batch` → (B, 2) probabilities."""
+    feats = feature_batch_lstm(rows, W)
+    if len(rows) == 0:
+        return np.zeros((0, N_CLASSES))
+    logits = feats @ W["W_hy"] + W["b_y"]
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    return e / e.sum(axis=1, keepdims=True)
+
+
 def weights_to_lists(w: dict[str, np.ndarray]) -> dict[str, list]:
     return {k: v.tolist() for k, v in w.items()}
 

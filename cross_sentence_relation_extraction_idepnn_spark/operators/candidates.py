@@ -78,6 +78,51 @@ def candidate_pairs(mentions: DataFrame, max_k: int = MAX_K) -> DataFrame:
     )
 
 
+def candidate_pairs_fast(mentions: DataFrame, max_k: int = MAX_K) -> DataFrame:
+    """Hot-path variant of :func:`candidate_pairs`: identical rows
+    (modulo ``cand_seq``), cheaper physical plan.
+
+    - W5 nearest-pair selection runs as ``min_by`` aggregation (one
+      shuffle with map-side partial aggregation) instead of a
+      ``row_number`` window (exchange + full sort).
+    - ``cand_id`` is derived from the group key (``conv#e1#e2`` —
+      unique after nearest-pair selection), dropping the second
+      per-conversation numbering exchange entirely.
+
+    ``candidate_pairs`` stays as the oracle-parity operator (the
+    DuckDB-checked ``cand_seq`` numbering is part of W7 semantics).
+    """
+    m1 = mentions.filter(F.col("ner_tag") == "OP").select(
+        "conv_id",
+        F.col("entity_id").alias("e1_id"),
+        F.col("surface").alias("e1_surface"),
+        F.col("sent_idx").alias("sent1"),
+        F.col("tok_idx").alias("tok1"),
+    )
+    m2 = mentions.filter(F.col("ner_tag") == "OBJ").select(
+        "conv_id",
+        F.col("entity_id").alias("e2_id"),
+        F.col("surface").alias("e2_surface"),
+        F.col("sent_idx").alias("sent2"),
+        F.col("tok_idx").alias("tok2"),
+    )
+    pairs = (
+        m1.join(m2, "conv_id")
+        .withColumn("k", F.abs(F.col("sent2") - F.col("sent1")).cast("int"))
+        .filter(F.col("k") <= max_k)
+    )
+    payload = F.struct(
+        "e1_surface", "sent1", "tok1", "e2_surface", "sent2", "tok2", "k"
+    )
+    order = F.struct(*[F.col(c) for c in CAND_ORDER])
+    best = pairs.groupBy("conv_id", "e1_id", "e2_id").agg(
+        F.min_by(payload, order).alias("best")
+    )
+    return best.select(
+        "conv_id", "e1_id", "e2_id", "best.*"
+    ).withColumn("cand_id", F.concat_ws("#", "conv_id", "e1_id", "e2_id"))
+
+
 def duck_candidates_cte(max_k: int = MAX_K) -> str:
     order = "k, sent1, tok1, sent2, tok2"
     return f"""

@@ -62,7 +62,7 @@ def candidate_windows(candidates: DataFrame, sentences: DataFrame) -> DataFrame:
             sentences.sent_idx.between(c.smin, c.smax),
         ],
     ).drop(sentences.conv_id)
-    gcols = CAND_COLS + ["smin", "smax"]
+    gcols = [col for col in CAND_COLS if col in candidates.columns] + ["smin", "smax"]
     return (
         joined.groupBy(*gcols)
         .agg(

@@ -92,6 +92,101 @@ def score_pairs(
     return pruned.mapInPandas(run, schema=out_schema)
 
 
+def featurize_and_score(
+    windows: DataFrame,
+    weights=None,
+    use_adp: bool = True,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fused featurize+score kernel: candidate windows → (keep_cols…,
+    ok boolean, y_pred int, p_rel double) in ONE ``mapInPandas`` pass.
+
+    The staged operators (``featurize_pair`` → ``score_pairs``) exist
+    for the resumable checkpointed pipeline; this fusion is the fast
+    path — the fat feature arrays never cross the JVM↔Python boundary
+    at all (built and consumed inside the same Arrow batch), removing
+    one full serialization round-trip and one stage.
+    """
+    if weights is None:
+        weights = kernels.init_weights()
+    if keep_cols is None:
+        keep_cols = [c for c in PASSTHROUGH_COLS if c in windows.columns]
+    wlists = kernels.weights_to_lists(weights)
+    bweights = windows.sparkSession.sparkContext.broadcast(wlists)
+
+    in_cols = keep_cols + ["sent1", "tok1", "sent2", "tok2", "smin", "wtexts"]
+    in_cols = list(dict.fromkeys(in_cols))  # dedup, preserve order
+    pruned = windows.select(*in_cols)
+    keep_fields = [f for f in pruned.schema.fields if f.name in keep_cols]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep_fields)
+        + ", ok boolean, y_pred int, p_rel double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        W = kernels.weights_from_lists(bweights.value)
+        for pdf in batches:
+            feats = [
+                kernels.featurize_window(
+                    list(r.wtexts),
+                    int(r.sent1),
+                    int(r.tok1),
+                    int(r.sent2),
+                    int(r.tok2),
+                    int(r.smin),
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            ok_rows = [f for f in feats if f is not None]
+            probs = kernels.score_batch(ok_rows, W, use_adp=use_adp)
+            out = pdf[keep_cols].reset_index(drop=True).copy()
+            ok = np.array([f is not None for f in feats])
+            y = np.zeros(len(feats), dtype="int32")
+            p = np.full(len(feats), np.nan)
+            if len(ok_rows):
+                y[ok] = probs.argmax(axis=1).astype("int32")
+                p[ok] = probs[:, 1]
+            out["ok"] = ok
+            out["y_pred"] = y
+            out["p_rel"] = p
+            yield out
+
+    return pruned.mapInPandas(run, schema=out_schema)
+
+
+def ensemble_or_vote(
+    scored_models: list[tuple[DataFrame, float]], key: str = "cand_id"
+) -> DataFrame:
+    """U3 ensemble OR-vote (``bb2016_threshold_ensemble.py:69-99``):
+    accept a candidate when ANY model's score clears its own threshold.
+
+    ``scored_models`` is a list of (scored DF with ``p_rel``, θ) pairs
+    over the same candidates. Expressed as per-model boolean columns
+    joined on the candidate key and OR-ed — pure Column algebra, one
+    broadcast-able join per extra model.
+    """
+    base_df, base_thr = scored_models[0]
+    out = base_df.withColumn("vote_0", (F.col("p_rel") >= base_thr)).select(
+        key, "p_rel", "vote_0"
+    )
+    for i, (df, thr) in enumerate(scored_models[1:], start=1):
+        out = out.join(
+            df.select(
+                F.col(key),
+                (F.col("p_rel") >= thr).alias(f"vote_{i}"),
+                F.col("p_rel").alias(f"p_rel_{i}"),
+            ),
+            key,
+        )
+    votes = [F.col(f"vote_{i}") for i in range(len(scored_models))]
+    accept = votes[0]
+    for v in votes[1:]:
+        accept = accept | v
+    return out.withColumn("accepted", accept)
+
+
 def emit_triples(scored: DataFrame, threshold: float = SCORE_THRESHOLD) -> DataFrame:
     """Threshold + triple assembly (reference: ``bb2016_threshold.py:44-81``).
 

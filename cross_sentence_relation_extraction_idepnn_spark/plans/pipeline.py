@@ -30,11 +30,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import MAX_K, SCORE_THRESHOLD
-from ..operators.candidates import CAND_ORDER, candidate_pairs
+from ..operators.candidates import (
+    CAND_ORDER,
+    candidate_pairs,
+    candidate_pairs_fast,
+)
 from ..operators.graph import candidate_windows, featurize_pair
 from ..operators.linking import canonicalize, dedup_triples
 from ..operators.mentions import detect_mentions
-from ..operators.scoring import emit_triples, score_pairs
+from ..operators.scoring import emit_triples, featurize_and_score, score_pairs
 from ..operators.segmentation import segment
 from ..sources.transcripts import transcripts
 from ..training import load_weights
@@ -97,6 +101,41 @@ def salted_candidate_pairs(
     ).withColumn("cand_id", F.concat_ws("#", "conv_id", "cand_seq"))
 
 
+def triples_from_transcripts(
+    spark: SparkSession,
+    tdf: DataFrame,
+    threshold: float = SCORE_THRESHOLD,
+    max_k: int = MAX_K,
+    salted: bool = False,
+    weights=None,
+) -> DataFrame:
+    """Fast path over an arbitrary transcript DataFrame (the production
+    entry point — any Iceberg/parquet transcript table plugs in here).
+
+    Physical-plan choices (see BASELINE.md for measurements):
+
+    - the sentence table is persisted — it feeds BOTH sides of the
+      candidate self-join and the window join, and would otherwise be
+      recomputed 3×;
+    - candidate generation uses the ``min_by`` aggregation variant
+      (one exchange instead of two window exchanges);
+    - featurize+score run as ONE fused Arrow kernel — feature arrays
+      never cross the JVM↔Python boundary.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    weights = weights if weights is not None else load_weights()
+    sents = segment(tdf).persist(StorageLevel.MEMORY_ONLY)
+    mens = detect_mentions(spark, sents)
+    cands = (
+        salted_candidate_pairs(mens, max_k=max_k)
+        if salted
+        else candidate_pairs_fast(mens, max_k=max_k)
+    )
+    scored = featurize_and_score(candidate_windows(cands, sents), weights=weights)
+    return emit_triples(scored, threshold=threshold)
+
+
 def extract_triples(
     spark: SparkSession,
     sf_dir: str,
@@ -116,11 +155,14 @@ def extract_triples(
     pair_fn = salted_candidate_pairs if salted else candidate_pairs
 
     if warehouse is None:
-        sents = segment(transcripts(spark, sf_dir))
-        cands = pair_fn(detect_mentions(spark, sents), max_k=max_k)
-        feats = featurize_pair(candidate_windows(cands, sents))
-        scored = score_pairs(feats.filter("ok"), weights=weights)
-        return emit_triples(scored, threshold=threshold)
+        return triples_from_transcripts(
+            spark,
+            transcripts(spark, sf_dir),
+            threshold=threshold,
+            max_k=max_k,
+            salted=salted,
+            weights=weights,
+        )
 
     cp = Checkpointer(spark, warehouse)
     sents = cp.stage(

@@ -90,6 +90,27 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def transcripts_scaled(spark: SparkSession, sf_dir: str, copies: int) -> DataFrame:
+    """Deterministic corpus replication for throughput/scaling runs:
+    ``copies`` distinct-``conv_id`` replicas of every conversation
+    (``conv-<doc>-c<i>``). Same schema, same per-conversation content —
+    a bigger instance of the workload, no external data. Used by
+    ``bench.py`` to evidence the N→4N scaling rule in the regime where
+    parallel work (not fixed per-job overhead) dominates."""
+    t = transcripts(spark, sf_dir)
+    c = spark.range(copies).select(F.col("id").cast("int").alias("copy"))
+    return t.crossJoin(F.broadcast(c)).select(
+        F.concat_ws("-", "conv_id", F.concat(F.lit("c"), F.col("copy"))).alias(
+            "conv_id"
+        ),
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+    )
+
+
 def duck_transcripts_cte() -> str:
     """DuckDB CTE body producing the identical transcript table.
 

@@ -93,6 +93,51 @@ def test_salted_equals_unsalted_candidates(spark, sf_dir):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_fast_candidates_equal_window_variant(spark, sf_dir):
+    """candidate_pairs_fast (min_by aggregation, coordinate cand_id)
+    must select exactly the same nearest pairs as the window-function
+    operator the DuckDB oracle checks."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import (
+        candidate_pairs_fast,
+    )
+
+    mens = detect_mentions(spark, segment(transcripts(spark, sf_dir)))
+    cols = ["conv_id", "e1_id", "e2_id", "e1_surface", "e2_surface",
+            "sent1", "tok1", "sent2", "tok2", "k"]
+    a = candidate_pairs(mens).select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    b = candidate_pairs_fast(mens).select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_fused_kernel_equals_staged_path(spark, sf_dir):
+    """featurize_and_score (fused Arrow kernel) must emit the same
+    (candidate, score) set as featurize_pair → score_pairs."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.scoring import (
+        featurize_and_score,
+    )
+
+    sents = segment(transcripts(spark, sf_dir))
+    cands = candidate_pairs(detect_mentions(spark, sents))
+    wins = candidate_windows(cands, sents)
+    W = load_weights()
+    fused = (
+        featurize_and_score(wins, weights=W)
+        .filter("ok")
+        .select("cand_id", "p_rel")
+        .toPandas()
+        .sort_values("cand_id")
+        .reset_index(drop=True)
+    )
+    staged = (
+        score_pairs(featurize_pair(wins).filter("ok"), weights=W, keep_cols=["cand_id"])
+        .select("cand_id", "p_rel")
+        .toPandas()
+        .sort_values("cand_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fused, staged)
+
+
 def test_spark_scoring_matches_numpy_oracle(spark, sf_dir):
     """The distributed mapInPandas path must reproduce the single-node
     kernel bit-for-bit (same float64 ops, different batching)."""
@@ -170,6 +215,25 @@ def test_scoring_is_deterministic_across_runs(spark, sf_dir):
     a = extract_triples(spark, sf_dir).toPandas().sort_values("cand_id").reset_index(drop=True)
     b = extract_triples(spark, sf_dir).toPandas().sort_values("cand_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ensemble_or_vote_semantics(spark, sf_dir):
+    """OR-vote (U3): the ensemble accept set is the union of per-model
+    accept sets; a same-model two-threshold ensemble equals the looser
+    threshold alone."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.scoring import (
+        ensemble_or_vote, featurize_and_score,
+    )
+
+    sents = segment(transcripts(spark, sf_dir))
+    cands = candidate_pairs(detect_mentions(spark, sents))
+    wins = candidate_windows(cands, sents)
+    scored = featurize_and_score(wins, weights=load_weights()).filter("ok")
+    ens = ensemble_or_vote([(scored, 0.5), (scored, 0.9)]).toPandas()
+    loose = scored.filter(F.col("p_rel") >= 0.5).count()
+    assert int(ens["accepted"].sum()) == loose
+    strict = scored.filter(F.col("p_rel") >= 0.9).count()
+    assert int(ens["accepted"].sum()) >= strict
 
 
 def test_emit_triples_column_contract(spark):
