@@ -68,6 +68,14 @@ from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
     extract_triples,
     materialize_kg,
 )
+from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
+    duck_parse_standoff,
+    duck_standoff_lines_cte,
+    format_cc_records,
+    format_standoff,
+    parse_cc_records,
+    parse_standoff,
+)
 from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
     documents,
     duck_transcripts_cte,
@@ -204,6 +212,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
         "embedding_neardup": similarity.embedding_neardup_pairs,
+        # standoff / ::-record codecs (S3/S10 + F1 drop)
+        "standoff_parse": lambda s, d: parse_standoff(
+            format_standoff(_mentions(s, d))
+        ),
+        "cc_records": lambda s, d: parse_cc_records(
+            format_cc_records(_tagged(s, d)).select("rec")
+        ),
         # multimodal binary columns (decode stage is a deterministic stub;
         # the Spark plumbing — binary schema, Arrow batches — is real)
         "multimodal_meta": multimodal.asset_meta,
@@ -313,6 +328,16 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.duck_cosine_topk(),
         "lsh_ann_topk": similarity.duck_lsh_ann_topk(),
         "embedding_neardup": similarity.duck_embedding_neardup(),
+        "standoff_parse": (
+            f"{duck_with_prefix()}, mentions AS ({duck_mentions_cte()})"
+            f"{duck_parse_standoff(duck_standoff_lines_cte())}"
+        ),
+        "cc_records": f"""
+            {duck_full_prefix()}, tagged AS ({duck_tagged_cte()})
+            SELECT conv_id, k, 'Rel' AS label,
+                   e1_surface AS e1, e2_surface AS e2, tagged_text
+            FROM tagged
+        """,
         "multimodal_meta": multimodal.duck_asset_meta(),
         "frame_sample": multimodal.duck_frame_sample(),
         "events_windowed": stream_events_mod.duck_windowed_counts(),

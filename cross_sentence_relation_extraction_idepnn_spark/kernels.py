@@ -197,6 +197,19 @@ def tree_schedule(parents: list[int]) -> list[int]:
     return order  # post-order: children before parents, dummy root last
 
 
+# ----------------------------------------------------- W6: context windows
+
+def context_windows(idxs: list[int], win: int) -> list[list[int]]:
+    """Reference ``contextwin`` (features_bb2016.py:2402-2417): per
+    position, the window of ``win`` indices centered on it, padded
+    with -1 at both edges; ``win`` must be odd (reference asserts)."""
+    if win % 2 != 1:
+        raise ValueError("context window width must be odd")
+    half = win // 2
+    lpadded = [-1] * half + list(idxs) + [-1] * half
+    return [lpadded[i : i + win] for i in range(len(idxs))]
+
+
 # ---------------------------------------------------------- embeddings (M1)
 
 EMB_DIM = 16

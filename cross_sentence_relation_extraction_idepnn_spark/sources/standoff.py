@@ -1,0 +1,178 @@
+"""Standoff-annotation and ``::``-record formats (SURVEY.md §2.1
+S3/S10/S12).
+
+The reference's interchange formats, re-expressed as native Column
+algebra over line-oriented text:
+
+- **standoff** (BioNLP ``.a1``/``.a2``): entity lines
+  ``T<n>\\t<TAG> <start> <end>\\t<mention>`` and relation lines
+  ``R<n>\\t<REL> Arg1:T<i> Arg2:T<j>`` — parser dispatches on the id
+  prefix exactly like ``generate_bb_training_data_2016.py:44-227``,
+  including the F1 Title/Paragraph drop (``:554-560``).
+- **``::``-records** (candidate interchange,
+  ``generate_bb_training_data_2016.py:771``): positional text records
+  ``conv :: k :: label :: e1 :: e2 :: tagged_text``.
+
+Both directions (format + parse) are implemented so round-trip
+identity is testable and the DuckDB oracle can check the parse
+bit-for-bit. In production these are *fixture/golden-file* codecs —
+the engine's real storage is columnar (SURVEY.md §2.1 S10 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- S3 standoff
+
+def format_standoff(mentions: DataFrame) -> DataFrame:
+    """mentions → ``(conv_id, line)`` entity standoff lines; ids are
+    T<tok-ordinal> per conversation (deterministic)."""
+    return mentions.select(
+        "conv_id",
+        F.concat(
+            F.lit("T"),
+            (F.col("sent_idx") * 1000 + F.col("tok_idx")).cast("string"),
+            F.lit("\t"),
+            F.col("ner_tag"),
+            F.lit(" "),
+            F.col("m_begin").cast("string"),
+            F.lit(" "),
+            F.col("m_end").cast("string"),
+            F.lit("\t"),
+            F.col("surface"),
+        ).alias("line"),
+    )
+
+
+def parse_standoff(lines: DataFrame) -> DataFrame:
+    """``(conv_id, line)`` standoff lines → parsed annotation rows.
+
+    Line dispatch on the id prefix (T=entity, R=relation); Title and
+    Paragraph entities are dropped (F1). Pure ``split``/``element_at``
+    Column expressions — the S3 mapping from SURVEY.md §2.1.
+    """
+    tab = F.split(F.col("line"), "\t")
+    ann_id = F.element_at(tab, 1)
+    body = F.split(F.element_at(tab, 2), " ")
+    is_ent = ann_id.startswith("T")
+    is_rel = ann_id.startswith("R")
+    parsed = lines.select(
+        "conv_id",
+        ann_id.alias("ann_id"),
+        F.when(is_ent, F.lit("entity"))
+        .when(is_rel, F.lit("relation"))
+        .otherwise(F.lit("other"))
+        .alias("kind"),
+        F.element_at(body, 1).alias("tag"),
+        F.when(is_ent, F.element_at(body, 2).cast("int")).alias("start"),
+        F.when(is_ent, F.element_at(body, 3).cast("int")).alias("end"),
+        F.when(is_ent, F.element_at(tab, 3)).alias("mention"),
+        F.when(is_rel, F.regexp_extract(F.element_at(body, 2), r"Arg1:(\S+)", 1)).alias(
+            "arg1"
+        ),
+        F.when(is_rel, F.regexp_extract(F.element_at(body, 3), r"Arg2:(\S+)", 1)).alias(
+            "arg2"
+        ),
+    )
+    # F1: Title/Paragraph entity drop (generate_bb_training_data_2016.py:554-560)
+    return parsed.filter(
+        ~(F.col("kind") == "entity")
+        | ~F.lower(F.col("tag")).isin("title", "paragraph")
+    )
+
+
+def duck_parse_standoff(lines_cte: str) -> str:
+    """DuckDB oracle for :func:`parse_standoff` over a CTE named
+    ``standoff_lines(conv_id, line)``."""
+    return f"""
+        , standoff_lines AS ({lines_cte})
+        SELECT conv_id, ann_id, kind, tag, start, "end", mention, arg1, arg2
+        FROM (
+            SELECT conv_id,
+                   tab[1] AS ann_id,
+                   CASE WHEN tab[1] LIKE 'T%' THEN 'entity'
+                        WHEN tab[1] LIKE 'R%' THEN 'relation'
+                        ELSE 'other' END AS kind,
+                   body[1] AS tag,
+                   CASE WHEN tab[1] LIKE 'T%' THEN CAST(body[2] AS INT) END AS start,
+                   CASE WHEN tab[1] LIKE 'T%' THEN CAST(body[3] AS INT) END AS "end",
+                   CASE WHEN tab[1] LIKE 'T%' THEN tab[3] END AS mention,
+                   CASE WHEN tab[1] LIKE 'R%' THEN regexp_extract(body[2], 'Arg1:(\\S+)', 1) END AS arg1,
+                   CASE WHEN tab[1] LIKE 'R%' THEN regexp_extract(body[3], 'Arg2:(\\S+)', 1) END AS arg2
+            FROM (
+                SELECT conv_id, string_split(line, chr(9)) AS tab,
+                       string_split(string_split(line, chr(9))[2], ' ') AS body
+                FROM standoff_lines
+            )
+        )
+        WHERE NOT (kind = 'entity') OR lower(tag) NOT IN ('title', 'paragraph')
+    """
+
+
+def duck_standoff_lines_cte() -> str:
+    """DuckDB CTE body producing the identical formatted lines from the
+    mentions CTE."""
+    return """
+        SELECT conv_id,
+               'T' || CAST(sent_idx * 1000 + tok_idx AS VARCHAR) || chr(9) ||
+               ner_tag || ' ' || CAST(m_begin AS VARCHAR) || ' ' ||
+               CAST(m_end AS VARCHAR) || chr(9) || surface AS line
+        FROM mentions
+    """
+
+
+# ----------------------------------------------------------- S10 ::-records
+
+REC_SEP = " :: "
+
+
+def format_cc_records(tagged: DataFrame, label_expr=None) -> DataFrame:
+    """tagged candidates → ``(conv_id, cand_id, rec)`` positional
+    ``::``-records (``generate_bb_training_data_2016.py:771`` layout,
+    6-field variant ``:513``)."""
+    label = label_expr if label_expr is not None else F.lit("Rel")
+    return tagged.select(
+        "conv_id",
+        "cand_id",
+        F.concat_ws(
+            REC_SEP,
+            F.col("conv_id"),
+            F.col("k").cast("string"),
+            label,
+            F.col("e1_surface"),
+            F.col("e2_surface"),
+            F.col("tagged_text"),
+        ).alias("rec"),
+    )
+
+
+def parse_cc_records(records: DataFrame) -> DataFrame:
+    """``rec`` strings → positional fields (the reference parses by
+    index, e.g. ``features_bb2016.py:1371,1389`` — field 5 = tagged
+    text, field 2 = label)."""
+    f = F.split(F.col("rec"), " :: ")
+    return records.select(
+        F.element_at(f, 1).alias("conv_id"),
+        F.element_at(f, 2).cast("int").alias("k"),
+        F.element_at(f, 3).alias("label"),
+        F.element_at(f, 4).alias("e1"),
+        F.element_at(f, 5).alias("e2"),
+        F.element_at(f, 6).alias("tagged_text"),
+    )
+
+
+# ------------------------------------------------------------- S12 KG sink
+
+def write_triples(kg: DataFrame, path: str, n_buckets: int = 16) -> DataFrame:
+    """Partitioned KG materialization (S12: the ``.a2``-zip sink
+    becomes a bucketed columnar table). Bucket key is the portable
+    hash of ``subj`` so partition layout is deterministic and
+    co-locates each entity's triples; in production this is
+    ``writeTo(...).partitionedBy(bucket(N, subj))`` on Iceberg."""
+    from ..hashing import spark_h15
+
+    out = kg.withColumn("bucket", (spark_h15(F.col("subj")) % n_buckets).cast("int"))
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return kg.sparkSession.read.parquet(path)

@@ -152,11 +152,18 @@ def train_full(
     lr: float = FULL_LR,
     l2: float = L2,
     clip: float = CLIP,
+    optimizer: str = "sgd",
     verbose: bool = False,
 ) -> dict[str, np.ndarray]:
     """End-to-end BPTT training of the bi-RNN + head (M3/M4/M7/M8/M9),
     batched across all examples. TreeRNN recurrent weights stay frozen;
-    its linear projection ``W_tree_proj`` and the head are trained."""
+    its linear projection ``W_tree_proj`` and the head are trained.
+
+    ``optimizer``: ``sgd`` | ``adagrad`` | ``adadelta`` — the reference's
+    optimizer family (``optimiser/grad_optimiser.py:89-101``), each with
+    the M9 global gradient-norm cutoff. The reference's 0.25× embedding
+    learning rate (``:98-99``) has no target here: embeddings are frozen
+    hash-derived tables, not parameters."""
     W = {k: v.copy() for k, v in base.items()}
     X, lens, mask = kernels.build_inputs(rows)
     Xr = _reversed_inputs(X, lens)
@@ -222,8 +229,29 @@ def train_full(
 
         norm = float(np.sqrt(sum((gv**2).sum() for gv in g.values())))
         scale = clip / norm if norm > clip else 1.0  # M9 norm cutoff
-        for k in TRAINED:
-            W[k] -= lr * scale * g[k]
+        if optimizer == "sgd":
+            for k in TRAINED:
+                W[k] -= lr * scale * g[k]
+        elif optimizer == "adagrad":
+            if epoch == 0:
+                acc = {k: np.zeros_like(W[k]) for k in TRAINED}
+            for k in TRAINED:
+                gk = scale * g[k]
+                acc[k] += gk**2
+                W[k] -= lr * gk / np.sqrt(acc[k] + 1e-8)
+        elif optimizer == "adadelta":
+            if epoch == 0:
+                eg = {k: np.zeros_like(W[k]) for k in TRAINED}
+                ex = {k: np.zeros_like(W[k]) for k in TRAINED}
+            rho, eps = 0.95, 1e-6
+            for k in TRAINED:
+                gk = scale * g[k]
+                eg[k] = rho * eg[k] + (1 - rho) * gk**2
+                dx = -np.sqrt(ex[k] + eps) / np.sqrt(eg[k] + eps) * gk
+                ex[k] = rho * ex[k] + (1 - rho) * dx**2
+                W[k] += dx
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
         if verbose and epoch % 25 == 0:
             nll = float(-np.log(p[ar, labels] + 1e-12).mean())
             acc = float((p.argmax(axis=1) == labels).mean())

@@ -1,0 +1,151 @@
+"""Standoff / ::-record codecs (S3/S10/S12) and training extras
+(W6 context windows, M9 optimizer variants)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cross_sentence_relation_extraction_idepnn_spark import kernels as K
+from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import (
+    candidate_pairs,
+    tag_candidates,
+)
+from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+    detect_mentions,
+)
+from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+    segment,
+)
+from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
+    format_cc_records,
+    format_standoff,
+    parse_cc_records,
+    parse_standoff,
+    write_triples,
+)
+from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+    transcripts,
+)
+
+
+def test_standoff_roundtrip_entities(spark, sf_dir):
+    mens = detect_mentions(spark, segment(transcripts(spark, sf_dir)))
+    parsed = parse_standoff(format_standoff(mens)).toPandas()
+    src = mens.toPandas()
+    assert len(parsed) == len(src)
+    assert (parsed["kind"] == "entity").all()
+    src["ann_id"] = "T" + (src["sent_idx"] * 1000 + src["tok_idx"]).astype(str)
+    j = parsed.merge(src, on=["conv_id", "ann_id"])
+    assert len(j) == len(src)
+    assert (j["mention"] == j["surface"]).all()
+    assert (j["tag"] == j["ner_tag"]).all()
+    assert (j["start"] == j["m_begin"]).all() and (j["end"] == j["m_end"]).all()
+
+
+def test_standoff_relation_lines_and_f1_drop(spark):
+    lines = spark.createDataFrame(
+        [
+            ("c1", "R1\tacts_on Arg1:T1 Arg2:T2"),
+            ("c1", "T9\tTitle 0 5\tdummy"),
+            ("c1", "T10\tParagraph 0 5\tdummy"),
+            ("c1", "T3\tOP 0 4\tscan"),
+        ],
+        "conv_id string, line string",
+    )
+    out = parse_standoff(lines).toPandas().set_index("ann_id")
+    assert "T9" not in out.index and "T10" not in out.index  # F1 drop
+    assert out.loc["R1", "kind"] == "relation"
+    assert out.loc["R1", "arg1"] == "T1" and out.loc["R1", "arg2"] == "T2"
+    assert out.loc["T3", "mention"] == "scan"
+
+
+def test_cc_record_roundtrip(spark, sf_dir):
+    sents = segment(transcripts(spark, sf_dir))
+    tagged = tag_candidates(candidate_pairs(detect_mentions(spark, sents)), sents)
+    recs = format_cc_records(tagged)
+    parsed = parse_cc_records(recs.select("rec")).toPandas().sort_values(
+        ["conv_id", "k", "e1", "e2", "tagged_text"]
+    ).reset_index(drop=True)
+    src = (
+        tagged.select(
+            "conv_id",
+            "k",
+            F.lit("Rel").alias("label"),
+            F.col("e1_surface").alias("e1"),
+            F.col("e2_surface").alias("e2"),
+            "tagged_text",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "k", "e1", "e2", "tagged_text"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(parsed, src, check_dtype=False)
+
+
+def test_write_triples_partitioned_sink(spark, sf_dir, tmp_path):
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        materialize_kg,
+    )
+    import os
+
+    kg = materialize_kg(spark, sf_dir)
+    path = str(tmp_path / "kg")
+    back = write_triples(kg, path, n_buckets=4)
+    a = kg.toPandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = (
+        back.select(*kg.columns)
+        .toPandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    parts = [p for p in os.listdir(path) if p.startswith("bucket=")]
+    assert len(parts) >= 2  # actually partitioned
+
+
+# ------------------------------------------------------- W6 / M9 extras
+
+def test_context_windows_reference_semantics():
+    assert K.context_windows([4, 7, 9], 3) == [[-1, 4, 7], [4, 7, 9], [7, 9, -1]]
+    assert K.context_windows([5], 5) == [[-1, -1, 5, -1, -1]]
+    with pytest.raises(ValueError):
+        K.context_windows([1, 2], 2)
+
+
+def _tiny_rows(n=12, seed=4):
+    rng = np.random.RandomState(seed)
+    vocab = ["scan", "table", "reads", "the", "fast", "row"]
+    rows = []
+    for _ in range(n):
+        sents = [
+            [vocab[rng.randint(6)] for _ in range(int(rng.randint(2, 5)))]
+            for _ in range(int(rng.randint(1, 3)))
+        ]
+        texts = [" ".join(s) for s in sents]
+        rows.append(
+            K.featurize_window(texts, 0, 0, len(sents) - 1, len(sents[-1]) - 1, 0)
+        )
+    return rows
+
+
+@pytest.mark.parametrize("opt", ["adagrad", "adadelta"])
+def test_optimizer_variants_reduce_loss(opt):
+    from cross_sentence_relation_extraction_idepnn_spark import training as T
+
+    rows = _tiny_rows()
+    labels = np.array([K.h15(r["sdp_words"][0]) % 2 for r in rows])
+    base = K.init_weights()
+
+    def nll(W):
+        p = K.score_batch(rows, W)
+        return float(-np.log(p[np.arange(len(rows)), labels] + 1e-12).mean())
+
+    before = nll(base)
+    after = nll(T.train_full(rows, labels, base, epochs=30, lr=0.5, optimizer=opt))
+    assert after < before
