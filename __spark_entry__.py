@@ -78,7 +78,9 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
 )
 from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
     documents,
+    duck_tool_usage,
     duck_transcripts_cte,
+    tool_usage,
     transcripts,
 )
 
@@ -226,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming twin: batch form of the windowed event aggregation
         # (stream-vs-batch equivalence is asserted in tests/test_streaming.py)
         "events_windowed": stream_events_mod.windowed_counts_batch,
+        "sessionize_batch": stream_events_mod.sessionize_batch,
+        "tool_usage": tool_usage,
         # model kernels — non-SQL-expressible (rows-only driver check)
         "featurized_sdp": _featurized,
         "triples": _triples,
@@ -341,6 +345,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": multimodal.duck_asset_meta(),
         "frame_sample": multimodal.duck_frame_sample(),
         "events_windowed": stream_events_mod.duck_windowed_counts(),
+        "sessionize_batch": stream_events_mod.duck_sessionize_batch(),
+        "tool_usage": f"WITH transcripts AS ({duck_transcripts_cte()}) {duck_tool_usage()}",
         "lang_id": textstats.duck_lang_id(),
         "quality_score": textstats.duck_quality(),
         "token_counts": textstats.duck_token_counts(),

@@ -70,9 +70,47 @@ def similarity_edges(surfaces: DataFrame, tau: float = JACCARD_TAU) -> DataFrame
     )
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+DRIVER_CC_MAX_NODES = 100_000
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    driver_threshold: int = DRIVER_CC_MAX_NODES,
+) -> DataFrame:
     """nodes(surface) + edges(src,dst) → (surface, component) where
-    component = lexicographic min surface reachable."""
+    component = lexicographic min surface reachable.
+
+    The node set here is the *distinct entity-surface vocabulary* — a
+    dimension table orders of magnitude smaller than the corpus. Below
+    ``driver_threshold`` nodes the fixpoint runs as driver-side
+    union-find (one collect, zero iterative jobs — the same shortcut
+    GraphFrames-style systems take for small graphs); above it, the
+    iterative min-label propagation below scales out. Both produce the
+    identical (surface, min-reachable-label) mapping.
+    """
+    n_nodes = nodes.count()
+    if n_nodes <= driver_threshold:
+        surfaces = [r[0] for r in nodes.select("surface").collect()]
+        parent = {s: s for s in surfaces}
+
+        def find(x: str) -> str:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.select("src", "dst").collect():
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                # union by lexicographic min so labels are deterministic
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        rows = [(s, find(s)) for s in sorted(surfaces)]
+        return nodes.sparkSession.createDataFrame(
+            rows, schema="surface string, component string"
+        )
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -90,6 +90,33 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript analytics over the full input schema: per (role,
+    tool) turn counts, distinct conversations, and average turn length
+    — exercises the ``role``/``tool``/``ts`` columns end-to-end."""
+    t = transcripts(spark, sf_dir)
+    return (
+        t.groupBy("role", "tool")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+            F.min(F.col("ts").cast("long")).alias("first_ts"),
+            F.max(F.col("ts").cast("long")).alias("last_ts"),
+        )
+    )
+
+
+def duck_tool_usage() -> str:
+    return """
+        SELECT role, tool, COUNT(*) AS n_turns,
+               COUNT(DISTINCT conv_id) AS n_convs,
+               ROUND(AVG(length(text)), 6) AS avg_len,
+               MIN(ts_epoch) AS first_ts, MAX(ts_epoch) AS last_ts
+        FROM transcripts GROUP BY role, tool
+    """
+
+
 def transcripts_scaled(spark: SparkSession, sf_dir: str, copies: int) -> DataFrame:
     """Deterministic corpus replication for throughput/scaling runs:
     ``copies`` distinct-``conv_id`` replicas of every conversation

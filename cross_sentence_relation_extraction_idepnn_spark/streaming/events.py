@@ -106,6 +106,76 @@ def duck_windowed_counts() -> str:
     """
 
 
+def sessionize_batch(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Batch twin of the stateful sessionizer, expressed with window
+    functions (oracle-checkable): a session starts where the gap from
+    the previous event of the same user exceeds ``gap_minutes``;
+    session id = running count of starts.
+
+    Output: (user_id, session_seq, n_events, sum_value, start_epoch,
+    end_epoch).
+    """
+    from pyspark.sql import Window
+
+    ev = events_batch(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("te"), "value",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("te", "event_id")
+    gap = gap_minutes * 60
+    prev = F.lag("te").over(w)
+    starts = ev.withColumn(
+        "is_start",
+        F.when(prev.isNull() | (F.col("te") - prev > gap), 1).otherwise(0),
+    )
+    sess = starts.withColumn(
+        "session_seq",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("te").alias("start_epoch"),
+            F.max("te").alias("end_epoch"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("int"))
+    )
+
+
+def duck_sessionize_batch(gap_minutes: int = 30) -> str:
+    gap = gap_minutes * 60
+    return f"""
+        SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value,
+               MIN(te) AS start_epoch, MAX(te) AS end_epoch
+        FROM (
+            SELECT user_id, te, value,
+                   SUM(is_start) OVER (PARTITION BY user_id
+                                       ORDER BY te, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM (
+                SELECT user_id, te, value, event_id,
+                       CASE WHEN te - LAG(te) OVER (PARTITION BY user_id
+                                                    ORDER BY te, event_id) > {gap}
+                            OR LAG(te) OVER (PARTITION BY user_id
+                                             ORDER BY te, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS is_start
+                -- FLOOR before CAST: DuckDB rounds float->int casts,
+                -- Spark's timestamp->long cast truncates
+                FROM (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS te,
+                             value, event_id
+                      FROM events)
+            )
+        )
+        GROUP BY user_id, session_seq
+    """
+
+
 def sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Custom stateful operator: per-user sessions with a ``gap``
     timeout via ``applyInPandasWithState`` — events within ``gap`` of

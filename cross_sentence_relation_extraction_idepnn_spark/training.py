@@ -266,12 +266,21 @@ def save_weights(weights: dict[str, np.ndarray], path: str = ARTIFACT) -> None:
 
 
 def load_weights(path: str = ARTIFACT) -> dict[str, np.ndarray]:
-    """Frozen weights; falls back to the deterministic init when the
-    artifact is absent (e.g. fresh checkout before training ran)."""
+    """Frozen weights. Resolution order: explicit file path →
+    package resource (works when the package ships as a
+    ``spark-submit --py-files`` zip, where ``__file__`` paths do not
+    exist on disk) → deterministic init (fresh checkout before
+    training ran)."""
     if os.path.exists(path):
         with open(path) as f:
             return kernels.weights_from_lists(json.load(f))
-    return kernels.init_weights()
+    try:
+        from importlib import resources
+
+        res = resources.files(__package__) / "artifacts" / "weights.json"
+        return kernels.weights_from_lists(json.loads(res.read_text()))
+    except (FileNotFoundError, ModuleNotFoundError, OSError):
+        return kernels.init_weights()
 
 
 def _collect_training_set(sf_dir: str):

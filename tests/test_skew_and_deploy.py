@@ -1,0 +1,129 @@
+"""Skew handling (north rule: adversarially long conversations) and the
+spark-submit --py-files deployment path."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import (
+    candidate_pairs,
+)
+from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+    detect_mentions,
+)
+from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+    segment,
+)
+from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+    salted_candidate_pairs,
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _skewed_transcripts(spark, long_turns=600, short_convs=40):
+    """One adversarially long conversation among many short ones
+    (FIXTURES.md §1 skew classes)."""
+    vocab = ["scan", "reads", "the", "table", "fast", "join", "row", "data"]
+    rows = []
+    for t in range(long_turns):
+        words = [vocab[(t * 7 + i) % len(vocab)] for i in range(8)]
+        rows.append(("conv-long", t, "user", " ".join(words), None))
+    for c in range(short_convs):
+        for t in range(3):
+            words = [vocab[(c + t + i) % len(vocab)] for i in range(8)]
+            rows.append((f"conv-s{c}", t, "user", " ".join(words), None))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1704067200) + F.col("turn_idx")))
+
+
+def test_salted_pairs_equal_on_adversarial_skew(spark):
+    """The salted skew path must emit the identical candidate set when
+    one conversation is 200× longer than the rest — overlap blocks may
+    not lose cross-boundary pairs (SURVEY.md §7.3.4)."""
+    t = _skewed_transcripts(spark)
+    mens = detect_mentions(spark, segment(t))
+    cols = ["conv_id", "e1_id", "e2_id", "e1_surface", "e2_surface",
+            "sent1", "tok1", "sent2", "tok2", "k"]
+    plain = candidate_pairs(mens).select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+    salted = (
+        salted_candidate_pairs(mens, block=16)
+        .select(cols)
+        .toPandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(plain) > 0
+    pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+
+
+def test_salting_spreads_the_hot_conversation(spark):
+    """The salted join key (conv_id, salt) must split the long
+    conversation across multiple reducers: distinct salt count for the
+    hot conv ≈ ceil(n_sents / block)."""
+    t = _skewed_transcripts(spark)
+    mens = detect_mentions(spark, segment(t))
+    salts = (
+        mens.filter(F.col("conv_id") == "conv-long")
+        .withColumn("salt", (F.col("sent_idx") / 16).cast("int"))
+        .select("salt")
+        .distinct()
+        .count()
+    )
+    assert salts >= 10  # 600 turns × 2 sents / 16 ≫ 10 blocks
+
+
+def test_weights_load_from_package_resource():
+    """--py-files regression: when the artifact's filesystem path does
+    not exist (zipimport), weights must still resolve via package
+    resources — not silently fall back to the random init."""
+    import numpy as np
+
+    from cross_sentence_relation_extraction_idepnn_spark import kernels
+    from cross_sentence_relation_extraction_idepnn_spark.training import load_weights
+
+    via_resource = load_weights(path="/nonexistent/weights.json")
+    init = kernels.init_weights()
+    assert not np.allclose(via_resource["W_hy_adp"], init["W_hy_adp"])
+    direct = load_weights()
+    np.testing.assert_array_equal(via_resource["W_hy_adp"], direct["W_hy_adp"])
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_job(tmp_path):
+    """End-to-end deployment: build the --py-files zip, run the job via
+    spark-submit, check the emitted triple count matches entry()."""
+    zip_path = str(tmp_path / "kgengine.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "make_pyfiles.py"), zip_path],
+        check=True,
+        cwd=ROOT,
+    )
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[8]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=16",
+            "--py-files", zip_path,
+            os.path.join(ROOT, "jobs", "run_pipeline.py"),
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--output", str(tmp_path / "kg"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=400,
+        cwd=str(tmp_path),  # away from the repo: imports must come from the zip
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith('{"job"')][-1]
+    res = json.loads(line)
+    assert res["triples"] == 108  # == entry() at sf0.001
