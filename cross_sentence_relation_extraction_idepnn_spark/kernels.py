@@ -57,6 +57,20 @@ def h15(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
+_h15w_cache: dict[str, int] = {}
+
+
+def _h15w(w: str) -> int:
+    """Cached h15 over word tokens — the featurizer calls this O(n²)
+    per sentence (head attachment scans) over a small vocabulary, so
+    memoization removes ~all md5 cost from the hot kernel."""
+    v = _h15w_cache.get(w)
+    if v is None:
+        v = h15(w)
+        _h15w_cache[w] = v
+    return v
+
+
 # ---------------------------------------------------------------- G1: parser
 
 FUNCTION_WORDS = {"the": "DT", "a": "DT", "and": "CC", "of": "IN", "to": "IN"}
@@ -72,7 +86,7 @@ def pos_tag(word: str) -> str:
         return FUNCTION_WORDS[w]
     if w in ENTITY_ALIASES:
         return "OP" if ENTITY_ALIASES[w][1] == "OP" else "NN"
-    return "JJ" if h15(w) % 2 == 0 else "VB"
+    return "JJ" if _h15w(w) % 2 == 0 else "VB"
 
 
 def head_of(words: list[str], i: int) -> int:
@@ -80,9 +94,28 @@ def head_of(words: list[str], i: int) -> int:
     if i == 0:
         return -1
     for j in range(i - 1, -1, -1):
-        if h15(words[j].lower()) % 3 == 0:
+        if _h15w(words[j].lower()) % 3 == 0:
             return j
     return i - 1
+
+
+_head_cache: dict[str, list[int]] = {}
+_HEAD_CACHE_MAX = 50_000  # bound executor-resident memory (32 workers share RAM)
+
+
+def heads_of(words: list[str]) -> list[int]:
+    """Per-sentence head array, memoized — every candidate window
+    re-parses its sentences (build_edges + combined_parents), and the
+    same sentence appears in many windows; this makes parsing
+    O(distinct sentences) per executor instead of O(windows)."""
+    key = "\x00".join(words)
+    v = _head_cache.get(key)
+    if v is None:
+        if len(_head_cache) >= _HEAD_CACHE_MAX:
+            _head_cache.clear()
+        v = [head_of(words, i) for i in range(len(words))]
+        _head_cache[key] = v
+    return v
 
 
 def dep_rel(words: list[str], i: int) -> str:
@@ -91,7 +124,7 @@ def dep_rel(words: list[str], i: int) -> str:
     p = pos_tag(words[i])
     if p == "DT":
         return "det"
-    return "mod" if h15(words[i].lower()) % 5 == 0 else "dep"
+    return "mod" if _h15w(words[i].lower()) % 5 == 0 else "dep"
 
 
 def parse_sentence(words: list[str]) -> list[tuple[int, str, str, int, str]]:
@@ -117,8 +150,7 @@ def build_edges(sent_words: list[list[str]]) -> tuple[list[tuple[int, int]], lis
     offset = 0
     for words in sent_words:
         roots.append(offset)  # token 0 is the root of each sentence
-        for i in range(len(words)):
-            h = head_of(words, i)
+        for i, h in enumerate(heads_of(words)):
             if h >= 0:
                 edges.append((offset + i, offset + h))
         offset += len(words)
@@ -165,8 +197,7 @@ def combined_parents(sent_words: list[list[str]]) -> list[int]:
     offset = 0
     total = sum(len(w) for w in sent_words)
     for words in sent_words:
-        for i in range(len(words)):
-            h = head_of(words, i)
+        for h in heads_of(words):
             parents.append(total if h < 0 else offset + h)
         offset += len(words)
     return parents  # dummy root = index `total` (implicit, no row)

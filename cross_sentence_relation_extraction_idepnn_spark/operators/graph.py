@@ -50,26 +50,28 @@ FEAT_FIELDS = (
 
 
 def candidate_windows(candidates: DataFrame, sentences: DataFrame) -> DataFrame:
-    """Attach the ordered window sentence texts to each candidate
-    (range join on sent_idx ∈ [smin, smax], grouped back)."""
+    """Attach the ordered window sentence texts to each candidate.
+
+    Sentences are first folded into ONE ordered array per conversation
+    (``sent_idx`` is 0-based dense per conv, so array position =
+    sent_idx), then the window is a native ``slice`` after an equi-join
+    on ``conv_id``. Both inputs are already hash-partitioned by
+    ``conv_id`` (segmentation window / candidate aggregation), so the
+    fold and the join introduce no new exchange — unlike the previous
+    range-join + per-candidate collect_list formulation, which shuffled
+    every (candidate × window-sentence) row twice.
+    """
+    conv_sents = sentences.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("sent_idx", "sent_text"))).alias("_arr")
+    )
     c = candidates.withColumn("smin", F.least("sent1", "sent2")).withColumn(
         "smax", F.greatest("sent1", "sent2")
     )
-    joined = c.join(
-        sentences.select("conv_id", "sent_idx", "sent_text"),
-        on=[
-            c.conv_id == sentences.conv_id,
-            sentences.sent_idx.between(c.smin, c.smax),
-        ],
-    ).drop(sentences.conv_id)
-    gcols = [col for col in CAND_COLS if col in candidates.columns] + ["smin", "smax"]
+    win = F.slice(F.col("_arr"), F.col("smin") + 1, F.col("smax") - F.col("smin") + 1)
     return (
-        joined.groupBy(*gcols)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("sent_idx", "sent_text"))).alias("ws")
-        )
-        .withColumn("wtexts", F.transform(F.col("ws"), lambda s: s.sent_text))
-        .drop("ws")
+        c.join(conv_sents, "conv_id")
+        .withColumn("wtexts", F.transform(win, lambda s: s.sent_text))
+        .drop("_arr")
     )
 
 

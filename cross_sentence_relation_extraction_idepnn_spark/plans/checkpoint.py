@@ -73,6 +73,16 @@ class Checkpointer:
         writer.parquet(path)
         out = self.spark.read.parquet(path)
         n = out.count()  # parquet footer metadata — cheap
+        # per-partition lineage (north rule): row histogram across the
+        # checkpoint's partitions — skew is observable per stage
+        from pyspark.sql import functions as F
+
+        pp = [
+            r["count"]
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        ]
         self._append_meta(
             {
                 "stage": name,
@@ -81,6 +91,11 @@ class Checkpointer:
                 "n_files": len(
                     [p for p in os.listdir(path) if p.endswith(".parquet")]
                 ),
+                "partitions": {
+                    "n": len(pp),
+                    "min_rows": min(pp) if pp else 0,
+                    "max_rows": max(pp) if pp else 0,
+                },
                 "wall_sec": round(time.time() - t0, 3),
                 "ts": time.time(),
             }

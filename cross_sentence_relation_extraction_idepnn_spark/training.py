@@ -153,6 +153,9 @@ def train_full(
     l2: float = L2,
     clip: float = CLIP,
     optimizer: str = "sgd",
+    dev: tuple[list[dict], np.ndarray] | None = None,
+    eval_every: int = 10,
+    patience: int = 5,
     verbose: bool = False,
 ) -> dict[str, np.ndarray]:
     """End-to-end BPTT training of the bi-RNN + head (M3/M4/M7/M8/M9),
@@ -163,7 +166,13 @@ def train_full(
     optimizer family (``optimiser/grad_optimiser.py:89-101``), each with
     the M9 global gradient-norm cutoff. The reference's 0.25× embedding
     learning rate (``:98-99``) has no target here: embeddings are frozen
-    hash-derived tables, not parameters."""
+    hash-derived tables, not parameters.
+
+    ``dev``: optional (rows, labels) held-out split — evaluated every
+    ``eval_every`` epochs; the best-dev snapshot is returned and
+    training stops after ``patience`` evaluations without improvement
+    (O2 best-epoch selection + early stop,
+    ``elman-bidirection.py:2527-2533,2584-2589``)."""
     W = {k: v.copy() for k, v in base.items()}
     X, lens, mask = kernels.build_inputs(rows)
     Xr = _reversed_inputs(X, lens)
@@ -179,6 +188,8 @@ def train_full(
     # h_b scatter/gather: t = lens[b]-1-s
     bidx, sidx = np.nonzero(mask > 0)
     tidx = lens[bidx] - 1 - sidx
+
+    best_dev_nll, best_W, stale = np.inf, None, 0
 
     for epoch in range(epochs):
         inp_f = X @ W["W_xh_f"]
@@ -256,7 +267,17 @@ def train_full(
             nll = float(-np.log(p[ar, labels] + 1e-12).mean())
             acc = float((p.argmax(axis=1) == labels).mean())
             print(f"epoch {epoch:4d} nll={nll:.4f} acc={acc:.4f} gnorm={norm:.3f}")
-    return W
+        if dev is not None and (epoch + 1) % eval_every == 0:
+            dp = kernels.score_batch(dev[0], W)
+            dnll = float(-np.log(dp[np.arange(len(dev[1])), dev[1]] + 1e-12).mean())
+            if dnll < best_dev_nll - 1e-6:
+                best_dev_nll, stale = dnll, 0
+                best_W = {k: v.copy() for k, v in W.items()}
+            else:
+                stale += 1
+                if stale >= patience:  # early stop
+                    break
+    return best_W if (dev is not None and best_W is not None) else W
 
 
 def save_weights(weights: dict[str, np.ndarray], path: str = ARTIFACT) -> None:

@@ -1,0 +1,78 @@
+"""MUC6 key-template parser (S6) + succession-triple assembly, and the
+best-dev early-stopping trainer (O2)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cross_sentence_relation_extraction_idepnn_spark.sources.muc6 import (
+    parse_muc6_templates,
+    parse_template_text,
+    succession_triples,
+)
+
+TEMPLATE = """<TEMPLATE-9301060029-1> :=
+   CONTENT: <SUCCESSION_EVENT-1>
+<SUCCESSION_EVENT-1> :=
+   POST: "chief executive officer"
+   IN_AND_OUT: <IN_AND_OUT-1>
+<IN_AND_OUT-1> :=
+   IO_PERSON: <PERSON-1>
+   NEW_STATUS: IN
+<PERSON-1> :=
+   PER_NAME: "John Smith"
+   PER_ALIAS: "Smith" "J. Smith"
+"""
+
+
+def test_stateful_parse_and_alias_expansion():
+    rows = parse_template_text("d1", TEMPLATE)
+    by = {(r["obj_type"], r["slot"], r["value"]) for r in rows}
+    assert ("SUCCESSION_EVENT", "POST", "chief executive officer") in by
+    assert ("IN_AND_OUT", "NEW_STATUS", "IN") in by
+    # PER_ALIAS expands to one row per quoted surface (MUC6 alias rule)
+    aliases = [r["value"] for r in rows if r["slot"] == "PER_ALIAS"]
+    assert sorted(aliases) == ["J. Smith", "Smith"]
+    refs = [r for r in rows if r["is_ref"]]
+    assert {r["value"] for r in refs} == {"<SUCCESSION_EVENT-1>", "<IN_AND_OUT-1>", "<PERSON-1>"}
+
+
+def test_spark_parse_and_succession_triples(spark):
+    t2 = TEMPLATE.replace("John Smith", "Mary Doe").replace("IN\n", "OUT\n")
+    df = spark.createDataFrame(
+        [("d1", TEMPLATE), ("d2", t2)], "doc_id string, template_text string"
+    )
+    bindings = parse_muc6_templates(df)
+    assert bindings.count() == 16  # 8 slot bindings per template
+    trips = succession_triples(bindings).toPandas().sort_values("doc_id")
+    assert list(trips["person"]) == ["John Smith", "Mary Doe"]
+    assert set(trips["post"]) == {"chief executive officer"}
+    assert list(trips["status"]) == ["IN", "OUT"]
+
+
+def test_best_dev_early_stopping_returns_best_snapshot():
+    from cross_sentence_relation_extraction_idepnn_spark import kernels as K
+    from cross_sentence_relation_extraction_idepnn_spark import training as T
+
+    rng = np.random.RandomState(6)
+    vocab = ["scan", "table", "reads", "the", "fast", "row"]
+    rows = []
+    for _ in range(24):
+        sents = [
+            [vocab[rng.randint(6)] for _ in range(int(rng.randint(2, 5)))]
+            for _ in range(int(rng.randint(1, 3)))
+        ]
+        texts = [" ".join(s) for s in sents]
+        rows.append(K.featurize_window(texts, 0, 0, len(sents) - 1, len(sents[-1]) - 1, 0))
+    labels = np.array([T.gold_label(r) for r in rows])
+    tr, dv = rows[:16], rows[16:]
+    ltr, ldv = labels[:16], labels[16:]
+    base = K.init_weights()
+    W = T.train_full(tr, ltr, base, epochs=60, lr=0.5, dev=(dv, ldv), eval_every=5)
+    # the returned snapshot's dev NLL is the best over checkpoints: it
+    # must be no worse than the base init's dev NLL
+    def dev_nll(w):
+        p = K.score_batch(dv, w)
+        return float(-np.log(p[np.arange(len(ldv)), ldv] + 1e-12).mean())
+
+    assert dev_nll(W) <= dev_nll(base)
