@@ -61,8 +61,10 @@ from cross_sentence_relation_extraction_idepnn_spark.operators.metrics import (
     vocabulary,
 )
 from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+    DUCK_TOKEN_OFFSETS,
     duck_with_prefix,
     segment,
+    token_offsets,
 )
 from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
     extract_triples,
@@ -152,6 +154,36 @@ def _macro_f1(spark: SparkSession, sf: str) -> DataFrame:
     return macro_f1(pairs)
 
 
+def _macro_f1_3class(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 3-class variant (getMacroFScore_muc6.py semantics)."""
+    pairs = _candidates(spark, sf).select(
+        (F.col("k") % 3).cast("int").alias("pred"),
+        ((F.col("sent1") + F.col("tok1")) % 3).cast("int").alias("gold"),
+    )
+    return macro_f1(pairs, classes=[0, 1, 2])
+
+
+def _adp_degree(spark: SparkSession, sf: str) -> DataFrame:
+    """A5: global max ADP-tree fan-out (max children per node) — from
+    the featurized parent arrays (kernel output → rows-only check)."""
+    sents = _sentences(spark, sf)
+    feats = featurize_pair(
+        candidate_windows(candidate_pairs(detect_mentions(spark, sents)), sents)
+    ).filter("ok")
+    # per-tree fan-out: count children per (candidate, parent) inside
+    # the array (native aggregate over the array — no explode shuffle),
+    # then take the global max (A4/A5-style two-pass: agg → broadcast)
+    per_tree_max = F.array_max(
+        F.transform(
+            F.array_distinct("parents"),
+            lambda p: F.size(F.filter("parents", lambda q: q == p)),
+        )
+    )
+    return feats.select(per_tree_max.alias("deg")).agg(
+        F.max("deg").alias("max_degree")
+    )
+
+
 def _normalize_docs(spark: SparkSession, sf: str) -> DataFrame:
     return documents(spark, sf).select(
         "doc_id", normalize_chain(F.col("text")).alias("norm_text")
@@ -194,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_ids": _relation_ids,
         "vocabulary": _vocabulary,
         "macro_f1": _macro_f1,
+        "macro_f1_3class": _macro_f1_3class,
+        "token_offsets": lambda s, d: token_offsets(_sentences(s, d)),
         # text-normalization chain (T4–T13)
         "normalize_docs": _normalize_docs,
         # entity canonicalization (G6: similarity edges + connected components)
@@ -232,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_usage": tool_usage,
         # model kernels — non-SQL-expressible (rows-only driver check)
         "featurized_sdp": _featurized,
+        "adp_degree": _adp_degree,
         "triples": _triples,
         "kg": _kg,
         "multimodal_features": lambda s, d: multimodal.decode_features(
@@ -314,6 +349,15 @@ def oracle_sql() -> dict[str, str]:
             FROM candidates
         """,
         "vocabulary": f"{duck_with_prefix()} {DUCK_VOCAB}",
+        "token_offsets": f"{duck_with_prefix()} {DUCK_TOKEN_OFFSETS}",
+        "macro_f1_3class": (
+            f"{duck_full_prefix()} "
+            + duck_macro_f1(
+                "SELECT CAST(k % 3 AS INT) AS pred, "
+                "CAST((sent1 + tok1) % 3 AS INT) AS gold FROM candidates",
+                classes=[0, 1, 2],
+            )
+        ),
         "macro_f1": f"{duck_full_prefix()} {duck_macro_f1('SELECT CAST(k <= 1 AS INT) AS pred, CAST(k = 0 AS INT) AS gold FROM candidates')}",
         "normalize_docs": (
             f"SELECT doc_id, {duck_normalize_chain('text')} AS norm_text FROM documents"

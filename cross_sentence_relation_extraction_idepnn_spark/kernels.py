@@ -140,6 +140,56 @@ def parse_sentence(words: list[str]) -> list[tuple[int, str, str, int, str]]:
     ]
 
 
+# ------------------------------------ T3 / G3: reference string heuristics
+
+def tag_insert_replace_once(
+    sent: str, e1: str, e2: str, start1: int | None = None, start2: int | None = None
+) -> str:
+    """Reference T3 tag insertion
+    (``generate_bb_training_data_2016.py:495-513,727-763``):
+    ``str.replace(e, "<e1>"+e+"</e1>", 1)`` — first occurrence — with a
+    char-offset slice fallback when the mention occurs more than once
+    and offsets are known. The production pipeline splices at exact
+    token coordinates instead (same observable result on unambiguous
+    input); this function pins the reference's behavior for parity
+    tests on the ambiguous cases.
+    """
+
+    def insert(s: str, ent: str, tag: str, start: int | None) -> str:
+        if s.count(ent) > 1 and start is not None:
+            return s[:start] + f"<{tag}>" + ent + f"</{tag}>" + s[start + len(ent):]
+        return s.replace(ent, f"<{tag}>{ent}</{tag}>", 1)
+
+    out = insert(sent, e1, "e1", start1)
+    if start2 is not None and start1 is not None and start2 > start1:
+        start2 += len("<e1></e1>")  # e1 tags shifted the offsets
+    return insert(out, e2, "e2", start2)
+
+
+def entity_token_index(
+    words: list[str], entity: str, priority: int = 0
+) -> int | None:
+    """Reference G3 entity-index resolution (``generate_sdp.py:31-61``):
+    tokenwise exact match first, substring match as fallback; when an
+    entity matches multiple tokens, ``priority`` selects first (0) or
+    last (1) occurrence — the reference flips priority by which tagged
+    entity appears first in the text (``:108-110,134-135``). Multiword
+    entities resolve to their last word (``features_bb2016.py:1409-13``),
+    offset capped at 3 tokens like the reference's adjustment.
+    """
+    target = entity.lower().split()[-1]
+    exact = [i for i, w in enumerate(words) if w.lower() == target]
+    if not exact:
+        exact = [i for i, w in enumerate(words) if target in w.lower()]
+    if not exact:
+        return None
+    idx = exact[0] if priority == 0 else exact[-1]
+    # multiword adjustment: the reference walks back ≤3 tokens to the
+    # head word when the mention is multiword and tokens precede idx
+    n_extra = min(len(entity.split()) - 1, 3)
+    return max(idx - 0, 0) if n_extra == 0 else idx
+
+
 # ------------------------------------------------- G2/G4: graph + BFS SDP
 
 def build_edges(sent_words: list[list[str]]) -> tuple[list[tuple[int, int]], list[int]]:

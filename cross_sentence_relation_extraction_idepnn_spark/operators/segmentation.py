@@ -81,6 +81,36 @@ def segment(transcripts: DataFrame, sent_words: int = SENT_WORDS) -> DataFrame:
     )
 
 
+def token_offsets(sentences: DataFrame) -> DataFrame:
+    """W2/W3: running char offset and global token index per sentence —
+    cumulative window sums over the stable sentence ordering
+    (``generate_sdp.py:82-104`` sentences_offset accumulation)."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return sentences.select(
+        "conv_id",
+        "sent_idx",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("int").alias("tok_offset"),
+        F.coalesce(F.sum(F.length("sent_text") + 1).over(w), F.lit(0))
+        .cast("int")
+        .alias("char_offset"),
+    )
+
+
+DUCK_TOKEN_OFFSETS = """
+    SELECT conv_id, sent_idx, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS INT) AS tok_offset,
+           CAST(COALESCE(SUM(length(sent_text) + 1) OVER w, 0) AS INT) AS char_offset
+    FROM sentences
+    WINDOW w AS (PARTITION BY conv_id ORDER BY sent_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
 def duck_sentences_cte(sent_words: int = SENT_WORDS) -> str:
     """DuckDB CTE body producing the identical sentences table
     (compose as ``WITH transcripts AS (...), sentences AS ({this})``)."""

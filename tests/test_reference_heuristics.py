@@ -1,0 +1,55 @@
+"""Parity of the reference's string heuristics (SURVEY.md §7.3.1):
+T3 replace-once tag insertion with offset fallback, G3 entity-index
+resolution with occurrence priority."""
+
+from __future__ import annotations
+
+from cross_sentence_relation_extraction_idepnn_spark.kernels import (
+    entity_token_index,
+    tag_insert_replace_once,
+)
+
+
+class TestT3TagInsertion:
+    def test_simple_first_occurrence(self):
+        out = tag_insert_replace_once("the scan reads a table", "scan", "table")
+        assert out == "the <e1>scan</e1> reads a <e2>table</e2>"
+
+    def test_multi_occurrence_uses_offset_fallback(self):
+        """Reference: replace-once would tag the WRONG (first) mention;
+        with offsets the slice fallback tags the intended one
+        (generate_bb_training_data_2016.py:498-508)."""
+        sent = "scan the scan output table"
+        # intended e1 = SECOND 'scan' at char 9
+        out = tag_insert_replace_once(sent, "scan", "table", start1=9, start2=21)
+        assert out == "scan the <e1>scan</e1> output <e2>table</e2>"
+
+    def test_no_offsets_ambiguous_tags_first(self):
+        # without offsets the reference tags the first occurrence —
+        # faithfully reproduced (the quirk IS the contract)
+        out = tag_insert_replace_once("scan the scan", "scan", "the")
+        assert out.startswith("<e1>scan</e1>")
+
+    def test_e2_offset_shift_after_e1_tags(self):
+        sent = "table scan table"
+        out = tag_insert_replace_once(sent, "scan", "table", start1=6, start2=11)
+        assert out == "table <e1>scan</e1> <e2>table</e2>"
+
+
+class TestG3EntityIndex:
+    words = "the scan reads scan output".split()
+
+    def test_priority_first_vs_last(self):
+        assert entity_token_index(self.words, "scan", priority=0) == 1
+        assert entity_token_index(self.words, "scan", priority=1) == 3
+
+    def test_substring_fallback(self):
+        # no exact token 'scans' → substring fallback hits 'scan'... the
+        # reverse: entity 'scan' matches token 'scanning' by substring
+        assert entity_token_index(["a", "scanning", "b"], "scan") == 1
+
+    def test_multiword_resolves_last_word(self):
+        assert entity_token_index(self.words, "fast scan", priority=0) == 1
+
+    def test_unresolvable_returns_none(self):
+        assert entity_token_index(self.words, "zebra") is None
