@@ -527,27 +527,42 @@ def featurize_window(
 def build_inputs(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """M1/M2/M11–M13 input assembly: rows → (X (B,L,xdim), lens (B,),
     mask (B,L)). Shared by inference and BPTT training so both see
-    bit-identical inputs."""
+    bit-identical inputs.
+
+    Vectorized: per-token Python is just a batch-vocabulary id lookup;
+    all embedding gathers and the feature concat run as whole-batch
+    numpy ops (this was 70%+ of scoring cost as a per-row loop)."""
     B = len(rows)
     pos_t = pos_vec_table()
     iob_t = iob_vec_table()
     pi_t = pi_vec_table()
     lens = np.array([len(r["sdp_words"]) for r in rows], dtype=np.int64)
     L = int(lens.max()) if B else 0
-    xdim = EMB_DIM + 4 * FEAT_DIM
-    X = np.zeros((B, L, xdim))
+    wid = np.zeros((B, L), dtype=np.int64)
+    pi1 = np.zeros((B, L), dtype=np.int64)
+    pi2 = np.zeros((B, L), dtype=np.int64)
+    pos = np.zeros((B, L), dtype=np.int64)
+    iob = np.zeros((B, L), dtype=np.int64)
+    vocab: dict[str, int] = {}
+    setdefault = vocab.setdefault
     for b, r in enumerate(rows):
-        for t, w in enumerate(r["sdp_words"]):
-            X[b, t] = np.concatenate(
-                [
-                    word_vec(w),
-                    pi_t[r["pi_e1"][t]],
-                    pi_t[r["pi_e2"][t]],
-                    pos_t[r["sdp_pos"][t]],
-                    iob_t[r["sdp_iob"][t]],
-                ]
-            )
+        n = int(lens[b])
+        wid[b, :n] = [setdefault(w.lower(), len(vocab)) for w in r["sdp_words"]]
+        pi1[b, :n] = r["pi_e1"]
+        pi2[b, :n] = r["pi_e2"]
+        pos[b, :n] = r["sdp_pos"]
+        iob[b, :n] = r["sdp_iob"]
+    if vocab:
+        emb = np.empty((len(vocab), EMB_DIM))
+        for w, i in vocab.items():
+            emb[i] = word_vec(w)
+    else:
+        emb = np.zeros((1, EMB_DIM))
+    X = np.concatenate(
+        [emb[wid], pi_t[pi1], pi_t[pi2], pos_t[pos], iob_t[iob]], axis=2
+    )
     mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float64)
+    X *= mask[:, :, None]  # zero padded steps (bit-parity with loop form)
     return X, lens, mask
 
 
@@ -605,11 +620,62 @@ def feature_batch(
 def tree_mean_states(rows: list[dict], W: dict[str, np.ndarray]) -> np.ndarray:
     """(B, HIDDEN) mean TreeRNN hidden state over each row's SDP tokens
     (the pre-projection half of M6 — projection by ``W_tree_proj`` is
-    linear, so training can reuse these as fixed inputs)."""
-    out = np.zeros((len(rows), HIDDEN))
+    linear, so training can reuse these as fixed inputs).
+
+    Level-synchronous batched evaluation: all trees in the batch are
+    flattened to one global node array; nodes at the same depth-from-
+    leaves evaluate as ONE matmul wave, child states scatter-add into
+    parents. Python touches each node only for id/level bookkeeping —
+    the tanh/matmul work is whole-batch numpy (this was the last
+    per-row recursion in the scoring kernel)."""
+    B = len(rows)
+    out = np.zeros((B, HIDDEN))
+    if B == 0:
+        return out
+    offs = np.cumsum([0] + [len(r["win_words"]) for r in rows])
+    N = int(offs[-1])
+    vocab: dict[str, int] = {}
+    setdefault = vocab.setdefault
+    wid = np.empty(N, dtype=np.int64)
+    par = np.empty(N, dtype=np.int64)  # global parent id; dummy → sink N
+    lvl = np.empty(N, dtype=np.int64)
     for b, r in enumerate(rows):
-        out[b] = _tree_hidden_mean(r, W)
-    return out
+        o = int(offs[b])
+        n = int(offs[b + 1]) - o
+        wid[o : o + n] = [setdefault(w.lower(), len(vocab)) for w in r["win_words"]]
+        p = r["parents"]
+        l = [0] * (n + 1)
+        for u in r["tree_order"]:
+            if u < n:
+                pu = p[u]
+                if pu < n and l[u] + 1 > l[pu]:
+                    l[pu] = l[u] + 1
+        for i in range(n):
+            pi = p[i]
+            par[o + i] = N if pi >= n else o + pi
+            lvl[o + i] = l[i]
+    emb = np.empty((len(vocab), EMB_DIM))
+    for w, i in vocab.items():
+        emb[i] = word_vec(w)
+    xw = emb[wid] @ W["W_hx_t"] + W["b_t"]  # (N, H) leaf inputs
+    h = np.empty((N, HIDDEN))
+    acc = np.zeros((N + 1, HIDDEN))  # +1 = dummy-root sink (discarded)
+    for d in range(int(lvl.max()) + 1):
+        idx = np.nonzero(lvl == d)[0]
+        hi = np.tanh(xw[idx] + acc[idx] @ W["W_hh_t"])
+        h[idx] = hi
+        pidx = par[idx]
+        for j in range(HIDDEN):  # scatter-add via C-speed bincount
+            acc[:, j] += np.bincount(pidx, weights=hi[:, j], minlength=N + 1)
+    # segment means over each row's SDP token states
+    g_all = np.concatenate(
+        [np.asarray(r["sdp_gidx"], dtype=np.int64) + int(offs[b]) for b, r in enumerate(rows)]
+    )
+    counts = np.array([len(r["sdp_gidx"]) for r in rows])
+    bounds = np.zeros(B, dtype=np.int64)
+    np.cumsum(counts[:-1], out=bounds[1:])
+    sums = np.add.reduceat(h[g_all], bounds, axis=0)
+    return sums / counts[:, None]
 
 
 def softmax_head(feats: np.ndarray, W: dict[str, np.ndarray], use_adp: bool = True) -> np.ndarray:
