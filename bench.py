@@ -26,7 +26,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 # corpus replication for the scaling runs: sized so parallel kernel
 # work dominates fixed per-job overhead (the 10^12-turn regime)
-SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "4"))
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "6"))
 # N vs 4N parallelism levels for the scaling evidence. Defaults sit
 # INSIDE the sandbox host's real CPU capacity: the guest advertises 32
 # vCPUs but a raw multiprocessing probe (see host_cpu_probe in the
@@ -63,12 +63,10 @@ def run_pipeline(cores: int, sf_dir: str, copies: int) -> tuple[int, int, float]
     tdf = transcripts_scaled(spark, sf_dir, copies)
     n_turns = tdf.count()
     triples_from_transcripts(spark, tdf).count()  # warm: JIT + workers
-    dt, n_triples = float("inf"), 0
-    for _ in range(2):  # best-of-2 damps single-run VM noise
-        spark.catalog.clearCache()
-        t0 = time.time()
-        n_triples = triples_from_transcripts(spark, tdf).count()
-        dt = min(dt, time.time() - t0)
+    spark.catalog.clearCache()
+    t0 = time.time()
+    n_triples = triples_from_transcripts(spark, tdf).count()
+    dt = time.time() - t0
     spark.stop()
     return n_turns, n_triples, dt
 
