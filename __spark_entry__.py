@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "lsh_ann_topk": similarity.lsh_ann_topk,
+        "ivf_ann_topk": similarity.ivf_ann_topk,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -376,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.duck_cosine_topk(),
         "lsh_ann_topk": similarity.duck_lsh_ann_topk(),
         "embedding_neardup": similarity.duck_embedding_neardup(),
+        "ivf_ann_topk": similarity.duck_ivf_ann_topk(),
         "standoff_parse": (
             f"{duck_with_prefix()}, mentions AS ({duck_mentions_cte()})"
             f"{duck_parse_standoff(duck_standoff_lines_cte())}"

@@ -14,7 +14,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..hashing import py_h15
@@ -97,6 +97,108 @@ def duck_cosine_topk(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
 
 
 NEARDUP_TAU = 0.9
+IVF_CELLS = 8
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str, cells: int = IVF_CELLS):
+    """Deterministic coarse quantizer: the first ``cells`` vectors act
+    as centroids (a k-means seeding stand-in — deterministic so the
+    DuckDB oracle reproduces the exact cell assignment; production
+    would run a few Lloyd iterations distributed, same plumbing)."""
+    emb = _emb(spark, sf_dir)
+    return emb.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cv")
+    )
+
+
+def ivf_ann_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """IVF-style ANN: every vector is assigned to its nearest coarse
+    centroid (max dot product, deterministic centroid set); a query
+    searches only its own cell. At 100 TB the cell assignment is one
+    broadcast-join pass and the search is an equi-join on cell_id —
+    the same shape as a billion-vector IVF index probe.
+
+    Output: (query_id, rank, neighbor_id, cosine) within the cell.
+    """
+    cents = _ivf_centroids(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # cell assignment: argmax dot(centroid, v), ties → lower cell_id
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            _dot(F.col("embedding"), F.col("cv")).alias("cdot"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cdot").desc(), F.col("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cdot")
+    )
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cell_id"),
+    )
+    joined = assigned.join(F.broadcast(q), "cell_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("embedding"))
+            / (_norm(F.col("qv")) * _norm(F.col("embedding"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
+def duck_ivf_ann_topk(k: int = TOP_K, n_queries: int = N_QUERIES, cells: int = IVF_CELLS) -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < {cells}),
+        assigned AS (
+            SELECT vec_id, v, cell_id FROM (
+                SELECT e.vec_id, e.v, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_sum(list_transform(range(1, len(e.v) + 1),
+                                                            i -> e.v[i] * c.cv[i])) DESC,
+                                    c.cell_id) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, cell_id
+              FROM assigned WHERE vec_id < {n_queries}),
+        scored AS (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   ROUND(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * a.v[i]))
+                         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                            * sqrt(list_sum(list_transform(a.v, x -> x * x)))), 6) AS cosine
+            FROM assigned a JOIN q ON a.cell_id = q.cell_id AND a.vec_id != q.query_id
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """
 
 
 def embedding_neardup_pairs(
