@@ -49,6 +49,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _epoch_ntz(col_sql: str):
+    """Wall-time epoch seconds for a TIMESTAMP_NTZ column — pure
+    timestamp arithmetic, independent of spark.sql.session.timeZone
+    (a plain ntz→long cast interprets wall time in the session zone
+    and breaks under non-UTC driver sessions)."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_sql})"
+    )
+
 def _windowed(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", WATERMARK)
@@ -58,7 +68,7 @@ def _windowed(events: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("timestamp").cast("long").alias("win_start"),
+            _epoch_ntz("w.start").alias("win_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -82,7 +92,7 @@ def windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("timestamp").cast("long").alias("win_start"),
+            _epoch_ntz("w.start").alias("win_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -120,7 +130,7 @@ def sessionize_batch(
     from pyspark.sql import Window
 
     ev = events_batch(spark, sf_dir).select(
-        "user_id", F.col("ts").cast("timestamp").cast("long").alias("te"), "value",
+        "user_id", _epoch_ntz("ts").alias("te"), "value",
         "event_id",
     )
     w = Window.partitionBy("user_id").orderBy("te", "event_id")
