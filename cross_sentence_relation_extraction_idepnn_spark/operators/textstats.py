@@ -87,7 +87,19 @@ def duck_lang_id() -> str:
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_chars, n_tokens, avg_tok_len, stopword_ratio,
-    type_token_ratio, quality): length/stopword/diversity heuristic."""
+    type_token_ratio, quality): length/stopword/diversity heuristic.
+
+    ``quality`` is the exact rational
+
+        0.4*min(n,64)/64 + 0.3*(1 - s/n) + 0.3*(d/n)
+      = (min(n,64)*n + 48*n + 48*(d - s)) / (160*n)
+
+    half-up rounded to 6 decimals in *pure integer arithmetic*
+    (``q_e6 = (numer*1e6 + denom/2) div denom``), then divided by 1e6.
+    Composing from pre-rounded float components lands on exact
+    7th-decimal ties that Spark and DuckDB round differently — integer
+    units make the tie impossible (both engines emit the same integer,
+    then the same IEEE division by 1e6)."""
     toks = F.split(F.col("text"), " ")
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     df = _docs(spark, sf_dir).select(
@@ -96,28 +108,35 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         toks.alias("toks"),
     )
+    df = (
+        df.withColumn(
+            "n_stop",
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(stop, t))),
+        )
+        .withColumn("n_distinct", F.size(F.array_distinct("toks")))
+        .withColumn(
+            "avg_tok_len",
+            F.round(
+                (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"), 6
+            ),
+        )
+        .withColumn(
+            "stopword_ratio", F.round(F.col("n_stop") / F.col("n_tokens"), 6)
+        )
+        .withColumn(
+            "type_token_ratio", F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+        )
+    )
+    n = F.col("n_tokens").cast("long")
     df = df.withColumn(
-        "avg_tok_len",
-        F.round(
-            (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"), 6
-        ),
-    ).withColumn(
-        "stopword_ratio",
-        F.round(
-            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(stop, t)))
-            / F.col("n_tokens"),
-            6,
-        ),
-    ).withColumn(
-        "type_token_ratio",
-        F.round(F.size(F.array_distinct("toks")) / F.col("n_tokens"), 6),
-    )
-    quality = F.round(
-        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
-        + (1 - F.col("stopword_ratio")) * 0.3
-        + F.col("type_token_ratio") * 0.3,
-        6,
-    )
+        "_numer",
+        F.least(n, F.lit(64).cast("long")) * n
+        + F.lit(48).cast("long") * n
+        + F.lit(48).cast("long")
+        * (F.col("n_distinct").cast("long") - F.col("n_stop").cast("long")),
+    ).withColumn("_denom", F.lit(160).cast("long") * n)
+    # true integer div — numer*1e6 can exceed 2^53, so float floor is unsafe
+    q_e6 = F.expr("(_numer * 1000000 + _denom div 2) div _denom")
     return df.select(
         "doc_id",
         "n_chars",
@@ -125,26 +144,36 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_tok_len",
         "stopword_ratio",
         "type_token_ratio",
-        quality.alias("quality"),
+        (q_e6 / F.lit(1000000.0)).alias("quality"),
     )
 
 
 def duck_quality() -> str:
+    """Mirrors quality_score's integer-exact composite: same numer/denom
+    BIGINT arithmetic, same half-up integer rounding (`//` truncates and
+    all quantities are positive, so it equals floor), same final /1e6."""
     stop = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
     return f"""
         SELECT doc_id, n_chars, n_tokens, avg_tok_len, stopword_ratio, type_token_ratio,
-               ROUND(LEAST(n_tokens / 64.0, 1.0) * 0.4
-                     + (1 - stopword_ratio) * 0.3
-                     + type_token_ratio * 0.3, 6) AS quality
+               ((numer * 1000000 + denom // 2) // denom) / 1000000.0 AS quality
         FROM (
-            SELECT doc_id,
-                   CAST(length(text) AS INT) AS n_chars,
-                   CAST(len(toks) AS INT) AS n_tokens,
-                   ROUND((length(text) - (len(toks) - 1)) * 1.0 / len(toks), 6) AS avg_tok_len,
-                   ROUND(len(list_filter(toks, t -> list_contains({stop}, t))) * 1.0
-                         / len(toks), 6) AS stopword_ratio,
-                   ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio
-            FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+            SELECT *,
+                   LEAST(CAST(n_tokens AS BIGINT), 64) * CAST(n_tokens AS BIGINT)
+                     + 48 * CAST(n_tokens AS BIGINT)
+                     + 48 * (CAST(n_distinct AS BIGINT) - CAST(n_stop AS BIGINT)) AS numer,
+                   160 * CAST(n_tokens AS BIGINT) AS denom
+            FROM (
+                SELECT doc_id,
+                       CAST(length(text) AS INT) AS n_chars,
+                       CAST(len(toks) AS INT) AS n_tokens,
+                       len(list_filter(toks, t -> list_contains({stop}, t))) AS n_stop,
+                       len(list_distinct(toks)) AS n_distinct,
+                       ROUND((length(text) - (len(toks) - 1)) * 1.0 / len(toks), 6) AS avg_tok_len,
+                       ROUND(len(list_filter(toks, t -> list_contains({stop}, t))) * 1.0
+                             / len(toks), 6) AS stopword_ratio,
+                       ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+            )
         )
     """
 
