@@ -34,6 +34,10 @@ SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "6"))
 # that, added threads measure host oversubscription, not the engine.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
+# timed repetitions per scaling level; the MEDIAN is the artifact of
+# record (single runs carry ±20% VM noise — round-1 recorded a 0.731
+# efficiency from one noisy high-side run where median-of-3 gives ~0.9)
+SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -44,13 +48,16 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def run_pipeline(cores: int, sf_dir: str, copies: int) -> tuple[int, int, float]:
-    """(n_turns, n_triples, pipeline_sec) at the given parallelism over
-    the ``copies``-replicated corpus.
+def run_pipeline(cores: int, sf_dir: str, copies: int) -> tuple[int, int, float, list[float]]:
+    """(n_turns, n_triples, median_pipeline_sec, all_runs) at the given
+    parallelism over the ``copies``-replicated corpus.
 
-    A fresh session per level; a warm run precedes the timer so both
-    levels start JIT-warm with Python workers spawned.
+    A fresh session per level; a warm run precedes the timers so both
+    levels start JIT-warm with Python workers spawned; SCALE_RUNS timed
+    runs, median reported.
     """
+    import statistics
+
     from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
         triples_from_transcripts,
     )
@@ -62,13 +69,15 @@ def run_pipeline(cores: int, sf_dir: str, copies: int) -> tuple[int, int, float]
     spark = get_spark(f"bench_c{cores}", cores=cores)
     tdf = transcripts_scaled(spark, sf_dir, copies)
     n_turns = tdf.count()
-    triples_from_transcripts(spark, tdf).count()  # warm: JIT + workers
-    spark.catalog.clearCache()
-    t0 = time.time()
-    n_triples = triples_from_transcripts(spark, tdf).count()
-    dt = time.time() - t0
+    n_triples = triples_from_transcripts(spark, tdf).count()  # warm: JIT + workers
+    runs: list[float] = []
+    for _ in range(max(SCALE_RUNS, 1)):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        triples_from_transcripts(spark, tdf).count()
+        runs.append(round(time.time() - t0, 3))
     spark.stop()
-    return n_turns, n_triples, dt
+    return n_turns, n_triples, statistics.median(runs), runs
 
 
 def _cpu_burn(_):
@@ -109,10 +118,11 @@ def main() -> None:
 
     # ---- scaling runs: same replicated input at N and 4N cores ----
     if not SKIP_SCALING:
-        n_scaled, _, sec_low = run_pipeline(SCALE_LOW, SF_DIR, SCALE_COPIES)
-        _, _, sec_high_scaled = run_pipeline(SCALE_HIGH, SF_DIR, SCALE_COPIES)
+        n_scaled, _, sec_low, runs_low = run_pipeline(SCALE_LOW, SF_DIR, SCALE_COPIES)
+        _, _, sec_high_scaled, runs_high = run_pipeline(SCALE_HIGH, SF_DIR, SCALE_COPIES)
     else:
         n_scaled, sec_low, sec_high_scaled = 0, 0.0, 0.0
+        runs_low, runs_high = [], []
 
     # ---- main run at HIGH parallelism (4N) ----
     from cross_sentence_relation_extraction_idepnn_spark.operators import (
@@ -190,6 +200,9 @@ def main() -> None:
             "cores_high": SCALE_HIGH,
             "pipeline_sec_low": round(sec_low, 3),
             "pipeline_sec_high": round(sec_high_scaled, 3),
+            "runs_low": runs_low,
+            "runs_high": runs_high,
+            "stat": f"median_of_{len(runs_low)}",
             "turns_per_sec_low": round(tput_low, 1),
             "turns_per_sec_high": round(tput_high, 1),
             "efficiency": round(eff, 3) if eff is not None else None,

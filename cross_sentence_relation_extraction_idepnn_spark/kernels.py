@@ -169,25 +169,44 @@ def tag_insert_replace_once(
 def entity_token_index(
     words: list[str], entity: str, priority: int = 0
 ) -> int | None:
-    """Reference G3 entity-index resolution (``generate_sdp.py:31-61``):
-    tokenwise exact match first, substring match as fallback; when an
-    entity matches multiple tokens, ``priority`` selects first (0) or
-    last (1) occurrence — the reference flips priority by which tagged
-    entity appears first in the text (``:108-110,134-135``). Multiword
-    entities resolve to their last word (``features_bb2016.py:1409-13``),
-    offset capped at 3 tokens like the reference's adjustment.
+    """Reference G3 entity-index resolution — a faithful port of
+    ``generate_sdp.py:31-61`` (``get_entity_index``):
+
+    1. Build one match-list per entity token (exact token equality).
+    2. If NO entity token matches anywhere, fall back to a single list
+       of substring matches of the *last* entity token (the reference's
+       loop variable retains its final value, ``:39-40``).
+    3. Base index = first entity token's first occurrence (``priority=0``,
+       the reference's truthy ``entity_priority``) or last occurrence
+       (``priority=1``); on an empty first list, the second token's list
+       (the ``except: entity_idx_list[1][...]`` fallback, ``:44-46,55-56``).
+    4. Walk-back (``:47-51,58-61``): for entity tokens 0..2, whenever a
+       token matches *exactly one* position, re-anchor the index to that
+       position minus the token's offset within the entity — pointing at
+       the entity's first token; the last unique token wins. The
+       reference does not clamp at 0 and neither do we.
+
+    Returns None where the reference would raise (nothing matches at
+    all) — the one documented deviation.
     """
-    target = entity.lower().split()[-1]
-    exact = [i for i, w in enumerate(words) if w.lower() == target]
-    if not exact:
-        exact = [i for i, w in enumerate(words) if target in w.lower()]
-    if not exact:
+    entity_toks = entity.lower().split()
+    low = [w.lower() for w in words]
+    idx_lists = [[i for i, w in enumerate(low) if w == t] for t in entity_toks]
+    if not any(idx_lists):
+        idx_lists = [[i for i, w in enumerate(low) if entity_toks[-1] in w]]
+    pick = 0 if priority == 0 else -1
+    if idx_lists[0]:
+        idx = idx_lists[0][pick]
+    elif len(idx_lists) > 1 and idx_lists[1]:
+        idx = idx_lists[1][pick]
+    else:
         return None
-    idx = exact[0] if priority == 0 else exact[-1]
-    # multiword adjustment: the reference walks back ≤3 tokens to the
-    # head word when the mention is multiword and tokens precede idx
-    n_extra = min(len(entity.split()) - 1, 3)
-    return max(idx - 0, 0) if n_extra == 0 else idx
+    for t, lst in enumerate(idx_lists):
+        if t > 2:
+            break
+        if len(lst) == 1:
+            idx = lst[0] - t
+    return idx
 
 
 # ------------------------------------------------- G2/G4: graph + BFS SDP

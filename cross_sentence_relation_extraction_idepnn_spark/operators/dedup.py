@@ -11,11 +11,13 @@ exactly-matching DuckDB oracle (portable md5-prefix hashing, see
               never a cross join)
 - simhash:    32-bit SimHash over token hashes + byte-block join for
               Hamming ≤ 3 candidate pairs
-- ngram:      blocked n-gram Jaccard (block key = min shingle hash)
+- ngram:      blocked n-gram Jaccard (block key = min shingle hash,
+              frequency-capped: over-cap blocks re-block on the
+              second-min hash, stragglers are dropped)
 
 At 100 TB each stage is shuffle-bounded by (band/bucket key) — skewed
-buckets (boilerplate shingles) would be salted or frequency-capped;
-the band join broadcasts nothing and AQE splits hot buckets.
+ngram blocks are frequency-capped (NGRAM_MAX_BLOCK); the band join
+broadcasts nothing and AQE splits hot buckets.
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ MINHASH_TAU = 0.5
 SIMHASH_BITS = 32
 HAMMING_MAX = 3
 NGRAM_TAU = 0.3
+NGRAM_MAX_BLOCK = 50  # freq cap: re-block over-cap blocks, drop stragglers
 
 
 # ------------------------------------------------------------------ shingles
@@ -335,17 +338,45 @@ def duck_simhash_pairs(max_ham: int = HAMMING_MAX) -> str:
 
 # -------------------------------------------------------------- ngram block
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, tau: float = NGRAM_TAU) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = NGRAM_TAU,
+    max_block: int = NGRAM_MAX_BLOCK,
+) -> DataFrame:
     """Blocked n-gram Jaccard: block key = min shingle hash per doc
     (docs sharing their minimal shingle are near-dup candidates), then
-    exact Jaccard ≥ tau."""
+    exact Jaccard ≥ tau.
+
+    Skew guard (the 100 TB killer is one boilerplate shingle that is the
+    min-hash of millions of docs → a quadratic block): blocks larger
+    than ``max_block`` are *re-blocked* on each member's second-distinct
+    min shingle hash (level 2, so re-keyed docs only pair with re-keyed
+    docs), and any block still above the cap after re-blocking is
+    dropped — candidate generation is bounded by max_block² per key.
+    Both steps are deterministic and mirrored in the DuckDB oracle."""
     sh = _shingles_df(spark, sf_dir).withColumn("hs", spark_h15(F.col("shingle")))
-    blocks = sh.groupBy("doc_id").agg(
-        F.min("hs").alias("block"), F.count("*").alias("n")
+    per_doc = sh.groupBy("doc_id").agg(
+        F.min("hs").alias("h1"),
+        # second-distinct-min (fallback: h1) for the re-block level
+        F.coalesce(
+            F.try_element_at(F.slice(F.array_sort(F.collect_set("hs")), 1, 2), F.lit(2)),
+            F.min("hs"),
+        ).alias("h2"),
+        F.count("*").alias("n"),
     )
+    sz1 = per_doc.groupBy("h1").agg(F.count("*").alias("bsz1"))
+    keyed = per_doc.join(sz1, "h1").select(
+        "doc_id",
+        "n",
+        F.when(F.col("bsz1") <= max_block, F.lit(1)).otherwise(F.lit(2)).alias("lvl"),
+        F.when(F.col("bsz1") <= max_block, F.col("h1")).otherwise(F.col("h2")).alias("block"),
+    )
+    sz2 = keyed.groupBy("lvl", "block").agg(F.count("*").alias("bsz2"))
+    keyed = keyed.join(sz2, ["lvl", "block"]).filter(F.col("bsz2") <= max_block)
     cand = (
-        blocks.alias("x")
-        .join(blocks.alias("y"), "block")
+        keyed.alias("x")
+        .join(keyed.alias("y"), ["lvl", "block"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
@@ -353,6 +384,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, tau: float = NGRAM_TAU
             F.col("x.n").alias("n_a"),
             F.col("y.n").alias("n_b"),
         )
+        # each doc has exactly one (lvl, block) row → pairs are unique
     )
     inter = (
         cand.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
@@ -376,13 +408,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, tau: float = NGRAM_TAU
     )
 
 
-def duck_ngram_pairs(tau: float = NGRAM_TAU) -> str:
+def duck_ngram_pairs(tau: float = NGRAM_TAU, max_block: int = NGRAM_MAX_BLOCK) -> str:
     return f"""
         , hs AS (SELECT doc_id, shingle, {duck_h15("shingle")} AS hs FROM shingles)
-        , blocks AS (SELECT doc_id, MIN(hs) AS block, COUNT(*) AS n FROM hs GROUP BY doc_id)
+        , per_doc AS (
+            SELECT doc_id, MIN(hs) AS h1,
+                   COALESCE((list_sort(list_distinct(list(hs))))[2], MIN(hs)) AS h2,
+                   COUNT(*) AS n
+            FROM hs GROUP BY doc_id
+        )
+        , sz1 AS (SELECT h1, COUNT(*) AS bsz1 FROM per_doc GROUP BY h1)
+        , keyed0 AS (
+            SELECT p.doc_id, p.n,
+                   CASE WHEN s.bsz1 <= {max_block} THEN 1 ELSE 2 END AS lvl,
+                   CASE WHEN s.bsz1 <= {max_block} THEN p.h1 ELSE p.h2 END AS block
+            FROM per_doc p JOIN sz1 s ON p.h1 = s.h1
+        )
+        , sz2 AS (SELECT lvl, block, COUNT(*) AS bsz2 FROM keyed0 GROUP BY lvl, block)
+        , keyed AS (
+            SELECT k.* FROM keyed0 k JOIN sz2 z ON k.lvl = z.lvl AND k.block = z.block
+            WHERE z.bsz2 <= {max_block}
+        )
         , cand AS (
             SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.n AS n_a, y.n AS n_b
-            FROM blocks x JOIN blocks y ON x.block = y.block AND x.doc_id < y.doc_id
+            FROM keyed x JOIN keyed y
+              ON x.lvl = y.lvl AND x.block = y.block AND x.doc_id < y.doc_id
         )
         , inter AS (
             SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter

@@ -9,14 +9,15 @@ the mention/sentence join (``generate_bb_training_data_2016.py:313-477``),
 MUC6 ``PER_ALIAS`` expansion (``generate_muc6_data.py:51-53``), and the
 MUC6 ``list(set(...))`` dedup (``generate_muc6_data.py:125``).
 
-Connected components run as iterative min-label propagation over the
-edge DataFrame (GraphFrames is not in the sandbox; the loop is the
-textbook large-star/small-star simplification and converges in
-O(diameter) joins — mention-similarity graphs have tiny diameters).
-Each iteration ``localCheckpoint``s to truncate lineage. The DuckDB
-oracle expresses the same fixpoint as a recursive CTE (min reachable
-label), so CC is *oracle-checked SQL-expressible* despite being
-iterative.
+Connected components: below a vocabulary-size threshold, one collect to
+a driver union-find; above it, the alternating LARGE-STAR / SMALL-STAR
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", 2014) over the edge DataFrame — O(log n) rounds rather than
+O(diameter), so a 100 TB corpus's high-diameter mention chains don't
+serialize into diameter-many shuffles. Each round ``localCheckpoint``s
+to truncate lineage. The DuckDB oracle expresses the same fixpoint as a
+recursive CTE (min reachable label), so CC is *oracle-checked
+SQL-expressible* despite being iterative.
 """
 
 from __future__ import annotations
@@ -40,25 +41,51 @@ def _bigrams(col):
     )
 
 
+def _prefix_keys(nodes: DataFrame, tau: float) -> DataFrame:
+    """(surface, bg, k): each surface's full bigram set ``bg`` ordered
+    by ascending global document frequency (ties by value), exploded on
+    its first ``n - ceil(tau·n) + 1`` bigrams as join keys ``k``."""
+    ex = nodes.select("surface", F.explode(_bigrams(F.col("surface"))).alias("b"))
+    dfreq = ex.groupBy("b").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(dfreq, "b")
+        .groupBy("surface")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "b"))).alias("obs"))
+        .select("surface", F.transform("obs", lambda s: s["b"]).alias("bg"))
+    )
+    plen = (F.size("bg") - F.ceil(F.size("bg") * F.lit(tau)) + 1).cast("int")
+    return ordered.select(
+        "surface", "bg", F.explode(F.slice("bg", F.lit(1), plen)).alias("k")
+    )
+
+
 def similarity_edges(surfaces: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     """Distinct surfaces → undirected similarity edges (src < dst) with
     character-bigram Jaccard ≥ tau.
 
-    Scale note: the entity *vocabulary* (distinct surfaces) is orders of
-    magnitude smaller than the corpus, so the pairwise join is over a
-    small dimension table — broadcast it. A 100 TB corpus with a huge
-    entity vocabulary would first bucket by a cheap blocking key (e.g.
-    first char) — exposed via ``block_col``-style pre-grouping if ever
-    needed.
+    Candidate generation is a *prefix-filtered* shared-bigram equi-join
+    (the ppjoin prefix lemma): with every bigram set sorted by one
+    global total order, any pair with Jaccard ≥ tau must share a bigram
+    within each side's first ``n - ceil(tau·n) + 1`` bigrams — so
+    joining on exploded prefix bigrams is LOSSLESS for tau > 0 and
+    never O(V²). The global order is *ascending document frequency*
+    (ties by value), the ppjoin trick that makes the guard skew-proof:
+    a boilerplate bigram shared by the whole vocabulary sorts LAST and
+    never enters a prefix, so prefixes hold only rare bigrams and join
+    buckets stay small. Exact Jaccard is verified on the candidates.
     """
     nodes = surfaces.select(F.col("surface")).distinct()
-    a = nodes.select(
-        F.col("surface").alias("src"), _bigrams(F.col("surface")).alias("bg1")
+    keys = _prefix_keys(nodes, tau)
+    pairs = (
+        keys.select(F.col("surface").alias("src"), F.col("bg").alias("bg1"), "k")
+        .join(
+            keys.select(F.col("surface").alias("dst"), F.col("bg").alias("bg2"), "k"),
+            "k",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "bg1", "bg2")
+        .dropDuplicates(["src", "dst"])
     )
-    b = nodes.select(
-        F.col("surface").alias("dst"), _bigrams(F.col("surface")).alias("bg2")
-    )
-    pairs = a.join(F.broadcast(b), F.col("src") < F.col("dst"))
     inter = F.size(F.array_intersect("bg1", "bg2"))
     union = F.size(F.array_union("bg1", "bg2"))
     return (
@@ -87,7 +114,7 @@ def connected_components(
     ``driver_threshold`` nodes the fixpoint runs as driver-side
     union-find (one collect, zero iterative jobs — the same shortcut
     GraphFrames-style systems take for small graphs); above it, the
-    iterative min-label propagation below scales out. Both produce the
+    alternating large-star/small-star rounds scale out. Both produce the
     identical (surface, min-reachable-label) mapping.
     """
     n_nodes = nodes.count()
@@ -111,30 +138,73 @@ def connected_components(
         return nodes.sparkSession.createDataFrame(
             rows, schema="surface string, component string"
         )
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # ------- alternating large-star / small-star (Kiveris et al. 2014)
+    # O(log n) rounds, each a pair of groupBy-min shuffles — no
+    # O(diameter) label walks, so long mention chains converge fast.
+    cur = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col("surface"), F.col("surface").alias("component")
-    ).localCheckpoint()
+    prev_sig: tuple[int, int] | None = None
     for _ in range(max_iter):
-        prop = (
-            und.join(labels, und.src == labels.surface)
-            .select(F.col("dst").alias("surface"), F.col("component"))
-            .union(labels.select("surface", "component"))
-            .groupBy("surface")
-            .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "surface")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = prop
-        if changed == 0:
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        sig_row = cur.agg(
+            F.count("*").alias("n"),
+            # mod keeps the ANSI-mode sum far from long overflow
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst") % F.lit(1_000_000_007)), F.lit(0)
+            ).alias("chk"),
+        ).first()
+        sig = (sig_row["n"], sig_row["chk"])
+        if sig == prev_sig:
             break
-    return labels
+        prev_sig = sig
+    # converged: cur is a star forest (child → component-min root)
+    return nodes.join(
+        cur.select(F.col("src").alias("surface"), F.col("dst").alias("root")),
+        "surface",
+        "left",
+    ).select(
+        "surface", F.coalesce(F.col("root"), F.col("surface")).alias("component")
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: for every node u, connect each strictly-larger
+    neighbor v to m(u) = min(Γ(u) ∪ {u})."""
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    m = (
+        und.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("src", "mn").alias("m"))
+    )
+    return (
+        und.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient edges downward (src > dst); for every node u,
+    connect u and all its smaller neighbors to m(u) = min of them."""
+    d = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    m = d.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        d.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(m.select(F.col("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def duck_components_cte() -> str:

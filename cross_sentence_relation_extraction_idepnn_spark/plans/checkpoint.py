@@ -22,6 +22,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _footer_row_counts(path: str) -> list[int]:
+    """num_rows per data file, read from parquet footers (recursing into
+    partitionBy subdirectories) — no data pages are touched."""
+    import pyarrow.parquet as pq
+
+    counts: list[int] = []
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                counts.append(
+                    pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+                )
+    return counts
+
+
 class Checkpointer:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
@@ -59,8 +74,11 @@ class Checkpointer:
     ) -> DataFrame:
         """Run (or resume) one stage: build → write parquet → lineage row.
 
-        Counters ride on the write itself via ``observe`` — no second
-        pass over the data; the row count comes from parquet metadata.
+        Counters come from the parquet FOOTERS of the files the write
+        just produced — row count and the per-file row histogram (skew
+        observable per stage) are O(#files) metadata reads, zero Spark
+        jobs after the write itself. At 100 TB this is the difference
+        between one pass and two.
         """
         if resume and self.is_complete(name):
             return self.read(name)
@@ -71,26 +89,13 @@ class Checkpointer:
             writer = writer.partitionBy(*partition_by)
         path = self._path(name)
         writer.parquet(path)
-        out = self.spark.read.parquet(path)
-        n = out.count()  # parquet footer metadata — cheap
-        # per-partition lineage (north rule): row histogram across the
-        # checkpoint's partitions — skew is observable per stage
-        from pyspark.sql import functions as F
-
-        pp = [
-            r["count"]
-            for r in out.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .collect()
-        ]
+        pp = _footer_row_counts(path)
         self._append_meta(
             {
                 "stage": name,
                 "upstream": upstream or [],
-                "rows": n,
-                "n_files": len(
-                    [p for p in os.listdir(path) if p.endswith(".parquet")]
-                ),
+                "rows": sum(pp),
+                "n_files": len(pp),
                 "partitions": {
                     "n": len(pp),
                     "min_rows": min(pp) if pp else 0,
@@ -100,4 +105,5 @@ class Checkpointer:
                 "ts": time.time(),
             }
         )
-        return out
+        # explicit schema skips the read-back's footer-inference job
+        return self.spark.read.schema(df.schema).parquet(path)

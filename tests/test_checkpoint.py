@@ -56,6 +56,34 @@ def test_lineage_meta_counters(spark, sf_dir, tmp_path):
     assert cp.read("triples").count() == by_stage["triples"]["rows"]
 
 
+def test_stage_write_is_single_pass(spark, sf_dir, tmp_path):
+    """Counters come from parquet footers: stage() must launch exactly
+    as many Spark jobs as the bare write itself — no count()/groupBy
+    second scan over the checkpoint."""
+    sc = spark.sparkContext
+    wh = str(tmp_path / "wh4")
+
+    def build():
+        return spark.range(0, 1000, 1, 4).withColumnRenamed("id", "v")
+
+    sc.setJobGroup("bare_write", "baseline")
+    build().write.mode("overwrite").parquet(str(tmp_path / "bare"))
+    bare_jobs = len(sc.statusTracker().getJobIdsForGroup("bare_write"))
+
+    cp = Checkpointer(spark, wh)
+    sc.setJobGroup("cp_stage", "stage write")
+    cp.stage("single_pass", build)
+    stage_jobs = len(sc.statusTracker().getJobIdsForGroup("cp_stage"))
+    sc.setJobGroup(None, None)
+
+    assert bare_jobs >= 1
+    assert stage_jobs == bare_jobs
+    meta = {m["stage"]: m for m in cp.meta()}["single_pass"]
+    assert meta["rows"] == 1000
+    assert meta["partitions"]["n"] == meta["n_files"] >= 1
+    assert meta["partitions"]["min_rows"] >= 1
+
+
 def test_resume_false_recomputes(spark, sf_dir, tmp_path):
     wh = str(tmp_path / "wh3")
     a = _triples_pdf(spark, sf_dir, wh)

@@ -48,8 +48,37 @@ class TestG3EntityIndex:
         # reverse: entity 'scan' matches token 'scanning' by substring
         assert entity_token_index(["a", "scanning", "b"], "scan") == 1
 
-    def test_multiword_resolves_last_word(self):
+    def test_multiword_second_token_fallback(self):
+        # 'fast' matches nothing → reference's except-branch falls back
+        # to the second entity token's list (generate_sdp.py:44-46)
         assert entity_token_index(self.words, "fast scan", priority=0) == 1
+
+    def test_multiword_walkback_required(self):
+        """The ≤3-token walk-back (generate_sdp.py:47-51): base index
+        from the ambiguous first token is 0, but the unique second token
+        at position 3 re-anchors to 3 - 1 = 2."""
+        words = "scan a scan network b".split()
+        assert entity_token_index(words, "scan network", priority=0) == 2
+        # priority=1 picks the LAST occurrence as base (scan@2) but the
+        # unique-token walk-back overrides it identically
+        assert entity_token_index(words, "scan network", priority=1) == 2
+
+    def test_walkback_last_unique_token_wins(self):
+        # both tokens unique → the loop keeps overwriting; the last
+        # unique token anchors: idx = pos('network') - 1 = 1
+        words = "deep neural network model".split()
+        assert entity_token_index(words, "neural network", priority=0) == 1
+
+    def test_walkback_capped_at_token_3(self):
+        # 4th entity token (iterator 3) breaks out before re-anchoring
+        # (generate_sdp.py:48-49) — unique 'd' at 7 must NOT win
+        words = "a x a x a x a d".split()
+        assert entity_token_index(words, "a x a d", priority=0) == 0
+
+    def test_walkback_no_clamp_can_go_negative(self):
+        # the reference subtracts without clamping; pin that behavior
+        words = "network others".split()
+        assert entity_token_index(words, "ghost network", priority=0) == -1
 
     def test_unresolvable_returns_none(self):
         assert entity_token_index(self.words, "zebra") is None
