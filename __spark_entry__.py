@@ -248,7 +248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
-        "embedding_neardup": similarity.embedding_neardup_pairs,
+        # plant=True: deterministic perturbed twins keep the parity row
+        # non-vacuous (the fixture has no organic near-dup vectors)
+        "embedding_neardup": lambda s, d: similarity.embedding_neardup_pairs(
+            s, d, plant=True
+        ),
         # standoff / ::-record codecs (S3/S10 + F1 drop)
         "standoff_parse": lambda s, d: parse_standoff(
             format_standoff(_mentions(s, d))
@@ -376,7 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_pairs": f"{shingles_prefix} {dedup.duck_ngram_pairs()}",
         "cosine_topk": similarity.duck_cosine_topk(),
         "lsh_ann_topk": similarity.duck_lsh_ann_topk(),
-        "embedding_neardup": similarity.duck_embedding_neardup(),
+        "embedding_neardup": similarity.duck_embedding_neardup(plant=True),
         "ivf_ann_topk": similarity.duck_ivf_ann_topk(),
         "standoff_parse": (
             f"{duck_with_prefix()}, mentions AS ({duck_mentions_cte()})"

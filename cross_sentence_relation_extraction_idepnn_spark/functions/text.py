@@ -94,6 +94,53 @@ def last_word(col: Column) -> Column:
     return F.element_at(F.split(col, " "), -1)
 
 
+# ------------------------- T12: stopword / punctuation path (config-gated)
+#
+# Dead in the reference's DEFAULT config (the
+# remove_punctuation_from_sentences call at features_bb2016.py:1631 is
+# commented out; remove_stop_words is a helper), except the
+# all-stopword record skip (:427,622,714). Gated here so the behaviors
+# exist behind flags without changing default parity.
+
+# exact reference sets (features_bb2016.py:1639-1640)
+STOPLIST = frozenset(
+    """a an and . - = * + : ; ! " # % & ( ) * + - . / : ; < = > ? @ [ \\ ]
+    ^ _ ` { | } ~""".split()
+)
+PUNCTUATIONS = '!()-[]{};:"\\<>./?@#%^&*_~'
+
+
+def remove_stopwords(col: Column) -> Column:
+    """T12: drop stoplist tokens, single-space join, lstrip — the
+    reference's ``remove_stop_words`` (features_bb2016.py:1656-1663)."""
+    stop = F.array(*[F.lit(s) for s in sorted(STOPLIST)])
+    return F.ltrim(
+        F.array_join(
+            F.filter(F.split(col, " "), lambda t: ~F.array_contains(stop, t)), " "
+        )
+    )
+
+
+def remove_punctuation(col: Column) -> Column:
+    """T12: char-level punctuation strip + lowercase — the reference's
+    ``remove_punctuation_from_sentences`` (features_bb2016.py:1669-1678;
+    call site commented out in the default config). ``translate`` keeps
+    the exact char-set semantics with no regex escaping."""
+    return F.translate(F.lower(col), PUNCTUATIONS, "")
+
+
+def all_stopwords(col: Column) -> Column:
+    """T12: True when every lowercased whitespace token is in the
+    stoplist — the reference SKIPS such records
+    (features_bb2016.py:427). Use as a gated filter:
+    ``df.filter(~all_stopwords(col))``."""
+    stop = F.array(*[F.lit(s) for s in sorted(STOPLIST)])
+    kept = F.filter(
+        F.split(F.lower(col), " "), lambda t: ~F.array_contains(stop, t)
+    )
+    return F.size(kept) == 0
+
+
 def duck_normalize_chain(expr: str) -> str:
     """DuckDB (RE2) equivalent of :func:`normalize_chain`."""
     # DuckDB single-quoted strings keep backslashes literal — no escaping.

@@ -96,11 +96,17 @@ DUCK_DEDUP_EXACT = """
 
 # ------------------------------------------------------------------ minhash
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, perm_id, minv): MinHash signature in long form."""
-    sh = _shingles_df(spark, sf_dir).withColumn(
-        "hs", spark_h15(F.col("shingle")) % MERSENNE_P
-    )
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, perm_id, minv): MinHash signature in long form.
+
+    ``shingles`` lets a caller share one (persisted) shingle DF across
+    the signature build and the verification joins — one corpus scan
+    instead of four."""
+    sh = (
+        shingles if shingles is not None else _shingles_df(spark, sf_dir)
+    ).withColumn("hs", spark_h15(F.col("shingle")) % MERSENNE_P)
     perms = spark.createDataFrame(
         [(i, *perm_coeffs(i)) for i in range(NUM_PERMS)],
         schema="perm_id int, a long, b long",
@@ -131,8 +137,17 @@ def duck_minhash_cte() -> str:
 
 def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) -> DataFrame:
     """LSH band join → verified-Jaccard near-dup pairs
-    (doc_a, doc_b, jaccard)."""
-    sig = minhash_signatures(spark, sf_dir)
+    (doc_a, doc_b, jaccard).
+
+    The shingle DF feeds four consumers (signatures, both sides of the
+    verification self-join, per-doc counts) — persist it so the corpus
+    is scanned and shingled once. MEMORY_AND_DISK: at full scale the
+    spill path keeps the reuse without assuming the shingles fit in
+    executor memory."""
+    from pyspark import StorageLevel
+
+    sh = _shingles_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(spark, sf_dir, shingles=sh)
     bands = (
         sig.withColumn("band", (F.col("perm_id") / BAND_ROWS).cast("int"))
         .groupBy("doc_id", "band")
@@ -155,7 +170,6 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
         )
         .distinct()
     )
-    sh = _shingles_df(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
@@ -355,7 +369,12 @@ def ngram_jaccard_pairs(
     docs), and any block still above the cap after re-blocking is
     dropped — candidate generation is bounded by max_block² per key.
     Both steps are deterministic and mirrored in the DuckDB oracle."""
-    sh = _shingles_df(spark, sf_dir).withColumn("hs", spark_h15(F.col("shingle")))
+    from pyspark import StorageLevel
+
+    # feeds per-doc hashing + both verification-join sides: scan once
+    sh = _shingles_df(spark, sf_dir).withColumn(
+        "hs", spark_h15(F.col("shingle"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     per_doc = sh.groupBy("doc_id").agg(
         F.min("hs").alias("h1"),
         # second-distinct-min (fallback: h1) for the re-block level

@@ -21,6 +21,7 @@ column, so Catalyst/AQE can avoid a second exchange.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,6 +65,136 @@ def segment(transcripts: DataFrame, sent_words: int = SENT_WORDS) -> DataFrame:
             F.col("s.begin").alias("begin"),
             (F.col("s.begin") + F.length("s.sent_text")).cast("int").alias("end"),
             F.size(F.split(F.col("s.sent_text"), " ")).alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "begin")
+    return exploded.withColumn(
+        "sent_idx", (F.row_number().over(w) - 1).cast("int")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        "sent_in_turn",
+        "sent_text",
+        "begin",
+        "end",
+        "n_tokens",
+    )
+
+
+# ----------------------------- punkt-like path for punctuated text (T1)
+
+# deterministic stand-in for punkt's learned abbreviation set
+ABBREVIATIONS = frozenset(
+    """dr mr mrs ms prof sr jr st vs etc fig al inc ltd co corp dept est
+    approx no vol pp ed eds repr trans ca cf id op loc seq ibid
+    jan feb mar apr jun jul aug sep sept oct nov dec
+    mon tue wed thu fri sat sun e.g i.e""".split()
+)
+
+def punkt_sentences(text: str) -> list[str]:
+    """Deterministic punkt-like sentence splitting: a boundary is a
+    ``[.!?]+`` run followed by whitespace and an upper-case letter or
+    digit, unless the preceding word is a known abbreviation, a single
+    initial (``J.``), or the period sits inside a number (``3.14`` has
+    no following space). A fixed abbreviation list replaces punkt's
+    learned parameters so results are reproducible."""
+    import re
+
+    n = len(text)
+    bounds: list[int] = []
+    for m in re.finditer(r"[.!?]+", text):
+        e = m.end()
+        j = e
+        while j < n and text[j] == " ":
+            j += 1
+        if j == e:  # no following space: mid-number / mid-token period
+            continue
+        if j < n and not (text[j].isupper() or text[j].isdigit()):
+            continue
+        word = text[: m.start()].rsplit(" ", 1)[-1]
+        w = word.lower().lstrip("(\"'").rstrip(".")
+        if w in ABBREVIATIONS or (len(word) == 1 and word.isupper()):
+            continue
+        bounds.append(e)
+    pieces: list[str] = []
+    prev = 0
+    for b in bounds + [n]:
+        s = text[prev:b].strip()
+        if s:
+            pieces.append(s)
+        prev = b
+    return pieces
+
+
+def punkt_spans(text: str) -> list[tuple[str, int, int]]:
+    """Reference T1 offset re-derivation over punkt-like sentences
+    (``generate_bb_training_data_2016.py:613-630``): spans tile the
+    text — each span starts at the previous span's end, and leading
+    separator spaces are absorbed into the span's HEAD (``end`` is
+    extended past them, the stored text is ``text[start:end]`` spaces
+    included), exactly like the reference's ``space_counter`` loop."""
+    out: list[tuple[str, int, int]] = []
+    start = 0
+    for sent in punkt_sentences(text):
+        end = start + len(sent)
+        if 0 < start < len(text):
+            c = 0
+            while start + c < len(text) and text[start + c] == " ":
+                end += 1
+                c += 1
+        out.append((text[start:end], start, end))
+        start = end
+    return out
+
+
+def segment_punkt(transcripts: DataFrame) -> DataFrame:
+    """Punctuated-text twin of :func:`segment` — same output schema,
+    sentence boundaries from :func:`punkt_spans` instead of the fixed
+    word window. The split is an Arrow-batched pandas UDF (the one
+    sanctioned Python step; everything downstream is Column algebra).
+    ``n_tokens`` counts whitespace-delimited words of the span."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    span_t = ArrayType(
+        StructType(
+            [
+                StructField("sent_text", StringType()),
+                StructField("begin", IntegerType()),
+                StructField("end", IntegerType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(span_t)
+    def spans_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [
+                {"sent_text": s, "begin": b, "end": e}
+                for s, b, e in punkt_spans(t or "")
+            ]
+        )
+
+    exploded = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(spans_udf(F.col("text"))).alias("sent_in_turn", "s"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("sent_in_turn").cast("int").alias("sent_in_turn"),
+            F.col("s.sent_text").alias("sent_text"),
+            F.col("s.begin").alias("begin"),
+            F.col("s.end").alias("end"),
+            F.size(F.split(F.trim(F.col("s.sent_text")), " +")).alias("n_tokens"),
         )
     )
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "begin")

@@ -201,19 +201,56 @@ def duck_ivf_ann_topk(k: int = TOP_K, n_queries: int = N_QUERIES, cells: int = I
     """
 
 
+PLANT_EVERY = 25
+PLANT_OFFSET = 10_000_000
+PLANT_EPS = 0.001
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def planted_twins(emb: DataFrame) -> DataFrame:
+    """Deterministic near-duplicate twins of every ``PLANT_EVERY``-th
+    vector: per-dimension scale 1 + eps·((i mod 3) − 1) ∈ {0.999, 1.0,
+    1.001}. Scales are positive, so no LSH sign bit ever flips — a twin
+    is guaranteed to land in its original's bucket (recall is exactly 1
+    on the planted set), with cosine ≈ 0.9999997 ≥ tau."""
+    return emb.filter(F.col("vec_id") % PLANT_EVERY == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (F.lit(1.0) + F.lit(PLANT_EPS) * ((i % 3) - 1).cast("double")),
+        ).alias("embedding"),
+    )
+
+
 def embedding_neardup_pairs(
-    spark: SparkSession, sf_dir: str, tau: float = NEARDUP_TAU
+    spark: SparkSession, sf_dir: str, tau: float = NEARDUP_TAU, plant: bool = False
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``(vec_a, vec_b, cosine)``
     with cosine ≥ tau, candidate-generated by the sign-LSH bucket join
     (near-identical vectors share sign patterns with high probability).
+
+    ``plant=True`` unions in :func:`planted_twins` before the bucket
+    join — the sf fixtures contain no organic near-dups, so the parity
+    row would otherwise compare empty sets; the twins make the check
+    (and the recall property) non-vacuous. Production callers leave it
+    False.
 
     Scale path: the bucket equi-join replaces the all-pairs cross join —
     at 100 TB the shuffle is keyed by bucket and AQE splits hot buckets;
     multi-probe (flipping low-confidence bits) would raise recall.
     """
     dims = proj_dims()
-    emb = _emb(spark, sf_dir).select(
+    base = _emb_double(spark, sf_dir)
+    if plant:
+        base = base.unionAll(planted_twins(base))
+    emb = base.select(
         "vec_id",
         "embedding",
         lsh_bucket_expr(F.col("embedding"), dims).alias("bucket"),
@@ -235,15 +272,26 @@ def embedding_neardup_pairs(
     return pairs.filter(F.col("cosine") >= tau)
 
 
-def duck_embedding_neardup(tau: float = NEARDUP_TAU) -> str:
+def duck_embedding_neardup(tau: float = NEARDUP_TAU, plant: bool = False) -> str:
     dims = proj_dims()
     bucket = " + ".join(
         f"CASE WHEN v[{d + 1}] > 0 THEN {1 << j} ELSE 0 END" for j, d in enumerate(dims)
     )
+    base = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    if plant:
+        base = f"""
+            SELECT * FROM ({base})
+            UNION ALL
+            SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+                   list_transform(range(1, len(v) + 1),
+                                  i -> v[i] * (1.0 + {PLANT_EPS}
+                                               * CAST(((i - 1) % 3) - 1 AS DOUBLE))) AS v
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            WHERE vec_id % {PLANT_EVERY} = 0
+        """
     return f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                          CAST({bucket} AS INT) AS bucket
-                   FROM embeddings)
+        WITH e AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket
+                   FROM ({base}))
         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
                ROUND(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))
                      / (sqrt(list_sum(list_transform(x.v, t -> t * t)))

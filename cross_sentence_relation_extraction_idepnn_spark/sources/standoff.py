@@ -148,12 +148,22 @@ def format_cc_records(tagged: DataFrame, label_expr=None) -> DataFrame:
     )
 
 
-def parse_cc_records(records: DataFrame) -> DataFrame:
+def parse_cc_records(
+    records: DataFrame,
+    remove_other_class: bool = False,
+    other_label: str = "OTHER",
+) -> DataFrame:
     """``rec`` strings → positional fields (the reference parses by
     index, e.g. ``features_bb2016.py:1371,1389`` — field 5 = tagged
-    text, field 2 = label)."""
+    text, field 2 = label).
+
+    ``remove_other_class`` gates the reference F6 drop
+    (``features_bb2016.py:1322-1336``: records whose class field equals
+    the OTHER class — id 18 there, a label string here — are skipped at
+    parse time). Default off, matching the reference's default config.
+    """
     f = F.split(F.col("rec"), " :: ")
-    return records.select(
+    out = records.select(
         F.element_at(f, 1).alias("conv_id"),
         F.element_at(f, 2).cast("int").alias("k"),
         F.element_at(f, 3).alias("label"),
@@ -161,6 +171,9 @@ def parse_cc_records(records: DataFrame) -> DataFrame:
         F.element_at(f, 5).alias("e2"),
         F.element_at(f, 6).alias("tagged_text"),
     )
+    if remove_other_class:
+        out = out.filter(F.col("label") != other_label)
+    return out
 
 
 # ------------------------------------------------------------- S12 KG sink

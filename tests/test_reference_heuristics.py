@@ -82,3 +82,71 @@ class TestG3EntityIndex:
 
     def test_unresolvable_returns_none(self):
         assert entity_token_index(self.words, "zebra") is None
+
+
+class TestT12StopwordPunctGates:
+    """Config-gated T12 behaviors (features_bb2016.py:1639-1678) and the
+    F6 OTHER-class drop (:1322-1336) — both off by default."""
+
+    def test_remove_stopwords_matches_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from cross_sentence_relation_extraction_idepnn_spark.functions.text import (
+            remove_stopwords,
+        )
+
+        df = spark.createDataFrame(
+            [("a scan and . the table",), ("a an and",)], "t string"
+        )
+        got = [r[0] for r in df.select(remove_stopwords(F.col("t"))).collect()]
+        # reference remove_stop_words: drop stoplist tokens, lstrip
+        assert got == ["scan the table", ""]
+
+    def test_remove_punctuation_matches_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from cross_sentence_relation_extraction_idepnn_spark.functions.text import (
+            PUNCTUATIONS,
+            remove_punctuation,
+        )
+
+        def ref(sentence: str) -> str:
+            no_punct = ""
+            for char in sentence:
+                if char not in PUNCTUATIONS:
+                    no_punct = no_punct + str(char).lower()
+            return no_punct
+
+        samples = ["Hello, World! (test)", "A-B.c/d:e", "plain text"]
+        df = spark.createDataFrame([(s,) for s in samples], "t string")
+        got = [r[0] for r in df.select(remove_punctuation(F.col("t"))).collect()]
+        assert got == [ref(s) for s in samples]
+
+    def test_all_stopwords_skip_condition(self, spark):
+        from pyspark.sql import functions as F
+
+        from cross_sentence_relation_extraction_idepnn_spark.functions.text import (
+            all_stopwords,
+        )
+
+        df = spark.createDataFrame(
+            [("a an and .",), ("a scan",), ("AND A",)], "t string"
+        )
+        got = [r[0] for r in df.select(all_stopwords(F.col("t"))).collect()]
+        assert got == [True, False, True]  # lowercased before the check
+
+    def test_f6_other_class_drop_gate(self, spark):
+        from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
+            parse_cc_records,
+        )
+
+        recs = spark.createDataFrame(
+            [
+                ("c1 :: 0 :: Rel :: a :: b :: <e1> a </e1> x <e2> b </e2>",),
+                ("c1 :: 1 :: OTHER :: a :: c :: <e1> a </e1> y <e2> c </e2>",),
+            ],
+            "rec string",
+        )
+        assert parse_cc_records(recs).count() == 2  # default keeps OTHER
+        kept = parse_cc_records(recs, remove_other_class=True).collect()
+        assert [r.label for r in kept] == ["Rel"]

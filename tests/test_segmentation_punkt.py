@@ -1,0 +1,136 @@
+"""Punkt-like segmentation for punctuated text (reference T1 semantics,
+``generate_bb_training_data_2016.py:613-630``): boundary rules,
+leading-space absorption into the span head, span tiling."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+    punkt_sentences,
+    punkt_spans,
+    segment_punkt,
+)
+
+
+class TestPunktSentences:
+    def test_plain_boundaries(self):
+        assert punkt_sentences("Hello world. Next one. And a third.") == [
+            "Hello world.",
+            "Next one.",
+            "And a third.",
+        ]
+
+    def test_abbreviation_not_a_boundary(self):
+        assert punkt_sentences("Dr. Smith arrived. He sat down.") == [
+            "Dr. Smith arrived.",
+            "He sat down.",
+        ]
+
+    def test_initial_not_a_boundary(self):
+        assert punkt_sentences("J. Smith joined. Then left.") == [
+            "J. Smith joined.",
+            "Then left.",
+        ]
+
+    def test_decimal_not_a_boundary(self):
+        assert punkt_sentences("Pi is 3.14 exactly. Yes.") == [
+            "Pi is 3.14 exactly.",
+            "Yes.",
+        ]
+
+    def test_lowercase_continuation_not_a_boundary(self):
+        assert punkt_sentences("It ran... then stopped. Done.") == [
+            "It ran... then stopped.",
+            "Done.",
+        ]
+
+    def test_question_exclamation(self):
+        assert punkt_sentences("Really? Yes! Fine.") == ["Really?", "Yes!", "Fine."]
+
+    def test_no_terminal_punctuation(self):
+        assert punkt_sentences("no punctuation at all") == ["no punctuation at all"]
+
+
+class TestPunktSpans:
+    def test_leading_space_absorbed_into_span_head(self):
+        """The reference extends ``end`` past separator spaces and stores
+        text[start:end] — the SECOND span carries the space at its head."""
+        text = "Hello world. Next one."
+        assert punkt_spans(text) == [
+            ("Hello world.", 0, 12),
+            (" Next one.", 12, 22),
+        ]
+
+    def test_multiple_separator_spaces(self):
+        text = "One.   Two."
+        assert punkt_spans(text) == [("One.", 0, 4), ("   Two.", 4, 11)]
+
+    def test_spans_tile_the_text(self):
+        text = "Dr. A spoke. Pi is 3.14 now. Really? Yes! The end"
+        spans = punkt_spans(text)
+        assert spans[0][1] == 0
+        for (_s1, _b1, e1), (_s2, b2, _e2) in zip(spans, spans[1:]):
+            assert e1 == b2
+        assert "".join(s for s, _, _ in spans) == text[: spans[-1][2]]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet="abcDEF gh.!?3",
+                min_size=1,
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def test_tiling_property(self, parts):
+        text = " ".join(p.strip() for p in parts).strip()
+        spans = punkt_spans(text)
+        prev_end = 0
+        for s, b, e in spans:
+            assert b == prev_end
+            assert text[b:e] == s
+            assert e > b
+            prev_end = e
+        if spans:
+            assert spans[0][1] == 0
+            # nothing but whitespace after the last span
+            assert text[spans[-1][2]:].strip() == ""
+            assert "".join(s for s, _, _ in spans) == text[: spans[-1][2]]
+
+
+def test_segment_punkt_matches_kernel(spark):
+    rows = [
+        ("c1", 0, "Hello world. Next one."),
+        ("c1", 1, "Dr. Smith arrived. He sat down. Pi is 3.14 now."),
+        ("c2", 0, "Really? Yes! no punct tail"),
+        ("c2", 1, ""),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = (
+        segment_punkt(t)
+        .orderBy("conv_id", "turn_idx", "sent_in_turn")
+        .collect()
+    )
+    expect = []
+    for conv_id, turn_idx, text in rows:
+        for i, (s, b, e) in enumerate(punkt_spans(text)):
+            expect.append((conv_id, turn_idx, i, s, b, e))
+    assert [
+        (r.conv_id, r.turn_idx, r.sent_in_turn, r.sent_text, r.begin, r.end)
+        for r in got
+    ] == expect
+    # sent_idx is the stable per-conversation ordering (W1 contract)
+    by_conv: dict[str, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r.conv_id, r.turn_idx, r.begin)):
+        by_conv.setdefault(r.conv_id, []).append(r.sent_idx)
+    for idxs in by_conv.values():
+        assert idxs == list(range(len(idxs)))
+    # n_tokens counts whitespace-delimited words despite absorbed spaces
+    row = [r for r in got if r.sent_text == " Next one."][0]
+    assert row.n_tokens == 2
