@@ -69,8 +69,10 @@ from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation impo
 from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
     extract_triples,
     materialize_kg,
+    scored_from_transcripts,
 )
 from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
+    a2_annotation_lines,
     duck_parse_standoff,
     duck_standoff_lines_cte,
     format_cc_records,
@@ -274,6 +276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adp_degree": _adp_degree,
         "triples": _triples,
         "kg": _kg,
+        # official-eval .a2 assembly over model scores (rows-only)
+        "a2_lines": lambda s, d: a2_annotation_lines(
+            scored_from_transcripts(s, transcripts(s, d))
+        ),
         "multimodal_features": lambda s, d: multimodal.decode_features(
             multimodal.asset_table(s, d)
         ).select("asset_id", "modality", "d0", "d1", "d2", F.size("feat").alias("feat_dim")),

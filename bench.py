@@ -159,6 +159,9 @@ def main() -> None:
     timings["kg_pipeline"] = round(sec_high, 3)
 
     def timed(name: str, fn) -> None:
+        # clean cache per query: lingering persisted subtrees from a
+        # previous query would otherwise pollute unrelated timings
+        spark.catalog.clearCache()
         t = time.time()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t, 3)

@@ -140,13 +140,12 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
     (doc_a, doc_b, jaccard).
 
     The shingle DF feeds four consumers (signatures, both sides of the
-    verification self-join, per-doc counts) — persist it so the corpus
-    is scanned and shingled once. MEMORY_AND_DISK: at full scale the
-    spill path keeps the reuse without assuming the shingles fit in
-    executor memory."""
-    from pyspark import StorageLevel
-
-    sh = _shingles_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    verification self-join, per-doc counts). Measured at sf0.1, the
+    recompute is CHEAPER than a persist: shingling is one codegen'd
+    projection over a pruned scan, while caching materializes the full
+    table and costs serialization (bench: persist made this query ~2×
+    slower) — so the plan recomputes the narrow subtree per consumer."""
+    sh = _shingles_df(spark, sf_dir)
     sig = minhash_signatures(spark, sf_dir, shingles=sh)
     bands = (
         sig.withColumn("band", (F.col("perm_id") / BAND_ROWS).cast("int"))
@@ -369,30 +368,40 @@ def ngram_jaccard_pairs(
     docs), and any block still above the cap after re-blocking is
     dropped — candidate generation is bounded by max_block² per key.
     Both steps are deterministic and mirrored in the DuckDB oracle."""
-    from pyspark import StorageLevel
-
-    # feeds per-doc hashing + both verification-join sides: scan once
-    sh = _shingles_df(spark, sf_dir).withColumn(
-        "hs", spark_h15(F.col("shingle"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingles_df(spark, sf_dir).withColumn("hs", spark_h15(F.col("shingle")))
     per_doc = sh.groupBy("doc_id").agg(
-        F.min("hs").alias("h1"),
-        # second-distinct-min (fallback: h1) for the re-block level
-        F.coalesce(
-            F.try_element_at(F.slice(F.array_sort(F.collect_set("hs")), 1, 2), F.lit(2)),
-            F.min("hs"),
-        ).alias("h2"),
-        F.count("*").alias("n"),
+        F.min("hs").alias("h1"), F.count("*").alias("n")
     )
     sz1 = per_doc.groupBy("h1").agg(F.count("*").alias("bsz1"))
-    keyed = per_doc.join(sz1, "h1").select(
+    sized = per_doc.join(sz1, "h1")
+    # h2 (second-distinct-min) is computed LAZILY, only for docs in
+    # over-cap blocks — on a healthy corpus that's a tiny (usually
+    # empty) subset, so the common case pays one aggregation, not a
+    # per-doc distinct-hash sort
+    over = sized.filter(F.col("bsz1") > max_block).select("doc_id", "h1", "n")
+    h2 = (
+        sh.join(over.select("doc_id", "h1"), "doc_id")
+        .filter(F.col("hs") > F.col("h1"))
+        .groupBy("doc_id")
+        .agg(F.min("hs").alias("h2"))
+    )
+    rekeyed = over.join(h2, "doc_id", "left").select(
         "doc_id",
         "n",
-        F.when(F.col("bsz1") <= max_block, F.lit(1)).otherwise(F.lit(2)).alias("lvl"),
-        F.when(F.col("bsz1") <= max_block, F.col("h1")).otherwise(F.col("h2")).alias("block"),
+        F.lit(2).alias("lvl"),
+        F.coalesce(F.col("h2"), F.col("h1")).alias("block"),
     )
-    sz2 = keyed.groupBy("lvl", "block").agg(F.count("*").alias("bsz2"))
-    keyed = keyed.join(sz2, ["lvl", "block"]).filter(F.col("bsz2") <= max_block)
+    # the still-over-cap drop only needs to examine the re-keyed branch:
+    # level-1 blocks are ≤ max_block by construction
+    sz2 = rekeyed.groupBy("block").agg(F.count("*").alias("bsz2"))
+    rekeyed = (
+        rekeyed.join(sz2, "block").filter(F.col("bsz2") <= max_block).drop("bsz2")
+    )
+    keyed = (
+        sized.filter(F.col("bsz1") <= max_block)
+        .select("doc_id", "n", F.lit(1).alias("lvl"), F.col("h1").alias("block"))
+        .unionByName(rekeyed.select("doc_id", "n", "lvl", "block"))
+    )
     cand = (
         keyed.alias("x")
         .join(keyed.alias("y"), ["lvl", "block"])

@@ -59,11 +59,22 @@ def _prefix_keys(nodes: DataFrame, tau: float) -> DataFrame:
     )
 
 
-def similarity_edges(surfaces: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+NLJ_MAX_NODES = 4096
+
+
+def similarity_edges(
+    surfaces: DataFrame,
+    tau: float = JACCARD_TAU,
+    n_nodes: int | None = None,
+    nlj_threshold: int = NLJ_MAX_NODES,
+) -> DataFrame:
     """Distinct surfaces → undirected similarity edges (src < dst) with
     character-bigram Jaccard ≥ tau.
 
-    Candidate generation is a *prefix-filtered* shared-bigram equi-join
+    Hybrid plan. A small vocabulary (≤ ``nlj_threshold``) uses the
+    broadcast nested-loop compare — fewer stages beat candidate
+    generation on a dimension table (measured at sf0.1). Above it,
+    candidate generation is a *prefix-filtered* shared-bigram equi-join
     (the ppjoin prefix lemma): with every bigram set sorted by one
     global total order, any pair with Jaccard ≥ tau must share a bigram
     within each side's first ``n - ceil(tau·n) + 1`` bigrams — so
@@ -73,8 +84,28 @@ def similarity_edges(surfaces: DataFrame, tau: float = JACCARD_TAU) -> DataFrame
     a boilerplate bigram shared by the whole vocabulary sorts LAST and
     never enters a prefix, so prefixes hold only rare bigrams and join
     buckets stay small. Exact Jaccard is verified on the candidates.
+    Both paths emit the identical edge set.
     """
     nodes = surfaces.select(F.col("surface")).distinct()
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    if n_nodes <= nlj_threshold:
+        a = nodes.select(
+            F.col("surface").alias("src"), _bigrams(F.col("surface")).alias("bg1")
+        )
+        b = nodes.select(
+            F.col("surface").alias("dst"), _bigrams(F.col("surface")).alias("bg2")
+        )
+        pairs = a.join(F.broadcast(b), F.col("src") < F.col("dst"))
+        inter = F.size(F.array_intersect("bg1", "bg2"))
+        union = F.size(F.array_union("bg1", "bg2"))
+        return (
+            pairs.withColumn(
+                "jaccard", F.round(inter.cast("double") / union.cast("double"), 6)
+            )
+            .filter(F.col("jaccard") >= tau)
+            .select("src", "dst", "jaccard")
+        )
     keys = _prefix_keys(nodes, tau)
     pairs = (
         keys.select(F.col("surface").alias("src"), F.col("bg").alias("bg1"), "k")
@@ -105,6 +136,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     driver_threshold: int = DRIVER_CC_MAX_NODES,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """nodes(surface) + edges(src,dst) → (surface, component) where
     component = lexicographic min surface reachable.
@@ -117,7 +149,8 @@ def connected_components(
     alternating large-star/small-star rounds scale out. Both produce the
     identical (surface, min-reachable-label) mapping.
     """
-    n_nodes = nodes.count()
+    if n_nodes is None:
+        n_nodes = nodes.count()
     if n_nodes <= driver_threshold:
         surfaces = [r[0] for r in nodes.select("surface").collect()]
         parent = {s: s for s in surfaces}
@@ -225,10 +258,13 @@ def duck_components_cte() -> str:
 
 
 def canonicalize(mentions: DataFrame) -> DataFrame:
-    """mention surfaces → (surface, component) canonical-cluster map."""
+    """mention surfaces → (surface, component) canonical-cluster map.
+    The vocabulary is counted once and the size shared by the edge
+    builder (NLJ-vs-ppjoin choice) and CC (driver-vs-distributed)."""
     nodes = mentions.select("surface").distinct()
-    edges = similarity_edges(nodes)
-    return connected_components(nodes, edges)
+    n = nodes.count()
+    edges = similarity_edges(nodes, n_nodes=n)
+    return connected_components(nodes, edges, n_nodes=n)
 
 
 def dedup_triples(triples: DataFrame) -> DataFrame:

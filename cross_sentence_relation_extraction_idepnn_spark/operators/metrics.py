@@ -49,15 +49,44 @@ def relation_numbering(triples: DataFrame) -> DataFrame:
     )
 
 
-def vocabulary(sentences: DataFrame) -> DataFrame:
-    """A9: distinct tokens with deterministic 0-based index."""
+def vocabulary(sentences: DataFrame, n_ranges: int = 32) -> DataFrame:
+    """A9: distinct tokens with deterministic 0-based index — identical
+    to ``ROW_NUMBER() OVER (ORDER BY word) - 1`` but WITHOUT the
+    single-task global sort that serializes a 100M-word vocabulary:
+    range-partition by word (partition p holds a sorted range), number
+    within each range, and add per-range prefix offsets (a driver-side
+    cumsum over ≤ ``n_ranges`` partition counts). Every stage stays
+    parallel. The ranged DF is persisted so the count pass and the
+    numbering pass see the same (sampled) range bounds."""
     toks = (
         sentences.select(F.explode(F.split("sent_text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .distinct()
     )
-    w = Window.orderBy("word")
-    return toks.withColumn("word_idx", (F.row_number().over(w) - 1).cast("int"))
+    from pyspark.storagelevel import StorageLevel
+
+    ranged = (
+        toks.repartitionByRange(n_ranges, "word")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    if not counts:
+        return toks.withColumn("word_idx", F.lit(0).cast("int"))
+    offsets = []
+    acc = 0
+    for p in sorted(counts):
+        offsets += [F.lit(p), F.lit(acc)]
+        acc += counts[p]
+    off_map = F.create_map(*offsets)
+    w = Window.partitionBy("pid").orderBy("word")
+    return ranged.withColumn(
+        "word_idx",
+        (F.row_number().over(w) - 1 + off_map[F.col("pid")]).cast("int"),
+    ).select("word", "word_idx")
 
 
 DUCK_VOCAB = """

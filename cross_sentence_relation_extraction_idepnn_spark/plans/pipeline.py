@@ -101,16 +101,16 @@ def salted_candidate_pairs(
     ).withColumn("cand_id", F.concat_ws("#", "conv_id", "cand_seq"))
 
 
-def triples_from_transcripts(
+def scored_from_transcripts(
     spark: SparkSession,
     tdf: DataFrame,
-    threshold: float = SCORE_THRESHOLD,
     max_k: int = MAX_K,
     salted: bool = False,
     weights=None,
 ) -> DataFrame:
-    """Fast path over an arbitrary transcript DataFrame (the production
-    entry point — any Iceberg/parquet transcript table plugs in here).
+    """Scored candidate pairs, pre-threshold — feeds both
+    ``emit_triples`` and the official-eval ``.a2`` assembly
+    (``a2_annotation_lines``).
 
     Physical-plan choices (see BASELINE.md for measurements):
 
@@ -132,7 +132,22 @@ def triples_from_transcripts(
         if salted
         else candidate_pairs_fast(mens, max_k=max_k)
     )
-    scored = featurize_and_score(candidate_windows(cands, sents), weights=weights)
+    return featurize_and_score(candidate_windows(cands, sents), weights=weights)
+
+
+def triples_from_transcripts(
+    spark: SparkSession,
+    tdf: DataFrame,
+    threshold: float = SCORE_THRESHOLD,
+    max_k: int = MAX_K,
+    salted: bool = False,
+    weights=None,
+) -> DataFrame:
+    """Fast path over an arbitrary transcript DataFrame (the production
+    entry point — any Iceberg/parquet transcript table plugs in here)."""
+    scored = scored_from_transcripts(
+        spark, tdf, max_k=max_k, salted=salted, weights=weights
+    )
     return emit_triples(scored, threshold=threshold)
 
 

@@ -21,7 +21,7 @@ the engine's real storage is columnar (SURVEY.md §2.1 S10 note).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------- S3 standoff
@@ -174,6 +174,80 @@ def parse_cc_records(
     if remove_other_class:
         out = out.filter(F.col("label") != other_label)
     return out
+
+
+# --------------------------------------------- official-eval .a2 assembly
+
+def a2_annotation_lines(
+    scored: DataFrame,
+    threshold: float | None = None,
+    relation: str = "Lives_In",
+    role1: str = "Bacteria",
+    role2: str = "Location",
+) -> DataFrame:
+    """Official-eval ``.a2`` assembly
+    (``bionlp_rnn_results_annotations.py:55-91``,
+    ``bb2016_threshold.py:60-81``): accepted predictions grouped per
+    document, numbered ``R1..Rn`` in stable candidate order (the
+    reference's encounter order over the pickled candidate list), each
+    formatted ``R{n}\\tLives_In Bacteria:{e1} Location:{e2}``. The
+    hard-coded role names are pinned reference behavior (it parses the
+    entity *types* from the record but writes fixed roles); entity refs
+    are the mention ids (the 10-field ``::``-record's fields 8/9).
+
+    Output: ``(conv_id, rel_num, line)``.
+    """
+    from ..config import SCORE_THRESHOLD
+
+    thr = SCORE_THRESHOLD if threshold is None else threshold
+    w = Window.partitionBy("conv_id").orderBy("cand_id")
+    return (
+        scored.filter(F.col("p_rel") >= thr)
+        .withColumn("rel_num", F.row_number().over(w).cast("int"))
+        .select(
+            "conv_id",
+            "rel_num",
+            F.concat(
+                F.lit("R"),
+                F.col("rel_num").cast("string"),
+                F.lit("\t"),
+                F.lit(f"{relation} {role1}:"),
+                F.col("e1_id"),
+                F.lit(f" {role2}:"),
+                F.col("e2_id"),
+            ).alias("line"),
+        )
+    )
+
+
+def write_a2_zip(lines: DataFrame, out_dir: str) -> str:
+    """Evaluation-service sink: one ``{conv_id}.a2`` file per document
+    plus ``annotations.zip`` (the reference's per-doc write loop +
+    ``shutil.make_archive``). The per-doc concatenation runs
+    distributed (one groupBy); only the eval-sized final text reaches
+    the driver for file materialization. Returns the zip path."""
+    import os
+    import zipfile
+
+    grouped = lines.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rel_num", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("content")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    zpath = os.path.join(out_dir, "annotations.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for r in grouped.collect():
+            fname = f"{r['conv_id']}.a2"
+            body = r["content"] + "\n"
+            with open(os.path.join(out_dir, fname), "w") as f:
+                f.write(body)
+            zf.writestr(fname, body)
+    return zpath
 
 
 # ------------------------------------------------------------- S12 KG sink

@@ -124,12 +124,20 @@ def test_similarity_edges_prefix_filter_is_lossless(spark):
     surfaces += ["the " + w for w in base]  # hot 'th'/'he'/'e ' bigrams
     surfaces += ["".join(rng.choice("abcdefgh") for _ in range(6)) for _ in range(60)]
     df = spark.createDataFrame([(s,) for s in set(surfaces)], "surface string")
+    # nlj_threshold=0 forces the ppjoin path (default would take the
+    # small-vocabulary broadcast NLJ shortcut)
     got = {
         (r.src, r.dst, r.jaccard)
-        for r in similarity_edges(df, tau=JACCARD_TAU).collect()
+        for r in similarity_edges(df, tau=JACCARD_TAU, nlj_threshold=0).collect()
     }
     assert got == _brute_edges(surfaces, JACCARD_TAU)
     assert len(got) > 10  # the fixture genuinely has near-dups
+    # and the NLJ shortcut emits the identical edge set
+    nlj = {
+        (r.src, r.dst, r.jaccard)
+        for r in similarity_edges(df, tau=JACCARD_TAU).collect()
+    }
+    assert nlj == got
 
 
 def test_prefix_keys_exclude_hot_bigram(spark):

@@ -149,3 +149,75 @@ def test_optimizer_variants_reduce_loss(opt):
     before = nll(base)
     after = nll(T.train_full(rows, labels, base, epochs=30, lr=0.5, optimizer=opt))
     assert after < before
+
+
+# ------------------------------------ official-eval .a2 assembly + zip sink
+
+
+def _ref_a2_loop(records: list[tuple], threshold: float) -> dict[str, list[str]]:
+    """Pure-Python mirror of the reference's defaultdict loop
+    (bionlp_rnn_results_annotations.py:55-91): per-doc R-numbering in
+    encounter order, fixed Bacteria/Location roles."""
+    from collections import defaultdict
+
+    predicted = defaultdict(list)
+    for conv_id, _cand_id, e1_id, e2_id, p_rel in records:
+        if p_rel >= threshold:
+            rel_id = "R" + str(len(predicted[conv_id]) + 1)
+            predicted[conv_id].append(
+                f"{rel_id}\tLives_In Bacteria:{e1_id} Location:{e2_id}"
+            )
+    return dict(predicted)
+
+
+def test_a2_lines_match_reference_loop(spark):
+    from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
+        a2_annotation_lines,
+    )
+
+    records = [
+        ("d1", "d1#a#b", "T1", "T2", 0.9),
+        ("d1", "d1#a#c", "T1", "T3", 0.2),   # rejected
+        ("d1", "d1#b#c", "T2", "T3", 0.7),
+        ("d2", "d2#a#b", "T1", "T2", 0.55),
+        ("d3", "d3#a#b", "T1", "T2", 0.1),   # doc with zero accepted rels
+    ]
+    scored = spark.createDataFrame(
+        records, "conv_id string, cand_id string, e1_id string, e2_id string, p_rel double"
+    )
+    got = a2_annotation_lines(scored, threshold=0.5).collect()
+    by_doc: dict[str, list[str]] = {}
+    for r in sorted(got, key=lambda r: (r.conv_id, r.rel_num)):
+        by_doc.setdefault(r.conv_id, []).append(r.line)
+    assert by_doc == _ref_a2_loop(records, 0.5)
+    assert "d3" not in by_doc
+
+
+def test_write_a2_zip_roundtrip(spark, tmp_path):
+    import os
+    import zipfile
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
+        a2_annotation_lines,
+        write_a2_zip,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            ("d1", "d1#a#b", "T1", "T2", 0.9),
+            ("d1", "d1#b#c", "T2", "T3", 0.8),
+            ("d2", "d2#a#b", "T5", "T6", 0.9),
+        ],
+        "conv_id string, cand_id string, e1_id string, e2_id string, p_rel double",
+    )
+    out = str(tmp_path / "ann")
+    zpath = write_a2_zip(a2_annotation_lines(scored, threshold=0.5), out)
+    assert os.path.exists(os.path.join(out, "d1.a2"))
+    with open(os.path.join(out, "d1.a2")) as f:
+        assert f.read() == (
+            "R1\tLives_In Bacteria:T1 Location:T2\n"
+            "R2\tLives_In Bacteria:T2 Location:T3\n"
+        )
+    with zipfile.ZipFile(zpath) as zf:
+        assert sorted(zf.namelist()) == ["d1.a2", "d2.a2"]
+        assert zf.read("d2.a2").decode() == "R1\tLives_In Bacteria:T5 Location:T6\n"
