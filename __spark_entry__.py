@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": lambda s, d: similarity.embedding_neardup_pairs(
             s, d, plant=True
         ),
+        "embedding_neardup_mp": lambda s, d: similarity.embedding_neardup_pairs(
+            s, d, plant=True, multiprobe=True
+        ),
         # standoff / ::-record codecs (S3/S10 + F1 drop)
         "standoff_parse": lambda s, d: parse_standoff(
             format_standoff(_mentions(s, d))
@@ -387,6 +390,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.duck_cosine_topk(),
         "lsh_ann_topk": similarity.duck_lsh_ann_topk(),
         "embedding_neardup": similarity.duck_embedding_neardup(plant=True),
+        "embedding_neardup_mp": similarity.duck_embedding_neardup(
+            plant=True, multiprobe=True
+        ),
         "ivf_ann_topk": similarity.duck_ivf_ann_topk(),
         "standoff_parse": (
             f"{duck_with_prefix()}, mentions AS ({duck_mentions_cte()})"

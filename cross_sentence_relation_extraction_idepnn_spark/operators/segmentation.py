@@ -212,6 +212,41 @@ def segment_punkt(transcripts: DataFrame) -> DataFrame:
     )
 
 
+# -------------------------- T2: treebank-style word tokenizer (pinned)
+
+def treebank_tokenize(text: str) -> list[str]:
+    """Deterministic Penn-Treebank-style word tokenizer — the
+    ``nltk.word_tokenize`` side of the reference's T2 *two-tokenizer*
+    distinction (``generate_sdp.py:71`` tokenizes with word_tokenize
+    while ``generate_pos.py:16-17`` whitespace-splits the same text, so
+    SDP token indices and POS token indices disagree on punctuated
+    input — pinned here so that divergence is testable). Production
+    keeps ONE tokenizer (whitespace) end-to-end: candidate coordinates
+    (sent, tok) must index the same token list in every operator, and
+    the synthetic corpus is punctuation-free so the two coincide there.
+
+    Rules (the classic treebank sed script, abridged): standalone
+    punctuation split, sentence-final period split, ``...`` split,
+    brackets/quotes split (``"`` → \\`\\` / ''), contractions
+    (``n't 'll 're 've 's 'm 'd``) split.
+    """
+    import re
+
+    s = " " + text + " "
+    s = re.sub(r'(^|[ (\[{<])"', r"\1 `` ", s)
+    s = re.sub(r"\.\.\.", " ... ", s)
+    s = re.sub(r"([,;@#$%&])", r" \1 ", s)
+    # final period (possibly followed by closing brackets/quotes)
+    s = re.sub(r"([^\.])(\.)([\]\)}>\"']*)\s*$", r"\1 \2\3 ", s)
+    s = re.sub(r"([?!])", r" \1 ", s)
+    s = re.sub(r"([\]\[\(\)\{\}<>])", r" \1 ", s)
+    s = re.sub(r"--", " -- ", s)
+    s = re.sub(r'"', " '' ", s)
+    s = re.sub(r"([^' ])('s|'S|'m|'M|'d|'D|') ", r"\1 \2 ", s)
+    s = re.sub(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", r"\1 \2 ", s)
+    return s.split()
+
+
 def token_offsets(sentences: DataFrame) -> DataFrame:
     """W2/W3: running char offset and global token index per sentence —
     cumulative window sums over the stable sentence ordering

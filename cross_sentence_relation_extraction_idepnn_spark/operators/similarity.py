@@ -111,6 +111,94 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, cells: int = IVF_CELLS):
     )
 
 
+def lloyd_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    cells: int = IVF_CELLS,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd (k-means) refinement of the IVF coarse
+    quantizer — the production step the deterministic seed stands in
+    for. Each iteration is one broadcast-join assignment pass (min L2,
+    ties → lower cell_id) and one per-(cell, dim) mean aggregation;
+    centroid dims are rounded to 6 decimals each iteration so
+    floating-point summation order cannot drift results between runs.
+    Empty cells keep their previous centroid. Returns the final
+    ``[(cell_id, centroid)]`` list (tiny: cells × dim doubles — it
+    rides the driver/broadcast path like any coarse quantizer).
+    """
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in emb.filter(F.col("vec_id") < cells).collect()
+    ]
+    cents = [(i, v) for i, (_, v) in enumerate(sorted(cents))]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(c, v) for c, v in cents], "cell_id int, cv array<double>"
+        )
+        dist = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            emb.join(F.broadcast(cdf))
+            .select("vec_id", "v", "cell_id", dist.alias("d2"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("d2", "cell_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assigned.select("cell_id", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell_id", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        updated = {int(r["cell_id"]): [float(x) for x in r["cv"]] for r in means}
+        cents = [(c, updated.get(c, v)) for c, v in cents]
+    return cents
+
+
+def quantization_error(
+    spark: SparkSession, sf_dir: str, cents: list[tuple[int, list[float]]]
+) -> float:
+    """Mean squared L2 distance of every vector to its nearest centroid
+    (the k-means objective) — the measurable 'did Lloyd help' number."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cell_id int, cv array<double>"
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.join(F.broadcast(cdf))
+        .select("vec_id", dist.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("d2"))
+        .agg(F.avg("d2").alias("mse"))
+        .first()["mse"]
+    )
+
+
 def ivf_ann_topk(
     spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
 ) -> DataFrame:
@@ -229,8 +317,29 @@ def planted_twins(emb: DataFrame) -> DataFrame:
     )
 
 
+NEARDUP_PROBE_EPS = 0.05  # |v[dim]| below this = low-confidence sign bit
+
+
+def lsh_probes_expr(col, dims: list[int], bucket):
+    """Multi-probe set for a vector: its own bucket plus, for every
+    LOW-CONFIDENCE projection dim (|v[d]| < eps — the sign most likely
+    to differ in a near-duplicate), the bucket with that bit flipped."""
+    flips = [
+        F.when(
+            F.abs(F.element_at(col, d + 1)) < NEARDUP_PROBE_EPS,
+            bucket.bitwiseXOR(F.lit(1 << j)),
+        )
+        for j, d in enumerate(dims)
+    ]
+    return F.filter(F.array(bucket, *flips), lambda x: x.isNotNull())
+
+
 def embedding_neardup_pairs(
-    spark: SparkSession, sf_dir: str, tau: float = NEARDUP_TAU, plant: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = NEARDUP_TAU,
+    plant: bool = False,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ``(vec_a, vec_b, cosine)``
     with cosine ≥ tau, candidate-generated by the sign-LSH bucket join
@@ -243,8 +352,13 @@ def embedding_neardup_pairs(
     False.
 
     Scale path: the bucket equi-join replaces the all-pairs cross join —
-    at 100 TB the shuffle is keyed by bucket and AQE splits hot buckets;
-    multi-probe (flipping low-confidence bits) would raise recall.
+    at 100 TB the shuffle is keyed by bucket and AQE splits hot buckets.
+    ``multiprobe=True`` closes the boundary-straddle recall gap: each
+    vector also probes the buckets reachable by flipping its
+    LOW-CONFIDENCE sign bits (|v[dim]| < eps), so a near-dup pair whose
+    single differing bit is low-confidence on either side is still
+    candidate-generated; still an equi-join, fanout ≤ 1 + #low-conf
+    bits per vector.
     """
     dims = proj_dims()
     base = _emb_double(spark, sf_dir)
@@ -255,24 +369,51 @@ def embedding_neardup_pairs(
         "embedding",
         lsh_bucket_expr(F.col("embedding"), dims).alias("bucket"),
     )
+    if not multiprobe:
+        pairs = (
+            emb.alias("x")
+            .join(emb.alias("y"), "bucket")
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("vec_a"),
+                F.col("y.vec_id").alias("vec_b"),
+                F.round(
+                    _dot(F.col("x.embedding"), F.col("y.embedding"))
+                    / (_norm(F.col("x.embedding")) * _norm(F.col("y.embedding"))),
+                    6,
+                ).alias("cosine"),
+            )
+        )
+        return pairs.filter(F.col("cosine") >= tau)
+    probes = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            lsh_probes_expr(F.col("embedding"), dims, F.col("bucket"))
+        ).alias("probe"),
+    )
     pairs = (
-        emb.alias("x")
-        .join(emb.alias("y"), "bucket")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        probes.alias("x")
+        .join(emb.alias("y"), F.col("x.probe") == F.col("y.bucket"))
+        .filter(F.col("x.vec_id") != F.col("y.vec_id"))
         .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
+            F.least("x.vec_id", "y.vec_id").alias("vec_a"),
+            F.greatest("x.vec_id", "y.vec_id").alias("vec_b"),
             F.round(
                 _dot(F.col("x.embedding"), F.col("y.embedding"))
                 / (_norm(F.col("x.embedding")) * _norm(F.col("y.embedding"))),
                 6,
             ).alias("cosine"),
         )
+        .filter(F.col("cosine") >= tau)
+        .dropDuplicates(["vec_a", "vec_b"])
     )
-    return pairs.filter(F.col("cosine") >= tau)
+    return pairs
 
 
-def duck_embedding_neardup(tau: float = NEARDUP_TAU, plant: bool = False) -> str:
+def duck_embedding_neardup(
+    tau: float = NEARDUP_TAU, plant: bool = False, multiprobe: bool = False
+) -> str:
     dims = proj_dims()
     bucket = " + ".join(
         f"CASE WHEN v[{d + 1}] > 0 THEN {1 << j} ELSE 0 END" for j, d in enumerate(dims)
@@ -289,17 +430,37 @@ def duck_embedding_neardup(tau: float = NEARDUP_TAU, plant: bool = False) -> str
             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
             WHERE vec_id % {PLANT_EVERY} = 0
         """
+    cos = (
+        "ROUND(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))"
+        " / (sqrt(list_sum(list_transform(x.v, t -> t * t)))"
+        " * sqrt(list_sum(list_transform(y.v, t -> t * t)))), 6)"
+    )
+    if not multiprobe:
+        return f"""
+            WITH e AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket
+                       FROM ({base}))
+            SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, {cos} AS cosine
+            FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            WHERE {cos} >= {tau}
+        """
+    flips = ", ".join(
+        f"CASE WHEN abs(v[{d + 1}]) < {NEARDUP_PROBE_EPS} "
+        f"THEN xor(bucket, {1 << j}) END"
+        for j, d in enumerate(dims)
+    )
     return f"""
         WITH e AS (SELECT vec_id, v, CAST({bucket} AS INT) AS bucket
-                   FROM ({base}))
-        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-               ROUND(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))
-                     / (sqrt(list_sum(list_transform(x.v, t -> t * t)))
-                        * sqrt(list_sum(list_transform(y.v, t -> t * t)))), 6) AS cosine
-        FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-        WHERE ROUND(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))
-                    / (sqrt(list_sum(list_transform(x.v, t -> t * t)))
-                       * sqrt(list_sum(list_transform(y.v, t -> t * t)))), 6) >= {tau}
+                   FROM ({base})),
+        probes AS (
+            SELECT vec_id, v,
+                   UNNEST(list_filter([CAST(bucket AS BIGINT), {flips}],
+                                      p -> p IS NOT NULL)) AS probe
+            FROM e
+        )
+        SELECT DISTINCT LEAST(x.vec_id, y.vec_id) AS vec_a,
+               GREATEST(x.vec_id, y.vec_id) AS vec_b, {cos} AS cosine
+        FROM probes x JOIN e y ON x.probe = y.bucket AND x.vec_id != y.vec_id
+        WHERE {cos} >= {tau}
     """
 
 

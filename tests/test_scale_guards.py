@@ -288,3 +288,86 @@ def test_star_cc_150k_vocabulary_distributed_path(spark):
         F.col("surface") == F.col("component")
     ).count()
     assert heads == n // chain
+
+
+# --------------------------------------------- IVF Lloyd refinement
+
+
+def test_lloyd_iterations_reduce_quantization_error(spark, sf_dir):
+    """The distributed Lloyd step must strictly improve (or equal) the
+    k-means objective vs the deterministic seed centroids, and be
+    reproducible run-to-run (centroids rounded each iteration pin the
+    float summation order)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.similarity import (
+        lloyd_centroids,
+        quantization_error,
+    )
+
+    seed = lloyd_centroids(spark, sf_dir, iters=0)
+    refined = lloyd_centroids(spark, sf_dir, iters=2)
+    e_seed = quantization_error(spark, sf_dir, seed)
+    e_ref = quantization_error(spark, sf_dir, refined)
+    assert e_ref < e_seed * 0.999  # strictly better on this fixture
+    again = lloyd_centroids(spark, sf_dir, iters=2)
+    assert again == refined  # deterministic
+
+
+# --------------------------------------- multi-probe LSH boundary recall
+
+
+def test_multiprobe_recovers_bucket_straddling_neardups(spark, tmp_path):
+    """A near-dup pair whose only differing LSH sign bit is a
+    low-confidence dimension (|v[dim]| < eps) lands in adjacent buckets:
+    single-probe LSH misses it, multi-probe must find it — and both
+    variants must match their DuckDB oracles exactly."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from compare_util import assert_frames_match
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.similarity import (
+        EMB_DIM,
+        duck_embedding_neardup,
+        embedding_neardup_pairs,
+        proj_dims,
+    )
+
+    d0 = proj_dims()[0]
+    base = [0.5 if i % 2 == 0 else -0.5 for i in range(EMB_DIM)]
+    v = list(base)
+    v[d0] = 0.001          # low-confidence positive sign
+    w = list(base)
+    w[d0] = -0.001         # twin: only this sign differs → adjacent bucket
+    u1 = list(base)
+    u1[d0] = 0.4           # same-bucket control pair (identical vectors)
+    u2 = list(u1)
+    far = [-b for b in base]  # exact opposite: cosine -1, complement bucket
+
+    rows = [(0, v), (1, w), (2, u1), (3, u2), (4, far)]
+    path = str(tmp_path / "emb")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{path}/embeddings.parquet/*.parquet')"
+    )
+
+    single = embedding_neardup_pairs(spark, path)
+    sp = {(r.vec_a, r.vec_b) for r in single.collect()}
+    assert (2, 3) in sp           # same-bucket pair found
+    assert (0, 1) not in sp       # straddling pair MISSED by single probe
+    assert_frames_match(single, con, duck_embedding_neardup())
+
+    multi = embedding_neardup_pairs(spark, path, multiprobe=True)
+    mp = {(r.vec_a, r.vec_b) for r in multi.collect()}
+    assert (0, 1) in mp           # recovered by the low-confidence flip
+    assert (2, 3) in mp           # and nothing already-found is lost
+    assert_frames_match(multi, con, duck_embedding_neardup(multiprobe=True))

@@ -134,3 +134,52 @@ def test_segment_punkt_matches_kernel(spark):
     # n_tokens counts whitespace-delimited words despite absorbed spaces
     row = [r for r in got if r.sent_text == " Next one."][0]
     assert row.n_tokens == 2
+
+
+class TestT2TreebankTokenizer:
+    """The reference's two-tokenizer distinction (T2): generate_sdp.py
+    uses word_tokenize while generate_pos.py whitespace-splits — pinned
+    by treebank_tokenize so the divergence is testable."""
+
+    def test_punctuation_split(self):
+        from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+            treebank_tokenize,
+        )
+
+        assert treebank_tokenize("Hello, world.") == ["Hello", ",", "world", "."]
+        assert treebank_tokenize("wait... what?!") == ["wait", "...", "what", "?", "!"]
+        assert treebank_tokenize('"Quoted text"') == ["``", "Quoted", "text", "''"]
+
+    def test_contractions_split(self):
+        from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+            treebank_tokenize,
+        )
+
+        assert treebank_tokenize("don't stop") == ["do", "n't", "stop"]
+        assert treebank_tokenize("it's Bob's (test)") == [
+            "it", "'s", "Bob", "'s", "(", "test", ")",
+        ]
+
+    def test_interior_periods_kept(self):
+        from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+            treebank_tokenize,
+        )
+
+        assert treebank_tokenize("3.14 is pi.") == ["3.14", "is", "pi", "."]
+        assert treebank_tokenize("U.S. policy works") == ["U.S.", "policy", "works"]
+
+    def test_divergence_from_whitespace_split_on_punctuated_text(self):
+        """THE T2 point: the two tokenizations disagree on punctuated
+        input (so SDP indices and POS indices shift in the reference),
+        but coincide on the punctuation-free synthetic corpus — which is
+        why production keeps one tokenizer."""
+        from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+            treebank_tokenize,
+        )
+
+        punctuated = "the scan, it ran."
+        assert treebank_tokenize(punctuated) != punctuated.split()
+        assert len(treebank_tokenize(punctuated)) == len(punctuated.split()) + 2
+
+        clean = "the scan reads the table fast"
+        assert treebank_tokenize(clean) == clean.split()
