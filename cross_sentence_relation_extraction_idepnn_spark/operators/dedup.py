@@ -160,6 +160,8 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
             ).alias("band_sig")
         )
     )
+    from pyspark.storagelevel import StorageLevel
+
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_sig"])
@@ -168,6 +170,9 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
+        # pair-count-sized, feeds the verification join and the final
+        # left join — persist so the band-join tree computes once
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -397,10 +402,18 @@ def ngram_jaccard_pairs(
     rekeyed = (
         rekeyed.join(sz2, "block").filter(F.col("bsz2") <= max_block).drop("bsz2")
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # keyed is DOC-count-sized (4 small columns) and its lineage holds
+    # several joins; without a persist the self-join + the downstream
+    # consumers re-expand that whole subtree ~10× (measured: 66
+    # exchanges in the final plan). Persisting the tiny aggregate — not
+    # the fat shingle table — collapses it to compute-once.
     keyed = (
         sized.filter(F.col("bsz1") <= max_block)
         .select("doc_id", "n", F.lit(1).alias("lvl"), F.col("h1").alias("block"))
         .unionByName(rekeyed.select("doc_id", "n", "lvl", "block"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
         keyed.alias("x")
@@ -413,6 +426,9 @@ def ngram_jaccard_pairs(
             F.col("y.n").alias("n_b"),
         )
         # each doc has exactly one (lvl, block) row → pairs are unique
+        # pair-count-sized; feeds the verification join AND the final
+        # left join — persist to stop the candidate tree re-expanding
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     inter = (
         cand.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
