@@ -126,3 +126,77 @@ def succession_triples(bindings: DataFrame) -> DataFrame:
         .join(name, ["doc_id", "per_id"])
         .select("doc_id", "person", "post", "status")
     )
+
+
+# ----------------------------------------- S7: MUC6 SGML document parse
+
+SGML_OUT_SCHEMA = "doc_id string, para_idx int, paragraph string"
+
+
+def parse_sgml_text(text: str) -> list[tuple[str, int, str]]:
+    """Faithful port of the reference's ``extract_sentences`` document
+    walk (``generate_muc6_data.py:59-73``): wrap the corpus file in a
+    synthetic ``<ROOT>``, XML-parse, and for each ``<DOC>`` take
+    ``DOC[1]`` (the SECOND child — the reference indexes positionally,
+    typically ``<DOCNO>``) as the doc id with ``.`` removed, then every
+    paragraph under each ``<TXT>`` child, ``\\n`` → space, stripped.
+
+    Returns (doc_id, para_idx, paragraph) rows; sentence splitting is a
+    separate operator (:func:`muc6_doc_sentences`) so the paragraph
+    table stays reusable.
+    """
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring("<ROOT>" + text + "</ROOT>")
+    out: list[tuple[str, int, str]] = []
+    for doc in root:
+        doc_id = (doc[1].text or "").strip().replace(".", "")
+        p_idx = 0
+        for child in doc:
+            if child.tag == "TXT":
+                for p in child:
+                    out.append(
+                        (doc_id, p_idx, (p.text or "").strip().replace("\n", " "))
+                    )
+                    p_idx += 1
+    return out
+
+
+def sgml_docs(blobs: DataFrame, text_col: str = "sgml") -> DataFrame:
+    """SGML corpus blobs → (doc_id, para_idx, paragraph) via an
+    Arrow-batched kernel (XML parsing is the sanctioned Python step)."""
+    from collections.abc import Iterator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [r for t in pdf[text_col] for r in parse_sgml_text(t or "")]
+            yield pd.DataFrame(rows, columns=["doc_id", "para_idx", "paragraph"])
+
+    return blobs.mapInPandas(run, schema=SGML_OUT_SCHEMA)
+
+
+def muc6_doc_sentences(paragraphs: DataFrame) -> DataFrame:
+    """Reference sentence extraction over parsed paragraphs
+    (``generate_muc6_data.py:70-72``: ``sent_tokenize`` per paragraph,
+    extended in paragraph order): (doc_id, sent_idx, sentence) with
+    sent_idx numbered across the whole document, punkt-like boundaries
+    from :func:`segmentation.punkt_sentences`."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..operators.segmentation import punkt_sentences
+
+    sents_udf = F.pandas_udf(
+        lambda s: s.map(lambda t: punkt_sentences(t or "")),
+        ArrayType(StringType()),
+    )
+    w = Window.partitionBy("doc_id").orderBy("para_idx", "pos")
+    return (
+        paragraphs.select(
+            "doc_id",
+            "para_idx",
+            F.posexplode(sents_udf(F.col("paragraph"))).alias("pos", "sentence"),
+        )
+        .withColumn("sent_idx", (F.row_number().over(w) - 1).cast("int"))
+        .select("doc_id", "sent_idx", "sentence")
+    )

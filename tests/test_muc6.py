@@ -76,3 +76,76 @@ def test_best_dev_early_stopping_returns_best_snapshot():
         return float(-np.log(p[np.arange(len(ldv)), ldv] + 1e-12).mean())
 
     assert dev_nll(W) <= dev_nll(base)
+
+
+# ------------------------------------------- S7: SGML document parse
+
+
+SGML_FIXTURE = """<DOC>
+<DOCID> wsj93_001.0001 </DOCID>
+<DOCNO> 930101-0001. </DOCNO>
+<HL> Some headline </HL>
+<TXT>
+<p>
+Mr. Smith was named chief executive. He starts
+in March.
+</p>
+<p>
+The board approved. Done.
+</p>
+</TXT>
+</DOC>
+<DOC>
+<DOCID> wsj93_001.0002 </DOCID>
+<DOCNO> 930101-0002 </DOCNO>
+<TXT>
+<p>
+One short paragraph only.
+</p>
+</TXT>
+</DOC>"""
+
+
+def test_sgml_docs_matches_reference_walk(spark):
+    from cross_sentence_relation_extraction_idepnn_spark.sources.muc6 import (
+        parse_sgml_text,
+        sgml_docs,
+    )
+
+    # kernel semantics: doc_id = SECOND child, dots removed; paragraphs
+    # newline-flattened and stripped
+    rows = parse_sgml_text(SGML_FIXTURE)
+    assert rows[0][0] == "930101-0001"  # '.' removed (reference quirk)
+    assert rows[0][2] == "Mr. Smith was named chief executive. He starts in March."
+    assert [r[1] for r in rows if r[0] == "930101-0001"] == [0, 1]
+    assert rows[-1] == ("930101-0002", 0, "One short paragraph only.")
+
+    blobs = spark.createDataFrame([(SGML_FIXTURE,)], "sgml string")
+    got = sorted(
+        (r.doc_id, r.para_idx, r.paragraph) for r in sgml_docs(blobs).collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_muc6_doc_sentences_order_and_boundaries(spark):
+    from cross_sentence_relation_extraction_idepnn_spark.sources.muc6 import (
+        muc6_doc_sentences,
+        sgml_docs,
+    )
+
+    blobs = spark.createDataFrame([(SGML_FIXTURE,)], "sgml string")
+    sents = muc6_doc_sentences(sgml_docs(blobs))
+    got = {
+        r.doc_id: []
+        for r in sents.collect()
+    }
+    for r in sorted(sents.collect(), key=lambda r: (r.doc_id, r.sent_idx)):
+        got[r.doc_id].append(r.sentence)
+    # 'Mr.' must NOT split (abbreviation guard); paragraph order kept
+    assert got["930101-0001"] == [
+        "Mr. Smith was named chief executive.",
+        "He starts in March.",
+        "The board approved.",
+        "Done.",
+    ]
+    assert got["930101-0002"] == ["One short paragraph only."]
