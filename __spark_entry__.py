@@ -48,7 +48,10 @@ from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
 )
 from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
     detect_mentions,
+    duck_located_annotations,
     duck_mentions_cte,
+    locate_annotations,
+    synthetic_annotations,
 )
 from cross_sentence_relation_extraction_idepnn_spark.operators.metrics import (
     DUCK_INTRA_INTER,
@@ -196,6 +199,15 @@ def _canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     return canonicalize(_mentions(spark, sf))
 
 
+def _located_annotations(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 two-pass annotation location (offset interval join +
+    contains-fallback for drifted offsets) over a deterministic
+    annotation fixture derived from the mention table."""
+    sents = _sentences(spark, sf)
+    anns = synthetic_annotations(detect_mentions(spark, sents), sents)
+    return locate_annotations(anns, sents)
+
+
 def _featurized(spark: SparkSession, sf: str) -> DataFrame:
     sents = _sentences(spark, sf)
     cands = candidate_pairs(detect_mentions(spark, sents))
@@ -234,6 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_docs": _normalize_docs,
         # entity canonicalization (G6: similarity edges + connected components)
         "canonicalize": _canonicalize,
+        # J2 external-annotation location (offset pass + contains fallback)
+        "located_annotations": _located_annotations,
         # dedup family (training-data ops)
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -377,6 +391,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {duck_normalize_chain('text')} AS norm_text FROM documents"
         ),
         "canonicalize": _duck_canonicalize(),
+        "located_annotations": (
+            f"{duck_with_prefix()}, mentions AS ({duck_mentions_cte()})"
+            f"{duck_located_annotations()}"
+        ),
         "dedup_exact": dedup.DUCK_DEDUP_EXACT,
         "minhash_signatures": (
             f"{shingles_prefix} SELECT * FROM ({dedup.duck_minhash_cte()})"

@@ -718,6 +718,16 @@ def score_batch(
     return softmax_head(feats, weights, use_adp=use_adp)
 
 
+def second_ranked(probs: np.ndarray) -> np.ndarray:
+    """O3 — 2nd-ranked class per row (``elman-bidirection.py:924-926``:
+    ``np.argsort(confidences)[17]`` = second-highest of the 19 SemEval
+    classes; dead under the repo default RANKING=False, carried here
+    config-gated). Works for any class count ≥ 2: (B, C) → (B,) int."""
+    if probs.shape[0] == 0:
+        return np.zeros((0,), dtype=np.int32)
+    return np.argsort(probs, axis=1)[:, -2].astype(np.int32)
+
+
 def _tree_state(r: dict, W: dict[str, np.ndarray]) -> np.ndarray:
     """TreeRNN over the window dependency tree (M6): leaves-first
     ``h = tanh(b + W_hx x + W_hh Σ child_h)``; the ADP feature is the

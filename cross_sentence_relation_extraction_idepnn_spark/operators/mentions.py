@@ -109,3 +109,113 @@ def duck_mentions_cte() -> str:
         ) t
         JOIN {duck_alias_values()} ON t.surface = alias_dict.surface
     """
+
+
+def synthetic_annotations(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
+    """Deterministic external-annotation fixture for J2 (no external
+    data): turn-level char offsets derived from the mention table
+    (``a_begin = sentence.begin + m_begin``), with every annotation
+    where ``(sent_idx + tok_idx) % 5 == 0`` displaced by +100000 so
+    the offset pass MUST miss it and the contains fallback has to
+    locate it — both reference passes get exercised."""
+    s = sentences.select("conv_id", "turn_idx", "sent_idx", "begin")
+    drift = F.when((F.col("sent_idx") + F.col("tok_idx")) % 5 == 0, F.lit(100000)).otherwise(
+        F.lit(0)
+    )
+    return (
+        mentions.join(s, ["conv_id", "turn_idx", "sent_idx"])
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat_ws("#", "conv_id", "sent_idx", "tok_idx").alias("ann_id"),
+            (F.col("begin") + F.col("m_begin") + drift).cast("int").alias("a_begin"),
+            (F.col("begin") + F.col("m_end") + drift).cast("int").alias("a_end"),
+            "surface",
+        )
+        .distinct()
+    )
+
+
+def duck_located_annotations(drift_every: int = 5) -> str:
+    """DuckDB oracle for ``locate_annotations(synthetic_annotations(…))``
+    — compose after ``transcripts``/``sentences``/``mentions`` CTEs."""
+    return f"""
+        , ann AS (
+            SELECT DISTINCT m.conv_id, m.turn_idx,
+                   m.conv_id || '#' || CAST(m.sent_idx AS VARCHAR)
+                             || '#' || CAST(m.tok_idx AS VARCHAR) AS ann_id,
+                   CAST(s.begin + m.m_begin
+                        + CASE WHEN (m.sent_idx + m.tok_idx) % {drift_every} = 0
+                               THEN 100000 ELSE 0 END AS INT) AS a_begin,
+                   CAST(s.begin + m.m_end
+                        + CASE WHEN (m.sent_idx + m.tok_idx) % {drift_every} = 0
+                               THEN 100000 ELSE 0 END AS INT) AS a_end,
+                   m.surface
+            FROM mentions m
+            JOIN sentences s
+              ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
+             AND m.sent_idx = s.sent_idx
+        ),
+        located_primary AS (
+            SELECT a.conv_id, a.turn_idx, a.ann_id, a.a_begin, a.a_end,
+                   a.surface, s.sent_idx, 'offset' AS via
+            FROM ann a
+            JOIN sentences s
+              ON a.conv_id = s.conv_id AND a.turn_idx = s.turn_idx
+             AND a.a_begin >= s.begin AND a.a_begin < s."end"
+        ),
+        located_fallback AS (
+            SELECT a.conv_id, a.turn_idx, a.ann_id, a.a_begin, a.a_end,
+                   a.surface, MIN(s.sent_idx) AS sent_idx, 'contains' AS via
+            FROM ann a
+            JOIN sentences s
+              ON a.conv_id = s.conv_id AND a.turn_idx = s.turn_idx
+            WHERE NOT EXISTS (
+                SELECT 1 FROM located_primary p
+                WHERE p.conv_id = a.conv_id AND p.ann_id = a.ann_id
+            )
+              AND contains(lower(s.sent_text), lower(a.surface))
+            GROUP BY a.conv_id, a.turn_idx, a.ann_id, a.a_begin, a.a_end,
+                     a.surface
+        )
+        SELECT * FROM located_primary
+        UNION ALL
+        SELECT * FROM located_fallback
+    """
+
+
+def locate_annotations(annotations: DataFrame, sentences: DataFrame) -> DataFrame:
+    """J2 — locate EXTERNAL annotations against the sentence table:
+    primary pass is the interval join (``generate_bb_training_data_2016
+    .py:669-707``: sentence whose ``[begin, end)`` contains the
+    annotation's start), and annotations whose offsets drifted fall
+    back to the reference's string-match second pass (``:313-477``):
+    the lowest-``sent_idx`` sentence of the same turn containing the
+    lowercased surface. Output adds ``sent_idx`` and ``via``
+    ('offset' | 'contains'); annotations matching neither are dropped
+    (the reference counts and skips them).
+
+    Input schema: ``(conv_id, turn_idx, ann_id, a_begin, a_end,
+    surface)`` with turn-level char offsets.
+    """
+    s = sentences.select("conv_id", "turn_idx", "sent_idx", "sent_text", "begin", "end")
+    a_cols = ["conv_id", "turn_idx", "ann_id", "a_begin", "a_end", "surface"]
+    a = annotations.select(*a_cols)
+    primary = (
+        a.join(s, ["conv_id", "turn_idx"])
+        .filter(
+            (F.col("a_begin") >= F.col("begin")) & (F.col("a_begin") < F.col("end"))
+        )
+        .select(*a_cols, "sent_idx", F.lit("offset").alias("via"))
+    )
+    missed = a.join(
+        primary.select("conv_id", "ann_id").distinct(), ["conv_id", "ann_id"], "left_anti"
+    )
+    fallback = (
+        missed.join(s, ["conv_id", "turn_idx"])
+        .filter(F.lower(F.col("sent_text")).contains(F.lower(F.col("surface"))))
+        .groupBy(*a_cols)
+        .agg(F.min("sent_idx").alias("sent_idx"))
+        .select(*a_cols, "sent_idx", F.lit("contains").alias("via"))
+    )
+    return primary.unionByName(fallback)

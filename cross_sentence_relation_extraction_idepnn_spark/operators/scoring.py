@@ -52,6 +52,7 @@ def score_pairs(
     weights=None,
     use_adp: bool = True,
     keep_cols: list[str] | None = None,
+    emit_second: bool = False,
 ) -> DataFrame:
     """featurized (ok rows) → (keep_cols…, y_pred int, p_rel double).
 
@@ -60,6 +61,10 @@ def score_pairs(
     + scores come back (the feature arrays never cross the boundary
     twice). ``keep_cols`` defaults to the id/surface columns
     ``emit_triples`` needs.
+
+    ``emit_second=True`` adds ``y_2nd`` — the reference's 2nd-ranked
+    class (O3, ``elman-bidirection.py:924-926``), gated off by default
+    exactly like the reference's ``RANKING=False``.
     """
     if weights is None:
         weights = kernels.init_weights()
@@ -74,6 +79,7 @@ def score_pairs(
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep_fields)
         + ", y_pred int, p_rel double"
+        + (", y_2nd int" if emit_second else "")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,6 +93,8 @@ def score_pairs(
             out = pdf[keep_cols].reset_index(drop=True).copy()
             out["y_pred"] = probs.argmax(axis=1).astype("int32")
             out["p_rel"] = probs[:, 1]
+            if emit_second:
+                out["y_2nd"] = kernels.second_ranked(probs)
             yield out
 
     return pruned.mapInPandas(run, schema=out_schema)

@@ -5,6 +5,7 @@ fast loop)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from compare_util import duck_con, assert_frames_match
@@ -53,6 +54,26 @@ def test_embedding_neardup_nonvacuous_and_full_recall(spark, sf_dir, con):
     assert allpairs_sql != bucketed_sql
     n_all = len(con.sql(allpairs_sql).df())
     assert len(got) == n_all, "LSH buckets dropped a true near-dup pair"
+
+
+def test_located_annotations_exercises_both_passes(spark, sf_dir):
+    """J2's two reference passes must BOTH fire on the fixture: the
+    offset interval join for clean annotations and the lowercased
+    contains-fallback for the deterministically drifted ones
+    (generate_bb_training_data_2016.py:669-707 and :313-477)."""
+    df = QUERIES["located_annotations"](spark, sf_dir)
+    counts = {r["via"]: r["count"] for r in df.groupBy("via").count().collect()}
+    assert counts.get("offset", 0) > 0, "offset pass vacuous"
+    assert counts.get("contains", 0) > 0, "contains fallback vacuous"
+    # every drifted annotation that has a containing sentence is recovered:
+    # no annotation appears under both vias
+    dup = (
+        df.groupBy("conv_id", "ann_id")
+        .agg(F.countDistinct("via").alias("nv"))
+        .filter("nv > 1")
+        .count()
+    )
+    assert dup == 0
 
 
 def test_entry_smoke(spark):

@@ -150,3 +150,50 @@ class TestT12StopwordPunctGates:
         assert parse_cc_records(recs).count() == 2  # default keeps OTHER
         kept = parse_cc_records(recs, remove_other_class=True).collect()
         assert [r.label for r in kept] == ["Rel"]
+
+    def test_o3_second_ranked_class(self, spark):
+        """O3 (gated): 2nd-ranked class per elman-bidirection.py:924-926
+        — argsort[-2] over the confidence vector; for the 2-class head
+        y_2nd is always the non-argmax class."""
+        import numpy as np
+
+        from cross_sentence_relation_extraction_idepnn_spark import kernels
+
+        # 19-class SemEval shape: argsort(confidences)[17] == argsort[-2]
+        rng = np.random.RandomState(7)
+        probs = rng.rand(50, 19)
+        got = kernels.second_ranked(probs)
+        ref = np.array([np.argsort(p)[17] for p in probs])
+        assert (got == ref).all()
+        assert kernels.second_ranked(np.zeros((0, 2))).shape == (0,)
+
+    def test_o3_gated_column_in_score_pairs(self, spark, sf_dir):
+        from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import (
+            candidate_pairs,
+        )
+        from cross_sentence_relation_extraction_idepnn_spark.operators.graph import (
+            candidate_windows,
+            featurize_pair,
+        )
+        from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+            detect_mentions,
+        )
+        from cross_sentence_relation_extraction_idepnn_spark.operators.scoring import (
+            score_pairs,
+        )
+        from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+            segment,
+        )
+        from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+            transcripts,
+        )
+
+        sents = segment(transcripts(spark, sf_dir))
+        feats = featurize_pair(
+            candidate_windows(candidate_pairs(detect_mentions(spark, sents)), sents)
+        ).filter("ok").limit(50)
+        base = score_pairs(feats)
+        assert "y_2nd" not in base.columns  # default off, like RANKING=False
+        scored = score_pairs(feats, emit_second=True).select("y_pred", "y_2nd").collect()
+        assert len(scored) > 0
+        assert all(r.y_2nd == 1 - r.y_pred for r in scored)  # 2-class head
