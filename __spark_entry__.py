@@ -41,6 +41,7 @@ from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import
 from cross_sentence_relation_extraction_idepnn_spark.operators.graph import (
     candidate_windows,
     featurize_pair,
+    position_bounds,
 )
 from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
     JACCARD_TAU,
@@ -217,6 +218,16 @@ def _featurized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _position_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """A4: global signed-position bounds scan + shifted vocab size
+    (elman-bidirection.py:276-314) — rows-only (kernel-derived input)."""
+    sents = _sentences(spark, sf)
+    feats = featurize_pair(
+        candidate_windows(candidate_pairs(detect_mentions(spark, sents)), sents)
+    )
+    return position_bounds(feats)
+
+
 def _triples(spark: SparkSession, sf: str) -> DataFrame:
     return extract_triples(spark, sf)
 
@@ -291,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # model kernels — non-SQL-expressible (rows-only driver check)
         "featurized_sdp": _featurized,
         "adp_degree": _adp_degree,
+        "position_bounds": _position_bounds,
         "triples": _triples,
         "kg": _kg,
         # official-eval .a2 assembly over model scores (rows-only)

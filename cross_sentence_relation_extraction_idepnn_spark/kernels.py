@@ -718,6 +718,48 @@ def score_batch(
     return softmax_head(feats, weights, use_adp=use_adp)
 
 
+def entity_presence_flags(
+    words: list[str], e1_surface: str, e2_surface: str
+) -> tuple[list[int], list[int]]:
+    """M12 — per-token entity-presence bit pair vs the entity WORD SETS
+    (``elman-bidirection.py:186-189``, token loop
+    ``utils/features_bb2016.py:2067-2114``): ``[1,0]`` for a token in
+    e1's split, ``[0,1]`` for e2's, ``[0,0]`` otherwise. A token in
+    BOTH sets: the first such occurrence is e1 (``e1_done`` latch),
+    every later one is e2 — the reference's ``[1,1]`` constant is dead
+    there and stays dead here. Tokens are compared lowercased (the
+    engine's mention granularity); the reference compares raw strips.
+
+    Returns two parallel bit lists (f1[i], f2[i]) over ``words``.
+    """
+    e1_set = {w for w in e1_surface.lower().split() if w}
+    e2_set = {w for w in e2_surface.lower().split() if w}
+    f1: list[int] = []
+    f2: list[int] = []
+    e1_done = False
+    for w in words:
+        w = w.strip().lower()
+        in1, in2 = w in e1_set, w in e2_set
+        if in1 and in2:
+            if not e1_done:
+                f1.append(1)
+                f2.append(0)
+                e1_done = True
+            else:
+                f1.append(0)
+                f2.append(1)
+        elif in1:
+            f1.append(1)
+            f2.append(0)
+        elif in2:
+            f1.append(0)
+            f2.append(1)
+        else:
+            f1.append(0)
+            f2.append(0)
+    return f1, f2
+
+
 def second_ranked(probs: np.ndarray) -> np.ndarray:
     """O3 — 2nd-ranked class per row (``elman-bidirection.py:924-926``:
     ``np.argsort(confidences)[17]`` = second-highest of the 19 SemEval

@@ -45,7 +45,11 @@ CAND_COLS = [
 FEAT_FIELDS = (
     "sdp_gidx array<int>, sdp_words array<string>, sdp_pos array<int>, "
     "sdp_iob array<int>, pi_e1 array<int>, pi_e2 array<int>, "
-    "win_words array<string>, parents array<int>, tree_order array<int>"
+    "win_words array<string>, parents array<int>, tree_order array<int>, "
+    # M12 — explicit entity-presence bit pairs (word-set membership,
+    # elman-bidirection.py:186-189); the model consumes the IOB channel,
+    # these stay observable columns for reference parity
+    "ent_pres_e1 array<int>, ent_pres_e2 array<int>"
 )
 
 
@@ -75,6 +79,61 @@ def candidate_windows(candidates: DataFrame, sentences: DataFrame) -> DataFrame:
     )
 
 
+def _entity_path_positions():
+    """(p1, p2) — 0-based SDP index of each entity, from the IOB
+    channel (1 marks e1, 2 marks e2; a contained pair has no 2 and the
+    kernel anchors both positions at e1, mirrored here)."""
+    p1 = F.array_position("sdp_iob", 1) - 1
+    raw_p2 = F.array_position("sdp_iob", 2)
+    p2 = F.when(raw_p2 == 0, p1).otherwise(raw_p2 - 1)
+    return p1, p2
+
+
+def position_bounds(featurized: DataFrame) -> DataFrame:
+    """A4 — global unnormalised-position bounds scan
+    (``elman-bidirection.py:276-314``): min/max of *signed*
+    token-to-entity distances over every featurized sequence, plus
+    ``pos_vocab_size = int(max + |min|)``. The reference loops the
+    whole corpus on the driver; here it is one map-side-combined
+    ``agg(min, max)`` — the 2-pass structure survives (bounds then
+    shift) but each pass is distributed. Signed distances per row span
+    ``[-p, L-1-p]`` for each entity position p, so the scan needs no
+    re-featurization — pure Column algebra over ``sdp_iob``."""
+    p1, p2 = _entity_path_positions()
+    last = F.size("sdp_iob") - 1
+    row_min = F.least(-p1, -p2)
+    row_max = F.greatest(last - p1, last - p2)
+    return featurized.filter("ok").agg(
+        F.min(row_min).cast("int").alias("min_pos"),
+        F.max(row_max).cast("int").alias("max_pos"),
+        (F.max(row_max) + F.abs(F.min(row_min))).cast("int").alias("pos_vocab_size"),
+    )
+
+
+def shift_positions(featurized: DataFrame) -> DataFrame:
+    """A4 application — per-token signed distances shifted
+    non-negative by ``|min_pos|`` (the reference adds
+    ``[abs(min), abs(min)]`` to every pair). The 1-row bounds side is
+    broadcast; the shift itself is a native array ``transform`` (no
+    Python). Adds ``pos_e1``/``pos_e2`` arrays."""
+    b = position_bounds(featurized)
+    p1, p2 = _entity_path_positions()
+    shift = F.abs(F.col("min_pos"))
+
+    def pos(p):
+        return F.transform(
+            F.sequence(F.lit(0), F.size("sdp_iob") - 1),
+            lambda i: (i - p + shift).cast("int"),
+        )
+
+    return (
+        featurized.filter("ok")
+        .crossJoin(F.broadcast(b))
+        .withColumn("pos_e1", pos(p1))
+        .withColumn("pos_e2", pos(p2))
+    )
+
+
 def featurize_pair(windows: DataFrame) -> DataFrame:
     """candidate windows → feature arrays (+ ``ok`` quarantine flag)."""
     out_schema = (
@@ -96,6 +155,8 @@ def featurize_pair(windows: DataFrame) -> DataFrame:
             "win_words": None,
             "parents": None,
             "tree_order": None,
+            "ent_pres_e1": None,
+            "ent_pres_e2": None,
         }
         for pdf in batches:
             feats = []
@@ -111,7 +172,12 @@ def featurize_pair(windows: DataFrame) -> DataFrame:
                 if f is None:
                     feats.append({"ok": False, **empty})
                 else:
-                    feats.append({"ok": True, **f})
+                    f1, f2 = kernels.entity_presence_flags(
+                        f["sdp_words"], str(row.e1_surface), str(row.e2_surface)
+                    )
+                    feats.append(
+                        {"ok": True, **f, "ent_pres_e1": f1, "ent_pres_e2": f2}
+                    )
             out = pd.concat(
                 [pdf.reset_index(drop=True), pd.DataFrame(feats)], axis=1
             )

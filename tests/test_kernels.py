@@ -246,3 +246,45 @@ def test_h15_portable_against_reference_value():
     s = "scan reads table"
     assert K.h15(s) == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
     assert K.h15(s) < 2**60
+
+
+class TestEntityPresenceFlags:
+    """M12 — reference token loop (utils/features_bb2016.py:2067-2114)."""
+
+    def test_basic_membership(self):
+        from cross_sentence_relation_extraction_idepnn_spark.kernels import (
+            entity_presence_flags,
+        )
+
+        f1, f2 = entity_presence_flags(["a", "cat", "sat", "dog"], "cat", "dog")
+        assert f1 == [0, 1, 0, 0]
+        assert f2 == [0, 0, 0, 1]
+
+    def test_multiword_entity_sets(self):
+        from cross_sentence_relation_extraction_idepnn_spark.kernels import (
+            entity_presence_flags,
+        )
+
+        f1, f2 = entity_presence_flags(
+            ["big", "cat", "x", "small", "dog"], "big cat", "small dog"
+        )
+        assert f1 == [1, 1, 0, 0, 0]
+        assert f2 == [0, 0, 0, 1, 1]
+
+    def test_both_sets_latch_first_is_e1_rest_e2(self):
+        from cross_sentence_relation_extraction_idepnn_spark.kernels import (
+            entity_presence_flags,
+        )
+
+        # "cat" is in BOTH word sets: first occurrence → [1,0] (e1_done
+        # latch), every later one → [0,1]; [1,1] never emitted
+        f1, f2 = entity_presence_flags(["cat", "x", "cat"], "cat a", "cat b")
+        assert list(zip(f1, f2)) == [(1, 0), (0, 0), (0, 1)]
+
+    def test_case_insensitive_at_engine_granularity(self):
+        from cross_sentence_relation_extraction_idepnn_spark.kernels import (
+            entity_presence_flags,
+        )
+
+        f1, f2 = entity_presence_flags(["Cat"], "cat", "dog")
+        assert (f1, f2) == ([1], [0])

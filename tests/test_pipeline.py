@@ -246,3 +246,53 @@ def test_emit_triples_column_contract(spark):
     assert len(out) == 1
     row = out[0]
     assert row.subj == "SCAN" and row.obj == "TABLE" and row.score == 0.73
+
+
+def test_position_bounds_matches_numpy_scan(spark, sf_dir):
+    """A4: the distributed agg(min,max) bounds scan must equal the
+    reference's driver loop (elman-bidirection.py:276-314) re-derived
+    in numpy over the collected feature rows, and the shifted
+    positions must be non-negative with max == pos_vocab_size."""
+    import numpy as np
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.graph import (
+        position_bounds,
+        shift_positions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    sents = segment(transcripts(spark, sf_dir))
+    feats = featurize_pair(
+        candidate_windows(candidate_pairs(detect_mentions(spark, sents)), sents)
+    )
+    got = position_bounds(feats).collect()[0]
+
+    # reference-style scan: signed distances i - p over every sequence
+    lo, hi = np.inf, -np.inf
+    for r in feats.filter("ok").select("sdp_iob").collect():
+        iob = r.sdp_iob
+        p1 = iob.index(1)
+        p2 = iob.index(2) if 2 in iob else p1
+        for p in (p1, p2):
+            d = np.arange(len(iob)) - p
+            lo = min(lo, d.min())
+            hi = max(hi, d.max())
+    assert got.min_pos == int(lo)
+    assert got.max_pos == int(hi)
+    assert got.pos_vocab_size == int(hi + abs(lo))  # int(max + |min|)
+
+    shifted = shift_positions(feats).select("pos_e1", "pos_e2").limit(200).collect()
+    allv = [v for r in shifted for v in (list(r.pos_e1) + list(r.pos_e2))]
+    assert min(allv) >= 0
+    full = shift_positions(feats).select(
+        F.greatest(F.array_max("pos_e1"), F.array_max("pos_e2")).alias("m")
+    ).agg(F.max("m").alias("m")).collect()[0].m
+    assert full == got.pos_vocab_size
