@@ -718,6 +718,17 @@ def score_batch(
     return softmax_head(feats, weights, use_adp=use_adp)
 
 
+def normalize_embedding_rows(E: np.ndarray) -> np.ndarray:
+    """M10 — row-wise L2 normalization of an embedding matrix
+    (``rnn/elman_bidirection_RC_to_be_used.py:580-607``:
+    ``E / sqrt((E**2).sum(axis=1))``, applied after each update when
+    embeddings are trainable). The engine's embeddings are frozen
+    hash-derived tables, so nothing calls this in the default path —
+    the op exists (and is tested) for the trainable-embedding config."""
+    norms = np.sqrt((E**2).sum(axis=1, keepdims=True))
+    return E / norms
+
+
 def entity_presence_flags(
     words: list[str], e1_surface: str, e2_surface: str
 ) -> tuple[list[int], list[int]]:

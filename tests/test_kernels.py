@@ -288,3 +288,20 @@ class TestEntityPresenceFlags:
 
         f1, f2 = entity_presence_flags(["Cat"], "cat", "dog")
         assert (f1, f2) == ([1], [0])
+
+
+def test_m10_normalize_embedding_rows():
+    """M10: row-wise L2 norm, exactly E/sqrt(sum(E^2, axis=1)) per the
+    reference theano update (elman_bidirection_RC_to_be_used.py:580-607)."""
+    import numpy as np
+
+    from cross_sentence_relation_extraction_idepnn_spark.kernels import (
+        normalize_embedding_rows,
+    )
+
+    rng = np.random.RandomState(3)
+    E = rng.uniform(-2, 2, (40, 16))
+    N = normalize_embedding_rows(E)
+    assert np.allclose(np.linalg.norm(N, axis=1), 1.0)
+    # direction preserved
+    assert np.allclose(N * np.linalg.norm(E, axis=1, keepdims=True), E)
