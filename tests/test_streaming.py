@@ -49,3 +49,37 @@ def test_sessionize_emits_closed_sessions(spark, sf_dir):
     assert abs(m["sum_value_s"] - m["sum_value_b"]).max() < 1e-6
     # session invariant: start ≤ end for every emitted session
     assert (got["start_epoch"] <= got["end_epoch"]).all()
+
+
+def test_stream_triples_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming KG construction (foreachBatch over the SAME batch
+    pipeline) on a bounded input must produce exactly the batch triple
+    set — the stream-vs-batch equivalence contract for the flagship
+    pipeline, not just the events aggregation."""
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        triples_from_transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.streaming.triples import (
+        run_stream_triples,
+    )
+
+    src = str(tmp_path / "turns")
+    sink = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+    tdf = transcripts(spark, sf_dir)
+    tdf.write.parquet(src)
+
+    run_stream_triples(spark, src, sink, ckpt)
+
+    got = spark.read.parquet(sink).toPandas()
+    want = triples_from_transcripts(spark, tdf).toPandas()
+    assert len(got) == len(want) > 0
+    cols = sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
