@@ -83,3 +83,26 @@ def test_stream_triples_equals_batch(spark, sf_dir, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_stream_triples_restart_does_not_double_emit(spark, sf_dir, tmp_path):
+    """Exactly-once contract: re-running the drained query against the
+    same checkpoint must be a no-op (no new files, no duplicate rows) —
+    the streaming twin of the batch pipeline's per-stage resume."""
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.streaming.triples import (
+        run_stream_triples,
+    )
+
+    src = str(tmp_path / "turns")
+    sink = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt")
+    transcripts(spark, sf_dir).write.parquet(src)
+
+    run_stream_triples(spark, src, sink, ckpt)
+    n1 = spark.read.parquet(sink).count()
+    run_stream_triples(spark, src, sink, ckpt)  # restart, same checkpoint
+    n2 = spark.read.parquet(sink).count()
+    assert n1 == n2 > 0
