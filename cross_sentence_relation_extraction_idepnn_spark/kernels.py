@@ -355,13 +355,15 @@ def pi_vec_table() -> np.ndarray:
 
 # ------------------------------------------------------------ model weights
 
-def init_weights(seed: int = 7) -> dict[str, np.ndarray]:
+def init_weights(seed: int = 7, use_ent_pres: bool = False) -> dict[str, np.ndarray]:
     """Frozen model parameters (SURVEY.md §7.1 phase 1:
     random-but-frozen; phase 4 replaces with trained values).
     x-feature width = EMB_DIM + 2*FEAT_DIM (PI e1/e2) + FEAT_DIM (POS)
-    + FEAT_DIM (IOB)."""
+    + FEAT_DIM (IOB) [+2 raw entity-presence bits when
+    ``use_ent_pres`` — the reference's ``n_in += 2``,
+    ``elman-bidirection.py:391``; gated off in the trained artifact]."""
     rs = np.random.RandomState(seed)
-    xdim = EMB_DIM + 4 * FEAT_DIM
+    xdim = EMB_DIM + 4 * FEAT_DIM + (2 if use_ent_pres else 0)
 
     def mat(*shape: int) -> np.ndarray:
         return rs.uniform(-0.1, 0.1, shape)
@@ -543,10 +545,17 @@ def featurize_window(
 
 # ------------------------------------------------------ batched forward pass
 
-def build_inputs(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def build_inputs(
+    rows: list[dict], use_ent_pres: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """M1/M2/M11–M13 input assembly: rows → (X (B,L,xdim), lens (B,),
     mask (B,L)). Shared by inference and BPTT training so both see
     bit-identical inputs.
+
+    ``use_ent_pres=True`` (M12 consumption, the reference's
+    ``augment_entity_presence`` mode) appends the raw 2-bit
+    entity-presence pair per token — rows must then carry
+    ``ent_pres_e1``/``ent_pres_e2`` (emitted by ``featurize_pair``).
 
     Vectorized: per-token Python is just a batch-vocabulary id lookup;
     all embedding gathers and the feature concat run as whole-batch
@@ -564,6 +573,8 @@ def build_inputs(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     iob = np.zeros((B, L), dtype=np.int64)
     vocab: dict[str, int] = {}
     setdefault = vocab.setdefault
+    ep1 = np.zeros((B, L), dtype=np.float64) if use_ent_pres else None
+    ep2 = np.zeros((B, L), dtype=np.float64) if use_ent_pres else None
     for b, r in enumerate(rows):
         n = int(lens[b])
         wid[b, :n] = [setdefault(w.lower(), len(vocab)) for w in r["sdp_words"]]
@@ -571,15 +582,19 @@ def build_inputs(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         pi2[b, :n] = r["pi_e2"]
         pos[b, :n] = r["sdp_pos"]
         iob[b, :n] = r["sdp_iob"]
+        if use_ent_pres:
+            ep1[b, :n] = r["ent_pres_e1"]
+            ep2[b, :n] = r["ent_pres_e2"]
     if vocab:
         emb = np.empty((len(vocab), EMB_DIM))
         for w, i in vocab.items():
             emb[i] = word_vec(w)
     else:
         emb = np.zeros((1, EMB_DIM))
-    X = np.concatenate(
-        [emb[wid], pi_t[pi1], pi_t[pi2], pos_t[pos], iob_t[iob]], axis=2
-    )
+    channels = [emb[wid], pi_t[pi1], pi_t[pi2], pos_t[pos], iob_t[iob]]
+    if use_ent_pres:
+        channels += [ep1[:, :, None], ep2[:, :, None]]
+    X = np.concatenate(channels, axis=2)
     mask = (np.arange(L)[None, :] < lens[:, None]).astype(np.float64)
     X *= mask[:, :, None]  # zero padded steps (bit-parity with loop form)
     return X, lens, mask
@@ -589,6 +604,7 @@ def feature_batch(
     rows: list[dict],
     weights: dict[str, np.ndarray],
     use_adp: bool = True,
+    use_ent_pres: bool = False,
 ) -> np.ndarray:
     """Batched iDepNN recurrent features → (B, HIDDEN[+FEAT_DIM]).
 
@@ -599,7 +615,7 @@ def feature_batch(
     B = len(rows)
     if B == 0:
         return np.zeros((0, HIDDEN + (FEAT_DIM if use_adp else 0)))
-    X, lens, mask = build_inputs(rows)
+    X, lens, mask = build_inputs(rows, use_ent_pres=use_ent_pres)
     L = X.shape[1]
 
     W = weights
@@ -710,9 +726,10 @@ def score_batch(
     rows: list[dict],
     weights: dict[str, np.ndarray],
     use_adp: bool = True,
+    use_ent_pres: bool = False,
 ) -> np.ndarray:
     """Batched iDepNN forward pass → (B, 2) class probabilities."""
-    feats = feature_batch(rows, weights, use_adp=use_adp)
+    feats = feature_batch(rows, weights, use_adp=use_adp, use_ent_pres=use_ent_pres)
     if len(rows) == 0:
         return np.zeros((0, N_CLASSES))
     return softmax_head(feats, weights, use_adp=use_adp)

@@ -53,6 +53,7 @@ def score_pairs(
     use_adp: bool = True,
     keep_cols: list[str] | None = None,
     emit_second: bool = False,
+    use_ent_pres: bool = False,
 ) -> DataFrame:
     """featurized (ok rows) → (keep_cols…, y_pred int, p_rel double).
 
@@ -65,6 +66,12 @@ def score_pairs(
     ``emit_second=True`` adds ``y_2nd`` — the reference's 2nd-ranked
     class (O3, ``elman-bidirection.py:924-926``), gated off by default
     exactly like the reference's ``RANKING=False``.
+
+    ``use_ent_pres=True`` (M12 consumption,
+    ``augment_entity_presence``) feeds the raw entity-presence bit
+    pair into the input concat — weights must then come from
+    ``init_weights(use_ent_pres=True)`` (xdim+2); gated off in the
+    trained artifact.
     """
     if weights is None:
         weights = kernels.init_weights()
@@ -74,7 +81,10 @@ def score_pairs(
     sc = featurized.sparkSession.sparkContext
     bweights = sc.broadcast(wlists)
 
-    pruned = featurized.select(*keep_cols, *FEATURE_COLS)
+    feat_cols = FEATURE_COLS + (
+        ["ent_pres_e1", "ent_pres_e2"] if use_ent_pres else []
+    )
+    pruned = featurized.select(*keep_cols, *feat_cols)
     keep_fields = [f for f in pruned.schema.fields if f.name in keep_cols]
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep_fields)
@@ -86,10 +96,12 @@ def score_pairs(
         W = kernels.weights_from_lists(bweights.value)
         for pdf in batches:
             rows = [
-                {k: list(getattr(r, k)) for k in FEATURE_COLS}
+                {k: list(getattr(r, k)) for k in feat_cols}
                 for r in pdf.itertuples(index=False)
             ]
-            probs = kernels.score_batch(rows, W, use_adp=use_adp)
+            probs = kernels.score_batch(
+                rows, W, use_adp=use_adp, use_ent_pres=use_ent_pres
+            )
             out = pdf[keep_cols].reset_index(drop=True).copy()
             out["y_pred"] = probs.argmax(axis=1).astype("int32")
             out["p_rel"] = probs[:, 1]

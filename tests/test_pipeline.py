@@ -296,3 +296,53 @@ def test_position_bounds_matches_numpy_scan(spark, sf_dir):
         F.greatest(F.array_max("pos_e1"), F.array_max("pos_e2")).alias("m")
     ).agg(F.max("m").alias("m")).collect()[0].m
     assert full == got.pos_vocab_size
+
+
+def test_ent_pres_gated_scoring(spark, sf_dir):
+    """M12 consumption (gated): with use_ent_pres=True the input concat
+    gains the raw 2-bit pair (xdim+2, reference n_in += 2) and scoring
+    runs end-to-end on Spark; numpy kernel parity on the same rows."""
+    import numpy as np
+
+    from cross_sentence_relation_extraction_idepnn_spark import kernels
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.scoring import (
+        FEATURE_COLS,
+        score_pairs,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    W = kernels.init_weights(use_ent_pres=True)
+    sents = segment(transcripts(spark, sf_dir))
+    feats = featurize_pair(
+        candidate_windows(candidate_pairs(detect_mentions(spark, sents)), sents)
+    ).filter("ok").limit(40).cache()
+
+    got = (
+        score_pairs(feats, weights=W, use_ent_pres=True, keep_cols=["cand_id"])
+        .orderBy("cand_id")
+        .collect()
+    )
+    cols = FEATURE_COLS + ["ent_pres_e1", "ent_pres_e2"]
+    raw = feats.select("cand_id", *cols).orderBy("cand_id").collect()
+    rows = [{k: list(r[k]) for k in cols} for r in raw]
+    probs = kernels.score_batch(rows, W, use_ent_pres=True)
+    assert [r.cand_id for r in got] == [r.cand_id for r in raw]
+    assert np.allclose([r.p_rel for r in got], probs[:, 1])
+    # the channel is live: zeroing the bits changes at least one score
+    rows0 = [
+        {**r, "ent_pres_e1": [0] * len(r["ent_pres_e1"]),
+         "ent_pres_e2": [0] * len(r["ent_pres_e2"])}
+        for r in rows
+    ]
+    any_flag = any(any(r["ent_pres_e1"]) or any(r["ent_pres_e2"]) for r in rows)
+    assert any_flag
+    probs0 = kernels.score_batch(rows0, W, use_ent_pres=True)
+    assert not np.allclose(probs[:, 1], probs0[:, 1])
