@@ -127,3 +127,39 @@ def test_spark_submit_pyfiles_job(tmp_path):
     line = [l for l in out.stdout.splitlines() if l.startswith('{"job"')][-1]
     res = json.loads(line)
     assert res["triples"] == 108  # == entry() at sf0.001
+
+
+def test_results_invariant_under_parallelism(tmp_path):
+    """The KG must be bit-identical at different parallelism levels
+    (local[2] vs local[16], different shuffle-partition counts) — no
+    hidden dependence on partitioning, task order, or AQE decisions."""
+    script = r'''
+import sys, hashlib
+from pyspark.sql import SparkSession
+def run(cores, parts):
+    spark = (SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"inv_{cores}")
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate())
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import materialize_kg
+    rows = sorted(map(str, materialize_kg(spark, "/root/testdata/sf0.001").collect()))
+    spark.stop()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest(), len(rows)
+h2 = run(2, 4)
+h16 = run(16, 32)
+print("H", h2, h16)
+assert h2 == h16, (h2, h16)
+'''
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        cwd=ROOT,
+    )
+    # the script itself asserts hash equality; nonzero rc = divergence
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert [l for l in out.stdout.splitlines() if l.startswith("H ")]
