@@ -26,6 +26,7 @@ from cross_sentence_relation_extraction_idepnn_spark.functions.text import (
     normalize_chain,
 )
 from cross_sentence_relation_extraction_idepnn_spark.operators import (
+    curation,
     dedup,
     multimodal,
     similarity,
@@ -270,6 +271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": similarity.cosine_topk,
         "lsh_ann_topk": similarity.lsh_ann_topk,
         "ivf_ann_topk": similarity.ivf_ann_topk,
+        # curation family (PII scrub, Gopher repetition, decontamination)
+        # plant=True: deterministic PII spans keep the masking path
+        # non-vacuous (the synthetic corpus has no organic PII)
+        "pii_scrub": lambda s, d: curation.pii_scrub(s, d, plant=True),
+        "repetition_score": curation.repetition_score,
+        "decontaminate": curation.decontaminate,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -440,6 +447,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_batch": stream_events_mod.duck_sessionize_batch(),
         "tool_usage": f"WITH transcripts AS ({duck_transcripts_cte()}) {duck_tool_usage()}",
         "lang_id": textstats.duck_lang_id(),
+        "pii_scrub": curation.duck_pii_scrub(plant=True),
+        "repetition_score": curation.duck_repetition(),
+        "decontaminate": curation.duck_decontaminate(),
         "quality_score": textstats.duck_quality(),
         "token_counts": textstats.duck_token_counts(),
         "doc_fingerprint": textstats.duck_fingerprint(),

@@ -1,0 +1,200 @@
+"""Training-data curation operators (task-brief LLM-pipeline family):
+PII scrubbing, repetition scoring, and benchmark decontamination over
+the ``documents`` table.
+
+All three are the shapes a 100 TB curation pass needs:
+
+- ``pii_scrub`` — narrow regexp chain, zero shuffles, whole-stage
+  codegen (the regex dialect is kept to the Java/RE2 common subset so
+  the DuckDB oracle matches byte-for-byte);
+- ``repetition_score`` — Gopher-style repeated-n-gram fraction, pure
+  array algebra per row, emitted as INTEGER (total, distinct) counts
+  so there is no float-rounding knife-edge between engines;
+- ``decontaminate`` — n-gram overlap against a benchmark set: the
+  benchmark's shingle table is tiny (that is the real-world shape —
+  eval sets are KBs against TBs of training data), so the probe join
+  broadcasts; the corpus side is one explode + semi-join, never a
+  cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Java-regex / RE2 common subset only (no lookarounds, no \b).
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}", "<PHONE>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+]
+
+REP_N = 3  # repeated-n-gram window (Gopher uses 2..4-gram fractions)
+
+DECON_N = 8  # contamination shingle width (n-gram overlap standard)
+BENCH_EVERY = 50  # deterministic benchmark subset: doc_id % 50 == 0
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+PII_PLANT_EVERY = 20  # synthetic corpus carries no organic PII
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str, plant: bool = False) -> DataFrame:
+    """(doc_id, clean_text, n_pii) — mask emails/phones/SSN-likes and
+    count masked spans. Narrow; no shuffle.
+
+    ``plant=True`` deterministically appends one email + one SSN-like
+    span to every ``PII_PLANT_EVERY``-th doc (mirrored in the oracle)
+    so the masking path is non-vacuous on the synthetic corpus."""
+    text = F.col("text")
+    if plant:
+        text = F.when(
+            F.col("doc_id") % PII_PLANT_EVERY == 0,
+            F.concat(
+                text,
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com id 123-45-6789"),
+            ),
+        ).otherwise(text)
+    clean = text
+    for pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    n_pii = sum(
+        (F.size(F.split(text, pat, -1)) - 1 for pat, _ in PII_PATTERNS),
+        F.lit(0),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_pii.cast("int").alias("n_pii"),
+    )
+
+
+def duck_pii_scrub(plant: bool = False) -> str:
+    text = "text"
+    if plant:
+        text = (
+            f"CASE WHEN doc_id % {PII_PLANT_EVERY} = 0 THEN text"
+            " || ' contact user' || CAST(doc_id AS VARCHAR)"
+            " || '@example.com id 123-45-6789' ELSE text END"
+        )
+    clean = text
+    npii = []
+    for pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+        npii.append(f"(len(string_split_regex({text}, '{pat}')) - 1)")
+    return f"""
+        SELECT doc_id, {clean} AS clean_text,
+               CAST({' + '.join(npii)} AS INT) AS n_pii
+        FROM documents
+    """
+
+
+def repetition_score(spark: SparkSession, sf_dir: str, n: int = REP_N) -> DataFrame:
+    """(doc_id, n_grams, n_distinct) — word-``n``-gram totals per doc.
+    The repeated fraction is ``1 - n_distinct/n_grams``; both sides are
+    emitted as exact integers (no cross-engine float rounding). Docs
+    shorter than ``n`` words emit (0, 0)."""
+    ws = F.split(F.col("text"), " ")
+    # guard: Spark sequence(0, -1) DESCENDS — short docs must yield []
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", grams.alias("g"))
+        .select(
+            "doc_id",
+            F.size("g").cast("int").alias("n_grams"),
+            F.size(F.array_distinct("g")).cast("int").alias("n_distinct"),
+        )
+    )
+
+
+def duck_repetition() -> str:
+    n = REP_N
+    return f"""
+        SELECT doc_id,
+               CAST(len(g) AS INT) AS n_grams,
+               CAST(len(list_distinct(g)) AS INT) AS n_distinct
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, GREATEST(len(ws) - {n} + 1, 0)),
+                       i -> array_to_string(ws[i + 1 : i + {n}], ' ')
+                   ) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        )
+    """
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = DECON_N,
+    bench_every: int = BENCH_EVERY,
+) -> DataFrame:
+    """(doc_id, contaminated) over the non-benchmark corpus: a doc is
+    contaminated when it shares ANY word-``n``-gram with a benchmark
+    document (deterministic benchmark subset ``doc_id % bench_every
+    == 0``). The benchmark shingle set is dimension-sized → broadcast
+    semi-join; the corpus side is explode + distinct per doc."""
+    ws = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", grams.alias("g"))
+    bench_g = (
+        docs.filter(F.col("doc_id") % bench_every == 0)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % bench_every != 0)
+    hit = (
+        corpus.select("doc_id", F.explode("g").alias("gram"))
+        .join(F.broadcast(bench_g), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return corpus.join(hit.withColumn("contaminated", F.lit(True)), "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
+def duck_decontaminate() -> str:
+    n, be = DECON_N, BENCH_EVERY
+    return f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, GREATEST(len(ws) - {n} + 1, 0)),
+                       i -> array_to_string(ws[i + 1 : i + {n}], ' ')
+                   )) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ),
+        bench AS (
+            SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % {be} = 0
+        ),
+        corpus AS (SELECT * FROM g WHERE doc_id % {be} != 0),
+        hits AS (
+            SELECT DISTINCT c.doc_id
+            FROM (SELECT doc_id, UNNEST(grams) AS gram FROM corpus) c
+            JOIN bench USING (gram)
+        )
+        SELECT corpus.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+        FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
+    """

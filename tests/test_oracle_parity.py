@@ -80,3 +80,25 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"subj", "pred", "obj", "support", "max_score", "min_k"}
+
+
+def test_curation_ops_nonvacuous(spark, sf_dir):
+    """The curation family must exercise its interesting paths on the
+    fixture: planted PII gets masked, duplicate n-grams exist, and the
+    decontamination join flags at least one doc."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators import curation
+
+    pii = curation.pii_scrub(spark, sf_dir, plant=True)
+    masked = pii.filter("n_pii > 0")
+    assert masked.count() > 0
+    one = masked.first()
+    assert "<EMAIL>" in one.clean_text and "<SSN>" in one.clean_text
+    assert "@example.com" not in one.clean_text
+
+    rep = curation.repetition_score(spark, sf_dir)
+    assert rep.filter("n_distinct < n_grams").count() > 0
+    assert rep.filter("n_distinct > n_grams").count() == 0  # invariant
+
+    dec = curation.decontaminate(spark, sf_dir)
+    assert dec.filter("contaminated").count() > 0
+    assert dec.filter("NOT contaminated").count() > 0
