@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": lambda s, d: curation.pii_scrub(s, d, plant=True),
         "repetition_score": curation.repetition_score,
         "decontaminate": curation.decontaminate,
+        "sample_stratified": curation.sample_stratified,
+        "domain_mixture": curation.domain_mixture,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -450,6 +452,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": curation.duck_pii_scrub(plant=True),
         "repetition_score": curation.duck_repetition(),
         "decontaminate": curation.duck_decontaminate(),
+        "sample_stratified": curation.duck_sample_stratified(),
+        "domain_mixture": curation.duck_domain_mixture(),
         "quality_score": textstats.duck_quality(),
         "token_counts": textstats.duck_token_counts(),
         "doc_fingerprint": textstats.duck_fingerprint(),

@@ -198,3 +198,93 @@ def duck_decontaminate() -> str:
         SELECT corpus.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
         FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
     """
+
+
+# --------------------------------------------------------------- sampling
+
+from ..hashing import duck_h15, spark_h15  # noqa: E402
+
+STRATUM_MOD = 4  # deterministic domain proxy: doc_id % 4
+SAMPLE_RATES = {0: 10000, 1: 5000, 2: 2500, 3: 1000}  # per-10k keep rates
+MIXTURE_QUOTAS = {0: 60, 1: 30, 2: 15, 3: 5}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, stratum) — deterministic per-stratum Bernoulli sample
+    via hash threshold: keep doc iff ``H(doc_id) % 10000 <
+    rate_per_10k[stratum]``. Reproducible (same sample every run, any
+    cluster size), ZERO shuffles — the shape a 100 TB mixture-building
+    pass needs (Spark's ``sampleBy`` is seed-and-partition dependent;
+    a content hash is not)."""
+    h = spark_h15(F.col("doc_id").cast("string")) % 10000
+    stratum = (F.col("doc_id") % STRATUM_MOD).cast("int")
+    rate = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]
+        ),
+        stratum,
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", stratum.alias("stratum"), (h < rate).alias("keep"))
+        .filter("keep")
+        .select("doc_id", "stratum")
+    )
+
+
+def duck_sample_stratified() -> str:
+    h = duck_h15("CAST(doc_id AS VARCHAR)")
+    rate = "CASE " + " ".join(
+        f"WHEN doc_id % {STRATUM_MOD} = {k} THEN {v}"
+        for k, v in SAMPLE_RATES.items()
+    ) + " END"
+    return f"""
+        SELECT doc_id, CAST(doc_id % {STRATUM_MOD} AS INT) AS stratum
+        FROM documents
+        WHERE {h} % 10000 < {rate}
+    """
+
+
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, stratum, rk) — exact per-domain quotas by hash rank:
+    rank docs inside each stratum by ``(H(doc_id), doc_id)`` and keep
+    ``rk <= quota``. One shuffle (the per-stratum window). 100 TB note:
+    an exact global rank serializes per stratum — the production path
+    takes a per-partition pre-quota (keep the ``quota`` smallest hash
+    values per partition, a map-side top-K) before the final rank, so
+    the exchange carries O(partitions × quota) rows, not the corpus."""
+    from pyspark.sql import Window
+
+    h = spark_h15(F.col("doc_id").cast("string"))
+    stratum = (F.col("doc_id") % STRATUM_MOD).cast("int")
+    quota = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in MIXTURE_QUOTAS.items() for x in kv]
+        ),
+        F.col("stratum"),
+    )
+    w = Window.partitionBy("stratum").orderBy("h", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", stratum.alias("stratum"), h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "stratum", "rk")
+    )
+
+
+def duck_domain_mixture() -> str:
+    h = duck_h15("CAST(doc_id AS VARCHAR)")
+    quota = "CASE " + " ".join(
+        f"WHEN stratum = {k} THEN {v}" for k, v in MIXTURE_QUOTAS.items()
+    ) + " END"
+    return f"""
+        SELECT doc_id, stratum, rk FROM (
+            SELECT doc_id, stratum,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY stratum
+                                           ORDER BY h, doc_id) AS INT) AS rk
+            FROM (SELECT doc_id, CAST(doc_id % {STRATUM_MOD} AS INT) AS stratum,
+                         {h} AS h
+                  FROM documents)
+        ) WHERE rk <= {quota}
+    """
