@@ -102,3 +102,24 @@ def test_curation_ops_nonvacuous(spark, sf_dir):
     dec = curation.decontaminate(spark, sf_dir)
     assert dec.filter("contaminated").count() > 0
     assert dec.filter("NOT contaminated").count() > 0
+
+
+def test_decontaminate_flags_planted_benchmark_copy(spark, tmp_path):
+    """Semantic check on crafted docs: a corpus doc embedding an 8-gram
+    from a benchmark doc is flagged; an unrelated doc is not."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators import curation
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    leak = "prefix words here alpha beta gamma delta epsilon zeta eta theta trailing"
+    clean = "totally unrelated content with many distinct words in this row"
+    docs = spark.createDataFrame(
+        [(0, bench_text), (7, leak), (11, clean)], "doc_id long, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r.contaminated
+        for r in curation.decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert 0 not in out  # benchmark docs are excluded from the corpus side
+    assert out[7] is True
+    assert out[11] is False
