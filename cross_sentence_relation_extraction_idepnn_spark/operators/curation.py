@@ -245,18 +245,45 @@ def duck_sample_stratified() -> str:
     """
 
 
-def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def domain_mixture(
+    spark: SparkSession, sf_dir: str, prefilter: bool = True
+) -> DataFrame:
     """(doc_id, stratum, rk) — exact per-domain quotas by hash rank:
     rank docs inside each stratum by ``(H(doc_id), doc_id)`` and keep
-    ``rk <= quota``. One shuffle (the per-stratum window). 100 TB note:
-    an exact global rank serializes per stratum — the production path
-    takes a per-partition pre-quota (keep the ``quota`` smallest hash
-    values per partition, a map-side top-K) before the final rank, so
-    the exchange carries O(partitions × quota) rows, not the corpus."""
+    ``rk <= quota``.
+
+    Scale path (``prefilter=True``, default): an exact rank serializes
+    each stratum through one window task, so the corpus is first cut
+    to the survivors of a ``percentile_approx`` hash threshold — per
+    stratum, the ~``3×quota/count`` quantile of ``h`` (sketch
+    aggregates map-side-combine; the per-stratum count/threshold table
+    is 4 rows, collected and broadcast like ``position_bounds``). The
+    exact window then ranks only O(quota) survivors per stratum, not
+    the corpus. The 3× margin over the sketch's bounded rank error
+    keeps survivors ⊇ the true top-``quota``; equality with the
+    unfiltered exact rank is asserted in tests AND by the DuckDB
+    oracle (which ranks exhaustively)."""
     from pyspark.sql import Window
 
     h = spark_h15(F.col("doc_id").cast("string"))
     stratum = (F.col("doc_id") % STRATUM_MOD).cast("int")
+    base = _docs(spark, sf_dir).select(
+        "doc_id", stratum.alias("stratum"), h.alias("h")
+    )
+    if prefilter:
+        counts = {
+            r["stratum"]: r["cnt"]
+            for r in base.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()
+        }
+        frac = max(
+            min(1.0, 3.0 * MIXTURE_QUOTAS[s] / max(c, 1)) for s, c in counts.items()
+        )
+        thr = base.groupBy("stratum").agg(
+            F.percentile_approx("h", frac, 10000).alias("h_thr")
+        )
+        base = base.join(F.broadcast(thr), "stratum").filter(
+            F.col("h") <= F.col("h_thr")
+        )
     quota = F.element_at(
         F.create_map(
             *[F.lit(x) for kv in MIXTURE_QUOTAS.items() for x in kv]
@@ -265,9 +292,7 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("stratum").orderBy("h", "doc_id")
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", stratum.alias("stratum"), h.alias("h"))
-        .withColumn("rk", F.row_number().over(w).cast("int"))
+        base.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= quota)
         .select("doc_id", "stratum", "rk")
     )

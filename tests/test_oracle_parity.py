@@ -123,3 +123,13 @@ def test_decontaminate_flags_planted_benchmark_copy(spark, tmp_path):
     assert 0 not in out  # benchmark docs are excluded from the corpus side
     assert out[7] is True
     assert out[11] is False
+
+
+def test_domain_mixture_prefilter_is_lossless(spark, sf_dir):
+    """The percentile-threshold prefilter (scale path) must select the
+    exact same quota rows as the unfiltered exact rank."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators import curation
+
+    fast = curation.domain_mixture(spark, sf_dir, prefilter=True).collect()
+    slow = curation.domain_mixture(spark, sf_dir, prefilter=False).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
