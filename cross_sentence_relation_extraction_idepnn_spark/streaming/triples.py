@@ -12,15 +12,16 @@ Correctness contract (tested): on a bounded input driven with
 ``Trigger.AvailableNow``, the streamed triple set equals the batch
 triple set exactly.
 
-Conversation-completeness caveat (documented, by design): cross-turn
-candidate generation (J3, k ≤ K) needs a conversation's turns to be
-visible together. A micro-batch boundary that splits a conversation
-would lose cross-boundary pairs, so the production deployment closes
-conversations BEFORE extraction — either the upstream feed emits
-whole conversations (transcript logs are conversation-atomic), or the
-stateful sessionizer (``events.sessionize``, gap timeout) buffers
-turns per ``conv_id`` and releases closed sessions downstream. The
-``foreachBatch`` stage itself is conversation-agnostic either way.
+Conversation completeness: cross-turn candidate generation (J3,
+k ≤ K) needs a conversation's turns to be visible together. A
+micro-batch boundary that splits a conversation would lose
+cross-boundary pairs, so either the upstream feed emits whole
+conversations (transcript logs are conversation-atomic), or
+``buffer_conversations=True`` chains ``sessionize_turns`` — a
+stateful ``applyInPandasWithState`` operator that buffers turns per
+``conv_id`` and releases the WHOLE conversation on gap timeout —
+in front of the extraction stage. Both the split-loss and the
+buffered recovery are demonstrated in ``tests/test_streaming.py``.
 """
 
 from __future__ import annotations
@@ -46,6 +47,93 @@ def stream_transcripts(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+GAP_SECONDS = 10  # < the 13 s turn cadence: drains on bounded input
+WATERMARK = "0 seconds"
+
+
+def sessionize_turns(
+    stream: DataFrame,
+    gap_seconds: int = GAP_SECONDS,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Stateful conversation closer: buffer every turn per ``conv_id``
+    in the state store; when no new turn arrives within ``gap_seconds``
+    of event time (watermark-driven timeout), emit the WHOLE buffered
+    conversation downstream in one piece. This is what makes cross-turn
+    extraction exact under arbitrary micro-batch boundaries — the
+    extraction stage only ever sees closed, complete conversations.
+
+    Timer semantics worth knowing: an event-time timer only fires once
+    the WATERMARK passes it, and a key that receives data in a batch
+    is serviced through the data path (its timer resets) — so on a
+    bounded ``AvailableNow`` drain, the final empty batch flushes
+    every conversation whose gap has elapsed relative to the LAST
+    watermark. ``watermark`` delay + ``gap_seconds`` must together sit
+    inside the event-time span between the newest conversation's last
+    buffered turn and the stream's max event time, or that tail
+    conversation stays buffered (on a continuous production stream
+    this is a non-issue: the watermark keeps advancing).
+
+    Output schema == input transcript schema.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_seconds * 1000
+    state_schema = (
+        "turn_idx array<int>, role array<string>, text array<string>, "
+        "tool array<string>, ts_us array<long>"
+    )
+
+    def _emit(key, st) -> pd.DataFrame:
+        ti, ro, te, to, us = st
+        order = sorted(range(len(ti)), key=lambda i: ti[i])
+        return pd.DataFrame(
+            {
+                "conv_id": [key[0]] * len(ti),
+                "turn_idx": [ti[i] for i in order],
+                "role": [ro[i] for i in order],
+                "text": [te[i] for i in order],
+                "tool": [to[i] for i in order],
+                "ts": pd.to_datetime([us[i] for i in order], unit="us"),
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            st = state.get
+            state.remove()
+            yield _emit(key, st)
+            return
+        ti, ro, te, to, us = (
+            state.get if state.exists else ([], [], [], [], [])
+        )
+        ti, ro, te, to, us = list(ti), list(ro), list(te), list(to), list(us)
+        for pdf in pdfs:
+            ti += [int(x) for x in pdf["turn_idx"]]
+            ro += list(pdf["role"])
+            te += list(pdf["text"])
+            to += [None if pd.isna(x) else x for x in pdf["tool"]]
+            us += (pdf["ts"].astype("int64") // 1000).tolist()
+        state.update((ti, ro, te, to, us))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+        yield pd.DataFrame(
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TRANSCRIPT_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_triples(
     spark: SparkSession,
     src_dir: str,
@@ -54,6 +142,8 @@ def run_stream_triples(
     threshold: float = SCORE_THRESHOLD,
     max_k: int = MAX_K,
     weights=None,
+    buffer_conversations: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drive the transcript stream to completion (AvailableNow): every
     micro-batch runs the batch triple pipeline and appends its triples
@@ -69,9 +159,14 @@ def run_stream_triples(
         )
         out.write.mode("append").parquet(sink_dir)
 
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = src.parquet(src_dir)
+    if buffer_conversations:
+        stream = sessionize_turns(stream)
     q = (
-        stream_transcripts(spark, src_dir)
-        .writeStream.foreachBatch(one_batch)
+        stream.writeStream.foreachBatch(one_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -106,3 +106,67 @@ def test_stream_triples_restart_does_not_double_emit(spark, sf_dir, tmp_path):
     run_stream_triples(spark, src, sink, ckpt)  # restart, same checkpoint
     n2 = spark.read.parquet(sink).count()
     assert n1 == n2 > 0
+
+
+def test_conversation_buffering_recovers_split_conversations(spark, sf_dir, tmp_path):
+    """A micro-batch boundary that splits conversations loses
+    cross-boundary candidate pairs; chaining the stateful
+    sessionize_turns buffer recovers EXACT batch equality."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        triples_from_transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.streaming.triples import (
+        run_stream_triples,
+    )
+
+    tdf = transcripts(spark, sf_dir).filter(
+        F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("int") < 30
+    )
+    pdf = tdf.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't read ns parquet
+    # split EVERY conversation across the two source files
+    half = pdf.groupby("conv_id")["turn_idx"].transform("max") // 2
+    src = tmp_path / "turns"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf[pdf.turn_idx <= half]), src / "f1.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf[pdf.turn_idx > half]), src / "f2.parquet")
+
+    want = triples_from_transcripts(spark, spark.createDataFrame(pdf)).toPandas()
+    assert len(want) > 0
+
+    def run(buffered: bool, tag: str):
+        sink = str(tmp_path / f"out_{tag}")
+        run_stream_triples(
+            spark,
+            str(src),
+            sink,
+            str(tmp_path / f"ckpt_{tag}"),
+            buffer_conversations=buffered,
+            max_files_per_trigger=1,
+        )
+        return spark.read.parquet(sink).toPandas()
+
+    naive = run(False, "naive")
+    # the split really corrupts extraction: per-half nearest-pair
+    # selection (W5) re-emits duplicate entity pairs and severs
+    # cross-boundary ones — the naive triple multiset differs
+    key = ["conv_id", "subj", "obj", "cand_id"]
+    assert sorted(map(tuple, naive[key].values)) != sorted(
+        map(tuple, want[key].values)
+    )
+
+    got = run(True, "buffered")
+    cols = sorted(want.columns)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
