@@ -54,10 +54,14 @@ def parse_standoff(lines: DataFrame) -> DataFrame:
     Column expressions — the S3 mapping from SURVEY.md §2.1.
     """
     tab = F.split(F.col("line"), "\t")
-    ann_id = F.element_at(tab, 1)
-    body = F.split(F.element_at(tab, 2), " ")
+    ann_id = F.try_element_at(tab, F.lit(1))
+    body = F.split(F.try_element_at(tab, F.lit(2)), " ")
     is_ent = ann_id.startswith("T")
     is_rel = ann_id.startswith("R")
+    # try_element_at / try_cast throughout: the reference's parse loop
+    # skips lines it cannot parse (try/except + counters); under
+    # Spark 4 ANSI mode a plain element_at/cast would instead kill the
+    # job on the first malformed line of a 100 TB scan.
     parsed = lines.select(
         "conv_id",
         ann_id.alias("ann_id"),
@@ -65,19 +69,32 @@ def parse_standoff(lines: DataFrame) -> DataFrame:
         .when(is_rel, F.lit("relation"))
         .otherwise(F.lit("other"))
         .alias("kind"),
-        F.element_at(body, 1).alias("tag"),
-        F.when(is_ent, F.element_at(body, 2).cast("int")).alias("start"),
-        F.when(is_ent, F.element_at(body, 3).cast("int")).alias("end"),
-        F.when(is_ent, F.element_at(tab, 3)).alias("mention"),
-        F.when(is_rel, F.regexp_extract(F.element_at(body, 2), r"Arg1:(\S+)", 1)).alias(
-            "arg1"
-        ),
-        F.when(is_rel, F.regexp_extract(F.element_at(body, 3), r"Arg2:(\S+)", 1)).alias(
-            "arg2"
-        ),
+        F.try_element_at(body, F.lit(1)).alias("tag"),
+        F.when(is_ent, F.try_element_at(body, F.lit(2)).try_cast("int")).alias("start"),
+        F.when(is_ent, F.try_element_at(body, F.lit(3)).try_cast("int")).alias("end"),
+        F.when(is_ent, F.try_element_at(tab, F.lit(3))).alias("mention"),
+        F.when(
+            is_rel,
+            F.regexp_extract(F.try_element_at(body, F.lit(2)), r"Arg1:(\S+)", 1),
+        ).alias("arg1"),
+        F.when(
+            is_rel,
+            F.regexp_extract(F.try_element_at(body, F.lit(3)), r"Arg2:(\S+)", 1),
+        ).alias("arg2"),
+    )
+    # malformed-line skip (reference try/except semantics): an entity
+    # needs offsets + mention, a relation needs both args
+    well_formed = (
+        ((F.col("kind") == "entity")
+         & F.col("start").isNotNull() & F.col("end").isNotNull()
+         & F.col("mention").isNotNull())
+        | ((F.col("kind") == "relation")
+           & (F.col("arg1") != "") & (F.col("arg2") != ""))
+        | ((F.col("kind") == "other")
+           & (F.col("ann_id") != "") & F.col("tag").isNotNull())
     )
     # F1: Title/Paragraph entity drop (generate_bb_training_data_2016.py:554-560)
-    return parsed.filter(
+    return parsed.filter(well_formed).filter(
         ~(F.col("kind") == "entity")
         | ~F.lower(F.col("tag")).isin("title", "paragraph")
     )
@@ -163,14 +180,16 @@ def parse_cc_records(
     parse time). Default off, matching the reference's default config.
     """
     f = F.split(F.col("rec"), " :: ")
+    # try_* variants + well-formed filter: skip unparseable records
+    # like the reference's positional parse (ANSI-safe at scale)
     out = records.select(
-        F.element_at(f, 1).alias("conv_id"),
-        F.element_at(f, 2).cast("int").alias("k"),
-        F.element_at(f, 3).alias("label"),
-        F.element_at(f, 4).alias("e1"),
-        F.element_at(f, 5).alias("e2"),
-        F.element_at(f, 6).alias("tagged_text"),
-    )
+        F.try_element_at(f, F.lit(1)).alias("conv_id"),
+        F.try_element_at(f, F.lit(2)).try_cast("int").alias("k"),
+        F.try_element_at(f, F.lit(3)).alias("label"),
+        F.try_element_at(f, F.lit(4)).alias("e1"),
+        F.try_element_at(f, F.lit(5)).alias("e2"),
+        F.try_element_at(f, F.lit(6)).alias("tagged_text"),
+    ).filter(F.col("k").isNotNull() & F.col("tagged_text").isNotNull())
     if remove_other_class:
         out = out.filter(F.col("label") != other_label)
     return out

@@ -221,3 +221,43 @@ def test_write_a2_zip_roundtrip(spark, tmp_path):
     with zipfile.ZipFile(zpath) as zf:
         assert sorted(zf.namelist()) == ["d1.a2", "d2.a2"]
         assert zf.read("d2.a2").decode() == "R1\tLives_In Bacteria:T5 Location:T6\n"
+
+
+def test_parsers_skip_malformed_lines(spark):
+    """Reference parse loops skip unparseable lines (try/except +
+    counters); the Spark parsers must do the same instead of dying on
+    an ANSI cast/index error — one bad line must not kill a 100 TB scan."""
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
+        parse_cc_records,
+        parse_standoff,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ("c1", "garbage no tabs"),
+            ("c1", "T1\tOP 0"),  # entity missing end+mention
+            ("c1", ""),
+            ("c1", "T5\tHabitat 0 7\tgut"),  # valid entity
+            ("c1", "R1\tLives_In Arg1:T5 Arg2:T6"),  # valid relation
+            ("c1", "R2\tLives_In Arg1:T5"),  # relation missing Arg2
+            ("c1", "T9\tnotanint x y\tz"),  # non-numeric offsets
+        ],
+        "conv_id string, line string",
+    )
+    got = parse_standoff(lines).collect()
+    assert sorted(r.ann_id for r in got) == ["R1", "T5"]
+
+    recs = spark.createDataFrame(
+        [
+            ("no separators here",),
+            ("a :: b",),
+            ("",),
+            ("c1 :: 0 :: Rel :: a :: b :: <e1> a </e1> x <e2> b </e2>",),
+            ("c1 :: notint :: Rel :: a :: b :: t",),
+        ],
+        "rec string",
+    )
+    kept = parse_cc_records(recs).collect()
+    assert len(kept) == 1 and kept[0].k == 0
