@@ -104,14 +104,14 @@ def succession_triples(bindings: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         F.col("obj_id").alias("ev_id"),
-        F.regexp_extract("value", r"<IN_AND_OUT-(\d+)>", 1).cast("int").alias("io_id"),
+        F.regexp_extract("value", r"<IN_AND_OUT-(\d+)>", 1).try_cast("int").alias("io_id"),
     )
     person_ref = bindings.filter(
         (F.col("obj_type") == "IN_AND_OUT") & (F.col("slot") == "IO_PERSON")
     ).select(
         "doc_id",
         F.col("obj_id").alias("io_id"),
-        F.regexp_extract("value", r"<PERSON-(\d+)>", 1).cast("int").alias("per_id"),
+        F.regexp_extract("value", r"<PERSON-(\d+)>", 1).try_cast("int").alias("per_id"),
     )
     status = bindings.filter(
         (F.col("obj_type") == "IN_AND_OUT") & (F.col("slot") == "NEW_STATUS")

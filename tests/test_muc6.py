@@ -149,3 +149,28 @@ def test_muc6_doc_sentences_order_and_boundaries(spark):
         "Done.",
     ]
     assert got["930101-0002"] == ["One short paragraph only."]
+
+
+def test_succession_triples_skips_malformed_refs(spark):
+    """A slot value that doesn't match the <TYPE-n> reference pattern
+    must drop out of the join (reference try/except), not raise an
+    ANSI cast error."""
+    from cross_sentence_relation_extraction_idepnn_spark.sources.muc6 import (
+        succession_triples,
+    )
+
+    rows = [
+        ("d1", "SUCCESSION_EVENT", 1, "POST", "CEO"),
+        ("d1", "SUCCESSION_EVENT", 1, "IN_AND_OUT", "BROKEN_REF"),  # malformed
+        ("d1", "SUCCESSION_EVENT", 2, "POST", "CFO"),
+        ("d1", "SUCCESSION_EVENT", 2, "IN_AND_OUT", "<IN_AND_OUT-7>"),
+        ("d1", "IN_AND_OUT", 7, "IO_PERSON", "<PERSON-3>"),
+        ("d1", "IN_AND_OUT", 7, "NEW_STATUS", "IN"),
+        ("d1", "PERSON", 3, "PER_NAME", "Jane Roe"),
+    ]
+    b = spark.createDataFrame(
+        rows, "doc_id string, obj_type string, obj_id int, slot string, value string"
+    )
+    got = succession_triples(b).collect()
+    assert len(got) == 1
+    assert (got[0].person, got[0].post, got[0].status) == ("Jane Roe", "CFO", "IN")
