@@ -7,10 +7,11 @@ DuckDB-equivalent SQL for each SQL-expressible query. Column names are
 aliased identically on both sides (the driver hashes values after
 sorting columns by name).
 
-Non-SQL-expressible entries (model-scoring kernels over mapInPandas:
-``featurized_sdp``, ``triples``, ``kg``) intentionally have no oracle —
-the driver records rows-only checks; their semantics are covered by
-``tests/`` against the pure-numpy kernel oracle instead.
+Non-SQL-expressible entries (model-kernel outputs over mapInPandas:
+``featurized_sdp``, ``adp_degree``, ``position_bounds``, ``triples``,
+``kg``, ``a2_lines``, ``multimodal_features``) intentionally have no
+oracle — the driver records rows-only checks; their semantics are
+covered by ``tests/`` against pure-numpy kernel oracles instead.
 """
 
 from __future__ import annotations
