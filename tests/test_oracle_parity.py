@@ -133,3 +133,27 @@ def test_domain_mixture_prefilter_is_lossless(spark, sf_dir):
     fast = curation.domain_mixture(spark, sf_dir, prefilter=True).collect()
     slow = curation.domain_mixture(spark, sf_dir, prefilter=False).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_locate_annotations_drops_unmatchable(spark):
+    """An annotation whose offset hits no sentence AND whose surface
+    appears nowhere in the turn is dropped (the reference counts and
+    skips it) — crafted-input pin of the drop behavior."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        locate_annotations,
+    )
+
+    sents = spark.createDataFrame(
+        [("c1", 0, 0, "the cat sat", 0, 11)],
+        "conv_id string, turn_idx int, sent_idx int, sent_text string, begin int, end int",
+    )
+    anns = spark.createDataFrame(
+        [
+            ("c1", 0, "a1", 4, 7, "cat"),        # offset hit
+            ("c1", 0, "a2", 900, 903, "sat"),    # drifted, contains-recoverable
+            ("c1", 0, "a3", 900, 903, "zebra"),  # unmatchable -> dropped
+        ],
+        "conv_id string, turn_idx int, ann_id string, a_begin int, a_end int, surface string",
+    )
+    got = {r.ann_id: r.via for r in locate_annotations(anns, sents).collect()}
+    assert got == {"a1": "offset", "a2": "contains"}
