@@ -184,3 +184,208 @@ def featurize_pair(windows: DataFrame) -> DataFrame:
             yield out
 
     return windows.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------- DuckDB oracles for the SDP family
+
+def duck_sdp_ctes() -> str:
+    """CTE chain computing the per-candidate iSDP length in pure SQL —
+    the cross-engine oracle for the flagship kernel outputs
+    (``featurized_sdp``, ``triples``, ``kg``, ``a2_lines``,
+    ``position_bounds``, ``adp_degree``).
+
+    The deterministic grammar (G1, ``kernels.head_of``) makes every
+    candidate-window graph a TREE: per-sentence heads always point
+    left (token 0 = root) and adjacent sentence roots are chained
+    (G2, reference ``generate_sdp.py:106``), so the BFS shortest path
+    (G4, ``generate_sdp.py:111-114``) is the unique tree path and its
+    length has a closed form:
+
+    - ``depth(i)`` (edges to the sentence root): with ``A(i)`` = count
+      of *anchor* tokens (``h15(word) % 3 == 0``) strictly before *i*
+      and ``a1`` = first anchor position, ``depth = i`` when
+      ``A(i) = 0`` else ``a1 + A(i)`` (each anchor chains to the
+      previous anchor; the prefix before the first anchor is the
+      consecutive fallback chain ``i → i-1 → …``). Verified against
+      the kernel BFS on randomized sentences (test_kernels).
+    - cross-sentence pair: ``depth(t1) + |sent2 - sent1| + depth(t2)``
+      (the only inter-sentence edges are root–root).
+    - same-sentence pair: min over common ancestors *w* of
+      ``d(t1,w) + d(t2,w)`` — ancestor paths come from a recursive CTE
+      over the head pointers (heads strictly decrease, so it
+      terminates). Requires ``WITH RECURSIVE``.
+
+    Composes after :func:`candidates.duck_full_prefix` (tables
+    ``sentences`` and ``candidates`` must be in scope).
+    """
+    from ..hashing import duck_h15
+
+    anchor = duck_h15("lower(w)") + " % 3 = 0"
+    return f"""
+        , sdp_toks AS (
+            SELECT conv_id, sent_idx, CAST(i AS INT) AS tok,
+                   {anchor} AS is_anchor
+            FROM (
+                SELECT conv_id, sent_idx, ws[CAST(i AS INT) + 1] AS w, i
+                FROM (SELECT conv_id, sent_idx,
+                             string_split(sent_text, ' ') AS ws,
+                             UNNEST(range(len(string_split(sent_text, ' ')))) AS i
+                      FROM sentences)
+            )
+        )
+        , sdp_heads AS (
+            SELECT conv_id, sent_idx, tok,
+                   CASE WHEN tok = 0 THEN -1
+                        ELSE CAST(COALESCE(
+                            MAX(CASE WHEN is_anchor THEN tok END)
+                                OVER (PARTITION BY conv_id, sent_idx ORDER BY tok
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            tok - 1) AS INT) END AS head,
+                   CAST(COUNT(CASE WHEN is_anchor THEN 1 END)
+                        OVER (PARTITION BY conv_id, sent_idx ORDER BY tok
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT)
+                       AS a_before,
+                   CAST(MIN(CASE WHEN is_anchor THEN tok END)
+                        OVER (PARTITION BY conv_id, sent_idx) AS INT) AS first_anchor
+            FROM sdp_toks
+        )
+        , sdp_depths AS (
+            SELECT conv_id, sent_idx, tok,
+                   CASE WHEN a_before = 0 THEN tok
+                        ELSE first_anchor + a_before END AS depth
+            FROM sdp_heads
+        )
+        , sdp_ss_endpoints AS (
+            SELECT DISTINCT conv_id, sent1 AS sent_idx, tok1 AS tok
+            FROM candidates WHERE sent1 = sent2
+            UNION
+            SELECT DISTINCT conv_id, sent2 AS sent_idx, tok2 AS tok
+            FROM candidates WHERE sent1 = sent2
+        )
+        , sdp_anc AS (
+            SELECT conv_id, sent_idx, tok AS src, tok AS node, 0 AS d
+            FROM sdp_ss_endpoints
+            UNION ALL
+            SELECT a.conv_id, a.sent_idx, a.src, h.head AS node, a.d + 1 AS d
+            FROM sdp_anc a
+            JOIN sdp_heads h ON h.conv_id = a.conv_id
+                            AND h.sent_idx = a.sent_idx AND h.tok = a.node
+            WHERE h.head >= 0
+        )
+        , sdp_ss_dist AS (
+            SELECT u.conv_id, u.sent_idx, u.src AS tok_u, v.src AS tok_v,
+                   MIN(u.d + v.d) AS dist
+            FROM sdp_anc u
+            JOIN sdp_anc v ON u.conv_id = v.conv_id
+                          AND u.sent_idx = v.sent_idx AND u.node = v.node
+            GROUP BY ALL
+        )
+        , sdp_win_ok AS (
+            -- the kernel quarantines (ok=false) exactly when a window
+            -- sentence tokenizes empty (F5); unreachable is impossible
+            -- (tree) and coordinates are exact (G3)
+            SELECT c.cand_id, c.conv_id,
+                   BOOL_AND(trim(s.sent_text) <> '') AS ok
+            FROM candidates c
+            JOIN sentences s ON s.conv_id = c.conv_id
+               AND s.sent_idx BETWEEN LEAST(c.sent1, c.sent2)
+                                  AND GREATEST(c.sent1, c.sent2)
+            GROUP BY ALL
+        )
+        , sdp AS (
+            SELECT c.*, o.ok,
+                   CAST(CASE WHEN c.sent1 = c.sent2 THEN sd.dist
+                        ELSE d1.depth + ABS(c.sent2 - c.sent1) + d2.depth
+                        END AS INT) AS sdp_dist
+            FROM candidates c
+            JOIN sdp_win_ok o ON o.conv_id = c.conv_id AND o.cand_id = c.cand_id
+            LEFT JOIN sdp_ss_dist sd ON sd.conv_id = c.conv_id
+                 AND sd.sent_idx = c.sent1
+                 AND sd.tok_u = c.tok1 AND sd.tok_v = c.tok2
+            LEFT JOIN sdp_depths d1 ON d1.conv_id = c.conv_id
+                 AND d1.sent_idx = c.sent1 AND d1.tok = c.tok1
+            LEFT JOIN sdp_depths d2 ON d2.conv_id = c.conv_id
+                 AND d2.sent_idx = c.sent2 AND d2.tok = c.tok2
+        )
+    """
+
+
+def duck_sdp_prefix() -> str:
+    """Full ``WITH RECURSIVE`` prefix: transcripts → … → candidates →
+    sdp (per-candidate tree distance)."""
+    from .candidates import duck_full_prefix
+
+    return (
+        duck_full_prefix().replace("WITH ", "WITH RECURSIVE ", 1) + duck_sdp_ctes()
+    )
+
+
+def duck_featurized_sdp() -> str:
+    """Oracle for the ``featurized_sdp`` driver query: sdp_len =
+    tree distance + 1 (path node count; contained pair → 1)."""
+    return f"""
+        {duck_sdp_prefix()}
+        SELECT conv_id, cand_id, k, ok,
+               CASE WHEN ok THEN sdp_dist + 1 END AS sdp_len
+        FROM sdp
+    """
+
+
+def duck_triples(gold_max_hops: int, predicate: str) -> str:
+    """Oracle for the flagship ``triples`` set: the trained scorer
+    reproduces the corpus gold rule (relation ⟺ SDP ≤ ``gold_max_hops``
+    edges — ``training.gold_label``; P=R=1.0 with wide margins at the
+    tested scales, ``tests/test_parity.py``), so the emitted triple
+    set is SQL-expressible even though the RNN score itself is not.
+
+    ``cand_id`` uses the fast-path natural key ``conv#e1#e2``
+    (``candidate_pairs_fast``; unique — pairs are deduped to nearest
+    per (conv, e1, e2)), not the slow path's ``conv#seq``."""
+    return f"""
+        {duck_sdp_prefix()}
+        SELECT conv_id,
+               e1_id AS subj, '{predicate}' AS pred, e2_id AS obj,
+               e1_surface AS subj_surface, e2_surface AS obj_surface,
+               k, conv_id || '#' || e1_id || '#' || e2_id AS cand_id
+        FROM sdp WHERE ok AND sdp_dist <= {gold_max_hops}
+    """
+
+
+def duck_position_bounds() -> str:
+    """Oracle for A4: the SDP path starts at e1 and ends at e2
+    (``featurize_window``: path = bfs(g1→g2)), so p1 = 0 and
+    p2 = len-1 and the signed-distance bounds collapse to
+    ±max(sdp_dist) with pos_vocab_size = 2·max(sdp_dist)."""
+    return f"""
+        {duck_sdp_prefix()}
+        SELECT CAST(-MAX(sdp_dist) AS INT) AS min_pos,
+               CAST(MAX(sdp_dist) AS INT) AS max_pos,
+               CAST(2 * MAX(sdp_dist) AS INT) AS pos_vocab_size
+        FROM sdp WHERE ok
+    """
+
+
+def duck_adp_degree() -> str:
+    """Oracle for A5: per-window max ADP fan-out = max over window
+    sentences of per-head child counts, vs the dummy root's fan-out
+    (= window sentence count, ``kernels.combined_parents``)."""
+    return f"""
+        {duck_sdp_prefix()}
+        , sdp_fan AS (
+            SELECT conv_id, sent_idx, MAX(cnt) AS max_fan
+            FROM (SELECT conv_id, sent_idx, head, COUNT(*) AS cnt
+                  FROM sdp_heads WHERE head >= 0 GROUP BY ALL)
+            GROUP BY ALL
+        )
+        SELECT CAST(MAX(win_deg) AS INT) AS max_degree FROM (
+            SELECT GREATEST(
+                       COALESCE(MAX(f.max_fan), 0),
+                       GREATEST(c.sent1, c.sent2) - LEAST(c.sent1, c.sent2) + 1
+                   ) AS win_deg
+            FROM candidates c
+            LEFT JOIN sdp_fan f ON f.conv_id = c.conv_id
+               AND f.sent_idx BETWEEN LEAST(c.sent1, c.sent2)
+                                  AND GREATEST(c.sent1, c.sent2)
+            GROUP BY c.conv_id, c.cand_id, c.sent1, c.sent2
+        )
+    """

@@ -279,3 +279,40 @@ def dedup_triples(triples: DataFrame) -> DataFrame:
             F.min("k").alias("min_k"),
         )
     )
+
+
+def duck_canonicalize_ctes() -> str:
+    """G6 oracle CTE chain (requires ``WITH RECURSIVE`` and a
+    ``mentions`` CTE in scope): bigram-Jaccard edges over distinct
+    mention surfaces, min-reachable-label connected components, ending
+    in ``canon(surface, component)``. Shared by the standalone
+    ``canonicalize`` oracle and the ``kg`` oracle's re-keying join."""
+    return f"""
+        , cc_nodes AS (SELECT DISTINCT surface FROM mentions),
+        bg AS (
+            SELECT surface,
+                   list_distinct(
+                       CASE WHEN length(surface) >= 2
+                            THEN list_transform(range(1, length(surface)),
+                                                i -> substr(surface, CAST(i AS INT), 2))
+                            ELSE [surface] END) AS bgs
+            FROM cc_nodes
+        ),
+        cc_edges AS (
+            SELECT a.surface AS src, b.surface AS dst
+            FROM bg a JOIN bg b ON a.surface < b.surface
+            WHERE ROUND(len(list_intersect(a.bgs, b.bgs)) * 1.0
+                        / len(list_distinct(list_concat(a.bgs, b.bgs))), 6)
+                  >= {JACCARD_TAU}
+        ),
+        reach(surface, lbl) AS (
+            SELECT surface, surface FROM cc_nodes
+            UNION
+            SELECT e.dst, r.lbl
+            FROM reach r
+            JOIN (SELECT src, dst FROM cc_edges
+                  UNION ALL
+                  SELECT dst, src FROM cc_edges) e ON e.src = r.surface
+        ),
+        canon AS (SELECT surface, MIN(lbl) AS component FROM reach GROUP BY surface)
+    """

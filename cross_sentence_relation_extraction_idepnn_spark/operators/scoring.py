@@ -44,6 +44,13 @@ PASSTHROUGH_COLS = [
     "e1_surface",
     "e2_surface",
     "k",
+    # candidate coordinates: define the reference's encounter order
+    # (a2 R-numbering) downstream of scoring — four ints, negligible
+    # Arrow width next to wtexts
+    "sent1",
+    "tok1",
+    "sent2",
+    "tok2",
 ]
 
 

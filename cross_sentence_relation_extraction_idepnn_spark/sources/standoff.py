@@ -214,12 +214,26 @@ def a2_annotation_lines(
     entity *types* from the record but writes fixed roles); entity refs
     are the mention ids (the 10-field ``::``-record's fields 8/9).
 
+    Numbering orders by the candidate *encounter order* — the
+    (k, sent1, tok1, sent2, tok2, e1, e2) key that defines
+    ``cand_seq`` — not the ``cand_id`` string, whose lexicographic
+    order diverges from encounter order ('conv#10' < 'conv#2', and
+    the fast-path id carries no sequence at all).
+
     Output: ``(conv_id, rel_num, line)``.
     """
     from ..config import SCORE_THRESHOLD
+    from ..operators.candidates import CAND_ORDER
 
     thr = SCORE_THRESHOLD if threshold is None else threshold
-    w = Window.partitionBy("conv_id").orderBy("cand_id")
+    cols = set(scored.columns)
+    if cols.issuperset(CAND_ORDER):
+        order = [*CAND_ORDER, "e1_id", "e2_id"]
+    elif "cand_seq" in cols:  # slow-path id: numeric sequence exists
+        order = ["cand_seq"]
+    else:  # minimal projections (tests / external scored tables)
+        order = ["cand_id"]
+    w = Window.partitionBy("conv_id").orderBy(*order)
     return (
         scored.filter(F.col("p_rel") >= thr)
         .withColumn("rel_num", F.row_number().over(w).cast("int"))
