@@ -61,7 +61,7 @@ def run_pipeline_once(cores: int, sf_dir: str, copies: int) -> tuple[int, float]
     from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
         triples_from_transcripts,
     )
-    from cross_sentence_relation_extraction_idepnn_spark.session import get_spark
+    from cross_sentence_relation_extraction_idepnn_spark.session import get_spark, release_caches
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
         transcripts,
         transcripts_scaled,
@@ -71,6 +71,7 @@ def run_pipeline_once(cores: int, sf_dir: str, copies: int) -> tuple[int, float]
     triples_from_transcripts(spark, transcripts(spark, sf_dir)).count()  # warm
     tdf = transcripts_scaled(spark, sf_dir, copies)
     n_turns = tdf.count()
+    release_caches()
     spark.catalog.clearCache()
     t0 = time.time()
     triples_from_transcripts(spark, tdf).count()
@@ -183,7 +184,7 @@ def main() -> None:
         extract_triples,
         materialize_kg,
     )
-    from cross_sentence_relation_extraction_idepnn_spark.session import get_spark
+    from cross_sentence_relation_extraction_idepnn_spark.session import get_spark, release_caches
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
         transcripts,
     )
@@ -194,6 +195,7 @@ def main() -> None:
     extract_triples(spark, SF_DIR).count()  # warm: JIT + Python workers
     sec_high = float("inf")
     for _ in range(2):  # best-of-2 damps single-run VM noise
+        release_caches()
         spark.catalog.clearCache()
         t0 = time.time()
         extract_triples(spark, SF_DIR).count()
@@ -208,6 +210,7 @@ def main() -> None:
         # to 35.6s in one degraded-window sample)
         best = float("inf")
         for _ in range(2):
+            release_caches()
             spark.catalog.clearCache()
             t = time.time()
             fn(spark, SF_DIR).count()

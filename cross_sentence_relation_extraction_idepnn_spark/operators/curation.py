@@ -29,6 +29,18 @@ PII_PATTERNS = [
     (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
 ]
 
+def pii_exprs(text):
+    """(clean_text, n_pii) Column pair for a text Column: sequential
+    masking chain + per-pattern span counts taken on the chain state
+    *before* each replacement, so overlapping spans count once."""
+    clean = text
+    span_counts = []
+    for pat, repl in PII_PATTERNS:
+        span_counts.append(F.size(F.split(clean, pat, -1)) - 1)
+        clean = F.regexp_replace(clean, pat, repl)
+    return clean, sum(span_counts, F.lit(0))
+
+
 REP_N = 3  # repeated-n-gram window (Gopher uses 2..4-gram fractions)
 
 DECON_N = 8  # contamination shingle width (n-gram overlap standard)
@@ -46,6 +58,11 @@ def pii_scrub(spark: SparkSession, sf_dir: str, plant: bool = False) -> DataFram
     """(doc_id, clean_text, n_pii) — mask emails/phones/SSN-likes and
     count masked spans. Narrow; no shuffle.
 
+    ``n_pii`` counts each pattern against the *progressively cleaned*
+    text (the same chain the masking walks), so a span matched by two
+    patterns — an SSN-like substring inside an email local part, say —
+    counts once, as masked, not once per pattern.
+
     ``plant=True`` deterministically appends one email + one SSN-like
     span to every ``PII_PLANT_EVERY``-th doc (mirrored in the oracle)
     so the masking path is non-vacuous on the synthetic corpus."""
@@ -60,13 +77,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str, plant: bool = False) -> DataFram
                 F.lit("@example.com id 123-45-6789"),
             ),
         ).otherwise(text)
-    clean = text
-    for pat, repl in PII_PATTERNS:
-        clean = F.regexp_replace(clean, pat, repl)
-    n_pii = sum(
-        (F.size(F.split(text, pat, -1)) - 1 for pat, _ in PII_PATTERNS),
-        F.lit(0),
-    )
+    clean, n_pii = pii_exprs(text)
     return _docs(spark, sf_dir).select(
         "doc_id",
         clean.alias("clean_text"),
@@ -85,8 +96,9 @@ def duck_pii_scrub(plant: bool = False) -> str:
     clean = text
     npii = []
     for pat, repl in PII_PATTERNS:
+        # count on the pre-replacement chain state (mirrors pii_scrub)
+        npii.append(f"(len(string_split_regex({clean}, '{pat}')) - 1)")
         clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
-        npii.append(f"(len(string_split_regex({text}, '{pat}')) - 1)")
     return f"""
         SELECT doc_id, {clean} AS clean_text,
                CAST({' + '.join(npii)} AS INT) AS n_pii
@@ -245,6 +257,44 @@ def duck_sample_stratified() -> str:
     """
 
 
+H60_MAX = 1 << 60  # h15 range: uniform md5-derived 60-bit hash
+
+
+def _hash_threshold_prefilter(
+    base: DataFrame,
+    counts: dict[int, int],
+    quotas: dict[int, int],
+    mult: float = 3.0,
+) -> DataFrame:
+    """Cut ``base`` (stratum, h, …) to a verified superset of each
+    stratum's ``quota`` lowest-``h`` rows. Threshold is deterministic
+    arithmetic on the uniform hash (``mult·quota/count · 2^60``); the
+    survivor count per stratum is then *checked* and the threshold
+    widened 4× on any shortfall, ending (worst case) at the unfiltered
+    exact path. Expected cost: one filtered-count aggregate."""
+    while True:
+        thr = {
+            s: min(H60_MAX, int(mult * quotas[s] / max(c, 1) * H60_MAX))
+            for s, c in counts.items()
+        }
+        if all(t >= H60_MAX for t in thr.values()):
+            return base  # threshold covers everything — no filter left
+        thr_col = F.element_at(
+            F.create_map(*[F.lit(x) for kv in thr.items() for x in kv]),
+            F.col("stratum"),
+        )
+        filtered = base.filter(F.col("h") <= thr_col)
+        surv = {
+            r["stratum"]: r["cnt"]
+            for r in filtered.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()
+        }
+        if all(
+            surv.get(s, 0) >= min(quotas[s], c) for s, c in counts.items()
+        ):
+            return filtered
+        mult *= 4.0
+
+
 def domain_mixture(
     spark: SparkSession, sf_dir: str, prefilter: bool = True
 ) -> DataFrame:
@@ -254,15 +304,23 @@ def domain_mixture(
 
     Scale path (``prefilter=True``, default): an exact rank serializes
     each stratum through one window task, so the corpus is first cut
-    to the survivors of a ``percentile_approx`` hash threshold — per
-    stratum, the ~``3×quota/count`` quantile of ``h`` (sketch
-    aggregates map-side-combine; the per-stratum count/threshold table
-    is 4 rows, collected and broadcast like ``position_bounds``). The
-    exact window then ranks only O(quota) survivors per stratum, not
-    the corpus. The 3× margin over the sketch's bounded rank error
-    keeps survivors ⊇ the true top-``quota``; equality with the
-    unfiltered exact rank is asserted in tests AND by the DuckDB
-    oracle (which ranks exhaustively)."""
+    to a small superset of the true top-``quota`` per stratum. ``h``
+    is a uniform 60-bit md5-derived hash, so the threshold needs no
+    quantile sketch at all: ``thr = 3·quota/count · 2^60`` (pure
+    arithmetic from the per-stratum counts — a 4-row collect) keeps
+    ≈3×quota survivors. A previous revision used ``percentile_approx``
+    here; its rank error is relative to *stratum size*, so a stratum
+    over ~2·accuracy·quota rows silently outgrew the margin, and
+    scaling ``accuracy`` with count/quota makes the sketch itself
+    O(count/quota) memory — the uniform-hash threshold has neither
+    failure mode. Losslessness is *verified*, not assumed: the
+    per-stratum survivor count (an aggregate over the ~3×quota-row
+    filtered set) must reach min(quota, count); if any stratum falls
+    short (astronomically unlikely under uniform hashing, but checked)
+    the threshold widens 4× and retries, degenerating to the exact
+    unfiltered rank in the worst case. Equality with the unfiltered
+    exact rank is asserted in tests AND by the DuckDB oracle (which
+    ranks exhaustively)."""
     from pyspark.sql import Window
 
     h = spark_h15(F.col("doc_id").cast("string"))
@@ -275,15 +333,7 @@ def domain_mixture(
             r["stratum"]: r["cnt"]
             for r in base.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()
         }
-        frac = max(
-            min(1.0, 3.0 * MIXTURE_QUOTAS[s] / max(c, 1)) for s, c in counts.items()
-        )
-        thr = base.groupBy("stratum").agg(
-            F.percentile_approx("h", frac, 10000).alias("h_thr")
-        )
-        base = base.join(F.broadcast(thr), "stratum").filter(
-            F.col("h") <= F.col("h_thr")
-        )
+        base = _hash_threshold_prefilter(base, counts, MIXTURE_QUOTAS)
     quota = F.element_at(
         F.create_map(
             *[F.lit(x) for kv in MIXTURE_QUOTAS.items() for x in kv]

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import track_cache
+
 from ..hashing import (
     MERSENNE_P,
     duck_h15,
@@ -174,6 +176,7 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
         # left join — persist so the band-join tree computes once
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track_cache(cand)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
@@ -415,6 +418,7 @@ def ngram_jaccard_pairs(
         .unionByName(rekeyed.select("doc_id", "n", "lvl", "block"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track_cache(keyed)
     cand = (
         keyed.alias("x")
         .join(keyed.alias("y"), ["lvl", "block"])
@@ -430,6 +434,7 @@ def ngram_jaccard_pairs(
         # left join — persist to stop the candidate tree re-expanding
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track_cache(cand)
     inter = (
         cand.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
         .join(

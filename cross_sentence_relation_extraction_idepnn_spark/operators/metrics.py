@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import track_cache
+
 
 def intra_inter_counts(candidates: DataFrame) -> DataFrame:
     """A1: candidate counts by (k-bucket) intra (k=0) vs inter (k>0)."""
@@ -70,6 +72,7 @@ def vocabulary(sentences: DataFrame, n_ranges: int = 32) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track_cache(ranged)
     counts = {
         r["pid"]: r["cnt"]
         for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()

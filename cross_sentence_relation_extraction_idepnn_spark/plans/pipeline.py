@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import MAX_K, SCORE_THRESHOLD
+from ..session import track_cache
 from ..operators.candidates import (
     CAND_ORDER,
     candidate_pairs,
@@ -125,7 +126,7 @@ def scored_from_transcripts(
     from pyspark.storagelevel import StorageLevel
 
     weights = weights if weights is not None else load_weights()
-    sents = segment(tdf).persist(StorageLevel.MEMORY_ONLY)
+    sents = track_cache(segment(tdf).persist(StorageLevel.MEMORY_ONLY))
     mens = detect_mentions(spark, sents)
     cands = (
         salted_candidate_pairs(mens, max_k=max_k)

@@ -52,3 +52,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# ------------------------------------------------- operator cache registry
+
+_TRACKED_CACHES: list = []
+
+
+def track_cache(df):
+    """Register an operator-internal ``persist`` so long-lived sessions
+    can release it. Operators persist small pair/aggregate-sized
+    intermediates whose lineage contains joins (measured win — see
+    dedup.py); the caller's action consumes them lazily, so the
+    operator itself can never unpersist. Without a registry, repeated
+    calls in one session accumulate cached blocks until executor
+    storage is exhausted (ADVICE r2)."""
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every operator-tracked cache; returns how many were
+    released. Call between logical jobs in a long-lived session
+    (bench.py calls it per query)."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

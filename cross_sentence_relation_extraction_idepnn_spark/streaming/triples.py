@@ -134,6 +134,22 @@ def sessionize_turns(
     )
 
 
+def write_triples_batch(out: DataFrame, batch_id: int, sink_dir: str) -> None:
+    """Idempotent micro-batch sink write: dynamic-overwrite ONLY this
+    batch's ``batch_id=N`` partition, so a foreachBatch replay after a
+    partial write replaces its own files instead of double-appending.
+    Replaying the same batch twice leaves the sink unchanged (tested)."""
+    from pyspark.sql import functions as F
+
+    (
+        out.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sink_dir)
+    )
+
+
 def run_stream_triples(
     spark: SparkSession,
     src_dir: str,
@@ -146,18 +162,26 @@ def run_stream_triples(
     max_files_per_trigger: int | None = None,
 ) -> None:
     """Drive the transcript stream to completion (AvailableNow): every
-    micro-batch runs the batch triple pipeline and appends its triples
-    to a parquet sink. The checkpoint dir gives exactly-once file-sink
-    semantics — a killed-and-restarted query does not double-emit a
-    committed batch (the streaming twin of the batch pipeline's
-    per-stage resume)."""
+    micro-batch runs the batch triple pipeline and writes its triples
+    into a ``batch_id``-partition of the parquet sink.
+
+    Restart semantics: ``foreachBatch`` itself is at-least-once — a
+    batch that dies after partially writing files is replayed from the
+    checkpoint. The write is therefore made *idempotent*: each batch
+    dynamically overwrites ONLY its own ``batch_id=N`` partition, so a
+    replay replaces any partial output instead of double-appending
+    (the standard idempotent-foreachBatch recipe). Committed batches
+    are never re-fired (checkpoint offset log), so the composition is
+    effectively exactly-once for readers of the sink. Readers see a
+    ``batch_id`` partition column (provenance; drop it for the bare
+    triple set)."""
     from ..plans.pipeline import triples_from_transcripts
 
     def one_batch(bdf: DataFrame, batch_id: int) -> None:
         out = triples_from_transcripts(
             spark, bdf, threshold=threshold, max_k=max_k, weights=weights
         )
-        out.write.mode("append").parquet(sink_dir)
+        write_triples_batch(out, batch_id, sink_dir)
 
     src = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger:

@@ -371,3 +371,95 @@ def test_multiprobe_recovers_bucket_straddling_neardups(spark, tmp_path):
     assert (0, 1) in mp           # recovered by the low-confidence flip
     assert (2, 3) in mp           # and nothing already-found is lost
     assert_frames_match(multi, con, duck_embedding_neardup(multiprobe=True))
+
+
+def test_mixture_prefilter_widens_on_shortfall(spark, sf_dir):
+    """ADVICE r2: the prefilter must VERIFY survivors per stratum and
+    widen until every stratum retains >= min(quota, count). Starting
+    from a deliberately hopeless multiplier (mult=1e-6 keeps ~0
+    survivors), the widening loop must still converge to a lossless
+    superset — the exact ranks over the filtered set equal the
+    unfiltered exact ranks."""
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import spark_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators import curation
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % curation.STRATUM_MOD).cast("int").alias("stratum"),
+            spark_h15(F.col("doc_id").cast("string")).alias("h"),
+        )
+    )
+    counts = {
+        r["stratum"]: r["cnt"]
+        for r in base.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()
+    }
+    filtered = curation._hash_threshold_prefilter(
+        base, counts, curation.MIXTURE_QUOTAS, mult=1e-6
+    )
+    surv = {
+        r["stratum"]: r["cnt"]
+        for r in filtered.groupBy("stratum").agg(F.count("*").alias("cnt")).collect()
+    }
+    for s, c in counts.items():
+        assert surv.get(s, 0) >= min(curation.MIXTURE_QUOTAS[s], c)
+    # losslessness: filtered top-quota == unfiltered top-quota
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("stratum").orderBy("h", "doc_id")
+
+    def top(df):
+        return sorted(
+            map(
+                tuple,
+                df.withColumn("rk", F.row_number().over(w))
+                .filter(
+                    F.col("rk")
+                    <= F.element_at(
+                        F.create_map(
+                            *[
+                                F.lit(x)
+                                for kv in curation.MIXTURE_QUOTAS.items()
+                                for x in kv
+                            ]
+                        ),
+                        F.col("stratum"),
+                    )
+                )
+                .select("doc_id", "stratum", "rk")
+                .collect(),
+            )
+        )
+
+    assert top(filtered) == top(base)
+
+
+def test_pii_count_matches_masked_spans(spark):
+    """ADVICE r2: a span matched by two patterns (an SSN-like string
+    that is also an email local part) must count ONCE — as masked —
+    not once per pattern."""
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import pii_exprs
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at 123-45-6789@mail.com please"),  # email ⊃ SSN-like
+            (2, "ssn 123-45-6789 and mail a@b.co"),          # two distinct spans
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id int, text string",
+    )
+    clean, n_pii = pii_exprs(F.col("text"))
+    got = {
+        r["doc_id"]: (r["clean"], r["n"])
+        for r in df.select(
+            "doc_id", clean.alias("clean"), n_pii.cast("int").alias("n")
+        ).collect()
+    }
+    assert got[1] == ("reach me at <EMAIL> please", 1)
+    assert got[2] == ("ssn <SSN> and mail <EMAIL>", 2)
+    assert got[3] == ("nothing sensitive here", 0)

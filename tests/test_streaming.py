@@ -170,3 +170,27 @@ def test_conversation_buffering_recovers_split_conversations(spark, sf_dir, tmp_
         want[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_batch_write_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r2: foreachBatch is at-least-once — a batch replayed
+    after a partial write must REPLACE its own partition, not
+    double-append. write_triples_batch twice with the same batch_id
+    (the second call simulating the replay) leaves the sink identical;
+    a different batch_id lands in its own partition untouched."""
+    from cross_sentence_relation_extraction_idepnn_spark.streaming.triples import (
+        write_triples_batch,
+    )
+
+    sink = str(tmp_path / "sink")
+    rows = spark.createDataFrame(
+        [("c1", "A", "acts_on", "B"), ("c1", "A", "acts_on", "C")],
+        "conv_id string, subj string, pred string, obj string",
+    )
+    write_triples_batch(rows.limit(1), 0, sink)  # "partial" first attempt
+    write_triples_batch(rows, 0, sink)           # replay: full batch 0
+    assert spark.read.parquet(sink).count() == 2  # replaced, not appended
+    write_triples_batch(rows, 1, sink)           # a different batch
+    got = spark.read.parquet(sink)
+    assert got.count() == 4
+    assert got.filter("batch_id = 0").count() == 2
