@@ -79,9 +79,16 @@ from cross_sentence_relation_extraction_idepnn_spark.operators.metrics import (
 )
 from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
     DUCK_TOKEN_OFFSETS,
+    duck_sentences_punkt,
     duck_with_prefix,
+    punctuated_transcripts,
     segment,
+    segment_punkt,
     token_offsets,
+)
+from cross_sentence_relation_extraction_idepnn_spark.sources.muc6 import (
+    duck_muc6_triples,
+    muc6_triples_query,
 )
 from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
     extract_triples,
@@ -272,6 +279,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "macro_f1": _macro_f1,
         "macro_f1_3class": _macro_f1_3class,
         "token_offsets": lambda s, d: token_offsets(_sentences(s, d)),
+        # T1 production punkt path over a punctuated fixture that
+        # exercises every boundary rule (abbrev/initial/number/
+        # lowercase suppressions all fire >1000× at sf0.001)
+        "sentences_punkt": lambda s, d: segment_punkt(
+            punctuated_transcripts(s, d)
+        ),
         # text-normalization chain (T4–T13)
         "normalize_docs": _normalize_docs,
         # entity canonicalization (G6: similarity edges + connected components)
@@ -310,6 +323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_mp": lambda s, d: similarity.embedding_neardup_pairs(
             s, d, plant=True, multiprobe=True
         ),
+        # S6+S7 end-to-end: SGML corpus walk → punkt sentences →
+        # template parse → 4-way succession join + evidence join
+        "muc6_triples": muc6_triples_query,
         # standoff / ::-record codecs (S3/S10 + F1 drop)
         "standoff_parse": lambda s, d: parse_standoff(
             format_standoff(_mentions(s, d))
@@ -497,6 +513,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.duck_quality(),
         "token_counts": textstats.duck_token_counts(),
         "doc_fingerprint": textstats.duck_fingerprint(),
+        "sentences_punkt": duck_sentences_punkt(),
+        "muc6_triples": duck_muc6_triples(),
         "featurized_sdp": duck_featurized_sdp(),
         "triples": _duck_triples_sql(),
         "kg": _duck_kg(),

@@ -308,3 +308,158 @@ def duck_with_prefix() -> str:
         f"WITH transcripts AS ({duck_transcripts_cte()}), "
         f"sentences AS ({duck_sentences_cte()})"
     )
+
+
+# ------------- punctuated fixture + oracle for the punkt driver surface
+
+# Deterministic punctuation injection over the (lowercase alnum,
+# single-spaced) documents corpus. Index rules, by precedence:
+#   i%17==3 → 'Dr.'   (abbreviation; next word force-capitalized, so
+#                      the would-be boundary is suppressed by the rule)
+#   i%23==7 → 'J.'    (single initial, same suppression shape)
+#   i%29==11 → '3.14' (mid-number period: no following space)
+#   else: capitalize iff i%5==0 or the previous word was substituted;
+#         append '!?' iff i%5==4 and i%3==0, '.' iff i%5==4,
+#         '.' iff i%19==5 (usually followed by lowercase → tests the
+#         lowercase-continuation skip; occasionally capital → genuine
+#         boundary)
+
+_PUNKT_FIX = dict(abbr=17, init=23, num=29, dot=5, bang=3, low=19)
+
+
+def punctuated_transcripts(spark, sf_dir: str) -> DataFrame:
+    """(conv_id, turn_idx, text) fixture: documents with deterministic
+    punctuation injected (mirrored exactly by duck_punctuated_cte), so
+    the production punkt path runs over text that actually exercises
+    every boundary rule."""
+    m = _PUNKT_FIX
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.split(F.col("text"), " ")
+
+    def word(w, i):
+        prev_sub = (i >= 1) & (
+            ((i - 1) % m["abbr"] == 3)
+            | ((i - 1) % m["init"] == 7)
+            | ((i - 1) % m["num"] == 11)
+        )
+        base = F.when(
+            (i % m["dot"] == 0) | prev_sub,
+            F.concat(F.upper(F.substring(w, 1, 1)), w.substr(F.lit(2), F.length(w))),
+        ).otherwise(w)
+        decorated = (
+            F.when(
+                i % m["dot"] == 4,
+                F.concat(base, F.when(i % m["bang"] == 0, F.lit("!?")).otherwise(F.lit("."))),
+            )
+            .when(i % m["low"] == 5, F.concat(base, F.lit(".")))
+            .otherwise(base)
+        )
+        return (
+            F.when(i % m["abbr"] == 3, F.lit("Dr."))
+            .when(i % m["init"] == 7, F.lit("J."))
+            .when(i % m["num"] == 11, F.lit("3.14"))
+            .otherwise(decorated)
+        )
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.array_join(F.transform(ws, word), " ").alias("text"),
+    )
+
+
+def duck_punctuated_cte() -> str:
+    """DuckDB twin of :func:`punctuated_transcripts` (reads
+    ``documents``)."""
+    m = _PUNKT_FIX
+    w = "ws[CAST(i AS INT) + 1]"
+    prev_sub = (
+        f"(i >= 1 AND ((i - 1) % {m['abbr']} = 3 OR (i - 1) % {m['init']} = 7"
+        f" OR (i - 1) % {m['num']} = 11))"
+    )
+    base = (
+        f"CASE WHEN i % {m['dot']} = 0 OR {prev_sub}"
+        f" THEN upper(substr({w}, 1, 1)) || substr({w}, 2) ELSE {w} END"
+    )
+    decorated = (
+        f"CASE WHEN i % {m['dot']} = 4 THEN {base} ||"
+        f" (CASE WHEN i % {m['bang']} = 0 THEN '!?' ELSE '.' END)"
+        f" WHEN i % {m['low']} = 5 THEN {base} || '.'"
+        f" ELSE {base} END"
+    )
+    return f"""
+        SELECT CAST(doc_id AS VARCHAR) AS conv_id, CAST(0 AS INT) AS turn_idx,
+               array_to_string(list_transform(range(len(ws)),
+                   i -> CASE WHEN i % {m['abbr']} = 3 THEN 'Dr.'
+                             WHEN i % {m['init']} = 7 THEN 'J.'
+                             WHEN i % {m['num']} = 11 THEN '3.14'
+                             ELSE {decorated} END), ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    """
+
+
+def duck_sentences_punkt() -> str:
+    """Oracle for ``segment_punkt`` over the punctuated fixture — an
+    *independent token-level formulation* of the boundary rule
+    (``punkt_sentences``): for single-space-separated text, a boundary
+    falls between token j and j+1 iff token j ends with a ``[.!?]``
+    run, token j+1 starts upper/digit, and the pre-run word is neither
+    a known abbreviation (after punkt's lstrip/rstrip cleanup) nor a
+    single uppercase initial. Spans then tile the text with the
+    leading separator space absorbed into each non-first span
+    (``punkt_spans``' space_counter loop)."""
+    abbr = ", ".join(f"'{a}'" for a in sorted(ABBREVIATIONS))
+    return f"""
+        WITH pdoc AS ({duck_punctuated_cte()}),
+        ptoks AS (
+            SELECT conv_id, CAST(i AS INT) AS j, ws[CAST(i AS INT) + 1] AS tok
+            FROM (SELECT conv_id, string_split(text, ' ') AS ws,
+                         UNNEST(range(len(string_split(text, ' ')))) AS i
+                  FROM pdoc)
+        ),
+        pmark AS (
+            SELECT conv_id, j, tok,
+                   regexp_replace(tok, '[.!?]+$', '') AS wrd,
+                   CAST(COALESCE(SUM(length(tok) + 1) OVER
+                       (PARTITION BY conv_id ORDER BY j
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS INT) AS cstart,
+                   LEAD(tok) OVER (PARTITION BY conv_id ORDER BY j) AS nxt
+            FROM ptoks
+        ),
+        pbound AS (
+            SELECT conv_id, j, cstart, cstart + length(tok) AS cend,
+                   CASE WHEN nxt IS NULL THEN FALSE
+                        WHEN NOT regexp_matches(tok, '[.!?]$') THEN FALSE
+                        WHEN NOT regexp_matches(nxt, '^[A-Z0-9]') THEN FALSE
+                        WHEN length(wrd) = 1 AND wrd BETWEEN 'A' AND 'Z'
+                             AND wrd = upper(wrd) THEN FALSE
+                        WHEN list_contains([{abbr}],
+                             rtrim(ltrim(lower(wrd), '("' || chr(39)), '.'))
+                             THEN FALSE
+                        ELSE TRUE END AS boundary_after
+            FROM pmark
+        ),
+        pgrp AS (
+            SELECT conv_id, j, cstart, cend,
+                   CAST(COALESCE(SUM(CASE WHEN boundary_after THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY j
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS INT) AS sid
+            FROM pbound
+        ),
+        pspan AS (
+            SELECT conv_id, sid, MIN(cstart) AS s0, CAST(MAX(cend) AS INT) AS e0,
+                   CAST(COUNT(*) AS INT) AS n_tokens
+            FROM pgrp GROUP BY conv_id, sid
+        )
+        SELECT p.conv_id, CAST(0 AS INT) AS turn_idx,
+               p.sid AS sent_idx, p.sid AS sent_in_turn,
+               substring(d.text, CASE WHEN p.sid > 0 THEN p.s0 ELSE 1 END,
+                         p.e0 - (CASE WHEN p.sid > 0 THEN p.s0 - 1 ELSE 0 END))
+                   AS sent_text,
+               CAST(CASE WHEN p.sid > 0 THEN p.s0 - 1 ELSE 0 END AS INT) AS begin,
+               p.e0 AS "end",
+               p.n_tokens
+        FROM pspan p JOIN pdoc d ON d.conv_id = p.conv_id
+    """

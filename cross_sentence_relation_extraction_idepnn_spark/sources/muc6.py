@@ -200,3 +200,124 @@ def muc6_doc_sentences(paragraphs: DataFrame) -> DataFrame:
         .withColumn("sent_idx", (F.row_number().over(w) - 1).cast("int"))
         .select("doc_id", "sent_idx", "sentence")
     )
+
+
+# ---------------- deterministic end-to-end fixture + driver surface
+
+def _w(k: int):
+    """k-th corpus word of the doc, modular (docs are ≥10 words but
+    the index math stays total anyway)."""
+    ws = F.split(F.col("text"), " ")
+    return F.element_at(ws, (F.lit(k) % F.size(ws) + 1).cast("int"))
+
+
+def _cap(c):
+    return F.concat(F.upper(F.substring(c, 1, 1)), c.substr(F.lit(2), F.length(c)))
+
+
+def muc6_sgml_blobs(spark, sf_dir: str) -> DataFrame:
+    """One synthetic MUC6 corpus document per ``documents`` row:
+    ``<DOC>`` with a headline child, a ``<DOCNO>`` whose text carries a
+    period (exercising S7's positional child walk + ``.`` removal) and
+    a two-paragraph ``<TXT>`` whose first paragraph splits into two
+    punkt sentences. Mirrored field-for-field by the DuckDB oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1 = F.concat(
+        _cap(_w(0)), F.lit(" "), _w(1), F.lit(" "), _w(2), F.lit(". "),
+        _cap(_w(3)), F.lit(" "), _w(4), F.lit("."),
+    )
+    p2 = F.concat(_cap(_w(5)), F.lit(" "), _w(6), F.lit("."))
+    blob = F.concat(
+        F.lit("<DOC><HL>h</HL><DOCNO> d"),
+        F.col("doc_id").cast("string"),
+        F.lit(".nr </DOCNO><TXT><P>"), p1, F.lit("</P><P>"), p2,
+        F.lit("</P></TXT></DOC>"),
+    )
+    return docs.select(blob.alias("sgml"))
+
+
+def muc6_template_blobs(spark, sf_dir: str) -> DataFrame:
+    """One answer-key template blob per document (keyed by the same
+    ``d{id}nr`` doc id S7 recovers from the SGML): every doc carries a
+    SUCCESSION_EVENT with quoted POST, an IN_AND_OUT ref chain and a
+    PERSON with PER_ALIAS expansion; every third doc adds a second
+    event so multi-object numbering is exercised."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.concat(F.lit("d"), F.col("doc_id").cast("string"), F.lit("nr"))
+    person = F.concat(_cap(_w(1)), F.lit(" "), _cap(_w(2)))
+    post = F.concat(_w(3), F.lit(" "), _w(4))
+    status = F.when(F.col("doc_id") % 2 == 0, F.lit("IN")).otherwise(F.lit("OUT"))
+    person2 = F.concat(_cap(_w(5)), F.lit(" "), _cap(_w(6)))
+    post2 = F.concat(_w(7), F.lit(" "), _w(8))
+    ev1 = F.concat(
+        F.lit("<TEMPLATE-"), F.col("doc_id").cast("string"), F.lit("-1> :=\n"),
+        F.lit("   CONTENT: <SUCCESSION_EVENT-1>\n"),
+        F.lit("<SUCCESSION_EVENT-1> :=\n"),
+        F.lit('   POST: "'), post, F.lit('"\n'),
+        F.lit("   IN_AND_OUT: <IN_AND_OUT-1>\n"),
+        F.lit("<IN_AND_OUT-1> :=\n"),
+        F.lit("   IO_PERSON: <PERSON-1>\n"),
+        F.lit("   NEW_STATUS: "), status, F.lit("\n"),
+        F.lit("<PERSON-1> :=\n"),
+        F.lit('   PER_NAME: "'), person, F.lit('"\n'),
+        F.lit('   PER_ALIAS: "'), _cap(_w(2)), F.lit('" "'), _w(1), F.lit('"\n'),
+    )
+    ev2 = F.concat(
+        F.lit("<SUCCESSION_EVENT-2> :=\n"),
+        F.lit('   POST: "'), post2, F.lit('"\n'),
+        F.lit("   IN_AND_OUT: <IN_AND_OUT-2>\n"),
+        F.lit("<IN_AND_OUT-2> :=\n"),
+        F.lit("   IO_PERSON: <PERSON-2>\n"),
+        F.lit("   NEW_STATUS: OUT\n"),
+        F.lit("<PERSON-2> :=\n"),
+        F.lit('   PER_NAME: "'), person2, F.lit('"\n'),
+    )
+    blob = F.when(F.col("doc_id") % 3 == 0, F.concat(ev1, ev2)).otherwise(ev1)
+    return docs.select(did.alias("doc_id"), blob.alias("template_text"))
+
+
+def muc6_triples_query(spark, sf_dir: str) -> DataFrame:
+    """S6+S7 end-to-end: SGML corpus parse (positional XML walk) →
+    punkt sentence extraction, answer-key template parse (stateful
+    walker in Arrow batches) → 4-way succession join, then an INNER
+    evidence join on the S7-recovered doc id — if the XML walk or the
+    sentence splitter drifted, rows vanish and the oracle row goes
+    red. Output: (doc_id, person, post, status, evidence)."""
+    paras = sgml_docs(muc6_sgml_blobs(spark, sf_dir))
+    sents = muc6_doc_sentences(paras).filter(F.col("sent_idx") == 0).select(
+        "doc_id", F.col("sentence").alias("evidence")
+    )
+    triples = succession_triples(
+        parse_muc6_templates(muc6_template_blobs(spark, sf_dir))
+    )
+    return triples.join(sents, "doc_id")
+
+
+def duck_muc6_triples() -> str:
+    """Oracle: the expected (doc_id, person, post, status, evidence)
+    rows derived *directly* from the fixture arithmetic over
+    ``documents`` — an independent formulation that never runs the
+    SGML/template parsers, so parser + joins are genuinely checked."""
+    def w(k: int) -> str:
+        return f"ws[CAST({k} % len(ws) AS INT) + 1]"
+
+    def cap(e: str) -> str:
+        return f"upper(substr({e}, 1, 1)) || substr({e}, 2)"
+
+    return f"""
+        WITH base AS (
+            SELECT 'd' || CAST(doc_id AS VARCHAR) || 'nr' AS doc_id,
+                   doc_id AS raw_id,
+                   {cap(w(1))} || ' ' || {cap(w(2))} AS person,
+                   {w(3)} || ' ' || {w(4)} AS post,
+                   CASE WHEN doc_id % 2 = 0 THEN 'IN' ELSE 'OUT' END AS status,
+                   {cap(w(5))} || ' ' || {cap(w(6))} AS person2,
+                   {w(7)} || ' ' || {w(8)} AS post2,
+                   {cap(w(0))} || ' ' || {w(1)} || ' ' || {w(2)} || '.' AS evidence
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        )
+        SELECT doc_id, person, post, status, evidence FROM base
+        UNION ALL
+        SELECT doc_id, person2 AS person, post2 AS post, 'OUT' AS status, evidence
+        FROM base WHERE raw_id % 3 = 0
+    """

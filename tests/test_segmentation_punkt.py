@@ -183,3 +183,28 @@ class TestT2TreebankTokenizer:
 
         clean = "the scan reads the table fast"
         assert treebank_tokenize(clean) == clean.split()
+
+
+def test_punctuated_fixture_exercises_every_boundary_rule(spark, sf_dir):
+    """The driver-surface punkt query must be non-vacuous: each
+    suppression rule (abbreviation, single initial, mid-number period,
+    lowercase continuation) and the '!?' run must actually fire on the
+    fixture — otherwise the green oracle row proves nothing."""
+    import re
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        punctuated_transcripts,
+        segment_punkt,
+    )
+
+    sents = [
+        r["sent_text"]
+        for r in segment_punkt(punctuated_transcripts(spark, sf_dir))
+        .select("sent_text")
+        .collect()
+    ]
+    assert sum(bool(re.search(r"Dr\. [A-Z0-9]", s)) for s in sents) > 0
+    assert sum(bool(re.search(r"J\. [A-Z0-9]", s)) for s in sents) > 0
+    assert sum("3.14" in s for s in sents) > 0
+    assert sum(bool(re.search(r"[a-z]\. [a-z]", s)) for s in sents) > 0
+    assert sum(s.rstrip().endswith("!?") for s in sents) > 0
