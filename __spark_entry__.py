@@ -16,8 +16,10 @@ reproduces the corpus gold rule (SDP ≤ 3 hops) exactly at the tested
 scales, which makes the emitted triple SET a SQL function of the
 corpus. The raw RNN posterior (``score``/``max_score``) is the one
 genuinely non-SQL quantity — it is projected away from the driver
-surface and covered by ``tests/`` numpy parity instead. Only
-``multimodal_features`` remains rows-only (stub codec seam).
+surface and covered by ``tests/`` numpy parity instead.
+``multimodal_features`` is oracle-checked too (real P6 codec on the
+image rows; header dims + exact channel sums re-derived in SQL), so
+EVERY driver query now has a cross-engine oracle.
 """
 
 from __future__ import annotations
@@ -353,9 +355,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_lines": lambda s, d: a2_annotation_lines(
             scored_from_transcripts(s, transcripts(s, d))
         ),
+        # 'auto': the REAL pure-Python P6 codec decodes the image rows
+        # (header dims + exact channel sums hash-checked); audio/video
+        # keep the byte-stat stand-in behind the codec seam
         "multimodal_features": lambda s, d: multimodal.decode_features(
-            multimodal.asset_table(s, d)
-        ).select("asset_id", "modality", "d0", "d1", "d2", F.size("feat").alias("feat_dim")),
+            multimodal.asset_table(s, d), fake="auto"
+        ).select(
+            "asset_id",
+            "modality",
+            "d0",
+            "d1",
+            "d2",
+            F.size("feat").alias("feat_dim"),
+            *[
+                F.when(
+                    F.col("modality") == "image", F.element_at("feat", i + 1)
+                ).alias(n)
+                for i, n in enumerate(
+                    ["img_sum_r", "img_sum_g", "img_sum_b", "img_npix"]
+                )
+            ],
+        ),
     }
 
 
@@ -515,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.duck_fingerprint(),
         "sentences_punkt": duck_sentences_punkt(),
         "muc6_triples": duck_muc6_triples(),
+        "multimodal_features": multimodal.duck_multimodal_features(),
         "featurized_sdp": duck_featurized_sdp(),
         "triples": _duck_triples_sql(),
         "kg": _duck_kg(),

@@ -8,16 +8,21 @@ Design contract (training-data pipeline at 100 TB):
 - decode and feature extraction run as Arrow-batched ``mapInPandas``
   kernels so the JVM↔Python boundary is crossed once per batch, with
   bytes delivered as zero-copy Arrow buffers;
-- the decode *codec* itself is stubbed (image/audio libraries are not
-  in this container): ``fake=True`` (default) produces deterministic
-  features derived from the raw bytes, ``fake=False`` raises
-  ``NotImplementedError`` at the exact seam where PIL/ffmpeg/soundfile
-  would plug in. Everything around the stub — schema, partitioning,
-  UDF signature, Arrow batch shape — is real and tested.
+- the *image* decode path is REAL: a pure-Python P6 PPM codec
+  (:func:`decode_ppm` — spec-tolerant header scan + raw RGB plane, no
+  image libraries needed) decodes genuine binary PPM payloads, and the
+  driver-surface query hash-checks its header dims and exact channel
+  sums against a DuckDB re-derivation. Audio/video codecs remain
+  stubbed behind the documented seam (``fake=False`` raises
+  ``NotImplementedError`` per missing codec; ``fake='auto'`` uses real
+  codecs where available and the deterministic byte-stat stand-in
+  elsewhere). Everything around the seam — schema, partitioning, UDF
+  signature, Arrow batch shape — is real and tested.
 
 In-sandbox the asset table is synthesized deterministically from the
-``documents`` parquet (payload = utf-8 bytes of the text), so the
-DuckDB oracle can re-derive byte-level metadata for the parity gate.
+``documents`` parquet (image rows: a constructed PPM; audio/video:
+utf-8 bytes of the text), so the DuckDB oracle can re-derive
+byte-level metadata for the parity gate.
 """
 
 from __future__ import annotations
@@ -35,14 +40,31 @@ FRAME_BYTES = 64  # bytes per synthetic video "frame"
 MODALITIES = ["image", "audio", "video"]
 
 
+# image fixture dims: small, deterministic, co-derivable in SQL
+_IMG_W = "(4 + CAST(doc_id % 5 AS INT))"
+_IMG_H = "(3 + CAST(doc_id % 4 AS INT))"
+_IMG_N = f"({_IMG_W} * {_IMG_H} * 3)"
+# pixel plane: the doc text cycled (rpad pads with repeats of the pad
+# string) and truncated to exactly w*h*3 ASCII bytes
+_IMG_PIX = f"substring(rpad(text, {_IMG_N}, text), 1, {_IMG_N})"
+_IMG_STR = (
+    f"concat('P6\\n', CAST({_IMG_W} AS STRING), ' ', CAST({_IMG_H} AS STRING), "
+    f"'\\n255\\n', {_IMG_PIX})"
+)
+
+
 def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → assets ``(asset_id, modality, payload binary,
     n_bytes, codec)``.
 
-    Payload is the utf-8 encoding of the document text — an *opaque*
-    stand-in with real binary-column plumbing. Modality and codec are
+    The *image* modality carries a REAL binary P6 PPM (header +
+    interleaved RGB plane, pixel bytes = the doc text cycled to
+    w·h·3) — decoded by the genuine pure-Python codec in
+    :func:`decode_ppm`. Audio/video payloads stay the opaque utf-8
+    stand-in behind the documented codec seam. Modality and codec are
     deterministic functions of ``doc_id`` so every downstream branch
-    (image/audio/video) gets exercised.
+    gets exercised, and every payload is byte-identically
+    reconstructible in SQL for the parity oracle.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     modality = (
@@ -51,32 +73,47 @@ def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("video")
     )
     codec = (
-        F.when(F.col("doc_id") % 3 == 0, "png.fake")
+        F.when(F.col("doc_id") % 3 == 0, "ppm")  # real codec available
         .when(F.col("doc_id") % 3 == 1, "pcm16.fake")
         .otherwise("h264.fake")
     )
+    payload = F.when(
+        F.col("doc_id") % 3 == 0, F.encode(F.expr(_IMG_STR), "utf-8")
+    ).otherwise(F.encode(F.col("text"), "utf-8"))
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         modality.alias("modality"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+        payload.alias("payload"),
+        F.octet_length(payload).alias("n_bytes"),
         codec.alias("codec"),
+    )
+
+
+def _duck_img_str() -> str:
+    """DuckDB reconstruction of the exact PPM byte string (ASCII-only
+    corpus → VARCHAR ops are byte-identical to the Spark binary)."""
+    return (
+        f"'P6' || chr(10) || CAST({_IMG_W} AS VARCHAR) || ' ' || "
+        f"CAST({_IMG_H} AS VARCHAR) || chr(10) || '255' || chr(10) || "
+        f"substr(rpad(text, {_IMG_N}, text), 1, {_IMG_N})"
     )
 
 
 def duck_asset_meta() -> str:
     """Oracle for the metadata projection (binary itself is checked via
     its md5, format-independent)."""
-    return """
+    return f"""
         SELECT doc_id AS asset_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS modality,
-               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-               CASE WHEN doc_id % 3 = 0 THEN 'png.fake'
+               CAST(CASE WHEN doc_id % 3 = 0 THEN length({_duck_img_str()})
+                    ELSE octet_length(encode(text)) END AS INT) AS n_bytes,
+               CASE WHEN doc_id % 3 = 0 THEN 'ppm'
                     WHEN doc_id % 3 = 1 THEN 'pcm16.fake'
                     ELSE 'h264.fake' END AS codec,
-               md5(text) AS payload_md5
+               CASE WHEN doc_id % 3 = 0 THEN md5({_duck_img_str()})
+                    ELSE md5(text) END AS payload_md5
         FROM documents
     """
 
@@ -94,6 +131,63 @@ def asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ decode kernel
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """REAL pure-Python P6 (binary PPM) decoder — no image libraries.
+    Whitespace- and ``#``-comment-tolerant header scan (the full P6
+    spec for 1-byte maxval), then the raw interleaved RGB plane as an
+    (h, w, 3) uint8 array. Works on any well-formed P6 file, not just
+    the synthetic fixture (tested against hand-built images with
+    comments and arbitrary header whitespace)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    i, n, vals = 2, len(payload), []
+    while len(vals) < 3:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from the plane
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("2-byte-sample PPM not supported")
+    if n - i < w * h * 3:
+        raise ValueError("truncated PPM pixel plane")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, maxval, arr.reshape(h, w, 3)
+
+
+def _decode_image_ppm(payload: bytes) -> dict:
+    """Real image decode: parse the PPM, de-interleave channels, emit
+    exact-integer channel statistics (sums/counts/min/max stay exact
+    in float64, so the DuckDB oracle matches bit-for-bit — the
+    round-knife-edge lesson from quality_score)."""
+    w, h, _maxval, arr = decode_ppm(payload)
+    ch = arr.reshape(-1, 3).astype(np.int64)
+    feat = [
+        float(ch[:, 0].sum()),
+        float(ch[:, 1].sum()),
+        float(ch[:, 2].sum()),
+        float(ch.shape[0]),
+        float(ch[:, 0].min()),
+        float(ch[:, 0].max()),
+        float(w),
+        float(h),
+    ]
+    return {"d0": w, "d1": h, "d2": 3, "feat": feat}
+
+
+_REAL_CODECS = {"ppm": _decode_image_ppm}
+
 
 def _fake_decode(payload: bytes, modality: str) -> dict:
     """Deterministic stand-in for the real codec: derives per-modality
@@ -117,25 +211,40 @@ def _fake_decode(payload: bytes, modality: str) -> dict:
     return {"d0": meta[0], "d1": meta[1], "d2": meta[2], "feat": feat.tolist()}
 
 
-def decode_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+def decode_features(assets: DataFrame, fake: bool | str = True) -> DataFrame:
     """assets → + ``(d0, d1, d2 int, feat array<double>)`` via one
-    Arrow-batched ``mapInPandas`` pass. ``fake=False`` marks where a
-    real codec integrates; not available in this container."""
-    if not fake:
-        raise NotImplementedError(
-            "real image/audio/video codecs are not available in this "
-            "container; integrate PIL/soundfile/ffmpeg here"
-        )
+    Arrow-batched ``mapInPandas`` pass.
+
+    Modes: ``fake=True`` — deterministic byte-stat stand-in for every
+    row; ``fake='auto'`` — REAL codec where one exists (``ppm`` →
+    :func:`decode_ppm`), byte-stat stand-in elsewhere (the driver
+    surface runs this mode, so the real decoder sits in the
+    hash-checked path); ``fake=False`` — real codecs only, raising
+    ``NotImplementedError`` at the exact seam where PIL/soundfile/
+    ffmpeg would plug in for codecs this container lacks."""
+    if fake not in (True, False, "auto"):
+        raise ValueError(f"fake must be True/False/'auto', got {fake!r}")
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in assets.schema.fields)
         + ", d0 int, d1 int, d2 int, feat array<double>"
     )
 
+    def one(payload: bytes, modality: str, codec: str) -> dict:
+        real = _REAL_CODECS.get(codec)
+        if fake is True or (fake == "auto" and real is None):
+            return _fake_decode(payload, modality)
+        if real is None:
+            raise NotImplementedError(
+                f"no real codec for {codec!r} in this container; "
+                "integrate PIL/soundfile/ffmpeg here"
+            )
+        return real(payload)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                _fake_decode(bytes(p), m)
-                for p, m in zip(pdf["payload"], pdf["modality"])
+                one(bytes(p), m, c)
+                for p, m, c in zip(pdf["payload"], pdf["modality"], pdf["codec"])
             ]
             out = pd.concat(
                 [pdf.reset_index(drop=True), pd.DataFrame(decoded)], axis=1
@@ -207,4 +316,44 @@ def duck_frame_sample(every_n: int = 2) -> str:
             FROM documents WHERE doc_id % 3 = 2
         )
         WHERE i % {every_n} = 0
+    """
+
+
+def duck_multimodal_features() -> str:
+    """Oracle for the ``multimodal_features`` driver query. Image rows
+    re-derive the REAL decoder's outputs independently: header dims
+    from the fixture arithmetic and exact channel sums via ``ord``
+    over every 3rd pixel byte of the reconstructed RGB plane — if the
+    P6 header scan or the channel de-interleave drifted by one byte,
+    these go red. Audio/video rows mirror the byte-stat stand-in's
+    metadata."""
+    pix = f"substr(rpad(text, {_IMG_N}, text), 1, {_IMG_N})"
+
+    def chsum(off: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range({_IMG_W} * {_IMG_H}), "
+            f"k -> ord(substr({pix}, CAST(k * 3 + {off + 1} AS INT), 1)))) AS DOUBLE)"
+        )
+
+    return f"""
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN {_IMG_W}
+                    WHEN doc_id % 3 = 1 THEN 16000
+                    ELSE GREATEST(octet_length(encode(text)) // {FRAME_BYTES}, 1)
+                    END AS INT) AS d0,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN {_IMG_H}
+                    WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 2
+                    ELSE {FRAME_BYTES} END AS INT) AS d1,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 3
+                    WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT) AS d2,
+               CAST({FEAT_DIM} AS INT) AS feat_dim,
+               CASE WHEN doc_id % 3 = 0 THEN {chsum(0)} END AS img_sum_r,
+               CASE WHEN doc_id % 3 = 0 THEN {chsum(1)} END AS img_sum_g,
+               CASE WHEN doc_id % 3 = 0 THEN {chsum(2)} END AS img_sum_b,
+               CASE WHEN doc_id % 3 = 0
+                    THEN CAST({_IMG_W} * {_IMG_H} AS DOUBLE) END AS img_npix
+        FROM documents
     """
