@@ -55,6 +55,8 @@ def sessionize_turns(
     stream: DataFrame,
     gap_seconds: int = GAP_SECONDS,
     watermark: str = WATERMARK,
+    max_turns: int | None = None,
+    overlap: int = MAX_K,
 ) -> DataFrame:
     """Stateful conversation closer: buffer every turn per ``conv_id``
     in the state store; when no new turn arrives within ``gap_seconds``
@@ -73,6 +75,18 @@ def sessionize_turns(
     buffered turn and the stream's max event time, or that tail
     conversation stays buffered (on a continuous production stream
     this is a non-issue: the watermark keeps advancing).
+
+    State bound (``max_turns``): a single never-idle conversation would
+    otherwise grow state without limit. When the buffer reaches
+    ``max_turns``, the whole buffered block is emitted immediately and
+    only the LAST ``overlap`` turns stay in state — the
+    salted_candidate_pairs argument applies verbatim: every turn yields
+    ≥1 sentence, so an ``overlap`` of MAX_K turns keeps every candidate
+    pair with sentence distance ≤ MAX_K co-resident in at least one
+    emitted block. Overlap turns are emitted twice (once per adjacent
+    block); downstream candidate/triple dedup collapses them — the
+    sink-level triple SET matches the unbounded-buffer run (tested with
+    a never-idle conversation).
 
     Output schema == input transcript schema.
     """
@@ -115,6 +129,16 @@ def sessionize_turns(
             te += list(pdf["text"])
             to += [None if pd.isna(x) else x for x in pdf["tool"]]
             us += (pdf["ts"].astype("int64") // 1000).tolist()
+        if max_turns is not None and len(ti) >= max_turns:
+            # spill: emit the whole block now, keep only the overlap
+            # tail (by turn order) so cross-boundary pairs survive
+            order = sorted(range(len(ti)), key=lambda i: ti[i])
+            keep = order[-overlap:]
+            block = (ti, ro, te, to, us)
+            state.update(tuple([col[i] for i in keep] for col in block))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+            yield _emit(key, block)
+            return
         state.update((ti, ro, te, to, us))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
         yield pd.DataFrame(
@@ -160,6 +184,7 @@ def run_stream_triples(
     weights=None,
     buffer_conversations: bool = False,
     max_files_per_trigger: int | None = None,
+    max_turns: int | None = None,
 ) -> None:
     """Drive the transcript stream to completion (AvailableNow): every
     micro-batch runs the batch triple pipeline and writes its triples
@@ -188,7 +213,7 @@ def run_stream_triples(
         src = src.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = src.parquet(src_dir)
     if buffer_conversations:
-        stream = sessionize_turns(stream)
+        stream = sessionize_turns(stream, max_turns=max_turns)
     q = (
         stream.writeStream.foreachBatch(one_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -194,3 +194,112 @@ def test_batch_write_replay_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 4
     assert got.filter("batch_id = 0").count() == 2
+
+
+def test_never_idle_conversation_spills_with_bounded_state(spark, tmp_path):
+    """VERDICT r2 scale note: one never-idle conversation (turn cadence
+    < gap timeout) must not grow state without bound. With
+    max_turns=8 the buffer spills whole blocks keeping a MAX_K-turn
+    overlap; the streamed triple SET still equals the batch run, spill
+    genuinely fired (overlap turns emitted twice across batch
+    partitions), and cross-turn pairs were at stake (k=2 triples)."""
+    import itertools
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cross_sentence_relation_extraction_idepnn_spark.config import ENTITY_ALIASES
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        triples_from_transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.streaming.triples import (
+        run_stream_triples,
+        sessionize_turns,
+    )
+
+    ops = sorted(s for s, (_, t) in ENTITY_ALIASES.items() if t == "OP")
+    objs = sorted(s for s, (_, t) in ENTITY_ALIASES.items() if t == "OBJ")
+    # entity turns every 2nd turn; greedy-unique (op, obj) pairs so
+    # that no entity pair ever has two candidate occurrences within
+    # MAX_K reach — nearest-pair selection is then block-stable and
+    # stream/batch triple sets must agree EXACTLY
+    combos = itertools.cycle(itertools.product(ops, objs))
+    seen_pairs: set[tuple[str, str]] = set()
+    assignments: list[tuple[str, str]] = []
+    for _ in range(21):
+        while True:
+            op, obj = next(combos)
+            prev = assignments[-1] if assignments else None
+            new = {(op, obj)} | (
+                {(prev[0], obj), (op, prev[1])} if prev else set()
+            )
+            if not (new & seen_pairs):
+                seen_pairs |= new
+                assignments.append((op, obj))
+                break
+    rows = []
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    for i in range(41):  # 5s cadence << 10s gap: never idle
+        if i % 2 == 0:
+            op, obj = assignments[i // 2]
+            text = f"{op} runs {obj} now"
+        else:
+            text = "just filler words here"
+        rows.append(("nv-0", i, "user", text, None, t0 + pd.Timedelta(seconds=5 * i)))
+    # final turn after a >gap pause so the tail block can flush on a
+    # bounded drain (event-time timers need the watermark to pass them)
+    rows.append(
+        ("nv-0", 41, "user", "closing filler words", None,
+         t0 + pd.Timedelta(seconds=5 * 40 + 30))
+    )
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["tool"] = pdf["tool"].astype("string")  # all-null needs explicit type
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "turns"
+    src.mkdir()
+    for g in range(0, len(pdf), 4):  # 4 turns per file → many micro-batches
+        pq.write_table(pa.Table.from_pandas(pdf.iloc[g : g + 4]), src / f"f{g:03d}.parquet")
+
+    # 1) sessionized transcript stream: every turn survives, and the
+    # overlap duplication proves the spill fired (state stayed ≤ 8+4)
+    sess_sink = str(tmp_path / "sess_out")
+    turns_stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = sessionize_turns(turns_stream, max_turns=8)
+    (
+        q.writeStream.format("parquet")
+        .option("path", sess_sink)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sess = spark.read.parquet(sess_sink).toPandas()
+    assert set(sess["turn_idx"]) == set(range(42))      # nothing lost
+    assert len(sess) > 42                               # overlap → spill fired
+    assert sess["turn_idx"].value_counts().max() <= 2   # each turn ≤ 2 blocks
+
+    # 2) end-to-end: streamed triple set == batch triple set
+    want = triples_from_transcripts(spark, spark.createDataFrame(pdf)).toPandas()
+    assert len(want) > 0
+    assert (want["k"] == 2).any()  # cross-turn pairs genuinely at stake
+    sink = str(tmp_path / "triples_out")
+    run_stream_triples(
+        spark, str(src), sink, str(tmp_path / "ckpt"),
+        buffer_conversations=True, max_files_per_trigger=1, max_turns=8,
+    )
+    got = spark.read.parquet(sink).toPandas().drop(columns=["batch_id"])
+    cols = sorted(want.columns)
+    g = got[cols].drop_duplicates().sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
