@@ -43,6 +43,14 @@ SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
 # shared-VM noise and a slow window hitting one level skews the ratio —
 # round-1 recorded 0.731 that way; pairing cancels common-mode noise)
 SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+# probe-gated recording window (VERDICT r2): don't record the artifact
+# of record in a degraded host window. A healthy window on this VM
+# probes ≳20 jobs/s at p32; retry (sleeping between probes) until the
+# probe clears PROBE_MIN or retries run out — then record anyway with
+# probe_healthy=false so the JSON is self-describing.
+PROBE_MIN = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "17"))
+PROBE_RETRIES = int(os.environ.get("SPARK_GRAFT_PROBE_RETRIES", "4"))
+PROBE_WAIT = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "120"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -161,8 +169,32 @@ def host_cpu_probe() -> dict:
     return out
 
 
+def probe_gate() -> tuple[dict, int, bool]:
+    """(final_probe, n_attempts, healthy): re-probe with a pause until
+    the host window clears PROBE_MIN jobs/s at p{CPUS} (or retries run
+    out). Runs BEFORE any timed Spark work so the whole recording sits
+    in the verified window."""
+    key = f"jobs_per_sec_p{CPUS}"
+    for i in range(PROBE_RETRIES + 1):
+        p = host_cpu_probe()
+        healthy = p.get(key, 0.0) >= PROBE_MIN
+        if healthy or i == PROBE_RETRIES:
+            return p, i + 1, healthy
+        sys.stderr.write(
+            f"bench: degraded window ({key}={p.get(key)}, need {PROBE_MIN}); "
+            f"waiting {PROBE_WAIT}s (attempt {i + 1}/{PROBE_RETRIES})\n"
+        )
+        time.sleep(PROBE_WAIT)
+    return {}, PROBE_RETRIES + 1, False  # unreachable
+
+
 def main() -> None:
     timings: dict[str, float] = {}
+
+    # ---- probe gate: verify the host window BEFORE timing anything ----
+    probe, probe_attempts, probe_healthy = (
+        probe_gate() if not SKIP_SCALING else ({}, 0, True)
+    )
 
     # ---- scaling runs: paired (N, 4N) trials on the replicated input ----
     scaling = scaling_pairs(SF_DIR, SCALE_COPIES, SCALE_RUNS) if not SKIP_SCALING else {}
@@ -243,7 +275,12 @@ def main() -> None:
         "turns_per_sec": round(n_turns / sec_high, 1) if sec_high > 0 else None,
         # scaling evidence: paired (N, 4N) trials, median of pair ratios
         "scaling": scaling,
-        "host_cpu_probe": host_cpu_probe() if not SKIP_SCALING else {},
+        # pre-recording probe (gate) + post-recording probe: a recording
+        # is trustworthy when BOTH bracket a healthy window
+        "host_cpu_probe": probe,
+        "host_cpu_probe_after": host_cpu_probe() if not SKIP_SCALING else {},
+        "probe_attempts": probe_attempts,
+        "probe_healthy": probe_healthy,
     }
     spark.stop()
     sys.stdout.write(json.dumps(result) + "\n")

@@ -499,13 +499,23 @@ def featurize_window(
     sent2: int,
     tok2: int,
     smin: int,
+    tokenize=None,
 ) -> dict[str, list] | None:
     """One candidate window → SDP feature arrays (G1–G5, M11–M13).
+
+    ``tokenize`` (optional callable text → tokens) selects the T2
+    tokenizer; default is the whitespace split. The punkt/treebank
+    end-to-end mode passes ``segmentation.treebank_tokenize`` so the
+    (sent_idx, tok_idx) coordinates from treebank-mode mention
+    detection index the same token lists here.
 
     Returns None when the SDP is unreachable (quarantine route, F3) or
     the window tokenizes empty (F5).
     """
-    sent_words = [s.split(" ") if s and s.strip() else [] for s in sent_texts]
+    if tokenize is None:
+        sent_words = [s.split(" ") if s and s.strip() else [] for s in sent_texts]
+    else:
+        sent_words = [tokenize(s) if s and s.strip() else [] for s in sent_texts]
     if any(len(w) == 0 for w in sent_words):
         return None
     offsets = np.cumsum([0] + [len(w) for w in sent_words])

@@ -34,12 +34,24 @@ def alias_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def detect_mentions(spark: SparkSession, sentences: DataFrame) -> DataFrame:
+def detect_mentions(
+    spark: SparkSession, sentences: DataFrame, tokenizer: str = "split"
+) -> DataFrame:
     """sentences → mentions ``(conv_id, turn_idx, sent_idx, tok_idx,
     surface, entity_id, ner_tag, m_begin, m_end)``.
 
     ``m_begin``/``m_end`` are char offsets within the sentence text.
+
+    ``tokenizer='treebank'`` gates the punkt/treebank end-to-end mode
+    (T2): tokens come from ``segmentation.treebank_tokenize`` (an
+    Arrow-batched UDF emitting (token, begin, end) spans via a
+    left-to-right locate — transformed tokens that are no longer
+    substrings get offset -1), so punctuation splits off words and
+    alias lookup still hits on punctuated text. Default stays the
+    whitespace split — pure Column algebra, one tokenizer end-to-end.
     """
+    if tokenizer == "treebank":
+        return _detect_mentions_treebank(spark, sentences)
     ws = F.split(F.col("sent_text"), " ")
     toks = (
         sentences.select(
@@ -84,6 +96,70 @@ def detect_mentions(spark: SparkSession, sentences: DataFrame) -> DataFrame:
             "m_begin",
             (F.col("m_begin") + F.col("wlen")).cast("int").alias("m_end"),
         )
+    )
+
+
+def _detect_mentions_treebank(spark: SparkSession, sentences: DataFrame) -> DataFrame:
+    """Treebank-tokenized mention detection (see detect_mentions)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .segmentation import treebank_tokenize
+
+    span_t = ArrayType(
+        StructType(
+            [
+                StructField("word", StringType()),
+                StructField("b", IntegerType()),
+                StructField("e", IntegerType()),
+            ]
+        )
+    )
+
+    def spans(text: str) -> list[dict]:
+        toks = treebank_tokenize(text or "")
+        out, pos = [], 0
+        for w in toks:
+            i = (text or "").find(w, pos)
+            if i < 0:
+                out.append({"word": w, "b": -1, "e": -1})
+            else:
+                out.append({"word": w, "b": i, "e": i + len(w)})
+                pos = i + len(w)
+        return out
+
+    spans_udf = F.pandas_udf(lambda s: s.map(spans), span_t)
+    toks = sentences.select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        F.posexplode(spans_udf(F.col("sent_text"))).alias("tok_idx", "sp"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        F.col("tok_idx").cast("int").alias("tok_idx"),
+        F.lower(F.col("sp.word")).alias("surface"),
+        F.col("sp.b").alias("m_begin"),
+        F.col("sp.e").alias("m_end"),
+    )
+    al = alias_df(spark)
+    return toks.join(F.broadcast(al), "surface").select(
+        "conv_id",
+        "turn_idx",
+        "sent_idx",
+        "tok_idx",
+        "surface",
+        "entity_id",
+        "ner_tag",
+        "m_begin",
+        "m_end",
     )
 
 
@@ -184,7 +260,9 @@ def duck_located_annotations(drift_every: int = 5) -> str:
     """
 
 
-def locate_annotations(annotations: DataFrame, sentences: DataFrame) -> DataFrame:
+def locate_annotations(
+    annotations: DataFrame, sentences: DataFrame, salt: int | None = None
+) -> DataFrame:
     """J2 — locate EXTERNAL annotations against the sentence table:
     primary pass is the interval join (``generate_bb_training_data_2016
     .py:669-707``: sentence whose ``[begin, end)`` contains the
@@ -207,16 +285,39 @@ def locate_annotations(annotations: DataFrame, sentences: DataFrame) -> DataFram
     lowest-``sent_idx`` containing sentence. The DuckDB oracle keeps
     the reference's literal two-pass SQL — the two formulations check
     each other.
+
+    Skew (``salt``): the fused plan is optimal when turns are bounded —
+    the groupBy keys are a superset of the join keys, so the whole
+    reduction piggybacks on the join's (conv_id, turn_idx)
+    partitioning with ZERO extra exchange. The flip side: one
+    pathological turn (10k annotations × 1k sentences) serializes join
+    AND aggregation through a single reducer, and AQE cannot split the
+    skewed join because the piggybacked agg depends on its
+    partitioning. ``salt=S`` joins on (conv_id, turn_idx,
+    hash(ann_id)%S) with the sentence side replicated ×S — the hot
+    turn spreads over S reducers and Catalyst inserts one
+    fine-ann-grain exchange before the agg (well-distributed by
+    construction). Lossless: every annotation still meets every
+    sentence of its turn, in exactly one salt bucket.
     """
     s = sentences.select("conv_id", "turn_idx", "sent_idx", "sent_text", "begin", "end")
     a_cols = ["conv_id", "turn_idx", "ann_id", "a_begin", "a_end", "surface"]
     a = annotations.select(*a_cols)
+    join_keys = ["conv_id", "turn_idx"]
+    if salt is not None:
+        a = a.withColumn(
+            "_salt", F.pmod(F.xxhash64("ann_id"), F.lit(salt)).cast("int")
+        )
+        s = s.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("_salt", F.col("_salt").cast("int"))
+        join_keys = join_keys + ["_salt"]
     off_ok = (F.col("a_begin") >= F.col("begin")) & (F.col("a_begin") < F.col("end"))
     cont_ok = F.lower(F.col("sent_text")).contains(F.lower(F.col("surface")))
     off_sent = F.min(F.when(off_ok, F.col("sent_idx"))).alias("off_sent")
     cont_sent = F.min(F.when(cont_ok, F.col("sent_idx"))).alias("cont_sent")
     return (
-        a.join(s, ["conv_id", "turn_idx"])
+        a.join(s, join_keys)
         .filter(off_ok | cont_ok)
         .groupBy(*a_cols)
         .agg(off_sent, cont_sent)

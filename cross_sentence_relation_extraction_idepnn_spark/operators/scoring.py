@@ -124,6 +124,7 @@ def featurize_and_score(
     weights=None,
     use_adp: bool = True,
     keep_cols: list[str] | None = None,
+    tokenizer: str = "split",
 ) -> DataFrame:
     """Fused featurize+score kernel: candidate windows → (keep_cols…,
     ok boolean, y_pred int, p_rel double) in ONE ``mapInPandas`` pass.
@@ -153,6 +154,10 @@ def featurize_and_score(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        tokenize = None
+        if tokenizer == "treebank":  # T2 punkt/treebank gated mode
+            from ..operators.segmentation import treebank_tokenize as tokenize
+
         W = kernels.weights_from_lists(bweights.value)
         for pdf in batches:
             feats = [
@@ -163,6 +168,7 @@ def featurize_and_score(
                     int(r.sent2),
                     int(r.tok2),
                     int(r.smin),
+                    tokenize=tokenize,
                 )
                 for r in pdf.itertuples(index=False)
             ]

@@ -108,6 +108,8 @@ def scored_from_transcripts(
     max_k: int = MAX_K,
     salted: bool = False,
     weights=None,
+    segmenter=None,
+    tokenizer: str = "split",
 ) -> DataFrame:
     """Scored candidate pairs, pre-threshold — feeds both
     ``emit_triples`` and the official-eval ``.a2`` assembly
@@ -126,14 +128,17 @@ def scored_from_transcripts(
     from pyspark.storagelevel import StorageLevel
 
     weights = weights if weights is not None else load_weights()
-    sents = track_cache(segment(tdf).persist(StorageLevel.MEMORY_ONLY))
-    mens = detect_mentions(spark, sents)
+    seg = segmenter if segmenter is not None else segment
+    sents = track_cache(seg(tdf).persist(StorageLevel.MEMORY_ONLY))
+    mens = detect_mentions(spark, sents, tokenizer=tokenizer)
     cands = (
         salted_candidate_pairs(mens, max_k=max_k)
         if salted
         else candidate_pairs_fast(mens, max_k=max_k)
     )
-    return featurize_and_score(candidate_windows(cands, sents), weights=weights)
+    return featurize_and_score(
+        candidate_windows(cands, sents), weights=weights, tokenizer=tokenizer
+    )
 
 
 def triples_from_transcripts(
@@ -143,11 +148,21 @@ def triples_from_transcripts(
     max_k: int = MAX_K,
     salted: bool = False,
     weights=None,
+    segmenter=None,
+    tokenizer: str = "split",
 ) -> DataFrame:
     """Fast path over an arbitrary transcript DataFrame (the production
-    entry point — any Iceberg/parquet transcript table plugs in here)."""
+    entry point — any Iceberg/parquet transcript table plugs in here).
+
+    ``segmenter``/``tokenizer`` gate the punkt/treebank end-to-end mode
+    for punctuated corpora (T1/T2): pass ``segment_punkt`` and
+    ``'treebank'`` and every stage — segmentation, mention detection,
+    featurization — shares the same token coordinate system
+    (parity-checked against a single-node numpy pipeline in
+    ``tests/test_parity.py``)."""
     scored = scored_from_transcripts(
-        spark, tdf, max_k=max_k, salted=salted, weights=weights
+        spark, tdf, max_k=max_k, salted=salted, weights=weights,
+        segmenter=segmenter, tokenizer=tokenizer,
     )
     return emit_triples(scored, threshold=threshold)
 

@@ -163,3 +163,129 @@ assert h2 == h16, (h2, h16)
     # the script itself asserts hash equality; nonzero rc = divergence
     assert out.returncode == 0, out.stderr[-2000:]
     assert [l for l in out.stdout.splitlines() if l.startswith("H ")]
+
+
+def test_locate_annotations_hot_turn_key(spark):
+    """VERDICT r2 #8 — J2 at scale shape: ONE (conv_id, turn_idx) key
+    carrying a 1,000-sentence turn and 10,000 annotations. The fused
+    plan must stay correct (vs an independent two-pass loop) and must
+    not shuffle the fat annotation side on the hot coarse key: the
+    sentence side broadcasts, and the only exchange keys on the
+    ann-grain groupBy columns."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        locate_annotations,
+    )
+
+    n_sents, n_anns = 1000, 10000
+    sent_rows = [
+        ("c0", 0, i, f"t{i:06d}xx", i * 10, i * 10 + 9) for i in range(n_sents)
+    ]
+    sents = spark.createDataFrame(
+        sent_rows,
+        "conv_id string, turn_idx int, sent_idx int, sent_text string,"
+        " begin int, end int",
+    )
+    ann_rows = []
+    for j in range(n_anns):
+        sj = j % n_sents
+        drift = 100000 if j % 5 == 0 else 0  # 20% need the contains pass
+        ann_rows.append(
+            ("c0", 0, f"a{j}", sj * 10 + 2 + drift, sj * 10 + 8 + drift,
+             f"t{sj:06d}")
+        )
+    anns = spark.createDataFrame(
+        ann_rows,
+        "conv_id string, turn_idx int, ann_id string, a_begin int,"
+        " a_end int, surface string",
+    )
+    import re
+
+    out = locate_annotations(anns, sents)
+    got = {r["ann_id"]: (r["sent_idx"], r["via"]) for r in out.collect()}
+    # documented default-plan property: the agg piggybacks on the join's
+    # coarse partitioning (zero extra exchange) — so the whole fixture
+    # rides ONE reducer. The salted variant is the scale remedy:
+    salted = locate_annotations(anns, sents, salt=8)
+    got_salted = {
+        r["ann_id"]: (r["sent_idx"], r["via"]) for r in salted.collect()
+    }
+    assert got_salted == got  # lossless under salting
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    # the join key carries the salt (hot turn spread over 8 reducers)…
+    assert re.search(r"SortMergeJoin \[[^\]]*_salt", plan) or re.search(
+        r"hashpartitioning\([^)]*_salt", plan
+    ), plan
+    # …and the post-join exchange keys on the FINE ann-grain columns
+    assert re.search(r"Exchange hashpartitioning\([^)]*ann_id", plan), plan
+    # independent two-pass reference loop
+    sdf = pd.DataFrame(
+        sent_rows,
+        columns=["conv_id", "turn_idx", "sent_idx", "sent_text", "begin", "end"],
+    )
+    expected = {}
+    for conv, turn, ann_id, ab, _ae, surf in ann_rows:
+        hit = sdf[(sdf.begin <= ab) & (ab < sdf.end)]
+        if len(hit):
+            expected[ann_id] = (int(hit.sent_idx.iloc[0]), "offset")
+        else:
+            contains = sdf[sdf.sent_text.str.lower().str.contains(surf.lower())]
+            if len(contains):
+                expected[ann_id] = (int(contains.sent_idx.min()), "contains")
+    assert len(got) == n_anns
+    assert got == expected
+    assert sum(1 for _s, v in got.values() if v == "contains") == n_anns // 5
+
+
+def test_task_failure_mid_stage_resumes_identically(tmp_path):
+    """VERDICT r2 #10 — executor/task-loss resume: a task that dies
+    mid-featurize (flaky-once failure injected into an upstream
+    mapInPandas) must be retried by Spark (master local[4,2]) and the
+    job must produce the IDENTICAL triple set as the clean run."""
+    script = r'''
+import os, sys, hashlib
+from pyspark.sql import SparkSession
+MARKER = sys.argv[1] + "/flaky_fired"
+spark = (SparkSession.builder.master("local[4,2]")
+    .appName("task_retry")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .getOrCreate())
+from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import triples_from_transcripts
+from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import transcripts
+
+def flaky(batches):
+    first = True
+    for pdf in batches:
+        if first and not os.path.exists(MARKER):
+            open(MARKER, "w").write("x")
+            raise RuntimeError("injected flaky-once task failure")
+        first = False
+        yield pdf
+
+tdf = transcripts(spark, "/root/testdata/sf0.001")
+schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in tdf.schema.fields)
+flaky_tdf = tdf.repartition(4).mapInPandas(flaky, schema=schema)
+
+def h(df):
+    return hashlib.md5("\n".join(sorted(map(str, df.collect()))).encode()).hexdigest()
+
+want = h(triples_from_transcripts(spark, tdf))
+got = h(triples_from_transcripts(spark, flaky_tdf))
+assert os.path.exists(MARKER), "failure never fired"
+print("H", want, got)
+assert want == got, (want, got)
+'''
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=500,
+        cwd=ROOT,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (tmp_path / "flaky_fired").exists()
+    assert [l for l in out.stdout.splitlines() if l.startswith("H ")]
