@@ -283,14 +283,23 @@ def muc6_triples_query(spark, sf_dir: str) -> DataFrame:
     evidence join on the S7-recovered doc id — if the XML walk or the
     sentence splitter drifted, rows vanish and the oracle row goes
     red. Output: (doc_id, person, post, status, evidence)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
     paras = sgml_docs(muc6_sgml_blobs(spark, sf_dir))
     sents = muc6_doc_sentences(paras).filter(F.col("sent_idx") == 0).select(
         "doc_id", F.col("sentence").alias("evidence")
     )
-    triples = succession_triples(
-        parse_muc6_templates(muc6_template_blobs(spark, sf_dir))
+    # the 4-way succession join consumes the bindings 5 ways — without
+    # a persist the stateful parser's mapInPandas subtree re-executes
+    # per branch (measured: 7 Python stages in the plan, 1 after)
+    bindings = track_cache(
+        parse_muc6_templates(muc6_template_blobs(spark, sf_dir)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
-    return triples.join(sents, "doc_id")
+    return succession_triples(bindings).join(sents, "doc_id")
 
 
 def duck_muc6_triples() -> str:
