@@ -249,6 +249,15 @@ def main() -> None:
             best = min(best, time.time() - t)
         timings[name] = round(best, 3)
 
+    from cross_sentence_relation_extraction_idepnn_spark.operators import curation
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        punctuated_transcripts,
+        segment_punkt,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.muc6 import (
+        muc6_triples_query,
+    )
+
     timed("kg_materialize", materialize_kg)
     timed("dedup_exact", dedup.dedup_exact)
     timed("minhash_pairs", dedup.minhash_pairs)
@@ -256,10 +265,16 @@ def main() -> None:
     timed("ngram_pairs", dedup.ngram_jaccard_pairs)
     timed("cosine_topk", similarity.cosine_topk)
     timed("lsh_ann_topk", similarity.lsh_ann_topk)
+    timed("ivf_ann_topk", similarity.ivf_ann_topk)
     timed("lang_id", textstats.lang_id)
     timed("quality_score", textstats.quality_score)
     timed("token_counts", textstats.token_counts)
     timed("doc_fingerprint", textstats.doc_fingerprint)
+    timed("pii_scrub", lambda s, d: curation.pii_scrub(s, d, plant=True))
+    timed("decontaminate", curation.decontaminate)
+    timed("domain_mixture", curation.domain_mixture)
+    timed("sentences_punkt", lambda s, d: segment_punkt(punctuated_transcripts(s, d)))
+    timed("muc6_triples", muc6_triples_query)
     timed(
         "canonicalize",
         lambda s, d: linking.canonicalize(detect_mentions(s, segment(transcripts(s, d)))),

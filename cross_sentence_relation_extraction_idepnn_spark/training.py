@@ -144,6 +144,61 @@ def _bwd_chain(dH_ext, mask, Hs, Ts, U):
     return dinp, dU, db
 
 
+def lr_schedule_step(
+    strategy: int,
+    i: int,
+    lr: float,
+    best_epoch: int,
+    decay: float = 0.5,
+    update_after: int = 10,
+    stop_incc: int = 0,
+) -> tuple[float, bool, bool]:
+    """Reference learning-rate decay strategies 1-6, ported line for
+    line from ``elman-bidirection.py:2578-2615``. Returns
+    ``(new_lr, reload_best, stop)``:
+
+    1. multiply by ``decay`` every ``update_after`` epochs;
+    2. harmonic ``lr / (i+1)``;
+    3. multiply by ``decay`` when no best-epoch improvement for
+       ``update_after`` epochs (floor 1e-5); hard-stop once the
+       no-improvement counter reaches 100;
+    4. unconditional halving after epoch 3 (floor 1e-6);
+    5. on stall: reload the best snapshot and halve (below 1e-6 the
+       reference RESTARTS the rate at lr*100 — a quirk kept verbatim);
+    6. like 5 with a gentler 0.9x band between 1e-5 and 1e-6.
+    """
+    reload_best, stop = False, False
+    if strategy == 1 and i % update_after == 0 and i != 0:
+        lr *= decay
+    if strategy == 2 and i != 0:
+        lr /= i + 1
+    if strategy == 3 and i > 3 and lr > 1e-5:
+        if decay and abs(best_epoch - i) >= update_after:
+            lr *= decay
+            if stop_incc >= 100:
+                stop = True
+    if strategy == 4:
+        if i > 3 and lr > 1e-6:
+            lr = float(lr) / 2
+    if strategy == 5:
+        if abs(best_epoch - i) >= update_after:
+            reload_best = True
+            if lr > 1e-6:
+                lr = float(lr) / 2
+            else:
+                lr *= 100
+    if strategy == 6:
+        if abs(best_epoch - i) >= update_after:
+            reload_best = True
+            if lr > 1e-5:
+                lr = float(lr) / 2
+            elif lr > 1e-6:
+                lr = float(lr) * 0.9
+            else:
+                lr *= 100
+    return lr, reload_best, stop
+
+
 def train_full(
     rows: list[dict],
     labels: np.ndarray,
@@ -157,6 +212,9 @@ def train_full(
     eval_every: int = 10,
     patience: int = 5,
     verbose: bool = False,
+    lr_strategy: int | None = None,
+    lr_update_after: int = 10,
+    lr_decay_factor: float = 0.5,
 ) -> dict[str, np.ndarray]:
     """End-to-end BPTT training of the bi-RNN + head (M3/M4/M7/M8/M9),
     batched across all examples. TreeRNN recurrent weights stay frozen;
@@ -189,7 +247,7 @@ def train_full(
     bidx, sidx = np.nonzero(mask > 0)
     tidx = lens[bidx] - 1 - sidx
 
-    best_dev_nll, best_W, stale = np.inf, None, 0
+    best_dev_nll, best_W, stale, best_epoch = np.inf, None, 0, 0
 
     for epoch in range(epochs):
         inp_f = X @ W["W_xh_f"]
@@ -271,12 +329,22 @@ def train_full(
             dp = kernels.score_batch(dev[0], W)
             dnll = float(-np.log(dp[np.arange(len(dev[1])), dev[1]] + 1e-12).mean())
             if dnll < best_dev_nll - 1e-6:
-                best_dev_nll, stale = dnll, 0
+                best_dev_nll, stale, best_epoch = dnll, 0, epoch
                 best_W = {k: v.copy() for k, v in W.items()}
             else:
                 stale += 1
                 if stale >= patience:  # early stop
                     break
+        if lr_strategy is not None:
+            lr, reload_best, stop_now = lr_schedule_step(
+                lr_strategy, epoch, lr, best_epoch,
+                decay=lr_decay_factor, update_after=lr_update_after,
+                stop_incc=stale,
+            )
+            if reload_best and best_W is not None:
+                W = {k: v.copy() for k, v in best_W.items()}
+            if stop_now:
+                break
     return best_W if (dev is not None and best_W is not None) else W
 
 

@@ -174,3 +174,103 @@ def test_succession_triples_skips_malformed_refs(spark):
     got = succession_triples(b).collect()
     assert len(got) == 1
     assert (got[0].person, got[0].post, got[0].status) == ("Jane Roe", "CFO", "IN")
+
+
+def test_lr_schedule_strategies_match_reference_transcription():
+    """O2 companion (VERDICT r2 'missing' #5): the six reference
+    lr-decay strategies (elman-bidirection.py:2578-2615), checked
+    against an INDEPENDENT transcription of the reference's if-blocks
+    over simulated best-epoch trajectories."""
+    from cross_sentence_relation_extraction_idepnn_spark.training import lr_schedule_step
+
+    def reference_step(strategy, i, lr, best_epoch, decay, update_after, stop_incc):
+        # straight transcription of the reference lines (separate ifs)
+        reload_best, stop = False, False
+        if strategy == 1 and i % update_after == 0 and i != 0:
+            lr *= decay
+        if strategy == 2 and i != 0:
+            lr /= (i + 1)
+        if strategy == 3 and i > 3 and lr > 1e-5:
+            if decay and abs(best_epoch - i) >= update_after:
+                lr *= decay
+                if stop_incc >= 100:
+                    stop = True
+        if strategy == 4:
+            if i > 3 and lr > 1e-6:
+                lr = float(lr) / 2
+        if strategy == 5:
+            if abs(best_epoch - i) >= update_after:
+                reload_best = True
+                lr = float(lr) / 2 if lr > 1e-6 else lr * 100
+        if strategy == 6:
+            if abs(best_epoch - i) >= update_after:
+                reload_best = True
+                if lr > 1e-5:
+                    lr = float(lr) / 2
+                elif lr > 1e-6:
+                    lr = float(lr) * 0.9
+                else:
+                    lr *= 100
+        return lr, reload_best, stop
+
+    import random
+
+    rng = random.Random(13)
+    for strategy in range(1, 7):
+        lr_a = lr_b = 0.5
+        best_epoch = 0
+        for i in range(120):
+            if rng.random() < 0.3:
+                best_epoch = i  # simulated dev improvement
+            stop_incc = i - best_epoch
+            got = lr_schedule_step(
+                strategy, i, lr_a, best_epoch,
+                decay=0.5, update_after=7, stop_incc=stop_incc,
+            )
+            want = reference_step(
+                strategy, i, lr_b, best_epoch, 0.5, 7, stop_incc
+            )
+            assert got == want, (strategy, i, got, want)
+            lr_a, lr_b = got[0], want[0]
+        # every strategy must actually have decayed from 0.5
+        assert lr_a < 0.5 or strategy == 5  # 5/6 can bounce via *100
+
+
+def test_train_full_accepts_lr_strategy():
+    """train_full with a decay strategy still reaches separable
+    training accuracy on a tiny synthetic set (strategy integration,
+    including the best-snapshot reload path)."""
+    import numpy as np
+
+    from cross_sentence_relation_extraction_idepnn_spark import kernels
+    from cross_sentence_relation_extraction_idepnn_spark.training import train_full
+
+    rng = np.random.RandomState(3)
+    rows, labels = [], []
+    for i in range(24):
+        n = int(rng.randint(2, 5))
+        words = [f"w{rng.randint(0, 6)}" for _ in range(n)]
+        lab = i % 2
+        words[0] = "pos" if lab else "neg"  # separable signal
+        rows.append(
+            {
+                "sdp_words": words,
+                "sdp_gidx": list(range(n)),
+                "win_words": words,
+                "sdp_pos": [kernels.POS_LIST.index(kernels.pos_tag(w)) for w in words],
+                "sdp_iob": [1] + [0] * (n - 1),
+                "pi_e1": list(range(n)),
+                "pi_e2": list(range(n))[::-1],
+                "parents": [n] + list(range(n - 1)),
+                "tree_order": list(range(n)) + [n],
+            }
+        )
+        labels.append(lab)
+    labels = np.array(labels)
+    W = train_full(
+        rows, labels, kernels.init_weights(), epochs=150, lr=0.5,
+        dev=(rows, labels), eval_every=5, patience=100,
+        lr_strategy=1, lr_update_after=50,
+    )
+    p = kernels.score_batch(rows, W)
+    assert float((p.argmax(axis=1) == labels).mean()) >= 0.9
