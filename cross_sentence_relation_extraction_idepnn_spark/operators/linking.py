@@ -316,3 +316,46 @@ def duck_canonicalize_ctes() -> str:
         ),
         canon AS (SELECT surface, MIN(lbl) AS component FROM reach GROUP BY surface)
     """
+
+
+def rekey_canonical(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Re-key subj/obj through the canonical component map (G6 output
+    ``(surface, component)``) — the map is vocabulary-sized, so both
+    joins broadcast. Shared by the one-shot ``materialize_kg`` and the
+    incremental merge path."""
+    c = canon.withColumnRenamed("component", "canon")
+    return (
+        triples.join(
+            F.broadcast(c.withColumnRenamed("surface", "subj_surface")),
+            "subj_surface",
+            "left",
+        )
+        .withColumn("subj", F.upper(F.coalesce(F.col("canon"), F.col("subj"))))
+        .drop("canon")
+        .join(
+            F.broadcast(c.withColumnRenamed("surface", "obj_surface")),
+            "obj_surface",
+            "left",
+        )
+        .withColumn("obj", F.upper(F.coalesce(F.col("canon"), F.col("obj"))))
+        .drop("canon")
+    )
+
+
+def merge_kg_tables(*kgs: DataFrame) -> DataFrame:
+    """Incremental KG maintenance: merge per-batch KG tables at
+    (subj, pred, obj) grain. Every aggregate is decomposable —
+    ``support`` sums, ``max_score`` maxes, ``min_k`` mins — so merging
+    nightly delta tables is provably equal to a full rebuild as long
+    as the deltas partition the corpus (conv-grain extraction) and the
+    canonical map is built globally. One exchange on the triple key;
+    at 10^12 turns this replaces re-reading the historical corpus with
+    an aggregate over the (tiny) existing KG + the day's delta."""
+    import functools
+
+    merged = functools.reduce(lambda a, b: a.unionByName(b), kgs)
+    return merged.groupBy("subj", "pred", "obj").agg(
+        F.sum("support").alias("support"),
+        F.round(F.max("max_score"), 6).alias("max_score"),
+        F.min("min_k").alias("min_k"),
+    )

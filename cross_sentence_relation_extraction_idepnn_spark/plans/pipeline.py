@@ -37,7 +37,7 @@ from ..operators.candidates import (
     candidate_pairs_fast,
 )
 from ..operators.graph import candidate_windows, featurize_pair
-from ..operators.linking import canonicalize, dedup_triples
+from ..operators.linking import canonicalize, dedup_triples, rekey_canonical
 from ..operators.mentions import detect_mentions
 from ..operators.scoring import emit_triples, featurize_and_score, score_pairs
 from ..operators.segmentation import segment
@@ -258,24 +258,8 @@ def materialize_kg(
         else segment(transcripts(spark, sf_dir))
     )
     mens = detect_mentions(spark, sents)
-    canon = canonicalize(mens).withColumnRenamed("component", "canon")
-    t = (
-        triples.join(
-            F.broadcast(canon.withColumnRenamed("surface", "subj_surface")),
-            "subj_surface",
-            "left",
-        )
-        .withColumn("subj", F.upper(F.coalesce(F.col("canon"), F.col("subj"))))
-        .drop("canon")
-        .join(
-            F.broadcast(canon.withColumnRenamed("surface", "obj_surface")),
-            "obj_surface",
-            "left",
-        )
-        .withColumn("obj", F.upper(F.coalesce(F.col("canon"), F.col("obj"))))
-        .drop("canon")
-    )
-    kg = dedup_triples(t)
+    canon = canonicalize(mens)
+    kg = dedup_triples(rekey_canonical(triples, canon))
     if warehouse:
         cp = Checkpointer(spark, warehouse)
         return cp.stage("kg", lambda: kg, upstream=["triples"], resume=kwargs.get("resume", True))

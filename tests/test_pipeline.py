@@ -346,3 +346,54 @@ def test_ent_pres_gated_scoring(spark, sf_dir):
     assert any_flag
     probs0 = kernels.score_batch(rows0, W, use_ent_pres=True)
     assert not np.allclose(probs[:, 1], probs0[:, 1])
+
+
+def test_merge_kg_tables_equals_full_rebuild_three_way(spark, sf_dir):
+    """Incremental KG maintenance: splitting the corpus into THREE
+    conv-hash deltas, materializing each delta's KG against the global
+    canonical map, and merging must equal the one-shot full rebuild —
+    support sums, min_k mins, max_score maxes are all decomposable."""
+    import pyspark.sql.functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import spark_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        canonicalize,
+        dedup_triples,
+        merge_kg_tables,
+        rekey_canonical,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        materialize_kg,
+        triples_from_transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    tdf = transcripts(spark, sf_dir)
+    canon = canonicalize(detect_mentions(spark, segment(tdf)))
+    h = spark_h15(F.col("conv_id"))
+    deltas = [
+        dedup_triples(
+            rekey_canonical(
+                triples_from_transcripts(spark, tdf.filter(h % 3 == i)), canon
+            )
+        )
+        for i in range(3)
+    ]
+    merged = merge_kg_tables(*deltas).toPandas()
+    full = materialize_kg(spark, sf_dir).toPandas()
+    cols = sorted(full.columns)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        merged[cols].sort_values(cols).reset_index(drop=True),
+        full[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
