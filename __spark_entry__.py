@@ -342,6 +342,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": curation.decontaminate,
         "sample_stratified": curation.sample_stratified,
         "domain_mixture": curation.domain_mixture,
+        # CCNet-style boilerplate line removal (planted boilerplate —
+        # the synthetic corpus has no organic cross-doc duplicate lines)
+        "line_dedup": lambda s, d: curation.line_dedup(s, d, plant=True),
+        # greedy sequence packing: grouped-sequential applyInPandas vs
+        # a recursive-CTE walk of the same recurrence
+        "pack_sequences": curation.pack_sequences,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -561,6 +567,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": curation.duck_decontaminate(),
         "sample_stratified": curation.duck_sample_stratified(),
         "domain_mixture": curation.duck_domain_mixture(),
+        "line_dedup": curation.duck_line_dedup(plant=True),
+        "pack_sequences": curation.duck_pack_sequences(),
         "quality_score": textstats.duck_quality(),
         "token_counts": textstats.duck_token_counts(),
         "doc_fingerprint": textstats.duck_fingerprint(),

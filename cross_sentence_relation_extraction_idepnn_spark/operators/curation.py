@@ -363,3 +363,184 @@ def duck_domain_mixture() -> str:
                   FROM documents)
         ) WHERE rk <= {quota}
     """
+
+
+# --------------------------- CCNet-style boilerplate line deduplication
+
+LINE_WORDS = 8        # words per "line" (deterministic chunking)
+LINE_HOT_DOCS = 5     # a line in ≥ this many docs is boilerplate
+LINE_PLANT_EVERY = 4  # plant: every 4th doc carries the boilerplate line
+
+_BOILER = "subscribe to our newsletter for updates terms apply"
+
+
+def _doc_lines(plant: bool):
+    """Chunk the doc into LINE_WORDS-word lines (native Column
+    algebra); ``plant=True`` appends one fixed boilerplate line to
+    every ``LINE_PLANT_EVERY``-th doc as its own line (the synthetic
+    corpus has no organic cross-doc duplicate lines)."""
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(LINE_WORDS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * LINE_WORDS + 1, LINE_WORDS), " "),
+    )
+    if plant:
+        chunks = F.when(
+            F.col("doc_id") % LINE_PLANT_EVERY == 0,
+            F.concat(chunks, F.array(F.lit(_BOILER))),
+        ).otherwise(chunks)
+    return chunks
+
+
+def line_dedup(
+    spark: SparkSession, sf_dir: str, plant: bool = False, hot_docs: int = LINE_HOT_DOCS
+) -> DataFrame:
+    """(doc_id, clean_text, n_lines, n_dropped) — CCNet/RefinedWeb-style
+    boilerplate removal: drop every line that appears in ≥ ``hot_docs``
+    distinct documents.
+
+    100 TB shape: one explode → line groupBy (map-side combined count
+    of DISTINCT docs per line — lines are chunk-local so a doc repeats
+    a line at most a handful of times; we count distinct doc_ids) to
+    find the hot set, which is by definition TINY (only true
+    boilerplate crosses the threshold) and rides back as a broadcast
+    one-row array. The corpus itself never shuffles: the removal is a
+    narrow array filter per document."""
+    docs = _docs(spark, sf_dir).select("doc_id", _doc_lines(plant).alias("lines"))
+    hot = (
+        docs.select(F.explode(F.array_distinct("lines")).alias("line"))
+        .groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= hot_docs)
+        .agg(F.sort_array(F.collect_list("line")).alias("hot"))
+    )
+    kept = F.filter("lines", lambda l: ~F.array_contains("hot", l))
+    return (
+        docs.crossJoin(F.broadcast(hot))
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size("lines").cast("int").alias("n_lines"),
+            (F.size("lines") - F.size(kept)).cast("int").alias("n_dropped"),
+        )
+    )
+
+
+def duck_line_dedup(plant: bool = False, hot_docs: int = LINE_HOT_DOCS) -> str:
+    lw = LINE_WORDS
+    chunks = (
+        f"list_transform(range(CAST(CEIL(len(ws) / {lw}.0) AS BIGINT)), "
+        f"i -> array_to_string(ws[CAST(i*{lw}+1 AS INT) : CAST(i*{lw}+{lw} AS INT)], ' '))"
+    )
+    if plant:
+        chunks = (
+            f"CASE WHEN doc_id % {LINE_PLANT_EVERY} = 0 "
+            f"THEN list_append({chunks}, '{_BOILER}') ELSE {chunks} END"
+        )
+    return f"""
+        WITH dl AS (
+            SELECT doc_id, {chunks} AS lines
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ),
+        hot AS (
+            SELECT line FROM (
+                SELECT UNNEST(list_distinct(lines)) AS line FROM dl
+            ) GROUP BY line HAVING COUNT(*) >= {hot_docs}
+        ),
+        hotlist AS (SELECT COALESCE(list_sort(list(line)), []) AS hot FROM hot)
+        SELECT doc_id,
+               array_to_string(list_filter(lines, l -> NOT list_contains(hot, l)), ' ')
+                   AS clean_text,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(lines) - len(list_filter(lines, l -> NOT list_contains(hot, l)))
+                    AS INT) AS n_dropped
+        FROM dl, hotlist
+    """
+
+
+# --------------------------- sequence packing (pretraining batch prep)
+
+PACK_MAX_TOKENS = 256
+PACK_BINS = 8
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    max_tokens: int = PACK_MAX_TOKENS,
+    n_bins: int = PACK_BINS,
+) -> DataFrame:
+    """(doc_id, bin, pack_id, pack_pos, n_tok) — greedy sequence
+    packing for pretraining: docs are hashed into ``n_bins``
+    independent bins, and within each bin (ordered by doc_id) a pack
+    accumulates docs until the next one would exceed ``max_tokens``
+    (an oversize doc gets its own pack).
+
+    This is the canonical grouped-SEQUENTIAL shape: packing is
+    inherently a running scan, so it runs as ``applyInPandas`` per
+    bin — embarrassingly parallel ACROSS bins (at 100 TB, thousands of
+    hash bins ≫ executor count; one shuffle on ``bin``), sequential
+    only within one bin's slice. The DuckDB oracle walks the same
+    greedy recurrence as a recursive CTE — two independent
+    formulations of the scan."""
+    import pandas as pd
+
+    from ..hashing import spark_h15
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (spark_h15(F.col("doc_id").cast("string")) % n_bins).cast("int").alias("bin"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_id, acc, pos = 0, 0, 0
+        pids, poss = [], []
+        for n in pdf["n_tok"]:
+            if acc > 0 and acc + n > max_tokens:
+                pack_id, acc, pos = pack_id + 1, 0, 0
+            acc += int(n)
+            pids.append(pack_id)
+            poss.append(pos)
+            pos += 1
+        pdf["pack_id"] = pids
+        pdf["pack_pos"] = poss
+        return pdf
+
+    return docs.groupBy("bin").applyInPandas(
+        pack, schema="doc_id bigint, bin int, n_tok int, pack_id int, pack_pos int"
+    ).select("doc_id", "bin", "pack_id", "pack_pos", "n_tok")
+
+
+def duck_pack_sequences(
+    max_tokens: int = PACK_MAX_TOKENS, n_bins: int = PACK_BINS
+) -> str:
+    from ..hashing import duck_h15
+
+    h = duck_h15("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH RECURSIVE d AS (
+            SELECT doc_id, CAST({h} % {n_bins} AS INT) AS bin,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY CAST({h} % {n_bins} AS INT)
+                                           ORDER BY doc_id) AS INT) AS rn
+            FROM documents
+        ),
+        walk(bin, rn, doc_id, n_tok, pack_id, pack_pos, acc) AS (
+            SELECT bin, rn, doc_id, n_tok, 0, 0, n_tok FROM d WHERE rn = 1
+            UNION ALL
+            SELECT nxt.bin, nxt.rn, nxt.doc_id, nxt.n_tok,
+                   CASE WHEN w.acc + nxt.n_tok > {max_tokens}
+                        THEN w.pack_id + 1 ELSE w.pack_id END,
+                   CASE WHEN w.acc + nxt.n_tok > {max_tokens}
+                        THEN 0 ELSE w.pack_pos + 1 END,
+                   CASE WHEN w.acc + nxt.n_tok > {max_tokens}
+                        THEN nxt.n_tok ELSE w.acc + nxt.n_tok END
+            FROM walk w JOIN d nxt ON nxt.bin = w.bin AND nxt.rn = w.rn + 1
+        )
+        SELECT doc_id, bin, CAST(pack_id AS INT) AS pack_id,
+               CAST(pack_pos AS INT) AS pack_pos, n_tok
+        FROM walk
+    """

@@ -463,3 +463,49 @@ def test_pii_count_matches_masked_spans(spark):
     assert got[1] == ("reach me at <EMAIL> please", 1)
     assert got[2] == ("ssn <SSN> and mail <EMAIL>", 2)
     assert got[3] == ("nothing sensitive here", 0)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Greedy packing semantics, independent of the oracle: every doc
+    appears exactly once; within each (bin, pack) the token sum stays
+    ≤ max_tokens unless the pack is a single oversize doc; pack_pos
+    numbers consecutively; packs are contiguous doc_id runs per bin."""
+    from collections import defaultdict
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        PACK_MAX_TOKENS,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    packs = defaultdict(list)
+    for r in rows:
+        packs[(r["bin"], r["pack_id"])].append(r)
+    assert len(packs) > 1
+    for (_b, _p), members in packs.items():
+        members.sort(key=lambda r: r["pack_pos"])
+        assert [m["pack_pos"] for m in members] == list(range(len(members)))
+        total = sum(m["n_tok"] for m in members)
+        assert total <= PACK_MAX_TOKENS or len(members) == 1
+        # greedy: docs in a pack are consecutive in bin order
+        ids = [m["doc_id"] for m in members]
+        assert ids == sorted(ids)
+
+
+def test_line_dedup_removes_planted_boilerplate_only_when_hot(spark, sf_dir):
+    """The planted boilerplate line (1 in 4 docs → far over the hot
+    threshold) must vanish from every planted doc, and unplanted docs
+    must keep their text unless they organically share a hot line."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        LINE_PLANT_EVERY,
+        _BOILER,
+        line_dedup,
+    )
+
+    out = {r["doc_id"]: r for r in line_dedup(spark, sf_dir, plant=True).collect()}
+    assert all(_BOILER not in r["clean_text"] for r in out.values())
+    planted = [r for d, r in out.items() if d % LINE_PLANT_EVERY == 0]
+    assert planted and all(r["n_dropped"] >= 1 for r in planted)
