@@ -221,3 +221,102 @@ def run_stream_triples(
         .start()
     )
     q.awaitTermination()
+
+
+# ----------------------- continuous KG maintenance (streaming + merge)
+
+def _latest_kg_version(spark: SparkSession, kg_dir: str, below: int) -> int | None:
+    """Highest committed ``v=N`` partition with N < ``below`` (the
+    replaying batch must merge against the state BEFORE itself)."""
+    import os
+    import re
+
+    if not os.path.isdir(kg_dir):
+        return None
+    vs = [
+        int(m.group(1))
+        for d in os.listdir(kg_dir)
+        if (m := re.match(r"v=(\d+)$", d))
+    ]
+    vs = [v for v in vs if v < below]
+    return max(vs) if vs else None
+
+
+def run_stream_kg(
+    spark: SparkSession,
+    src_dir: str,
+    kg_dir: str,
+    checkpoint_dir: str,
+    threshold: float = SCORE_THRESHOLD,
+    max_k: int = MAX_K,
+    weights=None,
+    canon=None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous KG maintenance: every micro-batch extracts its delta
+    triples, canonicalizes against a FIXED canonical map (``canon`` —
+    a slowly-changing dimension in production; pass the map the batch
+    rebuild would use for exact parity), dedups to a delta KG and
+    MERGES it into the running KG table via the decomposable
+    ``merge_kg_tables`` aggregates. Each batch writes the full merged
+    state to a ``v=<batch_id>`` version directory and merges against
+    the highest version BELOW its own id — so a replayed batch
+    recomputes exactly the same merge and overwrites its own version:
+    idempotent under foreachBatch's at-least-once replay, and the
+    latest version always equals a from-scratch rebuild over
+    everything ingested (tested).
+
+    At 10^12 turns the per-batch cost is the delta extraction plus an
+    aggregate over (existing KG + delta) — the historical corpus is
+    never re-read."""
+    from pyspark.sql import functions as F
+
+    from ..operators.linking import dedup_triples, merge_kg_tables, rekey_canonical
+    from ..plans.pipeline import triples_from_transcripts
+
+    KG_SCHEMA = (
+        "subj string, pred string, obj string, support bigint, "
+        "max_score double, min_k int"
+    )
+
+    def one_batch(bdf: DataFrame, batch_id: int) -> None:
+        delta = dedup_triples(
+            rekey_canonical(
+                triples_from_transcripts(
+                    spark, bdf, threshold=threshold, max_k=max_k, weights=weights
+                ),
+                canon,
+            )
+        )
+        prev = _latest_kg_version(spark, kg_dir, below=int(batch_id))
+        if prev is None:
+            merged = delta
+        else:
+            existing = spark.read.schema(KG_SCHEMA).parquet(f"{kg_dir}/v={prev}")
+            merged = merge_kg_tables(existing, delta)
+        merged.select(
+            "subj", "pred", "obj",
+            F.col("support").cast("bigint").alias("support"),
+            F.col("max_score").cast("double").alias("max_score"),
+            F.col("min_k").cast("int").alias("min_k"),
+        ).write.mode("overwrite").parquet(f"{kg_dir}/v={int(batch_id)}")
+
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        src.parquet(src_dir)
+        .writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_latest_kg(spark: SparkSession, kg_dir: str) -> DataFrame:
+    """The current KG state: the highest committed version."""
+    v = _latest_kg_version(spark, kg_dir, below=1 << 62)
+    if v is None:
+        raise FileNotFoundError(f"no KG versions under {kg_dir}")
+    return spark.read.parquet(f"{kg_dir}/v={v}")

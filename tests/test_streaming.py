@@ -303,3 +303,62 @@ def test_never_idle_conversation_spills_with_bounded_state(spark, tmp_path):
     g = got[cols].drop_duplicates().sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_stream_kg_maintenance_equals_batch_rebuild(spark, sf_dir, tmp_path):
+    """Continuous KG maintenance: per-batch delta extraction + merge
+    into the running versioned KG must end at exactly the batch
+    materialize_kg state, and a restart against the same checkpoint
+    must not change the latest version (committed batches never
+    re-fire; versioned overwrites make replays idempotent)."""
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        canonicalize,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        materialize_kg,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.streaming.triples import (
+        read_latest_kg,
+        run_stream_kg,
+    )
+
+    src = str(tmp_path / "turns")
+    kg_dir = str(tmp_path / "kg")
+    ckpt = str(tmp_path / "ckpt")
+    tdf = transcripts(spark, sf_dir)
+    # conversation-atomic files (the feed contract): several batches
+    tdf.repartition(4, "conv_id").write.parquet(src)
+    canon = canonicalize(detect_mentions(spark, segment(tdf)))
+
+    run_stream_kg(spark, src, kg_dir, ckpt, canon=canon, max_files_per_trigger=1)
+    got = read_latest_kg(spark, kg_dir).toPandas()
+    want = materialize_kg(spark, sf_dir).toPandas()
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # restart: drained checkpoint → no new version, same state
+    import os
+
+    versions_before = sorted(os.listdir(kg_dir))
+    run_stream_kg(spark, src, kg_dir, ckpt, canon=canon, max_files_per_trigger=1)
+    assert sorted(os.listdir(kg_dir)) == versions_before
+    got2 = read_latest_kg(spark, kg_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        got2[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
