@@ -492,6 +492,68 @@ def weights_from_lists(d: dict[str, list]) -> dict[str, np.ndarray]:
 
 # ------------------------------------------------------- featurize (per row)
 
+_win_cache: dict = {}
+_WIN_CACHE_MAX = 20_000  # bound executor-resident memory
+
+
+def _window_structures(key: tuple, tokenize):
+    """Window-level memo: many candidates share the same sentence
+    window (every pair inside a conversation span), so everything that
+    depends only on the window — tokenization, offsets, the dependency
+    adjacency (G1/G2), the ADP parent array and its topological
+    schedule (G5) — computes once per DISTINCT window per executor.
+    Only the per-candidate BFS and index arrays remain in the row
+    loop. Returns (offsets, all_words, adj, parents, order) or None
+    for an empty-tokenizing window (F5)."""
+    ckey = (key, getattr(tokenize, "__name__", None))
+    hit = _win_cache.get(ckey)
+    if hit is not None:
+        return hit if hit != () else None
+    if len(_win_cache) >= _WIN_CACHE_MAX:
+        _win_cache.clear()
+    if tokenize is None:
+        sent_words = [s.split(" ") if s and s.strip() else [] for s in key]
+    else:
+        sent_words = [tokenize(s) if s and s.strip() else [] for s in key]
+    if any(len(w) == 0 for w in sent_words):
+        _win_cache[ckey] = ()
+        return None
+    offsets = np.cumsum([0] + [len(w) for w in sent_words])
+    all_words = [w for ws in sent_words for w in ws]
+    edges, _roots = build_edges(sent_words)
+    adj: list[list[int]] = [[] for _ in range(len(all_words))]
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    parents = combined_parents(sent_words)
+    order = tree_schedule(parents)
+    out = (offsets, all_words, adj, parents, order)
+    _win_cache[ckey] = out
+    return out
+
+
+def bfs_path_adj(adj: list[list[int]], src: int, dst: int) -> list[int] | None:
+    """``bfs_path`` over a prebuilt adjacency (the per-window memo)."""
+    prev = [-2] * len(adj)
+    prev[src] = -1
+    queue = [src]
+    while queue:
+        nxt: list[int] = []
+        for u in queue:
+            if u == dst:
+                path = []
+                while u != -1:
+                    path.append(u)
+                    u = prev[u]
+                return path[::-1]
+            for v in adj[u]:
+                if prev[v] == -2:
+                    prev[v] = u
+                    nxt.append(v)
+        queue = nxt
+    return None
+
+
 def featurize_window(
     sent_texts: list[str],
     sent1: int,
@@ -512,21 +574,16 @@ def featurize_window(
     Returns None when the SDP is unreachable (quarantine route, F3) or
     the window tokenizes empty (F5).
     """
-    if tokenize is None:
-        sent_words = [s.split(" ") if s and s.strip() else [] for s in sent_texts]
-    else:
-        sent_words = [tokenize(s) if s and s.strip() else [] for s in sent_texts]
-    if any(len(w) == 0 for w in sent_words):
+    win = _window_structures(tuple(sent_texts), tokenize)
+    if win is None:
         return None
-    offsets = np.cumsum([0] + [len(w) for w in sent_words])
+    offsets, all_words, adj, parents, order = win
     g1 = int(offsets[sent1 - smin] + tok1)
     g2 = int(offsets[sent2 - smin] + tok2)
-    all_words = [w for ws in sent_words for w in ws]
     n = len(all_words)
     if g1 >= n or g2 >= n:
         return None
-    edges, _roots = build_edges(sent_words)
-    path = bfs_path(n, edges, g1, g2)
+    path = bfs_path_adj(adj, g1, g2)
     if path is None:
         return None
     sdp_words = [all_words[i] for i in path]
@@ -538,8 +595,6 @@ def featurize_window(
     p2 = path.index(g2)
     pi1 = [min(abs(i - p1), MAX_POS) for i in range(len(path))]
     pi2 = [min(abs(i - p2), MAX_POS) for i in range(len(path))]
-    parents = combined_parents(sent_words)
-    order = tree_schedule(parents)
     return {
         "sdp_gidx": path,
         "sdp_words": sdp_words,
