@@ -252,6 +252,7 @@ def run_stream_kg(
     weights=None,
     canon=None,
     max_files_per_trigger: int | None = None,
+    buffer_conversations: bool = False,
 ) -> None:
     """Continuous KG maintenance: every micro-batch extracts its delta
     triples, canonicalizes against a FIXED canonical map (``canon`` —
@@ -268,7 +269,17 @@ def run_stream_kg(
 
     At 10^12 turns the per-batch cost is the delta extraction plus an
     aggregate over (existing KG + delta) — the historical corpus is
-    never re-read."""
+    never re-read.
+
+    Delta atomicity: ``support`` sums across deltas, so each candidate
+    must reach extraction exactly once — either the feed is
+    conversation-atomic (transcript logs usually are), or
+    ``buffer_conversations=True`` chains the sessionize closer so a
+    conversation split across micro-batches is extracted whole. Do
+    NOT combine support-summing maintenance with the ``max_turns``
+    spill (overlap turns would double-count); a spilling deployment
+    should merge on max/min aggregates only or dedupe per cand_id
+    upstream."""
     from pyspark.sql import functions as F
 
     from ..operators.linking import dedup_triples, merge_kg_tables, rekey_canonical
@@ -304,9 +315,11 @@ def run_stream_kg(
     src = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger:
         src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = src.parquet(src_dir)
+    if buffer_conversations:
+        stream = sessionize_turns(stream)
     q = (
-        src.parquet(src_dir)
-        .writeStream.foreachBatch(one_batch)
+        stream.writeStream.foreachBatch(one_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

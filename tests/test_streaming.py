@@ -362,3 +362,73 @@ def test_stream_kg_maintenance_equals_batch_rebuild(spark, sf_dir, tmp_path):
         got2[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_stream_kg_with_buffering_survives_split_conversations(spark, sf_dir, tmp_path):
+    """run_stream_kg(buffer_conversations=True) over a feed that splits
+    EVERY conversation across files must still converge to the batch
+    rebuild — the sessionize closer restores delta atomicity for the
+    support-summing merge."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        canonicalize,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        materialize_kg,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.streaming.triples import (
+        read_latest_kg,
+        run_stream_kg,
+    )
+
+    tdf = transcripts(spark, sf_dir).filter(
+        F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("int") < 30
+    )
+    pdf = tdf.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = pdf.groupby("conv_id")["turn_idx"].transform("max") // 2
+    src = tmp_path / "turns"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf[pdf.turn_idx <= half]), src / "f1.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf[pdf.turn_idx > half]), src / "f2.parquet")
+
+    full = spark.createDataFrame(pdf)
+    canon = canonicalize(detect_mentions(spark, segment(full)))
+    kg_dir = str(tmp_path / "kg")
+    run_stream_kg(
+        spark, str(src), kg_dir, str(tmp_path / "ckpt"),
+        canon=canon, max_files_per_trigger=1, buffer_conversations=True,
+    )
+    got = read_latest_kg(spark, kg_dir).toPandas()
+
+    # batch rebuild over the same 30 conversations, same canon map
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        dedup_triples,
+        rekey_canonical,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        triples_from_transcripts,
+    )
+
+    want = dedup_triples(
+        rekey_canonical(triples_from_transcripts(spark, full), canon)
+    ).toPandas()
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
