@@ -134,8 +134,11 @@ def shift_positions(featurized: DataFrame) -> DataFrame:
     )
 
 
-def featurize_pair(windows: DataFrame) -> DataFrame:
-    """candidate windows → feature arrays (+ ``ok`` quarantine flag)."""
+def featurize_pair(windows: DataFrame, tokenizer: str = "split") -> DataFrame:
+    """candidate windows → feature arrays (+ ``ok`` quarantine flag).
+    ``tokenizer`` mirrors the fused kernel's T2 gate (``'split'`` |
+    ``'treebank'``) so the staged/checkpointed path stays coordinate-
+    compatible with treebank-mode mention detection."""
     out_schema = (
         ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in windows.schema.fields
@@ -145,6 +148,9 @@ def featurize_pair(windows: DataFrame) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tokenize = None
+        if tokenizer == "treebank":
+            from .segmentation import treebank_tokenize as tokenize
         empty = {
             "sdp_gidx": None,
             "sdp_words": None,
@@ -168,6 +174,7 @@ def featurize_pair(windows: DataFrame) -> DataFrame:
                     int(row.sent2),
                     int(row.tok2),
                     int(row.smin),
+                    tokenize=tokenize,
                 )
                 if f is None:
                     feats.append({"ok": False, **empty})

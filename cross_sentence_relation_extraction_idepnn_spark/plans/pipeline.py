@@ -176,14 +176,20 @@ def extract_triples(
     salted: bool = False,
     resume: bool = True,
     weights=None,
+    segmenter=None,
+    tokenizer: str = "split",
 ) -> DataFrame:
     """Full pipeline → per-candidate triples (pre-dedup).
 
     With ``warehouse`` set, every stage checkpoints (resumable);
-    without, the whole chain runs as one lazy plan.
+    without, the whole chain runs as one lazy plan. The
+    ``segmenter``/``tokenizer`` gates (punkt/treebank mode) apply to
+    BOTH paths, so a checkpointed punctuated-corpus run stays
+    coordinate-consistent across every stage.
     """
     weights = weights if weights is not None else load_weights()
     pair_fn = salted_candidate_pairs if salted else candidate_pairs
+    seg = segmenter if segmenter is not None else segment
 
     if warehouse is None:
         return triples_from_transcripts(
@@ -193,18 +199,20 @@ def extract_triples(
             max_k=max_k,
             salted=salted,
             weights=weights,
+            segmenter=segmenter,
+            tokenizer=tokenizer,
         )
 
     cp = Checkpointer(spark, warehouse)
     sents = cp.stage(
         "sentences",
-        lambda: segment(transcripts(spark, sf_dir)),
+        lambda: seg(transcripts(spark, sf_dir)),
         upstream=["transcripts"],
         resume=resume,
     )
     mens = cp.stage(
         "mentions",
-        lambda: detect_mentions(spark, sents),
+        lambda: detect_mentions(spark, sents, tokenizer=tokenizer),
         upstream=["sentences"],
         resume=resume,
     )
@@ -216,7 +224,7 @@ def extract_triples(
     )
     feats = cp.stage(
         "featurized",
-        lambda: featurize_pair(candidate_windows(cands, sents)),
+        lambda: featurize_pair(candidate_windows(cands, sents), tokenizer=tokenizer),
         upstream=["candidates", "sentences"],
         resume=resume,
     )

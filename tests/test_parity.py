@@ -146,3 +146,57 @@ def test_punkt_treebank_e2e_matches_numpy_pipeline(spark, sf_dir):
     # cross-sentence pairs must be at stake, not just k=0
     assert any(k > 0 for (_c, _s, _o, k) in expected)
     assert got_set == expected
+
+
+def test_staged_path_matches_fused_in_treebank_mode(spark, sf_dir):
+    """The checkpointed/staged operators (featurize_pair → score_pairs)
+    must produce bit-identical posteriors to the fused kernel under
+    the punkt/treebank gates — otherwise a resumable punctuated-corpus
+    run would silently diverge from the fast path."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import (
+        candidate_pairs_fast,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.graph import (
+        candidate_windows,
+        featurize_pair,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.scoring import (
+        featurize_and_score,
+        score_pairs,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        punctuated_transcripts,
+        segment_punkt,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.training import load_weights
+
+    pdx = punctuated_transcripts(spark, sf_dir).filter(F.col("conv_id").cast("int") < 60)
+    sents = segment_punkt(pdx)
+    wins = candidate_windows(
+        candidate_pairs_fast(detect_mentions(spark, sents, tokenizer="treebank")), sents
+    )
+    W = load_weights()
+    fused = {
+        r["cand_id"]: r["p_rel"]
+        for r in featurize_and_score(wins, weights=W, tokenizer="treebank")
+        .filter("ok")
+        .select("cand_id", "p_rel")
+        .collect()
+    }
+    staged = {
+        r["cand_id"]: r["p_rel"]
+        for r in score_pairs(
+            featurize_pair(wins, tokenizer="treebank").filter("ok"), weights=W
+        )
+        .select("cand_id", "p_rel")
+        .collect()
+    }
+    assert len(fused) > 0 and set(fused) == set(staged)
+    for k, v in fused.items():
+        assert np.isclose(v, staged[k], rtol=0, atol=0), k  # bit-identical
