@@ -264,6 +264,16 @@ def _kg(spark: SparkSession, sf: str) -> DataFrame:
     return materialize_kg(spark, sf).drop("max_score")
 
 
+def _kg_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph analytics over the materialized KG: deterministic
+    fixed-point PageRank (integer arithmetic — exact cross-engine)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_pagerank,
+    )
+
+    return kg_pagerank(materialize_kg(spark, sf))
+
+
 def _kg_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental-maintenance twin of ``kg``: the corpus splits into
     two conv-hash deltas, each runs the full extraction → per-delta KG,
@@ -388,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples": _triples,
         "kg": _kg,
         "kg_incremental": _kg_incremental,
+        "kg_pagerank": _kg_pagerank,
         # official-eval .a2 assembly over model scores (rows-only)
         "a2_lines": lambda s, d: a2_annotation_lines(
             scored_from_transcripts(s, transcripts(s, d))
@@ -460,6 +471,14 @@ def _duck_kg() -> str:
         LEFT JOIN canon co ON co.surface = t.obj_surface
         GROUP BY 1, 2, 3
     """
+
+
+def _duck_kg_pagerank() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_pagerank_over,
+    )
+
+    return duck_pagerank_over(_duck_kg())
 
 
 def _duck_a2_lines() -> str:
@@ -579,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "triples": _duck_triples_sql(),
         "kg": _duck_kg(),
         "kg_incremental": _duck_kg(),  # delta merge ≡ full rebuild
+        "kg_pagerank": _duck_kg_pagerank(),
         "a2_lines": _duck_a2_lines(),
         "position_bounds": duck_position_bounds(),
         "adp_degree": duck_adp_degree(),

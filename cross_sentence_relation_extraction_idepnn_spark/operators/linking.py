@@ -359,3 +359,105 @@ def merge_kg_tables(*kgs: DataFrame) -> DataFrame:
         F.round(F.max("max_score"), 6).alias("max_score"),
         F.min("min_k").alias("min_k"),
     )
+
+
+PAGERANK_SCALE = 1_000_000  # fixed-point micro-units
+PAGERANK_ITERS = 10
+
+
+def kg_pagerank(kg: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """(node, pr) — deterministic fixed-point PageRank over the KG's
+    distinct (subj → obj) edges: the canonical ITERATIVE join-agg
+    shape (per iteration: one broadcast-able join on src, one
+    aggregation on dst — at billion-node scale each iteration is one
+    shuffle keyed on dst, and lineage is truncated per iteration in
+    iterative deployments like the star-CC loop above).
+
+    All arithmetic is INTEGER (damping 0.85 as 17/20, values in
+    1e-6 micro-units, floor division), so there is no float summation
+    order to drift between engines — the DuckDB oracle unrolls the
+    same recurrence and matches bit-for-bit. Dangling-node mass is
+    dropped (documented deviation from the stochastic-matrix PR;
+    rankings are unaffected for connected KGs)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
+    # the edge/node/degree tables feed every iteration — persist once,
+    # and truncate pr's lineage per iteration (localCheckpoint, the
+    # same discipline as the star-CC loop) or the kg subtree re-expands
+    # ~3× per iteration
+    edges = track_cache(
+        kg.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = track_cache(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    base = (PAGERANK_SCALE * 15) // (100 * n)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    pr = nodes.withColumn("pr", F.lit(PAGERANK_SCALE // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.floor(F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(F.lit(17) * F.coalesce(F.col("s"), F.lit(0)) / F.lit(20))
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr
+
+
+def duck_pagerank_over(kg_cte: str, iters: int = PAGERANK_ITERS) -> str:
+    """Oracle: the same integer recurrence unrolled as chained CTEs
+    (recursive CTEs cannot aggregate over the recursive reference;
+    unrolling ``iters`` chained aggregations is the portable form).
+    ``kg_cte`` must be a standalone query producing (subj, …, obj)."""
+    s = PAGERANK_SCALE
+    # MATERIALIZED: pe/pn/pd are referenced once per unrolled
+    # iteration — without the hint DuckDB may re-execute the (heavy)
+    # kg subtree per reference
+    ctes = [
+        f"kg AS MATERIALIZED ({kg_cte})",
+        "pe AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM kg)",
+        "pn AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM pe UNION ALL SELECT dst AS node FROM pe))",  # bare UNION inside a WITH RECURSIVE chain parses as a recursive body
+        "pc AS MATERIALIZED (SELECT COUNT(*) AS n FROM pn)",
+        "pd AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM pe GROUP BY src)",
+        f"pr0 AS (SELECT node, {s} // (SELECT n FROM pc) AS pr FROM pn)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""
+        pr{i + 1} AS (
+            SELECT pn.node,
+                   ({s} * 15) // (100 * (SELECT n FROM pc))
+                   + (17 * COALESCE(c.s, 0)) // 20 AS pr
+            FROM pn
+            LEFT JOIN (
+                SELECT e.dst, SUM(p.pr // d.deg) AS s
+                FROM pe e
+                JOIN pr{i} p ON p.node = e.src
+                JOIN pd d ON d.src = e.src
+                GROUP BY e.dst
+            ) c ON c.dst = pn.node
+        )""")
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + f" SELECT node, CAST(pr AS BIGINT) AS pr FROM pr{iters}"
+    )
