@@ -305,3 +305,63 @@ def test_m10_normalize_embedding_rows():
     assert np.allclose(np.linalg.norm(N, axis=1), 1.0)
     # direction preserved
     assert np.allclose(N * np.linalg.norm(E, axis=1, keepdims=True), E)
+
+
+def test_closed_form_tree_distance_matches_bfs_randomized():
+    """The SDP oracle's math (graph.duck_sdp_ctes): closed-form depth
+    (anchors-before count), LCA-min-sum for same-sentence pairs and
+    depth1+|Δsent|+depth2 cross-sentence must equal the kernel BFS on
+    randomized windows — this is the equivalence the flagship oracles
+    stand on."""
+    import random
+    import string
+
+    from cross_sentence_relation_extraction_idepnn_spark import kernels
+
+    rng = random.Random(20260817)
+
+    def rand_word():
+        return "".join(
+            rng.choices(string.ascii_lowercase, k=rng.randint(1, 6))
+        )
+
+    def depth_closed(words, i):
+        anchors = [j for j, w in enumerate(words) if kernels.h15(w.lower()) % 3 == 0]
+        before = [a for a in anchors if a < i]
+        return i if not before else anchors[0] + len(before)
+
+    def path_to_root(words, i):
+        heads = kernels.heads_of(words)
+        p = [i]
+        while heads[p[-1]] >= 0:
+            p.append(heads[p[-1]])
+        return p
+
+    for _ in range(300):
+        ns = rng.randint(1, 4)
+        sent_words = [
+            [rand_word() for _ in range(rng.randint(1, 10))] for _ in range(ns)
+        ]
+        texts = [" ".join(w) for w in sent_words]
+        s1, s2 = rng.randrange(ns), rng.randrange(ns)
+        t1 = rng.randrange(len(sent_words[s1]))
+        t2 = rng.randrange(len(sent_words[s2]))
+        smin, smax = min(s1, s2), max(s1, s2)
+        f = kernels.featurize_window(texts[smin : smax + 1], s1, t1, s2, t2, smin)
+        bfs_len = len(f["sdp_gidx"])
+        if s1 == s2:
+            pu = path_to_root(sent_words[s1], t1)
+            pv = path_to_root(sent_words[s1], t2)
+            du = {n: d for d, n in enumerate(pu)}
+            dist = min(du[n] + d for d, n in enumerate(pv) if n in du)
+        else:
+            dist = (
+                depth_closed(sent_words[s1], t1)
+                + abs(s2 - s1)
+                + depth_closed(sent_words[s2], t2)
+            )
+        assert bfs_len == dist + 1, (sent_words, s1, t1, s2, t2)
+        # and the closed-form depth itself equals the head-chain depth
+        for words in sent_words:
+            for i in range(len(words)):
+                assert depth_closed(words, i) == len(path_to_root(words, i)) - 1

@@ -208,3 +208,57 @@ def test_punctuated_fixture_exercises_every_boundary_rule(spark, sf_dir):
     assert sum("3.14" in s for s in sents) > 0
     assert sum(bool(re.search(r"[a-z]\. [a-z]", s)) for s in sents) > 0
     assert sum(s.rstrip().endswith("!?") for s in sents) > 0
+
+
+def test_token_level_boundary_rule_equals_char_scan_randomized():
+    """The sentences_punkt oracle reformulates punkt_sentences at token
+    level (boundary between tokens j, j+1 iff token j ends with a
+    [.!?] run, token j+1 starts upper/digit, and the pre-run word is
+    neither abbreviation nor single initial). For single-spaced text
+    the two formulations must agree — randomized over words decorated
+    with the full rule surface (abbrevs, initials, numbers, !? runs,
+    quotes/parens prefixes)."""
+    import random
+    import re
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        ABBREVIATIONS,
+        punkt_sentences,
+    )
+
+    rng = random.Random(7)
+    base = ["alpha", "bravo", "Charlie", "delta9", "Echo", "x", "Dr", "fig", "3"]
+    decor = ["", ".", "!?", "...", "!"]
+    prefix = ["", "(", '"']
+
+    def token_rule_sentences(text):
+        toks = text.split(" ")
+        bounds = []
+        for j in range(len(toks) - 1):
+            tok, nxt = toks[j], toks[j + 1]
+            if not re.search(r"[.!?]$", tok):
+                continue
+            if not re.match(r"^[A-Z0-9]", nxt):
+                continue
+            wrd = re.sub(r"[.!?]+$", "", tok)
+            if len(wrd) == 1 and wrd.isupper() and wrd.isalpha():
+                continue
+            if wrd.lower().lstrip("(\"'").rstrip(".") in ABBREVIATIONS:
+                continue
+            bounds.append(j)
+        out, start = [], 0
+        for b in bounds:
+            out.append(" ".join(toks[start : b + 1]))
+            start = b + 1
+        if start < len(toks):
+            out.append(" ".join(toks[start:]))
+        return out
+
+    for _ in range(400):
+        n = rng.randint(1, 14)
+        toks = [
+            rng.choice(prefix) + rng.choice(base) + rng.choice(decor)
+            for _ in range(n)
+        ]
+        text = " ".join(toks)
+        assert punkt_sentences(text) == token_rule_sentences(text), text
