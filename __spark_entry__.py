@@ -358,6 +358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greedy sequence packing: grouped-sequential applyInPandas vs
         # a recursive-CTE walk of the same recurrence
         "pack_sequences": curation.pack_sequences,
+        # end-to-end curation funnel: per-stage pass booleans + kept
+        "curation_funnel": curation.curation_funnel,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -588,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture": curation.duck_domain_mixture(),
         "line_dedup": curation.duck_line_dedup(plant=True),
         "pack_sequences": curation.duck_pack_sequences(),
+        "curation_funnel": curation.duck_curation_funnel(),
         "quality_score": textstats.duck_quality(),
         "token_counts": textstats.duck_token_counts(),
         "doc_fingerprint": textstats.duck_fingerprint(),

@@ -544,3 +544,94 @@ def duck_pack_sequences(
                CAST(pack_pos AS INT) AS pack_pos, n_tok
         FROM walk
     """
+
+
+# ----------------------------------------- end-to-end curation funnel
+
+QUALITY_KEEP_E6 = 550_000  # keep docs with quality >= 0.55
+REP_MAX_FRAC = (1, 5)      # repeated n-gram fraction <= 1/5 (exact rational)
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pass_quality, pass_repetition, pass_decontamination,
+    pass_sample, kept) — the production curation FUNNEL: every doc
+    flows through quality scoring, repetition filtering, benchmark
+    decontamination and deterministic stratified sampling, with a
+    per-stage boolean so attrition is observable per stage (what a
+    real 100 TB curation run logs). Composes the individually
+    oracle-checked operators; benchmark docs themselves are excluded
+    (as in ``decontaminate``). ``kept`` is the conjunction.
+
+    Plan shape: three narrow per-doc computations joined on doc_id
+    (AQE-broadcast at these sizes; co-partitioned equi-joins at
+    scale) + the broadcast contamination semi-join."""
+    from ..operators import textstats
+
+    q = textstats.quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= QUALITY_KEEP_E6 / 1e6).alias("pass_quality")
+    )
+    rnum, rden = REP_MAX_FRAC
+    r = repetition_score(spark, sf_dir).select(
+        "doc_id",
+        # repeated fraction (g-d)/g <= rnum/rden, exact ints; empty docs pass
+        (
+            (F.col("n_grams") - F.col("n_distinct")) * rden
+            <= F.col("n_grams") * rnum
+        ).alias("pass_repetition"),
+    )
+    c = decontaminate(spark, sf_dir).select(
+        "doc_id", (~F.col("contaminated")).alias("pass_decontamination")
+    )
+    h = spark_h15(F.col("doc_id").cast("string")) % 10000
+    stratum = (F.col("doc_id") % STRATUM_MOD).cast("int")
+    rate = F.element_at(
+        F.create_map(*[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]),
+        stratum,
+    )
+    s = _docs(spark, sf_dir).select("doc_id", (h < rate).alias("pass_sample"))
+    out = (
+        c.join(q, "doc_id").join(r, "doc_id").join(s, "doc_id")
+        .select(
+            "doc_id",
+            "pass_quality",
+            "pass_repetition",
+            "pass_decontamination",
+            "pass_sample",
+            (
+                F.col("pass_quality")
+                & F.col("pass_repetition")
+                & F.col("pass_decontamination")
+                & F.col("pass_sample")
+            ).alias("kept"),
+        )
+    )
+    return out
+
+
+def duck_curation_funnel() -> str:
+    from ..operators import textstats
+
+    rnum, rden = REP_MAX_FRAC
+    rates = " ".join(
+        f"WHEN doc_id % {STRATUM_MOD} = {k} THEN {v}"
+        for k, v in SAMPLE_RATES.items()
+    )
+    h = duck_h15("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH q AS (SELECT doc_id, quality >= {QUALITY_KEEP_E6 / 1e6} AS pass_quality
+                   FROM ({textstats.duck_quality()})),
+        r AS (SELECT doc_id,
+                     (n_grams - n_distinct) * {rden} <= n_grams * {rnum}
+                         AS pass_repetition
+              FROM ({duck_repetition()})),
+        c AS (SELECT doc_id, NOT contaminated AS pass_decontamination
+              FROM ({duck_decontaminate()})),
+        s AS (SELECT doc_id,
+                     ({h} % 10000) < (CASE {rates} END) AS pass_sample
+              FROM documents)
+        SELECT c.doc_id, q.pass_quality, r.pass_repetition,
+               c.pass_decontamination, s.pass_sample,
+               (q.pass_quality AND r.pass_repetition
+                AND c.pass_decontamination AND s.pass_sample) AS kept
+        FROM c JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN s USING (doc_id)
+    """
