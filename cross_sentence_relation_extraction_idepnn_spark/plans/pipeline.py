@@ -127,10 +127,28 @@ def scored_from_transcripts(
     """
     from pyspark.storagelevel import StorageLevel
 
-    weights = weights if weights is not None else load_weights()
     seg = segmenter if segmenter is not None else segment
     sents = track_cache(seg(tdf).persist(StorageLevel.MEMORY_ONLY))
     mens = detect_mentions(spark, sents, tokenizer=tokenizer)
+    return scored_from_shared(
+        sents, mens, max_k=max_k, salted=salted, weights=weights, tokenizer=tokenizer
+    )
+
+
+def scored_from_shared(
+    sents: DataFrame,
+    mens: DataFrame,
+    max_k: int = MAX_K,
+    salted: bool = False,
+    weights=None,
+    tokenizer: str = "split",
+) -> DataFrame:
+    """Scoring subplan over ALREADY-BUILT (ideally persisted) sentence
+    and mention tables. ``materialize_kg`` uses this to share ONE
+    mention subtree between candidate generation and canonicalization
+    instead of re-deriving mentions per consumer (VERDICT r3 #3: the
+    duplicated mention pass was the kg_materialize growth)."""
+    weights = weights if weights is not None else load_weights()
     cands = (
         salted_candidate_pairs(mens, max_k=max_k)
         if salted
@@ -258,17 +276,41 @@ def materialize_kg(
 
     Canonical components re-key subj/obj (G6) before the A10 dedup
     shuffle; the component map is tiny → broadcast join.
+
+    Plan sharing (VERDICT r3 #3): the mention table feeds THREE
+    consumers — both sides of the candidate self-join and the
+    canonicalization edge build. The fast path persists it once and
+    hands the same DataFrame to ``scored_from_shared`` and
+    ``canonicalize``; the checkpointed path reads the already-written
+    ``mentions`` stage instead of re-running detection. Without this,
+    the J7+J2 mention subtree executed ~3× per materialization
+    (measured: kg_materialize grew 7.6→12.7→17.9 s across rounds as
+    the KG stage widened around the duplicated subtree).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    if warehouse is None:
+        threshold = kwargs.pop("threshold", SCORE_THRESHOLD)
+        tokenizer = kwargs.pop("tokenizer", "split")
+        segmenter = kwargs.pop("segmenter", None)
+        kwargs.pop("resume", None)
+        seg = segmenter if segmenter is not None else segment
+        sents = track_cache(
+            seg(transcripts(spark, sf_dir)).persist(StorageLevel.MEMORY_ONLY)
+        )
+        mens = track_cache(
+            detect_mentions(spark, sents, tokenizer=tokenizer).persist(
+                StorageLevel.MEMORY_ONLY
+            )
+        )
+        scored = scored_from_shared(sents, mens, tokenizer=tokenizer, **kwargs)
+        triples = emit_triples(scored, threshold=threshold)
+        canon = canonicalize(mens)
+        return dedup_triples(rekey_canonical(triples, canon))
+
     triples = extract_triples(spark, sf_dir, warehouse=warehouse, **kwargs)
-    sents = (
-        Checkpointer(spark, warehouse).read("sentences")
-        if warehouse
-        else segment(transcripts(spark, sf_dir))
-    )
-    mens = detect_mentions(spark, sents)
+    cp = Checkpointer(spark, warehouse)
+    mens = cp.read("mentions")
     canon = canonicalize(mens)
     kg = dedup_triples(rekey_canonical(triples, canon))
-    if warehouse:
-        cp = Checkpointer(spark, warehouse)
-        return cp.stage("kg", lambda: kg, upstream=["triples"], resume=kwargs.get("resume", True))
-    return kg
+    return cp.stage("kg", lambda: kg, upstream=["triples"], resume=kwargs.get("resume", True))
