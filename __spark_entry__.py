@@ -319,8 +319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scored_from_transcripts(s, transcripts(s, d))
         ),
         # 'auto': the REAL pure-Python P6/WAV codecs decode the image and
-        # audio rows (header dims + exact channel/sample sums hash-checked);
-        # video keeps the byte-stat stand-in behind the codec seam
+        # audio rows (header dims + exact channel/sample sums hash-checked
+        # against independent byte-level SQL re-derivations); video keeps
+        # the byte-stat stand-in behind the codec seam
         "multimodal_features": lambda s, d: multimodal.decode_features(
             multimodal.asset_table(s, d), fake="auto"
         ).select(
@@ -337,6 +338,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 for i, n in enumerate(
                     ["img_sum_r", "img_sum_g", "img_sum_b", "img_npix"]
                 )
+            ],
+            # WAV decoder feat layout: [sum, n, min, max, first, last, ...]
+            *[
+                F.when(
+                    F.col("modality") == "audio", F.element_at("feat", i)
+                ).alias(n)
+                for i, n in [
+                    (1, "aud_sum"),
+                    (3, "aud_min"),
+                    (4, "aud_max"),
+                    (6, "aud_last"),
+                ]
             ],
         ),
         # transcript pipeline (SURVEY §2.1 S1/S2, §2.5 W1–W2, §2.8 T1)

@@ -8,21 +8,24 @@ Design contract (training-data pipeline at 100 TB):
 - decode and feature extraction run as Arrow-batched ``mapInPandas``
   kernels so the JVM↔Python boundary is crossed once per batch, with
   bytes delivered as zero-copy Arrow buffers;
-- the *image* decode path is REAL: a pure-Python P6 PPM codec
-  (:func:`decode_ppm` — spec-tolerant header scan + raw RGB plane, no
-  image libraries needed) decodes genuine binary PPM payloads, and the
-  driver-surface query hash-checks its header dims and exact channel
-  sums against a DuckDB re-derivation. Audio/video codecs remain
-  stubbed behind the documented seam (``fake=False`` raises
-  ``NotImplementedError`` per missing codec; ``fake='auto'`` uses real
-  codecs where available and the deterministic byte-stat stand-in
-  elsewhere). Everything around the seam — schema, partitioning, UDF
-  signature, Arrow batch shape — is real and tested.
+- the *image* and *audio* decode paths are REAL: a pure-Python P6 PPM
+  codec (:func:`decode_ppm` — spec-tolerant header scan + raw RGB
+  plane) and a pure-Python RIFF/WAVE codec (:func:`decode_wav` —
+  word-aligned chunk walk + 16-bit PCM samples), no media libraries
+  needed. The driver-surface query hash-checks header dims and exact
+  channel/sample statistics against independent DuckDB byte-level
+  re-derivations. The video codec remains stubbed behind the
+  documented seam (``fake=False`` raises ``NotImplementedError`` per
+  missing codec; ``fake='auto'`` uses real codecs where available and
+  the deterministic byte-stat stand-in elsewhere). Everything around
+  the seam — schema, partitioning, UDF signature, Arrow batch shape —
+  is real and tested.
 
 In-sandbox the asset table is synthesized deterministically from the
-``documents`` parquet (image rows: a constructed PPM; audio/video:
-utf-8 bytes of the text), so the DuckDB oracle can re-derive
-byte-level metadata for the parity gate.
+``documents`` parquet (image rows: a constructed PPM; audio rows: a
+genuine 16-bit PCM WAV whose samples are the text bytes; video: utf-8
+bytes of the text), so the DuckDB oracle can re-derive byte-level
+metadata for the parity gate.
 """
 
 from __future__ import annotations
@@ -52,6 +55,62 @@ _IMG_STR = (
     f"'\\n255\\n', {_IMG_PIX})"
 )
 
+# ---- audio fixture: a GENUINE RIFF/WAVE file (canonical 44-byte header
+# + 16-bit mono PCM), byte-reconstructible in both engines. The header
+# contains non-ASCII bytes (little-endian u32 sizes), so the fixture is
+# assembled as a HEX string and unhex'd to binary — hex() is uppercase
+# in both Spark and DuckDB, making every downstream md5/length check
+# engine-portable. PCM data = the doc's utf-8 bytes zero-padded to even
+# length, i.e. sample k (0-based, LE int16) = b[2k] + 256*b[2k+1].
+WAV_SAMPLE_RATE = 16000
+
+
+def _aud_len(duck: bool) -> str:
+    # DuckDB's octet_length is BLOB-only; Spark's takes strings
+    return "octet_length(encode(text))" if duck else "octet_length(text)"
+
+
+def _aud_pad(duck: bool) -> str:
+    return f"({_aud_len(duck)} % 2)"
+
+
+def _aud_data_n(duck: bool) -> str:
+    return f"({_aud_len(duck)} + {_aud_pad(duck)})"
+
+
+def _aud_riff_size(duck: bool) -> str:
+    return f"(36 + {_aud_data_n(duck)})"
+
+
+def _le_hex(expr: str, nbytes: int, duck: bool) -> str:
+    """SQL: hex rendering of ``expr`` as an ``nbytes`` little-endian
+    unsigned int (engine-specific integer division)."""
+    div = "//" if duck else "div"
+    to_hex = "to_hex" if duck else "hex"
+    parts = [
+        f"lpad({to_hex}(CAST({expr} AS BIGINT) {div} {256 ** i} % 256), 2, '0')"
+        for i in range(nbytes)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _wav_hex(duck: bool) -> str:
+    """Hex string of the full WAV payload (header + PCM data chunk)."""
+    text_hex = "hex(encode(text))" if duck else "hex(encode(text, 'utf-8'))"
+    # 'RIFF' <riff_size> 'WAVE' 'fmt ' 16 fmt=1 ch=1 rate=16000
+    # byte_rate=32000 block_align=2 bits=16 'data' <data_len> <pcm>
+    return (
+        "concat('52494646', "
+        + _le_hex(_aud_riff_size(duck), 4, duck)
+        + ", '57415645666D7420', '10000000', '0100', '0100', "
+        "'803E0000', '007D0000', '0200', '1000', '64617461', "
+        + _le_hex(_aud_data_n(duck), 4, duck)
+        + f", {text_hex}, CASE WHEN {_aud_pad(duck)} = 1 THEN '00' ELSE '' END)"
+    )
+
+
+_AUD_BIN = f"unhex({_wav_hex(duck=False)})"
+
 
 def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → assets ``(asset_id, modality, payload binary,
@@ -59,12 +118,13 @@ def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The *image* modality carries a REAL binary P6 PPM (header +
     interleaved RGB plane, pixel bytes = the doc text cycled to
-    w·h·3) — decoded by the genuine pure-Python codec in
-    :func:`decode_ppm`. Audio/video payloads stay the opaque utf-8
-    stand-in behind the documented codec seam. Modality and codec are
-    deterministic functions of ``doc_id`` so every downstream branch
-    gets exercised, and every payload is byte-identically
-    reconstructible in SQL for the parity oracle.
+    w·h·3) decoded by :func:`decode_ppm`; the *audio* modality a REAL
+    RIFF/WAVE file (canonical header + 16-bit mono PCM whose samples
+    are the text bytes) decoded by :func:`decode_wav`. Video payloads
+    stay the opaque utf-8 stand-in behind the documented codec seam.
+    Modality and codec are deterministic functions of ``doc_id`` so
+    every downstream branch gets exercised, and every payload is
+    byte-identically reconstructible in SQL for the parity oracle.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     modality = (
@@ -74,12 +134,14 @@ def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codec = (
         F.when(F.col("doc_id") % 3 == 0, "ppm")  # real codec available
-        .when(F.col("doc_id") % 3 == 1, "pcm16.fake")
+        .when(F.col("doc_id") % 3 == 1, "wav")  # real codec available
         .otherwise("h264.fake")
     )
-    payload = F.when(
-        F.col("doc_id") % 3 == 0, F.encode(F.expr(_IMG_STR), "utf-8")
-    ).otherwise(F.encode(F.col("text"), "utf-8"))
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.encode(F.expr(_IMG_STR), "utf-8"))
+        .when(F.col("doc_id") % 3 == 1, F.expr(_AUD_BIN))
+        .otherwise(F.encode(F.col("text"), "utf-8"))
+    )
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         modality.alias("modality"),
@@ -100,20 +162,26 @@ def _duck_img_str() -> str:
 
 
 def duck_asset_meta() -> str:
-    """Oracle for the metadata projection (binary itself is checked via
-    its md5, format-independent)."""
+    """Oracle for the metadata projection. The payload is checked via
+    md5 over its UPPERCASE HEX rendering (format-independent; hex
+    because DuckDB's md5 is VARCHAR-only and the WAV header contains
+    non-ASCII bytes). Audio rows independently re-assemble the full
+    RIFF/WAVE byte string — if the Spark-side header layout drifted by
+    one byte, the md5 goes red."""
     return f"""
         SELECT doc_id AS asset_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS modality,
                CAST(CASE WHEN doc_id % 3 = 0 THEN length({_duck_img_str()})
+                    WHEN doc_id % 3 = 1 THEN 44 + {_aud_data_n(duck=True)}
                     ELSE octet_length(encode(text)) END AS INT) AS n_bytes,
                CASE WHEN doc_id % 3 = 0 THEN 'ppm'
-                    WHEN doc_id % 3 = 1 THEN 'pcm16.fake'
+                    WHEN doc_id % 3 = 1 THEN 'wav'
                     ELSE 'h264.fake' END AS codec,
-               CASE WHEN doc_id % 3 = 0 THEN md5({_duck_img_str()})
-                    ELSE md5(text) END AS payload_md5
+               CASE WHEN doc_id % 3 = 0 THEN md5(hex(encode({_duck_img_str()})))
+                    WHEN doc_id % 3 = 1 THEN md5(hex(unhex({_wav_hex(duck=True)})))
+                    ELSE md5(hex(encode(text))) END AS payload_md5
         FROM documents
     """
 
@@ -126,7 +194,7 @@ def asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modality",
         F.col("n_bytes").cast("int").alias("n_bytes"),
         "codec",
-        F.md5("payload").alias("payload_md5"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
     )
 
 
@@ -186,7 +254,59 @@ def _decode_image_ppm(payload: bytes) -> dict:
     return {"d0": w, "d1": h, "d2": 3, "feat": feat}
 
 
-_REAL_CODECS = {"ppm": _decode_image_ppm}
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL pure-Python RIFF/WAVE decoder — no audio libraries.
+    Proper chunk walk (word-aligned, unknown chunks skipped, so files
+    with LIST/INFO/cue chunks parse too), PCM format validation, and
+    the data chunk as a signed little-endian int16 sample array.
+    Returns ``(sample_rate, channels, samples)``. Works on any
+    well-formed 16-bit PCM WAV, not just the synthetic fixture (tested
+    against hand-built files with extra chunks and odd-length data)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = data = None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz % 2)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    samples = np.frombuffer(data[: len(data) - len(data) % 2], dtype="<i2")
+    return sample_rate, channels, samples
+
+
+def _decode_audio_wav(payload: bytes) -> dict:
+    """Real audio decode: parse the RIFF container, emit exact-integer
+    sample statistics (sums/min/max/first/last stay exact in float64,
+    same knife-edge discipline as the image channel sums)."""
+    sample_rate, channels, samples = decode_wav(payload)
+    s = samples.astype(np.int64)
+    feat = [
+        float(s.sum()),
+        float(len(s)),
+        float(s.min()) if len(s) else 0.0,
+        float(s.max()) if len(s) else 0.0,
+        float(s[0]) if len(s) else 0.0,
+        float(s[-1]) if len(s) else 0.0,
+        float(sample_rate),
+        float(channels),
+    ]
+    return {"d0": sample_rate, "d1": len(s), "d2": channels, "feat": feat}
+
+
+_REAL_CODECS = {"ppm": _decode_image_ppm, "wav": _decode_audio_wav}
 
 
 def _fake_decode(payload: bytes, modality: str) -> dict:
@@ -321,11 +441,15 @@ def duck_frame_sample(every_n: int = 2) -> str:
 
 def duck_multimodal_features() -> str:
     """Oracle for the ``multimodal_features`` driver query. Image rows
-    re-derive the REAL decoder's outputs independently: header dims
+    re-derive the REAL P6 decoder's outputs independently: header dims
     from the fixture arithmetic and exact channel sums via ``ord``
-    over every 3rd pixel byte of the reconstructed RGB plane — if the
-    P6 header scan or the channel de-interleave drifted by one byte,
-    these go red. Audio/video rows mirror the byte-stat stand-in's
+    over every 3rd pixel byte of the reconstructed RGB plane. Audio
+    rows re-derive the REAL WAV decoder's outputs: each little-endian
+    int16 sample recomputed from its two text bytes (``b[2k] +
+    256*b[2k+1]``, zero pad byte on odd length — ASCII bytes < 0x80 so
+    the sign bit never flips and unsigned re-derivation is exact). If
+    either codec's header scan or byte layout drifted by one byte,
+    these go red. Video rows mirror the byte-stat stand-in's
     metadata."""
     pix = f"substr(rpad(text, {_IMG_N}, text), 1, {_IMG_N})"
 
@@ -335,17 +459,29 @@ def duck_multimodal_features() -> str:
             f"k -> ord(substr({pix}, CAST(k * 3 + {off + 1} AS INT), 1)))) AS DOUBLE)"
         )
 
+    n_samp = f"({_aud_data_n(duck=True)} // 2)"
+    # per-sample int16 values recomputed from the raw text bytes
+    samples = (
+        f"list_transform(range({n_samp}), k -> "
+        f"ord(substr(text, CAST(2 * k + 1 AS INT), 1)) + 256 * "
+        f"CASE WHEN 2 * k + 2 <= {_aud_len(duck=True)} "
+        f"THEN ord(substr(text, CAST(2 * k + 2 AS INT), 1)) ELSE 0 END)"
+    )
+
+    def aud(agg: str) -> str:
+        return f"CASE WHEN doc_id % 3 = 1 THEN CAST({agg}({samples}) AS DOUBLE) END"
+
     return f"""
         SELECT doc_id AS asset_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS modality,
                CAST(CASE WHEN doc_id % 3 = 0 THEN {_IMG_W}
-                    WHEN doc_id % 3 = 1 THEN 16000
+                    WHEN doc_id % 3 = 1 THEN {WAV_SAMPLE_RATE}
                     ELSE GREATEST(octet_length(encode(text)) // {FRAME_BYTES}, 1)
                     END AS INT) AS d0,
                CAST(CASE WHEN doc_id % 3 = 0 THEN {_IMG_H}
-                    WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) // 2
+                    WHEN doc_id % 3 = 1 THEN {n_samp}
                     ELSE {FRAME_BYTES} END AS INT) AS d1,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 3
                     WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT) AS d2,
@@ -354,6 +490,12 @@ def duck_multimodal_features() -> str:
                CASE WHEN doc_id % 3 = 0 THEN {chsum(1)} END AS img_sum_g,
                CASE WHEN doc_id % 3 = 0 THEN {chsum(2)} END AS img_sum_b,
                CASE WHEN doc_id % 3 = 0
-                    THEN CAST({_IMG_W} * {_IMG_H} AS DOUBLE) END AS img_npix
+                    THEN CAST({_IMG_W} * {_IMG_H} AS DOUBLE) END AS img_npix,
+               {aud("list_sum")} AS aud_sum,
+               {aud("list_min")} AS aud_min,
+               {aud("list_max")} AS aud_max,
+               CASE WHEN doc_id % 3 = 1
+                    THEN CAST(list_extract({samples}, {n_samp}) AS DOUBLE)
+                    END AS aud_last
         FROM documents
     """
