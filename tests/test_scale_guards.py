@@ -509,3 +509,57 @@ def test_line_dedup_removes_planted_boilerplate_only_when_hot(spark, sf_dir):
     assert all(_BOILER not in r["clean_text"] for r in out.values())
     planted = [r for d, r in out.items() if d % LINE_PLANT_EVERY == 0]
     assert planted and all(r["n_dropped"] >= 1 for r in planted)
+
+
+# ------------------------------------------------- long-lived-session caches
+
+
+def test_repeated_operator_calls_leave_no_cached_blocks(spark, sf_dir):
+    """Unpersist discipline (long-lived sessions): N repeated calls of
+    the self-releasing operators (kg_pagerank, muc6_triples_query with
+    release=True) must (a) free their internal caches before returning
+    — only the node-sized result checkpoints remain while the caller
+    holds the data — and (b) leave the persistent-RDD map back at
+    baseline after ``release_caches()``. Deterministic: the operators
+    unpersist explicitly (checkpoint RDDs are NOT auto-cleaned on GC —
+    measured), no collector polling involved."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import kg_pagerank
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import materialize_kg
+    from cross_sentence_relation_extraction_idepnn_spark.session import release_caches
+    from cross_sentence_relation_extraction_idepnn_spark.sources.muc6 import (
+        muc6_triples_query,
+    )
+
+    def n_persistent_rdds() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_caches()
+    spark.catalog.clearCache()
+    base_rdds = n_persistent_rdds()
+
+    kg = materialize_kg(spark, sf_dir)
+    assert kg.count() > 0
+    release_caches()  # drop the pipeline's sentence/mention persists
+    mid = n_persistent_rdds()
+
+    results = []
+    n_calls = 3
+    for _ in range(n_calls):
+        results.append(kg_pagerank(kg, iters=2).count())
+        results.append(muc6_triples_query(spark, sf_dir).count())
+    assert len(set(results[0::2])) == 1 and len(set(results[1::2])) == 1
+
+    # while results are live: exactly ONE result checkpoint per call
+    # remains (iteration intermediates and edge/node/bindings caches
+    # were freed inside the operators)
+    assert n_persistent_rdds() - mid <= 2 * n_calls, (
+        f"internal caches leaked: {n_persistent_rdds()} vs baseline {mid}"
+    )
+
+    # caller done → release_caches drains the result checkpoints too
+    release_caches()
+    spark.catalog.clearCache()
+    assert n_persistent_rdds() <= base_rdds, (
+        f"persistent RDDs accumulated: {n_persistent_rdds()} > {base_rdds}"
+    )
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
