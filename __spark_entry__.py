@@ -351,6 +351,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     (6, "aud_last"),
                 ]
             ],
+            # Y4M decoder feat layout: [y_sum, u_sum, v_sum, npix, ...]
+            # (gated on codec: h264.fake video rows use the stand-in)
+            *[
+                F.when(F.col("codec") == "y4m", F.element_at("feat", i)).alias(n)
+                for i, n in [
+                    (1, "vid_sum_y"),
+                    (2, "vid_sum_u"),
+                    (3, "vid_sum_v"),
+                    (4, "vid_npix"),
+                ]
+            ],
         ),
         # transcript pipeline (SURVEY §2.1 S1/S2, §2.5 W1–W2, §2.8 T1)
         "transcripts": _transcripts,

@@ -8,24 +8,26 @@ Design contract (training-data pipeline at 100 TB):
 - decode and feature extraction run as Arrow-batched ``mapInPandas``
   kernels so the JVM↔Python boundary is crossed once per batch, with
   bytes delivered as zero-copy Arrow buffers;
-- the *image* and *audio* decode paths are REAL: a pure-Python P6 PPM
-  codec (:func:`decode_ppm` — spec-tolerant header scan + raw RGB
-  plane) and a pure-Python RIFF/WAVE codec (:func:`decode_wav` —
-  word-aligned chunk walk + 16-bit PCM samples), no media libraries
-  needed. The driver-surface query hash-checks header dims and exact
-  channel/sample statistics against independent DuckDB byte-level
-  re-derivations. The video codec remains stubbed behind the
-  documented seam (``fake=False`` raises ``NotImplementedError`` per
-  missing codec; ``fake='auto'`` uses real codecs where available and
-  the deterministic byte-stat stand-in elsewhere). Everything around
-  the seam — schema, partitioning, UDF signature, Arrow batch shape —
-  is real and tested.
+- ALL THREE modalities have REAL pure-Python decoders: a P6 PPM codec
+  (:func:`decode_ppm` — spec-tolerant header scan + raw RGB plane), a
+  RIFF/WAVE codec (:func:`decode_wav` — word-aligned chunk walk +
+  16-bit PCM samples), and a YUV4MPEG2 codec (:func:`decode_y4m` —
+  stream-header tags + FRAME-marker walk + planar C444/C420 frames),
+  no media libraries needed. The driver-surface query hash-checks
+  header dims and exact channel/sample/plane statistics against
+  independent DuckDB byte-level re-derivations. A slice of the video
+  rows keeps an ``h264.fake`` payload behind the documented codec
+  seam (``fake=False`` raises ``NotImplementedError`` per missing
+  codec; ``fake='auto'`` uses real codecs where available and the
+  deterministic byte-stat stand-in elsewhere) — the integration point
+  for ffmpeg-class decoders stays real and tested.
 
 In-sandbox the asset table is synthesized deterministically from the
 ``documents`` parquet (image rows: a constructed PPM; audio rows: a
-genuine 16-bit PCM WAV whose samples are the text bytes; video: utf-8
-bytes of the text), so the DuckDB oracle can re-derive byte-level
-metadata for the parity gate.
+genuine 16-bit PCM WAV whose samples are the text bytes; most video
+rows: a genuine y4m stream whose planes are the text bytes; the rest:
+utf-8 bytes of the text behind the h264 seam), so the DuckDB oracle
+can re-derive byte-level metadata for the parity gate.
 """
 
 from __future__ import annotations
@@ -111,6 +113,44 @@ def _wav_hex(duck: bool) -> str:
 
 _AUD_BIN = f"unhex({_wav_hex(duck=False)})"
 
+# ---- video fixture: a GENUINE YUV4MPEG2 (y4m) stream — ASCII stream
+# header + per-frame 'FRAME\n' markers + raw C444 planes (Y,U,V each
+# w·h bytes, planes = the doc text cycled). The whole container is
+# ASCII for this corpus, so it is reconstructible as VARCHAR in both
+# engines, like the PPM. Only doc_id % 6 == 2 video rows carry it;
+# doc_id % 6 == 5 rows keep the opaque stand-in behind the h264 codec
+# seam (so the NotImplementedError seam stays real and tested).
+_VID_W = "(2 + CAST(doc_id % 3 AS INT))"
+_VID_H = "(2 + CAST(doc_id % 2 AS INT))"
+_VID_NF = "(1 + CAST(doc_id % 3 AS INT))"
+_VID_N = f"({_VID_W} * {_VID_H} * 3)"  # bytes per C444 frame
+
+
+def _y4m_str(duck: bool) -> str:
+    """SQL reconstruction of the exact y4m byte string."""
+    total = f"({_VID_NF} * {_VID_N})"
+    if duck:
+        cyc = f"substr(rpad(text, CAST({total} AS INT), text), 1, CAST({total} AS INT))"
+        frames = (
+            f"array_to_string(list_transform(range({_VID_NF}), f -> "
+            f"'FRAME' || chr(10) || "
+            f"substr({cyc}, CAST(f * {_VID_N} + 1 AS INT), CAST({_VID_N} AS INT))), '')"
+        )
+        return (
+            f"'YUV4MPEG2 W' || CAST({_VID_W} AS VARCHAR) || "
+            f"' H' || CAST({_VID_H} AS VARCHAR) || "
+            f"' F25:1 Ip A1:1 C444' || chr(10) || {frames}"
+        )
+    cyc = f"substring(rpad(text, {total}, text), 1, {total})"
+    frames = (
+        f"array_join(transform(sequence(0, {_VID_NF} - 1), f -> "
+        f"concat('FRAME\\n', substring({cyc}, f * {_VID_N} + 1, {_VID_N}))), '')"
+    )
+    return (
+        f"concat('YUV4MPEG2 W', CAST({_VID_W} AS STRING), "
+        f"' H', CAST({_VID_H} AS STRING), ' F25:1 Ip A1:1 C444\\n', {frames})"
+    )
+
 
 def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → assets ``(asset_id, modality, payload binary,
@@ -135,11 +175,13 @@ def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec = (
         F.when(F.col("doc_id") % 3 == 0, "ppm")  # real codec available
         .when(F.col("doc_id") % 3 == 1, "wav")  # real codec available
-        .otherwise("h264.fake")
+        .when(F.col("doc_id") % 6 == 2, "y4m")  # real codec available
+        .otherwise("h264.fake")  # the documented NotImplementedError seam
     )
     payload = (
         F.when(F.col("doc_id") % 3 == 0, F.encode(F.expr(_IMG_STR), "utf-8"))
         .when(F.col("doc_id") % 3 == 1, F.expr(_AUD_BIN))
+        .when(F.col("doc_id") % 6 == 2, F.encode(F.expr(_y4m_str(duck=False)), "utf-8"))
         .otherwise(F.encode(F.col("text"), "utf-8"))
     )
     return docs.select(
@@ -175,12 +217,15 @@ def duck_asset_meta() -> str:
                     ELSE 'video' END AS modality,
                CAST(CASE WHEN doc_id % 3 = 0 THEN length({_duck_img_str()})
                     WHEN doc_id % 3 = 1 THEN 44 + {_aud_data_n(duck=True)}
+                    WHEN doc_id % 6 = 2 THEN length({_y4m_str(duck=True)})
                     ELSE octet_length(encode(text)) END AS INT) AS n_bytes,
                CASE WHEN doc_id % 3 = 0 THEN 'ppm'
                     WHEN doc_id % 3 = 1 THEN 'wav'
+                    WHEN doc_id % 6 = 2 THEN 'y4m'
                     ELSE 'h264.fake' END AS codec,
                CASE WHEN doc_id % 3 = 0 THEN md5(hex(encode({_duck_img_str()})))
                     WHEN doc_id % 3 = 1 THEN md5(hex(unhex({_wav_hex(duck=True)})))
+                    WHEN doc_id % 6 = 2 THEN md5(hex(encode({_y4m_str(duck=True)})))
                     ELSE md5(hex(encode(text))) END AS payload_md5
         FROM documents
     """
@@ -306,7 +351,73 @@ def _decode_audio_wav(payload: bytes) -> dict:
     return {"d0": sample_rate, "d1": len(s), "d2": channels, "feat": feat}
 
 
-_REAL_CODECS = {"ppm": _decode_image_ppm, "wav": _decode_audio_wav}
+def decode_y4m(payload: bytes) -> tuple[int, int, str, list[np.ndarray]]:
+    """REAL pure-Python YUV4MPEG2 decoder — no video libraries.
+    Parses the stream header tags (W/H/C, unknown tags skipped), then
+    walks ``FRAME`` markers (per-frame parameters after the marker are
+    tolerated per spec) collecting raw planar frames. Supports C444
+    (3·w·h bytes/frame) and C420 (w·h + 2·⌈w/2⌉·⌈h/2⌉). Returns
+    ``(w, h, colorspace, frames)``."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    cs = "420"
+    for tag in payload[9:nl].split(b" "):
+        if tag.startswith(b"W"):
+            w = int(tag[1:])
+        elif tag.startswith(b"H"):
+            h = int(tag[1:])
+        elif tag.startswith(b"C"):
+            cs = tag[1:].decode("ascii")
+    if w is None or h is None:
+        raise ValueError("missing W/H in y4m header")
+    if cs.startswith("444"):
+        fsz = 3 * w * h
+    elif cs.startswith("420"):
+        fsz = w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2)
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{cs}")
+    frames = []
+    i, n = nl + 1, len(payload)
+    while i < n:
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        j = payload.find(b"\n", i)
+        if j < 0 or j + 1 + fsz > n:
+            raise ValueError("truncated y4m frame")
+        frames.append(np.frombuffer(payload, np.uint8, fsz, j + 1))
+        i = j + 1 + fsz
+    return w, h, cs, frames
+
+
+def _decode_video_y4m(payload: bytes) -> dict:
+    """Real video decode: exact-integer per-plane statistics summed
+    across frames (C444: Y/U/V are equal w·h thirds of each frame)."""
+    w, h, cs, frames = decode_y4m(payload)
+    if not cs.startswith("444"):
+        raise ValueError("fixture features assume C444")
+    wh = w * h
+    stack = np.stack(frames).astype(np.int64) if frames else np.zeros((0, 3 * wh), np.int64)
+    y, u, v = stack[:, :wh], stack[:, wh : 2 * wh], stack[:, 2 * wh :]
+    feat = [
+        float(y.sum()),
+        float(u.sum()),
+        float(v.sum()),
+        float(len(frames) * wh),
+        float(len(frames)),
+        float(w),
+        float(h),
+        float(3 * wh),
+    ]
+    return {"d0": len(frames), "d1": w, "d2": h, "feat": feat}
+
+
+_REAL_CODECS = {
+    "ppm": _decode_image_ppm,
+    "wav": _decode_audio_wav,
+    "y4m": _decode_video_y4m,
+}
 
 
 def _fake_decode(payload: bytes, modality: str) -> dict:
@@ -423,17 +534,23 @@ def frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
 
 def duck_frame_sample(every_n: int = 2) -> str:
     """DuckDB cannot slice BLOBs, so the oracle slices the VARCHAR —
-    byte-identical to the Spark binary slice because the synthetic
-    corpus is pure ASCII (octet_length == length, asserted in tests)."""
+    byte-identical to the Spark binary slice because every video
+    payload (y4m container or utf-8 stand-in) is pure ASCII for this
+    corpus (octet_length == length, asserted in tests)."""
     fb = FRAME_BYTES
     return f"""
         SELECT asset_id, CAST(i AS INT) AS frame_idx,
-               md5(substr(text, CAST(i*{fb}+1 AS INT), {fb})) AS frame_md5,
-               CAST(length(substr(text, CAST(i*{fb}+1 AS INT), {fb})) AS INT) AS frame_bytes
+               md5(substr(pay, CAST(i*{fb}+1 AS INT), {fb})) AS frame_md5,
+               CAST(length(substr(pay, CAST(i*{fb}+1 AS INT), {fb})) AS INT) AS frame_bytes
         FROM (
-            SELECT doc_id AS asset_id, text,
-                   UNNEST(range(GREATEST(octet_length(encode(text)) // {fb}, 1))) AS i
-            FROM documents WHERE doc_id % 3 = 2
+            SELECT asset_id, pay,
+                   UNNEST(range(GREATEST(octet_length(encode(pay)) // {fb}, 1))) AS i
+            FROM (
+                SELECT doc_id AS asset_id,
+                       CASE WHEN doc_id % 6 = 2 THEN {_y4m_str(duck=True)}
+                            ELSE text END AS pay
+                FROM documents WHERE doc_id % 3 = 2
+            )
         )
         WHERE i % {every_n} = 0
     """
@@ -471,6 +588,23 @@ def duck_multimodal_features() -> str:
     def aud(agg: str) -> str:
         return f"CASE WHEN doc_id % 3 = 1 THEN CAST({agg}({samples}) AS DOUBLE) END"
 
+    # y4m plane sums: plane p of frame f occupies cyc[f*N + p*wh + k]
+    # for k < wh (N = 3*w*h bytes per C444 frame)
+    vid_total = f"({_VID_NF} * {_VID_N})"
+    vid_cyc = (
+        f"substr(rpad(text, CAST({vid_total} AS INT), text), "
+        f"1, CAST({vid_total} AS INT))"
+    )
+    vid_wh = f"({_VID_W} * {_VID_H})"
+
+    def vid_plane_sum(plane: int) -> str:
+        return (
+            f"CASE WHEN doc_id % 6 = 2 THEN CAST(list_sum(list_transform("
+            f"range({_VID_NF} * {vid_wh}), j -> ord(substr({vid_cyc}, "
+            f"CAST((j // {vid_wh}) * {_VID_N} + {plane} * {vid_wh} "
+            f"+ (j % {vid_wh}) + 1 AS INT), 1)))) AS DOUBLE) END"
+        )
+
     return f"""
         SELECT doc_id AS asset_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -478,13 +612,17 @@ def duck_multimodal_features() -> str:
                     ELSE 'video' END AS modality,
                CAST(CASE WHEN doc_id % 3 = 0 THEN {_IMG_W}
                     WHEN doc_id % 3 = 1 THEN {WAV_SAMPLE_RATE}
+                    WHEN doc_id % 6 = 2 THEN {_VID_NF}
                     ELSE GREATEST(octet_length(encode(text)) // {FRAME_BYTES}, 1)
                     END AS INT) AS d0,
                CAST(CASE WHEN doc_id % 3 = 0 THEN {_IMG_H}
                     WHEN doc_id % 3 = 1 THEN {n_samp}
+                    WHEN doc_id % 6 = 2 THEN {_VID_W}
                     ELSE {FRAME_BYTES} END AS INT) AS d1,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 3
-                    WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT) AS d2,
+                    WHEN doc_id % 3 = 1 THEN 1
+                    WHEN doc_id % 6 = 2 THEN {_VID_H}
+                    ELSE 0 END AS INT) AS d2,
                CAST({FEAT_DIM} AS INT) AS feat_dim,
                CASE WHEN doc_id % 3 = 0 THEN {chsum(0)} END AS img_sum_r,
                CASE WHEN doc_id % 3 = 0 THEN {chsum(1)} END AS img_sum_g,
@@ -496,6 +634,11 @@ def duck_multimodal_features() -> str:
                {aud("list_max")} AS aud_max,
                CASE WHEN doc_id % 3 = 1
                     THEN CAST(list_extract({samples}, {n_samp}) AS DOUBLE)
-                    END AS aud_last
+                    END AS aud_last,
+               {vid_plane_sum(0)} AS vid_sum_y,
+               {vid_plane_sum(1)} AS vid_sum_u,
+               {vid_plane_sum(2)} AS vid_sum_v,
+               CASE WHEN doc_id % 6 = 2
+                    THEN CAST({_VID_NF} * {vid_wh} AS DOUBLE) END AS vid_npix
         FROM documents
     """

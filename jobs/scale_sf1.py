@@ -1,0 +1,147 @@
+"""sf1-scale evidence run (VERDICT r3 next-round #4).
+
+Materializes an sf1 stand-in (10× the sf0.1 ``documents`` table — the
+only physical input; transcripts derive from it) and records wall
+time, output row counts, and per-query peak/total shuffle bytes for
+the three headline queries at local[$SPARK_GRAFT_CPUS]. This is SCALE
+evidence, not parity — correctness stays gated at sf0.01 where the
+DuckDB oracles run.
+
+Replication detail: each copy's text is cyclically word-rotated by a
+copy-specific offset. Plain replication would make every document an
+EXACT cross-copy twin, collapsing MinHash into one giant duplicate
+cluster per source doc (a quadratic pair blow-up that measures the
+fixture, not the engine). Rotation preserves document length, word
+frequencies, and within-copy near-dup structure while keeping
+cross-copy shingle Jaccard low — the workload scales by 10× without
+changing character.
+
+Usage::
+
+    python jobs/scale_sf1.py            # writes SCALE_SF1.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARK_GRAFT_SF1_COPIES", "10"))
+SCRATCH = os.path.join(ROOT, ".scratch", "sf1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_scaled_documents(spark) -> str:
+    """Write the rotated 10× documents parquet; returns the sf dir."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SRC_SF}/documents.parquet")
+    copies = spark.range(COPIES).select(F.col("id").cast("int").alias("copy"))
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    k = (F.col("copy") * 7) % F.greatest(n, F.lit(1))
+    rotated = F.array_join(
+        F.concat(F.slice(ws, k + 1, n - k), F.slice(ws, F.lit(1), k)), " "
+    )
+    out = docs.crossJoin(F.broadcast(copies)).select(
+        (F.col("doc_id") * COPIES + F.col("copy")).alias("doc_id"),
+        rotated.alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    if os.path.exists(SCRATCH):
+        shutil.rmtree(SCRATCH)
+    os.makedirs(SCRATCH, exist_ok=True)
+    out.write.mode("overwrite").parquet(f"{SCRATCH}/documents.parquet")
+    return SCRATCH
+
+
+def stage_metrics(spark) -> dict[int, dict]:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages"
+    stages = json.load(urllib.request.urlopen(url))
+    return {
+        s["stageId"]: {
+            "sw": s.get("shuffleWriteBytes", 0),
+            "sr": s.get("shuffleReadBytes", 0),
+        }
+        for s in stages
+    }
+
+
+def main() -> None:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import minhash_pairs
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        extract_triples,
+        materialize_kg,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import get_spark, release_caches
+
+    spark = get_spark(
+        f"scale_sf1_c{CPUS}", cores=CPUS, extra_conf={"spark.ui.enabled": "true"}
+    )
+    sf1 = build_scaled_documents(spark)
+
+    # warm at source scale: JIT + Python worker spin-up
+    extract_triples(spark, SRC_SF).count()
+
+    queries = {
+        "kg_pipeline": extract_triples,
+        "kg_materialize": materialize_kg,
+        "minhash_pairs": minhash_pairs,
+    }
+    out: dict[str, dict] = {}
+    for name, fn in queries.items():
+        release_caches()
+        spark.catalog.clearCache()
+        before = stage_metrics(spark)
+        t0 = time.time()
+        rows = fn(spark, sf1).count()
+        sec = time.time() - t0
+        after = stage_metrics(spark)
+        new = {sid: m for sid, m in after.items() if sid not in before}
+        out[name] = {
+            "sec": round(sec, 3),
+            "rows": rows,
+            "n_stages": len(new),
+            "peak_stage_shuffle_write_mb": round(
+                max((m["sw"] for m in new.values()), default=0) / 1e6, 2
+            ),
+            "total_shuffle_write_mb": round(
+                sum(m["sw"] for m in new.values()) / 1e6, 2
+            ),
+            "total_shuffle_read_mb": round(
+                sum(m["sr"] for m in new.values()) / 1e6, 2
+            ),
+        }
+        sys.stderr.write(f"{name}: {out[name]}\n")
+
+    n_docs = spark.read.parquet(f"{sf1}/documents.parquet").count()
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import transcripts
+
+    n_turns = transcripts(spark, sf1).count()
+    result = {
+        "sf_equivalent": 1.0,
+        "source_sf_dir": SRC_SF,
+        "copies": COPIES,
+        "n_docs": n_docs,
+        "n_turns": n_turns,
+        "cpus": CPUS,
+        "queries": out,
+    }
+    with open(os.path.join(ROOT, "SCALE_SF1.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

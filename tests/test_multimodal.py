@@ -29,14 +29,56 @@ def test_decode_features_matches_numpy_oracle(spark, sf_dir):
 
 
 def test_decode_real_codec_seam_still_raises_for_missing_codecs(spark, sf_dir):
-    """fake=False must fail loudly at the codec seam for the one
-    modality this container still has no real codec for (video) — at
-    execution time, since dispatch is per-row by codec tag."""
+    """fake=False must fail loudly at the codec seam for the one codec
+    this container has no real decoder for (h264) — at execution time,
+    since dispatch is per-row by codec tag."""
     from pyspark.errors import PythonException
 
-    video_only = M.asset_table(spark, sf_dir).filter("modality = 'video'")
+    h264_only = M.asset_table(spark, sf_dir).filter("codec = 'h264.fake'")
+    assert h264_only.count() > 0
     with pytest.raises(PythonException, match="NotImplementedError"):
-        M.decode_features(video_only, fake=False).collect()
+        M.decode_features(h264_only, fake=False).collect()
+
+
+def test_y4m_decoder_is_real(spark, sf_dir):
+    """The YUV4MPEG2 codec genuinely parses: (a) fake=False works
+    end-to-end on the y4m rows and recovers frame count, dims, and
+    exact plane sums; (b) the parser handles unknown header tags,
+    per-frame parameters, and C420 plane sizing (spec features the
+    fixture never emits)."""
+    y4m_rows = M.asset_table(spark, sf_dir).filter("codec = 'y4m'")
+    rows = M.decode_features(y4m_rows, fake=False).collect()
+    assert len(rows) > 0
+    for r in rows:
+        b = bytes(r["payload"])
+        w, h, cs, frames = M.decode_y4m(b)
+        assert (r["d0"], r["d1"], r["d2"]) == (len(frames), w, h)
+        assert cs == "444" and len(frames) >= 1
+        stack = np.stack(frames).astype(np.int64)
+        wh = w * h
+        assert r["feat"][0] == float(stack[:, :wh].sum())
+        assert r["feat"][3] == float(len(frames) * wh)
+
+    # hand-built stream: unknown Xtag, per-frame params, 2 frames
+    f0 = bytes(range(12))  # 2x2 C444 = 12 bytes/frame
+    f1 = bytes(range(100, 112))
+    raw = (
+        b"YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C444 XYSCSS=444\n"
+        b"FRAME\n" + f0 + b"FRAME Ixyz\n" + f1
+    )
+    w, h, cs, frames = M.decode_y4m(raw)
+    assert (w, h, cs) == (2, 2, "444") and len(frames) == 2
+    assert frames[0].tolist() == list(f0) and frames[1].tolist() == list(f1)
+    # C420 plane sizing: 2x2 -> 4 + 2*1 = 6 bytes/frame
+    raw420 = b"YUV4MPEG2 W2 H2 C420\nFRAME\n" + bytes(6)
+    w, h, cs, frames = M.decode_y4m(raw420)
+    assert cs == "420" and len(frames) == 1 and frames[0].size == 6
+    with pytest.raises(ValueError):
+        M.decode_y4m(b"JUNK W2 H2\nFRAME\n" + bytes(12))
+    with pytest.raises(ValueError):
+        M.decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + bytes(5))  # truncated
+    with pytest.raises(ValueError):
+        M.decode_y4m(b"YUV4MPEG2 W2 H2 C444\nBLOB\n" + bytes(12))  # bad marker
 
 
 def test_wav_decoder_is_real(spark, sf_dir):
