@@ -92,35 +92,30 @@ def candidate_pairs_fast(mentions: DataFrame, max_k: int = MAX_K) -> DataFrame:
     ``candidate_pairs`` stays as the oracle-parity operator (the
     DuckDB-checked ``cand_seq`` numbering is part of W7 semantics).
     """
-    m1 = mentions.filter(F.col("ner_tag") == "OP").select(
-        "conv_id",
-        F.col("entity_id").alias("e1_id"),
-        F.col("surface").alias("e1_surface"),
-        F.col("sent_idx").alias("sent1"),
-        F.col("tok_idx").alias("tok1"),
+    m1 = mentions.where("ner_tag = 'OP'").selectExpr(
+        "conv_id", "entity_id AS e1_id", "surface AS e1_surface",
+        "sent_idx AS sent1", "tok_idx AS tok1",
     )
-    m2 = mentions.filter(F.col("ner_tag") == "OBJ").select(
-        "conv_id",
-        F.col("entity_id").alias("e2_id"),
-        F.col("surface").alias("e2_surface"),
-        F.col("sent_idx").alias("sent2"),
-        F.col("tok_idx").alias("tok2"),
+    m2 = mentions.where("ner_tag = 'OBJ'").selectExpr(
+        "conv_id", "entity_id AS e2_id", "surface AS e2_surface",
+        "sent_idx AS sent2", "tok_idx AS tok2",
     )
     pairs = (
         m1.join(m2, "conv_id")
-        .withColumn("k", F.abs(F.col("sent2") - F.col("sent1")).cast("int"))
-        .filter(F.col("k") <= max_k)
+        .selectExpr("*", "CAST(abs(sent2 - sent1) AS INT) AS k")
+        .where(f"k <= {int(max_k)}")
     )
-    payload = F.struct(
-        "e1_surface", "sent1", "tok1", "e2_surface", "sent2", "tok2", "k"
-    )
-    order = F.struct(*[F.col(c) for c in CAND_ORDER])
+    order_cols = ", ".join(CAND_ORDER)
     best = pairs.groupBy("conv_id", "e1_id", "e2_id").agg(
-        F.min_by(payload, order).alias("best")
+        F.expr(
+            "min_by(struct(e1_surface, sent1, tok1, e2_surface, sent2, tok2, k), "
+            f"struct({order_cols}))"
+        ).alias("best")
     )
-    return best.select(
-        "conv_id", "e1_id", "e2_id", "best.*"
-    ).withColumn("cand_id", F.concat_ws("#", "conv_id", "e1_id", "e2_id"))
+    return best.selectExpr(
+        "conv_id", "e1_id", "e2_id", "best.*",
+        "concat_ws('#', conv_id, e1_id, e2_id) AS cand_id",
+    )
 
 
 def duck_candidates_cte(max_k: int = MAX_K) -> str:

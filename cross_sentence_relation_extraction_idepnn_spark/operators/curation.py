@@ -48,7 +48,7 @@ BENCH_EVERY = 50  # deterministic benchmark subset: doc_id % 50 == 0
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
 
 
 PII_PLANT_EVERY = 20  # synthetic corpus carries no organic PII
@@ -215,6 +215,7 @@ def duck_decontaminate() -> str:
 # --------------------------------------------------------------- sampling
 
 from ..hashing import duck_h15, spark_h15  # noqa: E402
+from ..session import read_parquet_cached
 
 STRATUM_MOD = 4  # deterministic domain proxy: doc_id % 4
 SAMPLE_RATES = {0: 10000, 1: 5000, 2: 2500, 3: 1000}  # per-10k keep rates

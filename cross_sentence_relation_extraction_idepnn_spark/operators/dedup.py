@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import track_cache
+from ..session import read_parquet_cached, track_cache
 
 from ..hashing import (
     MERSENNE_P,
@@ -49,7 +49,7 @@ NGRAM_MAX_BLOCK = 50  # freq cap: re-block over-cap blocks, drop stragglers
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct word 3-gram shingles per document."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     ws = F.col("ws")
     sh = F.array_distinct(
         F.when(
@@ -81,7 +81,7 @@ def duck_shingles_cte() -> str:
 # ------------------------------------------------------------------- exact
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.groupBy(F.md5("text").alias("text_md5"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
@@ -244,7 +244,7 @@ def duck_minhash_pairs(tau: float = MINHASH_TAU) -> str:
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash over distinct-token hashes."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),

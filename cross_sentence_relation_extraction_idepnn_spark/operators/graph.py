@@ -66,15 +66,18 @@ def candidate_windows(candidates: DataFrame, sentences: DataFrame) -> DataFrame:
     every (candidate × window-sentence) row twice.
     """
     conv_sents = sentences.groupBy("conv_id").agg(
-        F.array_sort(F.collect_list(F.struct("sent_idx", "sent_text"))).alias("_arr")
+        F.expr("array_sort(collect_list(struct(sent_idx, sent_text)))").alias("_arr")
     )
-    c = candidates.withColumn("smin", F.least("sent1", "sent2")).withColumn(
-        "smax", F.greatest("sent1", "sent2")
+    c = candidates.selectExpr(
+        "*", "least(sent1, sent2) AS smin", "greatest(sent1, sent2) AS smax"
     )
-    win = F.slice(F.col("_arr"), F.col("smin") + 1, F.col("smax") - F.col("smin") + 1)
     return (
         c.join(conv_sents, "conv_id")
-        .withColumn("wtexts", F.transform(win, lambda s: s.sent_text))
+        .selectExpr(
+            "*",
+            "transform(slice(_arr, smin + 1, smax - smin + 1), "
+            "s -> s.sent_text) AS wtexts",
+        )
         .drop("_arr")
     )
 

@@ -28,10 +28,22 @@ from pyspark.sql import functions as F
 from ..config import alias_rows, duck_alias_values
 
 
+_ALIAS_DF_CACHE: dict[int, DataFrame] = {}
+
+
 def alias_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        alias_rows(), schema="surface string, entity_id string, ner_tag string"
-    )
+    """Static alias dictionary as a DataFrame, memoized per session
+    (it is rebuilt for every pipeline plan; the rows never change and
+    re-shipping them over py4j is pure driver overhead)."""
+    key = spark.sparkContext.applicationId  # unique per live context
+    df = _ALIAS_DF_CACHE.get(key)
+    if df is None:
+        df = spark.createDataFrame(
+            alias_rows(), schema="surface string, entity_id string, ner_tag string"
+        )
+        _ALIAS_DF_CACHE.clear()  # one live session at a time in practice
+        _ALIAS_DF_CACHE[key] = df
+    return df
 
 
 def detect_mentions(
@@ -52,50 +64,32 @@ def detect_mentions(
     """
     if tokenizer == "treebank":
         return _detect_mentions_treebank(spark, sentences)
-    ws = F.split(F.col("sent_text"), " ")
+    # selectExpr strings: one parser round trip per stage (cold-build
+    # driver cost — this subtree underlies every pipeline query)
     toks = (
-        sentences.select(
-            "conv_id",
-            "turn_idx",
-            "sent_idx",
-            ws.alias("ws"),
+        sentences.selectExpr(
+            "conv_id", "turn_idx", "sent_idx", "split(sent_text, ' ') AS ws"
         )
-        .select(
-            "conv_id",
-            "turn_idx",
-            "sent_idx",
-            F.posexplode(F.col("ws")).alias("tok_idx", "word"),
-            F.col("ws"),
+        .selectExpr(
+            "conv_id", "turn_idx", "sent_idx",
+            "posexplode(ws) AS (tok_idx, word)", "ws",
         )
-        .select(
+        .selectExpr(
             "conv_id",
             "turn_idx",
             "sent_idx",
-            F.col("tok_idx").cast("int").alias("tok_idx"),
-            F.lower(F.col("word")).alias("surface"),
-            (
-                F.length(F.array_join(F.slice(F.col("ws"), 1, F.col("tok_idx")), " "))
-                + F.when(F.col("tok_idx") > 0, F.lit(1)).otherwise(F.lit(0))
-            )
-            .cast("int")
-            .alias("m_begin"),
-            F.length("word").alias("wlen"),
+            "CAST(tok_idx AS INT) AS tok_idx",
+            "lower(word) AS surface",
+            "CAST(length(array_join(slice(ws, 1, tok_idx), ' ')) "
+            "+ IF(tok_idx > 0, 1, 0) AS INT) AS m_begin",
+            "length(word) AS wlen",
         )
     )
     al = alias_df(spark)
-    return (
-        toks.join(F.broadcast(al), "surface")
-        .select(
-            "conv_id",
-            "turn_idx",
-            "sent_idx",
-            "tok_idx",
-            "surface",
-            "entity_id",
-            "ner_tag",
-            "m_begin",
-            (F.col("m_begin") + F.col("wlen")).cast("int").alias("m_end"),
-        )
+    return toks.join(F.broadcast(al), "surface").selectExpr(
+        "conv_id", "turn_idx", "sent_idx", "tok_idx", "surface",
+        "entity_id", "ner_tag", "m_begin",
+        "CAST(m_begin + wlen AS INT) AS m_end",
     )
 
 

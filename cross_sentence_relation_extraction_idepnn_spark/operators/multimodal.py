@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import read_parquet_cached
 
 FEAT_DIM = 8
 FRAME_BYTES = 64  # bytes per synthetic video "frame"
@@ -166,7 +167,7 @@ def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream branch gets exercised, and every payload is
     byte-identically reconstructible in SQL for the parity oracle.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     modality = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

@@ -27,58 +27,44 @@ from pyspark.sql import functions as F
 
 from ..config import SENT_WORDS
 from ..sources.transcripts import duck_transcripts_cte
+from ..session import read_parquet_cached
 
 
 def segment(transcripts: DataFrame, sent_words: int = SENT_WORDS) -> DataFrame:
     """transcripts → sentences ``(conv_id, turn_idx, sent_idx, sent_in_turn,
-    sent_text, begin, end, n_tokens)``."""
-    ws = F.col("ws")
-    n_sents = F.greatest(F.ceil(F.size(ws) / F.lit(sent_words)), F.lit(1)).cast("int")
-    sent = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), n_sents - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("sent_in_turn"),
-                F.array_join(
-                    F.slice(F.col("ws"), i * sent_words + 1, sent_words), " "
-                ).alias("sent_text"),
-                # chars of all prior words + one separator space if i > 0
-                (
-                    F.length(F.array_join(F.slice(F.col("ws"), 1, i * sent_words), " "))
-                    + F.when(i > 0, F.lit(1)).otherwise(F.lit(0))
-                )
-                .cast("int")
-                .alias("begin"),
-            ),
+    sent_text, begin, end, n_tokens)``.
+
+    Built with ``selectExpr`` strings — one parser round trip per
+    stage instead of dozens of py4j Column calls (the cold-build
+    driver cost matters: this subtree underlies every pipeline query).
+    """
+    k = sent_words
+    return (
+        transcripts.selectExpr(
+            "conv_id", "turn_idx", "split(text, ' ') AS ws"
         )
-    )
-    exploded = (
-        transcripts.select(
-            "conv_id", "turn_idx", F.split(F.col("text"), " ").alias("ws")
-        )
-        .select("conv_id", "turn_idx", sent.alias("s"))
-        .select(
+        .selectExpr(
             "conv_id",
             "turn_idx",
-            F.col("s.sent_in_turn").alias("sent_in_turn"),
-            F.col("s.sent_text").alias("sent_text"),
-            F.col("s.begin").alias("begin"),
-            (F.col("s.begin") + F.length("s.sent_text")).cast("int").alias("end"),
-            F.size(F.split(F.col("s.sent_text"), " ")).alias("n_tokens"),
+            # begin = chars of all prior words + one separator space if i > 0
+            f"explode(transform(sequence(0, CAST(greatest(ceil(size(ws) / {k}), 1) "
+            "AS INT) - 1, 1), i -> struct("
+            "CAST(i AS INT) AS sent_in_turn, "
+            f"array_join(slice(ws, i * {k} + 1, {k}), ' ') AS sent_text, "
+            f"CAST(length(array_join(slice(ws, 1, i * {k}), ' ')) "
+            "+ IF(i > 0, 1, 0) AS INT) AS begin))) AS s",
         )
-    )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "begin")
-    return exploded.withColumn(
-        "sent_idx", (F.row_number().over(w) - 1).cast("int")
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "sent_idx",
-        "sent_in_turn",
-        "sent_text",
-        "begin",
-        "end",
-        "n_tokens",
+        .selectExpr(
+            "conv_id",
+            "turn_idx",
+            "CAST(row_number() OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx, s.begin) - 1 AS INT) AS sent_idx",
+            "s.sent_in_turn AS sent_in_turn",
+            "s.sent_text AS sent_text",
+            "s.begin AS begin",
+            "CAST(s.begin + length(s.sent_text) AS INT) AS end",
+            "size(split(s.sent_text, ' ')) AS n_tokens",
+        )
     )
 
 
@@ -333,7 +319,7 @@ def punctuated_transcripts(spark, sf_dir: str) -> DataFrame:
     the production punkt path runs over text that actually exercises
     every boundary rule."""
     m = _PUNKT_FIX
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     ws = F.split(F.col("text"), " ")
 
     def word(w, i):

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..hashing import py_h15
+from ..session import read_parquet_cached
 
 TOP_K = 5
 N_QUERIES = 10
@@ -26,7 +27,7 @@ EMB_DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _dot(a, b):

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..hashing import duck_h15, spark_h15
+from ..session import read_parquet_cached
 
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "and", "of", "fast"),
@@ -28,7 +29,7 @@ FP_STEP = 4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
 
 
 def _count_in(tokens, markers: tuple[str, ...]):

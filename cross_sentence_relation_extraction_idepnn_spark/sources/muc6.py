@@ -31,6 +31,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..session import read_parquet_cached
 
 # object ids may be multi-part (<TEMPLATE-9301060029-1>); the object's
 # ordinal is the last numeric segment
@@ -221,7 +222,7 @@ def muc6_sgml_blobs(spark, sf_dir: str) -> DataFrame:
     period (exercising S7's positional child walk + ``.`` removal) and
     a two-paragraph ``<TXT>`` whose first paragraph splits into two
     punkt sentences. Mirrored field-for-field by the DuckDB oracle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     p1 = F.concat(
         _cap(_w(0)), F.lit(" "), _w(1), F.lit(" "), _w(2), F.lit(". "),
         _cap(_w(3)), F.lit(" "), _w(4), F.lit("."),
@@ -242,7 +243,7 @@ def muc6_template_blobs(spark, sf_dir: str) -> DataFrame:
     SUCCESSION_EVENT with quoted POST, an IN_AND_OUT ref chain and a
     PERSON with PER_ALIAS expansion; every third doc adds a second
     event so multi-object numbering is exercised."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     did = F.concat(F.lit("d"), F.col("doc_id").cast("string"), F.lit("nr"))
     person = F.concat(_cap(_w(1)), F.lit(" "), _cap(_w(2)))
     post = F.concat(_w(3), F.lit(" "), _w(4))

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import read_parquet_cached
 
 EVENT_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, "
@@ -35,7 +36,7 @@ WATERMARK = "30 minutes"
 
 
 def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return read_parquet_cached(spark, f"{sf_dir}/events.parquet")
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
