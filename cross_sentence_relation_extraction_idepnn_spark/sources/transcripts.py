@@ -33,6 +33,32 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
 
 
+_FANOUT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _fanned_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, repartitioned iff under-parallel.
+
+    A single-file fixture arrives as ONE scan partition (one parquet
+    row group — byte-range splitting can't help), which would
+    serialize the whole turn derivation into one task (measured:
+    1.2 s of a 7.7 s sf0.1 run). A production corpus has
+    >> parallelism file splits, so the repartition (and its shuffle of
+    the raw text) never triggers there. Memoized — the partition-count
+    probe costs an RDD conversion."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _FANOUT_CACHE.get(key)
+    if df is None:
+        df = documents(spark, sf_dir)
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(par // 2, 2):
+            df = df.repartition(par, "doc_id")
+        if len(_FANOUT_CACHE) > 64:
+            _FANOUT_CACHE.clear()
+        _FANOUT_CACHE[key] = df
+    return df
+
+
 def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the transcript table (full schema, real timestamp).
 
@@ -45,7 +71,7 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trips (the Column-by-Column form cost ~0.3 s of driver time per
     # cold build — measured, round 4); the parsed plan is identical.
     w = TURN_WORDS
-    docs = documents(spark, sf_dir)
+    docs = _fanned_documents(spark, sf_dir)
     return (
         docs.selectExpr(
             "doc_id",

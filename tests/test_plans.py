@@ -87,10 +87,13 @@ def test_candidate_fast_path_single_agg_exchange(spark, sf_dir):
     mens = detect_mentions(spark, segment(transcripts(spark, sf_dir)))
     plan = plan_of(candidate_pairs_fast(mens))
     # exchanges: sentence window per self-join side (no reuse without
-    # persist) + the min_by agg = ≤ 3; crucially only ObjectHashAggregate/
-    # SortAggregate — the two ROW_NUMBER windows of the oracle variant
-    # are gone (exactly the sentence-index windows remain)
-    assert count_op(plan, "Exchange") <= 3, plan
+    # persist) + the min_by agg + the single-file fixture fan-out
+    # repartition (r4: transcripts repartitions an under-parallel scan;
+    # never triggers on a production multi-file corpus) = ≤ 4;
+    # crucially only ObjectHashAggregate/SortAggregate — the two
+    # ROW_NUMBER windows of the oracle variant are gone (exactly the
+    # sentence-index windows remain)
+    assert count_op(plan, "Exchange") <= 4, plan
     assert count_op(plan, "Window") <= 2, plan  # only W1 sent_idx windows
 
 
