@@ -51,7 +51,11 @@ def _fanned_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         df = documents(spark, sf_dir)
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(par // 2, 2):
+        n = df.rdd.getNumPartitions()
+        # only when it genuinely adds parallelism (at local[1] a 1→1
+        # repartition would be a pure-overhead shuffle — and would
+        # artificially slow the scaling block's low side)
+        if n < max(par // 2, 2) and par > n:
             df = df.repartition(par, "doc_id")
         if len(_FANOUT_CACHE) > 64:
             _FANOUT_CACHE.clear()
