@@ -41,6 +41,62 @@ def _bigrams(col):
     )
 
 
+def _py_bigrams(s: str) -> set[str]:
+    """Driver-side twin of ``_bigrams`` (set semantics: only the
+    distinct bigram SET feeds Jaccard, order is irrelevant)."""
+    w = s.lower()
+    return {w[i : i + 2] for i in range(len(w) - 1)} if len(w) >= 2 else {w}
+
+
+def _py_similarity_edges(surfaces: list[str], tau: float) -> list[tuple[str, str]]:
+    """Driver-side twin of the ``similarity_edges`` NLJ path for tiny
+    vocabularies: same bigram sets, same HALF_UP round-to-6 of the
+    double ratio (``Decimal(repr(x))`` reproduces Spark's
+    ``BigDecimal.valueOf(double)`` shortest-decimal rounding), same
+    ``>= tau`` filter. O(n²) driver compute — callers gate it at
+    ``PY_EDGE_MAX_NODES``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    ss = sorted(surfaces)
+    bg = {s: _py_bigrams(s) for s in ss}
+    out = []
+    for i, a in enumerate(ss):
+        for b in ss[i + 1 :]:
+            inter = len(bg[a] & bg[b])
+            if not inter:
+                continue
+            union = len(bg[a] | bg[b])
+            jac = float(
+                Decimal(repr(inter / union)).quantize(q, rounding=ROUND_HALF_UP)
+            )
+            if jac >= tau:
+                out.append((a, b))
+    return out
+
+
+def _uf_components(
+    surfaces: list[str], edge_pairs: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Path-halving union-find with union-by-lexicographic-min (labels
+    are deterministic and order-independent); returns sorted
+    (surface, component) rows."""
+    parent = {s: s for s in surfaces}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a0, b0 in edge_pairs:
+        a, b = find(a0), find(b0)
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    return [(s, find(s)) for s in sorted(surfaces)]
+
+
 def _prefix_keys(nodes: DataFrame, tau: float) -> DataFrame:
     """(surface, bg, k): each surface's full bigram set ``bg`` ordered
     by ascending global document frequency (ties by value), exploded on
@@ -153,23 +209,10 @@ def connected_components(
         n_nodes = nodes.count()
     if n_nodes <= driver_threshold:
         surfaces = [r[0] for r in nodes.select("surface").collect()]
-        parent = {s: s for s in surfaces}
-
-        def find(x: str) -> str:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for r in edges.select("src", "dst").collect():
-            a, b = find(r[0]), find(r[1])
-            if a != b:
-                # union by lexicographic min so labels are deterministic
-                lo, hi = (a, b) if a < b else (b, a)
-                parent[hi] = lo
-        rows = [(s, find(s)) for s in sorted(surfaces)]
+        pairs = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
         return nodes.sparkSession.createDataFrame(
-            rows, schema="surface string, component string"
+            _uf_components(surfaces, pairs),
+            schema="surface string, component string",
         )
     # ------- alternating large-star / small-star (Kiveris et al. 2014)
     # O(log n) rounds, each a pair of groupBy-min shuffles — no
@@ -257,14 +300,40 @@ def duck_components_cte() -> str:
     """
 
 
+PY_EDGE_MAX_NODES = 512
+
+
 def canonicalize(mentions: DataFrame) -> DataFrame:
     """mention surfaces → (surface, component) canonical-cluster map.
-    The vocabulary is counted once and the size shared by the edge
-    builder (NLJ-vs-ppjoin choice) and CC (driver-vs-distributed)."""
+
+    Job-count discipline (the vocabulary is a DIMENSION table — tiny
+    relative to the corpus, so per-job driver overhead dominates the
+    actual compute): ONE capped collect (``limit(threshold+1)``) both
+    sizes the vocabulary and, when it fits the driver union-find,
+    delivers the surfaces — replacing the count + collect pair. Below
+    ``PY_EDGE_MAX_NODES`` surfaces the bigram-Jaccard edges are
+    computed driver-side too (exact twin of the NLJ path, pinned by
+    ``test_py_edge_twin_matches_spark_paths``), so the whole
+    canonical map costs a single Spark job. Larger vocabularies keep
+    the Spark NLJ / ppjoin edge builders and, above
+    ``DRIVER_CC_MAX_NODES``, the distributed large/small-star CC —
+    the 100 TB path is unchanged."""
     nodes = mentions.select("surface").distinct()
-    n = nodes.count()
-    edges = similarity_edges(nodes, n_nodes=n)
-    return connected_components(nodes, edges, n_nodes=n)
+    head = nodes.limit(DRIVER_CC_MAX_NODES + 1).collect()
+    if len(head) > DRIVER_CC_MAX_NODES:
+        n = nodes.count()
+        edges = similarity_edges(nodes, n_nodes=n)
+        return connected_components(nodes, edges, n_nodes=n)
+    surfaces = [r[0] for r in head]
+    n = len(surfaces)
+    if n <= PY_EDGE_MAX_NODES:
+        pairs = _py_similarity_edges(surfaces, JACCARD_TAU)
+    else:
+        edges = similarity_edges(nodes, n_nodes=n)
+        pairs = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
+    return mentions.sparkSession.createDataFrame(
+        _uf_components(surfaces, pairs), schema="surface string, component string"
+    )
 
 
 def dedup_triples(triples: DataFrame) -> DataFrame:

@@ -15,6 +15,8 @@ from cross_sentence_relation_extraction_idepnn_spark.operators import dedup
 from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
     JACCARD_TAU,
     _prefix_keys,
+    _py_similarity_edges,
+    canonicalize,
     connected_components,
     similarity_edges,
 )
@@ -138,6 +140,46 @@ def test_similarity_edges_prefix_filter_is_lossless(spark):
         for r in similarity_edges(df, tau=JACCARD_TAU).collect()
     }
     assert nlj == got
+
+
+def test_py_edge_twin_matches_spark_paths(spark):
+    """The driver-side edge twin (``canonicalize``'s single-job fast
+    path) must emit EXACTLY the Spark NLJ and ppjoin edge sets —
+    including rounding behavior at the Jaccard boundary — and the fast
+    canonicalize must agree with union-find over the Spark edges."""
+    rng = random.Random(11)
+    base = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    surfaces = set()
+    for w in base:
+        surfaces |= {w, w + "s", w + "x", "re" + w, "the " + w}
+    # pairs engineered near tau: short strings give coarse ratios like
+    # 1/2, 2/4, 2/3 that sit exactly on / around the 0.5 boundary
+    surfaces |= {"ab", "abc", "abcd", "bc", "cd", "abab", "baba"}
+    surfaces |= {
+        "".join(rng.choice("abcdef") for _ in range(rng.randint(2, 7)))
+        for _ in range(80)
+    }
+    surfaces = sorted(surfaces)
+    df = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+    py = set(_py_similarity_edges(surfaces, JACCARD_TAU))
+    nlj = {
+        (r.src, r.dst) for r in similarity_edges(df, tau=JACCARD_TAU).collect()
+    }
+    ppj = {
+        (r.src, r.dst)
+        for r in similarity_edges(df, tau=JACCARD_TAU, nlj_threshold=0).collect()
+    }
+    assert py == nlj == ppj
+    assert len(py) > 10
+    # canonicalize (py fast path: vocabulary ≤ PY_EDGE_MAX_NODES) vs
+    # the general driver union-find over the Spark-computed edges
+    edf = spark.createDataFrame(sorted(nlj), "src string, dst string")
+    want = {
+        (r.surface, r.component)
+        for r in connected_components(df, edf, n_nodes=len(surfaces)).collect()
+    }
+    got = {(r.surface, r.component) for r in canonicalize(df).collect()}
+    assert got == want
 
 
 def test_prefix_keys_exclude_hot_bigram(spark):
