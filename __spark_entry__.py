@@ -397,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": dedup.simhash_docs,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_pairs": dedup.ngram_jaccard_pairs,
+        "dup_spans": dedup.dup_spans,
+        "span_coverage": dedup.span_coverage,
         # similarity search
         "cosine_topk": similarity.cosine_topk,
         "lsh_ann_topk": similarity.lsh_ann_topk,
@@ -588,6 +590,8 @@ def oracle_sql() -> dict[str, str]:
         # throwaway CTE so it composes into a standalone WITH chain.
         "simhash_pairs": f"WITH _one AS (SELECT 1) {dedup.duck_simhash_pairs()}",
         "ngram_pairs": f"{shingles_prefix} {dedup.duck_ngram_pairs()}",
+        "dup_spans": dedup.duck_dup_spans(),
+        "span_coverage": dedup.duck_span_coverage(),
         "cosine_topk": similarity.duck_cosine_topk(),
         "lsh_ann_topk": similarity.duck_lsh_ann_topk(),
         "embedding_neardup": similarity.duck_embedding_neardup(plant=True),

@@ -498,3 +498,170 @@ def duck_ngram_pairs(tau: float = NGRAM_TAU, max_block: int = NGRAM_MAX_BLOCK) -
         WHERE COALESCE(i.n_inter, 0) * 1.0
               / (c.n_a + c.n_b - COALESCE(i.n_inter, 0)) >= {tau}
     """
+
+
+# ------------------------------------------------------- duplicated spans
+
+SPAN_K = 8  # tokens per rolling span shingle
+
+
+def _span_hashes(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, pos, span_h): md5 of every rolling k-token span
+    (1-based pos; docs shorter than k tokens emit nothing). Narrow
+    per-doc Column algebra — the k× blowup happens inside one
+    projection, never as a join."""
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    ws = F.col("ws")
+    spans = F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(ws, i, k), " ")).alias("span_h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,span_h:string>>"))
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .select("doc_id", F.explode(spans).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span_h").alias("span_h"))
+    )
+
+
+def dup_spans(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFrame:
+    """Exact duplicated-span detection (the substring-level dedup of
+    Lee et al. 2021, re-expressed as pure aggregation): a span is
+    "duplicated" when the same k-token window occurs in ≥ 2 distinct
+    documents. One row per duplicated span hash.
+
+    100 TB shape: rolling hashes are a narrow projection; the only
+    exchange is the groupBy on span_h with map-side combine — there is
+    NO pair generation anywhere, so a boilerplate span shared by
+    millions of docs costs one aggregate row, not a quadratic block.
+    """
+    sp = _span_hashes(spark, sf_dir, k)
+    return (
+        sp.groupBy("span_h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def span_coverage(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    tokens lying inside at least one cross-doc duplicated k-token span
+    — the decision metric a span-level dedup pass cuts on.
+
+    Spark plan: duplicated span hashes (an aggregate, shuffled on
+    span_h) semi-join back to the doc's span positions, then ONE
+    groupBy(doc_id) collects each doc's sorted dup positions and an
+    ``F.aggregate`` interval-union fold computes covered-token count in
+    pure Column algebra — no window functions, no per-token explode.
+    The DuckDB oracle deliberately uses the opposite formulation
+    (explode every covered token index, COUNT DISTINCT): independent
+    formulations, hash-identical results."""
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    ntok = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    sp = _span_hashes(spark, sf_dir, k)
+    dup = (
+        sp.groupBy("span_h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span_h")
+    )
+    hit = sp.join(dup, "span_h").select("doc_id", "pos")
+    # interval-union fold over each doc's ascending dup-span starts:
+    # state = (covered, max_end); a span [p, p+k-1] adds the part of
+    # itself to the right of everything already covered
+    folded = (
+        hit.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                "ps",
+                F.struct(
+                    F.lit(0).cast("long").alias("covered"),
+                    F.lit(0).cast("long").alias("max_end"),
+                ),
+                lambda st, p: F.struct(
+                    (
+                        st["covered"]
+                        + F.greatest(
+                            p + F.lit(k - 1) - F.greatest(st["max_end"], p - 1),
+                            F.lit(0).cast("long"),
+                        )
+                    ).alias("covered"),
+                    F.greatest(st["max_end"], p + F.lit(k - 1)).alias("max_end"),
+                ),
+                lambda st: st["covered"],
+            ).alias("covered"),
+        )
+    )
+    return (
+        ntok.join(folded, "doc_id", "left")
+        .fillna({"covered": 0})
+        .select(
+            "doc_id",
+            "n_tokens",
+            "covered",
+            F.round(F.col("covered") / F.col("n_tokens"), 6).alias("frac_dup"),
+        )
+    )
+
+
+def duck_span_cte(k: int = SPAN_K) -> str:
+    """Self-contained CTE ``spans(doc_id, pos, span_h)`` over the
+    pre-registered ``documents`` view."""
+    return f"""
+        WITH spans AS (
+            SELECT doc_id, UNNEST(
+                CASE WHEN len(ws) >= {k}
+                     THEN list_transform(range(1, len(ws) - {k - 2}),
+                          i -> {{'pos': i,
+                                 'span_h': md5(array_to_string(ws[i : i + {k - 1}], ' '))}})
+                     ELSE [] END, recursive := true)
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        )
+    """
+
+
+def duck_dup_spans(k: int = SPAN_K) -> str:
+    return (
+        duck_span_cte(k)
+        + """
+        SELECT span_h,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occ,
+               MIN(doc_id) AS min_doc_id
+        FROM spans GROUP BY span_h HAVING COUNT(DISTINCT doc_id) >= 2
+    """
+    )
+
+
+def duck_span_coverage(k: int = SPAN_K) -> str:
+    return (
+        duck_span_cte(k)
+        + f"""
+        , dup AS (SELECT span_h FROM spans
+                  GROUP BY span_h HAVING COUNT(DISTINCT doc_id) >= 2)
+        , toks AS (
+            SELECT DISTINCT s.doc_id, UNNEST(range(s.pos, s.pos + {k})) AS idx
+            FROM spans s JOIN dup d ON s.span_h = d.span_h
+        )
+        , cov AS (SELECT doc_id, COUNT(*) AS covered FROM toks GROUP BY doc_id)
+        SELECT d.doc_id,
+               len(string_split(d.text, ' ')) AS n_tokens,
+               COALESCE(c.covered, 0) AS covered,
+               ROUND(COALESCE(c.covered, 0) * 1.0
+                     / len(string_split(d.text, ' ')), 6) AS frac_dup
+        FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
+    """
+    )

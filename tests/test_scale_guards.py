@@ -97,6 +97,38 @@ def test_ngram_reblock_recovers_subgroups(spark, tmp_path):
     assert len(pdf) == 870
 
 
+# ----------------------------------------------------- duplicated spans
+
+
+def test_dup_spans_and_coverage_semantics(spark, tmp_path):
+    """Planted 8-token span shared by two docs (one with an internal
+    repeat): dup_spans must find exactly that hash with n_docs=2,
+    n_occ=3, and span_coverage must union overlapping intervals —
+    8/12 covered in A, 16/19 in B (two disjoint copies), 0 for the
+    short doc and the unique doc. dup_spans' plan must contain NO
+    join: duplicated-span detection is pure aggregation."""
+    S = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [
+        ("A", "a1 a2 " + S + " a3 a4"),
+        ("B", "b1 " + S + " b2 b3 " + S),
+        ("C", "c1 c2 c3 c4 c5"),
+        ("D", " ".join(f"d{i}" for i in range(12))),
+    ]
+    path = _write_docs(spark, tmp_path, rows)
+    got = dedup.dup_spans(spark, path).collect()
+    assert len(got) == 1
+    assert (got[0].n_docs, got[0].n_occ, got[0].min_doc_id) == (2, 3, "A")
+    assert "Join" not in dedup.dup_spans(spark, path)._jdf.queryExecution().executedPlan().toString()
+    cov = {
+        r.doc_id: (r.n_tokens, r.covered, r.frac_dup)
+        for r in dedup.span_coverage(spark, path).collect()
+    }
+    assert cov["A"] == (12, 8, round(8 / 12, 6))
+    assert cov["B"] == (19, 16, round(16 / 19, 6))
+    assert cov["C"] == (5, 0, 0.0)
+    assert cov["D"] == (12, 0, 0.0)
+
+
 # ------------------------------------------- similarity_edges prefix filter
 
 
