@@ -38,6 +38,7 @@ from cross_sentence_relation_extraction_idepnn_spark.operators import (
     curation,
     dedup,
     multimodal,
+    search,
     similarity,
     textstats,
 )
@@ -424,6 +425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": textstats.quality_score,
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
+        # corpus-statistics ranking: posting-join BM25 retrieval and
+        # bigram-LM scoring, both in exact integer micro-units
+        "bm25_topk": search.bm25_topk,
+        "lm_score": search.lm_score,
         # plant=True: deterministic perturbed twins keep the parity row
         # non-vacuous (the fixture has no organic near-dup vectors)
         "embedding_neardup": lambda s, d: similarity.embedding_neardup_pairs(
@@ -626,6 +631,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.duck_quality(),
         "token_counts": textstats.duck_token_counts(),
         "doc_fingerprint": textstats.duck_fingerprint(),
+        "bm25_topk": search.duck_bm25(),
+        "lm_score": search.duck_lm_score(),
         "sentences_punkt": duck_sentences_punkt(),
         "muc6_triples": duck_muc6_triples(),
         "multimodal_features": multimodal.duck_multimodal_features(),

@@ -56,9 +56,24 @@ SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
 # accordingly while shuffle-parallel queries were fine. Single-core
 # capacity and aggregate capacity degrade INDEPENDENTLY on this shared
 # VM, so the gate now requires floors at p1 and p4 too.
+#
+# Round-4 recalibration: the original p1 floor (2.5, set against the
+# r1/r2-era host where p1 probed ~3.1) proved UNREACHABLE in round 4 —
+# 30+ probes spread over >7 h (bench_r4*.stderr) all landed in
+# 1.1-2.1 with the VM otherwise idle (load < 0.2, 97% idle), i.e. the
+# host's single-core provisioning has durably settled at ~2/3 of the
+# old era, independent of aggregate capacity (p32 steady at 31-35).
+# A floor the steady state can never clear does not gate degradation —
+# it just burns every retry and then records with probe_healthy=false
+# no matter how representative the window is. The floors' job is to
+# reject windows degraded BELOW today's steady state (transient
+# neighbor steal), so they now sit just under the measured steady
+# band: p1 ≥ 1.6, p4 ≥ 4.5, p32 ≥ 17. The raw probe values are always
+# recorded in the JSON either way, so a reader can still normalize
+# across host eras.
 PROBE_MIN = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "17"))
-PROBE_MIN_P1 = float(os.environ.get("SPARK_GRAFT_PROBE_MIN_P1", "2.5"))
-PROBE_MIN_P4 = float(os.environ.get("SPARK_GRAFT_PROBE_MIN_P4", "5.0"))
+PROBE_MIN_P1 = float(os.environ.get("SPARK_GRAFT_PROBE_MIN_P1", "1.6"))
+PROBE_MIN_P4 = float(os.environ.get("SPARK_GRAFT_PROBE_MIN_P4", "4.5"))
 PROBE_RETRIES = int(os.environ.get("SPARK_GRAFT_PROBE_RETRIES", "4"))
 PROBE_WAIT = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT_SEC", "120"))
 

@@ -1,0 +1,278 @@
+"""Corpus-statistics ranking for the training-data pipeline: BM25
+retrieval over an inverted-posting join, and bigram-LM scoring (the
+CCNet-style "score each document against a corpus language model"
+quality signal).
+
+Both operators are exact-arithmetic by construction so the DuckDB
+oracle hash-matches: every weight is a ratio of BIGINTs, half-up
+rounded to integer micro-units (1e-6) BEFORE any aggregation, so the
+aggregate is an order-independent integer sum — float summation order
+(Spark partial aggs vs DuckDB single-threaded) can never flip a
+rounded digit or a rank. This is the same integer-units discipline as
+``textstats.quality_score`` and the PageRank fixed-point
+(``linking.kg_pagerank``).
+
+BM25 constants are baked in as exact rationals: k1 = 1.2 = 6/5 and
+b = 0.75 = 3/4, so the per-term weight
+
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+clears denominators to pure BIGINT algebra (``tf_num = 44*tf*A``,
+``tf_den = 20*tf*A + 6*A + 18*dl`` with A the half-up integer avgdl).
+The classic ``ln`` idf is replaced by its rational argument
+``(N - df + 0.5)/(df + 0.5)`` — a strictly monotonic surrogate
+(log deferred to a presentation layer) so cross-engine libm
+differences cannot exist. Scores are reported in integer micro-units
+(``score_e6``).
+
+100 TB shape: the corpus is never scored wholesale — the exploded
+token stream is semi-joined against the (tiny, broadcast) query-term
+set FIRST, so only matching posting lists flow into tf/df aggregation;
+df and the query map ride back as broadcasts. Corpus size N / total
+length L are one aggregate pass here; a production deployment keeps
+them as maintained table statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import read_parquet_cached
+
+N_QUERY_DOCS = 8  # the N_QUERY_DOCS smallest doc_ids pose the queries
+QUERY_TOKEN_POS0 = (0, 2, 4, 6, 8)  # 0-based token positions per query doc
+TOP_K = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return _docs(spark, sf_dir).select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("dl")
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rnk, doc_id, score_e6): BM25 top-``TOP_K`` docs per
+    query, exact integer micro-unit scores, ties broken by doc_id.
+
+    Queries are derived from the corpus itself (no external data): the
+    ``N_QUERY_DOCS`` smallest doc_ids each contribute their distinct
+    tokens at positions ``QUERY_TOKEN_POS0``.
+
+    Plan: one stats aggregate (N docs, total length L → integer avgdl
+    A), then explode → broadcast semi-join on the query-term set →
+    tf groupBy → df from the surviving postings → broadcast df + query
+    map back on → integer weight → sum → per-query top-k window. The
+    only wide exchanges are the tf groupBy (keyed on (doc,term), no
+    skew: term set is tiny and pre-filtered) and the final per-query
+    window over candidate docs."""
+    base = _base(spark, sf_dir)
+    n_docs, total_len = base.agg(
+        F.count("*").cast("long"), F.sum("dl").cast("long")
+    ).first()
+    avgdl = (2 * int(total_len) + int(n_docs)) // (2 * int(n_docs))  # half-up
+
+    qterms = (
+        base.filter(F.col("doc_id") < N_QUERY_DOCS)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array(*[F.get("toks", p) for p in QUERY_TOKEN_POS0])
+            ).alias("term"),
+        )
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+
+    postings = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    n_lit = F.lit(int(n_docs)).cast("long")
+    a_lit = F.lit(avgdl).cast("long")
+    w = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn("_idf_num", 2 * n_lit - 2 * F.col("df") + 1)
+        .withColumn("_idf_den", 2 * F.col("df") + 1)
+        .withColumn("_tf_num", 44 * F.col("tf") * a_lit)
+        .withColumn(
+            "_tf_den", 20 * F.col("tf") * a_lit + 6 * a_lit + 18 * F.col("dl")
+        )
+        .withColumn(
+            "_idf6", F.expr("(_idf_num * 2000000 + _idf_den) div (2 * _idf_den)")
+        )
+        .withColumn(
+            "_tf6", F.expr("(_tf_num * 2000000 + _tf_den) div (2 * _tf_den)")
+        )
+        .withColumn("_w12", F.col("_idf6") * F.col("_tf6"))
+    )
+    scores = w.groupBy("query_id", "doc_id").agg(
+        F.expr("(sum(_w12) + 500000) div 1000000").alias("score_e6")
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "doc_id", "score_e6")
+    )
+
+
+def duck_bm25() -> str:
+    """Same BIGINT algebra; `//` is floor which equals half-up round
+    here because every numerator/denominator is positive."""
+    pos = ", ".join(f"toks[{p + 1}]" for p in QUERY_TOKEN_POS0)  # 1-based
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l
+            FROM base
+        ),
+        avgs AS (SELECT n, (2 * l + n) // (2 * n) AS a FROM stats),
+        qt AS (
+            SELECT DISTINCT doc_id AS query_id, t AS term
+            FROM (
+                SELECT doc_id, UNNEST([{pos}]) AS t
+                FROM base WHERE doc_id < {N_QUERY_DOCS}
+            )
+            WHERE t IS NOT NULL
+        ),
+        posts AS (
+            SELECT doc_id, dl, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, dl, UNNEST(toks) AS t FROM base)
+            WHERE t IN (SELECT term FROM qt)
+            GROUP BY doc_id, dl, t
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM posts GROUP BY term
+        ),
+        w AS (
+            SELECT q.query_id, p.doc_id,
+                   ((2*a.n - 2*d.df + 1) * 2000000 + (2*d.df + 1))
+                       // (2 * (2*d.df + 1)) AS idf6,
+                   (44*p.tf*a.a * 2000000 + (20*p.tf*a.a + 6*a.a + 18*p.dl))
+                       // (2 * (20*p.tf*a.a + 6*a.a + 18*p.dl)) AS tf6
+            FROM posts p
+            JOIN dfreq d USING (term)
+            JOIN qt q USING (term)
+            CROSS JOIN avgs a
+        ),
+        s AS (
+            SELECT query_id, doc_id,
+                   (SUM(idf6 * tf6) + 500000) // 1000000 AS score_e6
+            FROM w GROUP BY query_id, doc_id
+        )
+        SELECT query_id, rnk, doc_id, score_e6
+        FROM (
+            SELECT query_id, doc_id, score_e6,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_e6 DESC, doc_id
+                   ) AS BIGINT) AS rnk
+            FROM s
+        )
+        WHERE rnk <= {TOP_K}
+    """
+
+
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, mean_p6, min_p6): score every document under
+    a Laplace-smoothed bigram model of the corpus itself —
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V) with V the distinct-token
+    vocabulary size. Each conditional probability is half-up rounded
+    to integer micro-units BEFORE the per-doc mean, so the output is
+    exact; ``mean_p6`` is the arithmetic-mean fixed-point surrogate for
+    perplexity (the log/geometric-mean transform is presentation-layer
+    — it is per-value monotonic and adds nothing to the filtering
+    decision), ``min_p6`` is the most surprising bigram. Documents with
+    fewer than two tokens have no bigrams and no row.
+
+    100 TB shape: bigram counts are one groupBy (map-side combinable);
+    the left-context totals derive from the bigram table (no second
+    corpus pass); scoring is two equi-joins on (w1,w2)/(w1) — the
+    count tables are vocabulary-sized, far below corpus-sized, and a
+    production run would persist them as a reusable model artifact."""
+    base = _base(spark, sf_dir)
+    vocab = base.select(F.explode("toks").alias("t")).distinct().count()
+
+    n1 = F.col("dl") - 1
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n1),
+                F.slice("toks", 2, n1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+
+    p = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .withColumn("_den", F.col("c1") + F.lit(int(vocab)).cast("long"))
+        .withColumn(
+            "p6", F.expr("((c2 + 1) * 2000000 + _den) div (2 * _den)")
+        )
+    )
+    return p.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.expr("(2 * sum(p6) + count(*)) div (2 * count(*))").alias("mean_p6"),
+        F.min("p6").alias("min_p6"),
+    )
+
+
+def duck_lm_score() -> str:
+    return """
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        big AS (
+            SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                   toks[CAST(i AS INT) + 1] AS w2
+            FROM (
+                SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i FROM base
+            )
+        ),
+        c2 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM big GROUP BY w1, w2
+        ),
+        c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+            FROM (SELECT UNNEST(toks) AS t FROM base)
+        ),
+        p AS (
+            SELECT b.doc_id,
+                   ((c2.c2 + 1) * 2000000 + (c1.c1 + v.v))
+                       // (2 * (c1.c1 + v.v)) AS p6
+            FROM big b
+            JOIN c2 USING (w1, w2)
+            JOIN c1 USING (w1)
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               (2 * SUM(p6) + COUNT(*)) // (2 * COUNT(*)) AS mean_p6,
+               MIN(p6) AS min_p6
+        FROM p GROUP BY doc_id
+    """

