@@ -437,6 +437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_mp": lambda s, d: similarity.embedding_neardup_pairs(
             s, d, plant=True, multiprobe=True
         ),
+        # SemDeDup-style cluster-then-dedup keep/drop decisions
+        "semantic_dedup": lambda s, d: similarity.semantic_dedup(
+            s, d, plant=True
+        ),
         # S6+S7 end-to-end: SGML corpus walk → punkt sentences →
         # template parse → 4-way succession join + evidence join
         "muc6_triples": muc6_triples_query,
@@ -603,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_mp": similarity.duck_embedding_neardup(
             plant=True, multiprobe=True
         ),
+        "semantic_dedup": similarity.duck_semantic_dedup(plant=True),
         "ivf_ann_topk": similarity.duck_ivf_ann_topk(),
         "standoff_parse": (
             f"{duck_with_prefix()}, mentions AS ({duck_mentions_cte()})"

@@ -553,3 +553,170 @@ def duck_lsh_ann_topk(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
               FROM scored)
         WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------- semantic dedup
+
+SEMDEDUP_TAU = 0.99
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = SEMDEDUP_TAU,
+    cells: int = IVF_CELLS,
+    plant: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, find within-cluster pairs
+    with cosine ≥ tau, and keep the member of each duplicate pair with
+    the LOWEST cosine to its cluster centroid (the paper's keep-rule:
+    prototypical examples are the redundant ones).
+
+    Output: ``(vec_id, cell_id, cent_cos, is_dup)`` for every vector —
+    ``is_dup=true`` means the vector is dominated by (semantically
+    duplicates) a higher-priority neighbor and would be dropped.
+
+    Plan shape at 100 TB:
+
+    - cluster assignment is the same narrow literal-quantizer
+      projection :func:`assign_cells` uses (no join, no shuffle of the
+      corpus; a production run feeds :func:`lloyd_centroids` output —
+      the deterministic seed here keeps the DuckDB oracle exact);
+    - ``cent_cos`` is a second narrow projection (centroid array rides
+      the closure, ``element_at`` by cell_id);
+    - candidate pairs are a cell equi-join — never all-pairs; cells
+      bound the blowup exactly like the IVF probe, and AQE splits hot
+      cells;
+    - the keep-rule is ONE extra pass over the pair set (per-edge
+      loser, distinct, left join back) — a deliberate greedy variant
+      of the paper's per-group rule that avoids iterative connected
+      components: for clique-shaped duplicate groups (the common case
+      at high tau) it keeps exactly the paper's survivor; for chains
+      it keeps every local minimum (strictly more conservative —
+      documented, deterministic).
+
+    ``plant=True`` unions in :func:`planted_twins` (the sf fixtures
+    have no organic semantic dups, so the parity row would otherwise
+    compare trivially-empty drop sets). Production callers leave it
+    False. Ties on rounded ``cent_cos`` break by ``vec_id`` (lower id
+    survives) so both engines agree bit-for-bit.
+    """
+    cent_rows = [
+        (int(r["cell_id"]), [float(x) for x in r["cv"]])
+        for r in _ivf_centroids(spark, sf_dir, cells).collect()
+    ]
+    base = _emb_double(spark, sf_dir)
+    if plant:
+        base = base.unionAll(planted_twins(base))
+    assigned = assign_cells(base, cent_rows, vec_col="embedding", metric="dot")
+    cents_by_id = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in v])
+            for _, v in sorted(cent_rows)
+        ]
+    )
+    cv = F.element_at(cents_by_id, F.col("cell_id") + 1)
+    docs = assigned.select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        F.round(
+            _dot(F.col("embedding"), cv)
+            / (_norm(F.col("embedding")) * _norm(cv)),
+            6,
+        ).alias("cent_cos"),
+    )
+    x, y = docs.alias("x"), docs.alias("y")
+    pair_cos = F.round(
+        _dot(F.col("x.embedding"), F.col("y.embedding"))
+        / (_norm(F.col("x.embedding")) * _norm(F.col("y.embedding"))),
+        6,
+    )
+    losers = (
+        x.join(y, "cell_id")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .filter(pair_cos >= tau)
+        .select(
+            F.when(
+                (F.col("x.cent_cos") > F.col("y.cent_cos"))
+                | (
+                    (F.col("x.cent_cos") == F.col("y.cent_cos"))
+                    & (F.col("x.vec_id") > F.col("y.vec_id"))
+                ),
+                F.col("x.vec_id"),
+            )
+            .otherwise(F.col("y.vec_id"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        docs.join(losers, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            "cent_cos",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def duck_semantic_dedup(
+    tau: float = SEMDEDUP_TAU, cells: int = IVF_CELLS, plant: bool = False
+) -> str:
+    base = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    if plant:
+        base = f"""
+            SELECT * FROM ({base})
+            UNION ALL
+            SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+                   list_transform(range(1, len(v) + 1),
+                                  i -> v[i] * (1.0 + {PLANT_EPS}
+                                               * CAST(((i - 1) % 3) - 1 AS DOUBLE))) AS v
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            WHERE vec_id % {PLANT_EVERY} = 0
+        """
+    cos_xy = (
+        "ROUND(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))"
+        " / (sqrt(list_sum(list_transform(x.v, t -> t * t)))"
+        " * sqrt(list_sum(list_transform(y.v, t -> t * t)))), 6)"
+    )
+    return f"""
+        WITH e AS ({base}),
+        cents AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < {cells}),
+        assigned AS (
+            SELECT vec_id, v, cell_id FROM (
+                SELECT e.vec_id, e.v, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_sum(list_transform(range(1, len(e.v) + 1),
+                                                            i -> e.v[i] * c.cv[i])) DESC,
+                                    c.cell_id) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        docs AS (
+            SELECT a.vec_id, a.v, CAST(a.cell_id AS INT) AS cell_id,
+                   ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                                                 i -> a.v[i] * c.cv[i]))
+                         / (sqrt(list_sum(list_transform(a.v, t -> t * t)))
+                            * sqrt(list_sum(list_transform(c.cv, t -> t * t)))),
+                         6) AS cent_cos
+            FROM assigned a JOIN cents c ON a.cell_id = c.cell_id
+        ),
+        losers AS (
+            SELECT DISTINCT CASE
+                WHEN x.cent_cos > y.cent_cos
+                     OR (x.cent_cos = y.cent_cos AND x.vec_id > y.vec_id)
+                THEN x.vec_id ELSE y.vec_id END AS vec_id
+            FROM docs x JOIN docs y
+              ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+            WHERE {cos_xy} >= {tau}
+        )
+        SELECT d.vec_id, d.cell_id, d.cent_cos,
+               (l.vec_id IS NOT NULL) AS is_dup
+        FROM docs d LEFT JOIN losers l ON d.vec_id = l.vec_id
+    """

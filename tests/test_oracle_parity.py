@@ -157,3 +157,58 @@ def test_locate_annotations_drops_unmatchable(spark):
     )
     got = {r.ann_id: r.via for r in locate_annotations(anns, sents).collect()}
     assert got == {"a1": "offset", "a2": "contains"}
+
+
+def test_semantic_dedup_drops_one_of_each_planted_pair(spark, sf_dir, con):
+    """On the fixture (no organic semantic dups at tau=0.99) the only
+    duplicate groups are the 20 (original, planted-twin) pairs: exactly
+    ONE member of each pair must be dropped — whichever has the higher
+    (rounded cent_cos, vec_id) priority, per the SemDeDup keep-rule —
+    and no unpaired vector may be dropped."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators import similarity
+
+    df = similarity.semantic_dedup(spark, sf_dir, plant=True)
+    assert_frames_match(df, con, similarity.duck_semantic_dedup(plant=True))
+    rows = {r["vec_id"]: (r["cent_cos"], r["is_dup"]) for r in df.collect()}
+    twins = {v for v in rows if v >= similarity.PLANT_OFFSET}
+    assert len(twins) == 20
+    dropped = {v for v, (_, d) in rows.items() if d}
+    for t in twins:
+        o = t - similarity.PLANT_OFFSET
+        (t_cos, t_dup), (o_cos, o_dup) = rows[t], rows[o]
+        assert t_dup != o_dup, f"pair ({o},{t}) must drop exactly one side"
+        loser = t if (t_cos, t) > (o_cos, o) else o
+        assert rows[loser][1] is True, f"pair ({o},{t}) kept the wrong side"
+    paired = twins | {t - similarity.PLANT_OFFSET for t in twins}
+    assert dropped <= paired, "a vector outside the planted pairs was dropped"
+
+
+def test_semantic_dedup_keeps_lowest_centroid_cosine_not_lowest_id(spark, tmp_path):
+    """SemDeDup keep-rule on a crafted clique: vectors 0, 10, 11, 12
+    all within tau of each other in centroid 0's cell, with cent_cos
+    DECREASING in vec_id — the survivor must be vec 12 (lowest
+    cent_cos, highest id), proving the rule is the paper's
+    prototypicality rule and not accidental min-id ordering."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators import similarity
+
+    path = str(tmp_path / "crafted")
+    os.makedirs(path, exist_ok=True)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),    # centroid 0, cent_cos = 1.0
+        (1, [0.0, 1.0, 0.0, 0.0], 0),    # centroid 1, alone in its cell
+        (10, [1.0, 0.01, 0.0, 0.0], 0),  # cent_cos ~ 0.99995
+        (11, [1.0, 0.02, 0.0, 0.0], 0),  # cent_cos ~ 0.9998
+        (12, [1.0, 0.05, 0.0, 0.0], 0),  # cent_cos ~ 0.998752  (lowest)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "embeddings.parquet")
+    )
+    got = {
+        r["vec_id"]: r["is_dup"]
+        for r in similarity.semantic_dedup(spark, path, cells=2).collect()
+    }
+    assert got == {0: True, 1: False, 10: True, 11: True, 12: False}
