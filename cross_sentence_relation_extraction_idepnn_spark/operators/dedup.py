@@ -98,29 +98,62 @@ DUCK_DEDUP_EXACT = """
 
 # ------------------------------------------------------------------ minhash
 
-def minhash_signatures(
-    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
-) -> DataFrame:
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shs): the per-document DISTINCT shingle set as ONE
+    array column — the pre-explode form of :func:`_shingles_df`.
+
+    Keeping the set on its row is what lets the whole MinHash family
+    run without a single document-grain shuffle: signatures are
+    ``array_min`` projections, set sizes are ``size``, and
+    verification intersects two arrays natively."""
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    ws = F.col("ws")
+    sh = F.array_distinct(
+        F.when(
+            F.size(ws) >= SHINGLE_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (SHINGLE_N - 1)),
+                lambda i: F.array_join(F.slice(ws, i, SHINGLE_N), " "),
+            ),
+        ).otherwise(F.array(F.array_join(ws, " ")))
+    )
+    return docs.select("doc_id", F.split(F.col("text"), " ").alias("ws")).select(
+        "doc_id", sh.alias("shs")
+    )
+
+
+def _minv_expr(hs, perm_id: int):
+    """min over the shingle set of the universal hash h_i(x) =
+    (a_i·H(x) + b_i) mod P — one native array fold, no explode."""
+    a, b = perm_coeffs(perm_id)
+    return F.array_min(
+        F.transform(hs, lambda h: (h * F.lit(a) + F.lit(b)) % MERSENNE_P)
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, perm_id, minv): MinHash signature in long form.
 
-    ``shingles`` lets a caller share one (persisted) shingle DF across
-    the signature build and the verification joins — one corpus scan
-    instead of four."""
-    sh = (
-        shingles if shingles is not None else _shingles_df(spark, sf_dir)
-    ).withColumn("hs", spark_h15(F.col("shingle")) % MERSENNE_P)
-    perms = spark.createDataFrame(
-        [(i, *perm_coeffs(i)) for i in range(NUM_PERMS)],
-        schema="perm_id int, a long, b long",
+    Re-planned (round 4): each of the ``NUM_PERMS`` minima is a native
+    ``array_min``/``transform`` fold over the per-document shingle
+    array, and the long form is one ``explode`` of a literal
+    struct-array — the previous shingle-explode × perms cross-join +
+    (doc, perm)-grain groupBy is gone. ZERO exchanges: at 100 TB the
+    signature build is a map-only pass over the corpus scan."""
+    arrs = _shingle_arrays(spark, sf_dir).withColumn(
+        "hs", F.transform("shs", lambda s: spark_h15(s) % MERSENNE_P)
     )
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm_id")
-        .agg(
-            F.min(
-                (F.col("hs") * F.col("a") + F.col("b")) % MERSENNE_P
-            ).alias("minv")
-        )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("int").alias("perm_id"),
+                _minv_expr(F.col("hs"), p).alias("minv"),
+            )
+            for p in range(NUM_PERMS)
+        ]
+    )
+    return arrs.select("doc_id", F.explode(structs).alias("s")).select(
+        "doc_id", "s.perm_id", "s.minv"
     )
 
 
@@ -141,29 +174,47 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
     """LSH band join → verified-Jaccard near-dup pairs
     (doc_a, doc_b, jaccard).
 
-    The shingle DF feeds four consumers (signatures, both sides of the
-    verification self-join, per-doc counts). Measured at sf0.1, the
-    recompute is CHEAPER than a persist: shingling is one codegen'd
-    projection over a pruned scan, while caching materializes the full
-    table and costs serialization (bench: persist made this query ~2×
-    slower) — so the plan recomputes the narrow subtree per consumer."""
-    sh = _shingles_df(spark, sf_dir)
-    sig = minhash_signatures(spark, sf_dir, shingles=sh)
-    bands = (
-        sig.withColumn("band", (F.col("perm_id") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm_id", "minv"))),
-                    lambda s: s.minv.cast("string"),
-                ),
-                "-",
-            ).alias("band_sig")
-        )
-    )
-    from pyspark.storagelevel import StorageLevel
+    Re-planned (round 4) around the per-document shingle ARRAY:
 
+    - band signatures are native per-row folds (``array_min`` per
+      perm, ``concat_ws`` per band) + one explode — the old
+      shingle-explode × perms cross-join and the (doc, band) groupBy
+      are gone, so the subtree up to the band join is map-only;
+    - candidates come from the ONE unavoidable shuffle, the banded
+      equi self-join (AQE splits hot bands);
+    - verification joins the candidate pairs back to the shingle
+      arrays by doc id and intersects the two arrays natively
+      (``array_intersect``/``size``) — the previous plan's
+      shingle-level self-join plus per-pair groupBy plus two count
+      joins collapse into two equi-joins with no aggregation at all.
+
+    At 100 TB: two corpus scans (band build + verification side),
+    shuffles keyed by (band, band_sig) and doc id — never all-pairs,
+    no document-grain aggregation anywhere. The old four-consumer
+    shingle recompute (and its persist-vs-recompute tension) is moot:
+    each consumer is now a narrow map over the scan."""
+    arrs = _shingle_arrays(spark, sf_dir).withColumn(
+        "hs", F.transform("shs", lambda s: spark_h15(s) % MERSENNE_P)
+    )
+    n_bands = NUM_PERMS // BAND_ROWS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        _minv_expr(F.col("hs"), b * BAND_ROWS + r).cast("string")
+                        for r in range(BAND_ROWS)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = arrs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band", "bs.band_sig"
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "band_sig"])
@@ -172,33 +223,21 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
-        # pair-count-sized, feeds the verification join and the final
-        # left join — persist so the band-join tree computes once
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    track_cache(cand)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        cand.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
-        .join(
-            sh.alias("s2"),
-            (F.col("doc_b") == F.col("s2.doc_id"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    sets = _shingle_arrays(spark, sf_dir)
+    joined = cand.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")),
+        "doc_b",
     )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .fillna({"n_inter": 0})
-        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-        .withColumn(
+        joined.withColumn(
             "jaccard",
             F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+                n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter), 6
             ),
         )
         .filter(F.col("jaccard") >= tau)
@@ -375,35 +414,51 @@ def ngram_jaccard_pairs(
     min shingle hash (level 2, so re-keyed docs only pair with re-keyed
     docs), and any block still above the cap after re-blocking is
     dropped — candidate generation is bounded by max_block² per key.
-    Both steps are deterministic and mirrored in the DuckDB oracle."""
-    sh = _shingles_df(spark, sf_dir).withColumn("hs", spark_h15(F.col("shingle")))
-    per_doc = sh.groupBy("doc_id").agg(
-        F.min("hs").alias("h1"), F.count("*").alias("n")
+    Both steps are deterministic and mirrored in the DuckDB oracle.
+
+    Re-planned (round 4) on the per-document shingle ARRAY: ``h1``
+    (min hash), ``h2`` (second-distinct min) and ``n`` (set size) are
+    all narrow array folds — the doc-grain groupBy, the lazy
+    over-cap-only h2 aggregation, and the two-branch union are gone
+    (h2 costs nothing now, so every doc carries it and the block
+    choice is one CASE, exactly the oracle's formulation).
+    Verification intersects the two arrays natively instead of the
+    shingle-level self-join + per-pair groupBy + left join."""
+    from pyspark.storagelevel import StorageLevel
+
+    hs = F.transform("shs", lambda s: spark_h15(s))
+    per_doc = (
+        _shingle_arrays(spark, sf_dir)
+        .select("doc_id", F.size("shs").alias("n"), hs.alias("hs"))
+        .select(
+            "doc_id", "n", "hs", F.array_min("hs").alias("h1")
+        )
+        .select(
+            "doc_id",
+            "n",
+            "h1",
+            F.coalesce(
+                F.array_min(F.filter("hs", lambda h: h > F.col("h1"))),
+                F.col("h1"),
+            ).alias("h2"),
+        )
+        # per_doc is doc-count-sized (4 scalar columns) but its lineage
+        # holds the md5-per-shingle array fold — the one genuinely
+        # expensive projection here (higher-order-function lambdas run
+        # interpreted, not whole-stage codegen'd). sz1/keyed0/sz2 and
+        # both self-join sides all hang off it, so persist the tiny
+        # result to compute the hash fold exactly once.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track_cache(per_doc)
     sz1 = per_doc.groupBy("h1").agg(F.count("*").alias("bsz1"))
-    sized = per_doc.join(sz1, "h1")
-    # h2 (second-distinct-min) is computed LAZILY, only for docs in
-    # over-cap blocks — on a healthy corpus that's a tiny (usually
-    # empty) subset, so the common case pays one aggregation, not a
-    # per-doc distinct-hash sort
-    over = sized.filter(F.col("bsz1") > max_block).select("doc_id", "h1", "n")
-    h2 = (
-        sh.join(over.select("doc_id", "h1"), "doc_id")
-        .filter(F.col("hs") > F.col("h1"))
-        .groupBy("doc_id")
-        .agg(F.min("hs").alias("h2"))
-    )
-    rekeyed = over.join(h2, "doc_id", "left").select(
+    keyed0 = per_doc.join(sz1, "h1").select(
         "doc_id",
         "n",
-        F.lit(2).alias("lvl"),
-        F.coalesce(F.col("h2"), F.col("h1")).alias("block"),
-    )
-    # the still-over-cap drop only needs to examine the re-keyed branch:
-    # level-1 blocks are ≤ max_block by construction
-    sz2 = rekeyed.groupBy("block").agg(F.count("*").alias("bsz2"))
-    rekeyed = (
-        rekeyed.join(sz2, "block").filter(F.col("bsz2") <= max_block).drop("bsz2")
+        F.when(F.col("bsz1") <= max_block, F.lit(1)).otherwise(F.lit(2)).alias("lvl"),
+        F.when(F.col("bsz1") <= max_block, F.col("h1"))
+        .otherwise(F.col("h2"))
+        .alias("block"),
     )
     from pyspark.storagelevel import StorageLevel
 
@@ -412,10 +467,11 @@ def ngram_jaccard_pairs(
     # consumers re-expand that whole subtree ~10× (measured: 66
     # exchanges in the final plan). Persisting the tiny aggregate — not
     # the fat shingle table — collapses it to compute-once.
+    sz2 = keyed0.groupBy("lvl", "block").agg(F.count("*").alias("bsz2"))
     keyed = (
-        sized.filter(F.col("bsz1") <= max_block)
-        .select("doc_id", "n", F.lit(1).alias("lvl"), F.col("h1").alias("block"))
-        .unionByName(rekeyed.select("doc_id", "n", "lvl", "block"))
+        keyed0.join(sz2, ["lvl", "block"])
+        .filter(F.col("bsz2") <= max_block)
+        .drop("bsz2")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track_cache(keyed)
@@ -429,28 +485,20 @@ def ngram_jaccard_pairs(
             F.col("x.n").alias("n_a"),
             F.col("y.n").alias("n_b"),
         )
-        # each doc has exactly one (lvl, block) row → pairs are unique
-        # pair-count-sized; feeds the verification join AND the final
-        # left join — persist to stop the candidate tree re-expanding
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    track_cache(cand)
-    inter = (
-        cand.join(sh.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
-        .join(
-            sh.alias("s2"),
-            (F.col("doc_b") == F.col("s2.doc_id"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    sets = _shingle_arrays(spark, sf_dir)
+    joined = cand.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")),
+        "doc_b",
     )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .fillna({"n_inter": 0})
-        .withColumn(
+        joined.withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+            F.round(n_inter / (F.col("n_a") + F.col("n_b") - n_inter), 6),
         )
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")

@@ -141,3 +141,24 @@ def test_lloyd_iteration_plan_has_no_explode_or_window(spark, sf_dir):
     plan = plan_of(means)
     assert "Generate" not in plan and "Window" not in plan, plan
     assert count_op(plan, "Exchange") == 1, plan  # the one cell_id agg exchange
+
+
+def test_minhash_signature_build_is_map_only(spark, sf_dir):
+    """Round-4 re-plan: MinHash signatures are per-row array folds
+    over the shingle array (array_min per perm + one explode) — ZERO
+    exchanges up to the output; the old shingle-explode × perms
+    cross-join with a (doc, perm)-grain groupBy must not come back."""
+    plan = plan_of(dedup.minhash_signatures(spark, sf_dir))
+    assert count_op(plan, "Exchange") == 0
+    assert count_op(plan, "HashAggregate") == 0
+
+
+def test_minhash_pairs_has_no_aggregation(spark, sf_dir):
+    """Verification runs as array_intersect over the candidates joined
+    back to the shingle arrays — no shingle-level self-join, no
+    per-pair groupBy. Only the band join + dedup + two doc-id joins
+    shuffle."""
+    plan = plan_of(dedup.minhash_pairs(spark, sf_dir))
+    # one HashAggregate pair for the candidate distinct, nothing else
+    assert count_op(plan, "HashAggregate") <= 2
+    assert count_op(plan, "Exchange") <= 4
