@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_pairs": dedup.minhash_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash_docs": dedup.simhash_docs,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_pairs": dedup.ngram_jaccard_pairs,
@@ -594,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
             f"{shingles_prefix} SELECT * FROM ({dedup.duck_minhash_cte()})"
         ),
         "minhash_pairs": f"{shingles_prefix} {dedup.duck_minhash_pairs()}",
+        "dedup_clusters": dedup.duck_dedup_clusters(),
         "simhash_docs": f"SELECT * FROM ({dedup.duck_simhash_cte()})",
         # duck_simhash_pairs starts with ", sim AS (...)" — prepend a
         # throwaway CTE so it composes into a standalone WITH chain.

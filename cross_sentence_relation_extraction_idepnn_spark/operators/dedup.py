@@ -246,7 +246,14 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
 
 
 def duck_minhash_pairs(tau: float = MINHASH_TAU) -> str:
-    return f"""
+    ctes, final = _duck_minhash_pair_parts(tau)
+    return ctes + final
+
+
+def _duck_minhash_pair_parts(tau: float) -> tuple[str, str]:
+    """(CTE chain, final SELECT) — split so :func:`duck_dedup_clusters`
+    can reuse the pair derivation as a named CTE."""
+    ctes = f"""
         , sig AS ({duck_minhash_cte()})
         , bands AS (
             SELECT doc_id, CAST(perm_id / {BAND_ROWS} AS INT) AS band,
@@ -267,6 +274,8 @@ def duck_minhash_pairs(tau: float = MINHASH_TAU) -> str:
             JOIN shingles s2 ON s2.doc_id = c.doc_b AND s1.shingle = s2.shingle
             GROUP BY c.doc_a, c.doc_b
         )
+    """
+    final = f"""
         SELECT c.doc_a, c.doc_b,
                ROUND(COALESCE(i.n_inter, 0) * 1.0
                      / (ca.n + cb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
@@ -276,6 +285,81 @@ def duck_minhash_pairs(tau: float = MINHASH_TAU) -> str:
         JOIN counts cb ON cb.doc_id = c.doc_b
         WHERE COALESCE(i.n_inter, 0) * 1.0
               / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= {tau}
+    """
+    return ctes, final
+
+
+# --------------------------------------------------------- dedup clusters
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU
+) -> DataFrame:
+    """Near-duplicate CLUSTERS with canonical-survivor selection — the
+    step a production dedup pipeline runs after pair generation:
+    connected components over the :func:`minhash_pairs` edge set, one
+    row per document: ``(doc_id, cluster_id, is_canonical)`` where
+    ``cluster_id`` is the minimum doc_id reachable through verified
+    near-dup edges and ``is_canonical`` marks the cluster's survivor
+    (keep-min-id rule; the drop set is ``NOT is_canonical``).
+
+    Scale shape: the component computation runs ONLY over documents
+    that appear in a near-dup pair (pair-bounded, orders of magnitude
+    below corpus size at a verified-Jaccard threshold); the rest of
+    the corpus never enters the CC — a left join at the end marks
+    every unpaired document its own singleton cluster. The CC itself
+    is :func:`~..operators.linking.connected_components`: driver-side
+    union-find below its node threshold, alternating
+    large-star/small-star rounds above — the same machinery the
+    entity-canonicalization path already stress-tests on
+    diameter-1999 chains."""
+    from .linking import connected_components
+
+    pairs = minhash_pairs(spark, sf_dir, tau)
+
+    def sid(c: str):
+        # lexicographic order == numeric order after zero-padding, so
+        # the string-keyed CC's min-label is the min doc_id
+        return F.lpad(F.col(c).cast("string"), 15, "0")
+
+    edges = pairs.select(sid("doc_a").alias("src"), sid("doc_b").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("surface"))
+        .union(edges.select(F.col("dst").alias("surface")))
+        .distinct()
+    )
+    comp = connected_components(nodes, edges).select(
+        F.col("surface").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("comp_id"),
+    )
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp_id"), F.col("doc_id")).alias("cluster_id"),
+        (
+            F.coalesce(F.col("comp_id"), F.col("doc_id")) == F.col("doc_id")
+        ).alias("is_canonical"),
+    )
+
+
+def duck_dedup_clusters(tau: float = MINHASH_TAU) -> str:
+    """Self-contained recursive-CTE oracle: min reachable doc_id over
+    the verified minhash pair graph; unpaired docs are singletons."""
+    ctes, final = _duck_minhash_pair_parts(tau)
+    return f"""
+        WITH RECURSIVE shingles AS ({duck_shingles_cte()})
+        {ctes}
+        , pairs AS ({final})
+        , und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM pairs)
+        , reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN und e ON e.src = r.id
+        )
+        SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+               (MIN(lbl) = id) AS is_canonical
+        FROM reach GROUP BY id
     """
 
 

@@ -212,3 +212,56 @@ def test_semantic_dedup_keeps_lowest_centroid_cosine_not_lowest_id(spark, tmp_pa
         for r in similarity.semantic_dedup(spark, path, cells=2).collect()
     }
     assert got == {0: True, 1: False, 10: True, 11: True, 12: False}
+
+
+def test_dedup_clusters_merges_pairs_and_keeps_min_id(spark, tmp_path):
+    """Crafted corpus: docs 1/2/3 are near-identical (single edge-word
+    edits), doc 4 unrelated. The cluster table must (a) be EXACTLY the
+    connected components of the minhash_pairs edge set (python
+    union-find re-derivation — sound whatever the banding decides),
+    (b) merge 1/2/3 into cluster 1 with doc 1 the sole canonical, and
+    (c) leave doc 4 a canonical singleton."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators import dedup
+
+    base = [f"w{i}" for i in range(20)]
+    v2 = list(base)
+    v2[0] = "xray"
+    v3 = list(v2)
+    v3[19] = "yankee"
+    other = " ".join(f"z{i}" for i in range(20))
+    path = str(tmp_path / "docs")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(v2)), (3, " ".join(v3)), (4, other)],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    pairs = [
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_pairs(spark, path).collect()
+    ]
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.dedup_clusters(spark, path).collect()
+    }
+    # (a) exact CC-of-pairs consistency via union-find
+    parent = {d: d for d in got}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {d: (find(d), find(d) == d) for d in got}
+    assert got == expect
+    # (b) the crafted near-dup chain merged, min id canonical
+    assert got[1] == (1, True) and got[2] == (1, False) and got[3] == (1, False)
+    # (c) unrelated doc is its own canonical singleton
+    assert got[4] == (4, True)
