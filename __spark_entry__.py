@@ -275,6 +275,16 @@ def _kg_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return kg_pagerank(materialize_kg(spark, sf))
 
 
+def _kg_neighbors(spark: SparkSession, sf: str) -> DataFrame:
+    """KG neighborhood analytics: out/in degree + distinct 2-hop reach
+    per canonical entity over the materialized KG's edge set."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_neighbors,
+    )
+
+    return kg_neighbors(materialize_kg(spark, sf))
+
+
 def _kg_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental-maintenance twin of ``kg``: the corpus splits into
     two conv-hash deltas, each runs the full extraction → per-delta KG,
@@ -315,6 +325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg": _kg,
         "kg_incremental": _kg_incremental,
         "kg_pagerank": _kg_pagerank,
+        # join-based KG analytics: degrees + distinct 2-hop reach
+        "kg_neighbors": _kg_neighbors,
         # official-eval .a2 assembly over model scores
         "a2_lines": lambda s, d: a2_annotation_lines(
             scored_from_transcripts(s, transcripts(s, d))
@@ -419,11 +431,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greedy sequence packing: grouped-sequential applyInPandas vs
         # a recursive-CTE walk of the same recurrence
         "pack_sequences": curation.pack_sequences,
+        # context-window chunking with stride (complement of packing)
+        "chunk_documents": curation.chunk_documents,
         # end-to-end curation funnel: per-stage pass booleans + kept
         "curation_funnel": curation.curation_funnel,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
+        # pretrained-LR model-based filtering (integer-exact logit)
+        "quality_classifier": textstats.quality_classifier,
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
         # corpus-statistics ranking: posting-join BM25 retrieval and
@@ -521,6 +537,14 @@ def _duck_kg_pagerank() -> str:
     )
 
     return duck_pagerank_over(_duck_kg())
+
+
+def _duck_kg_neighbors() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_neighbors_over,
+    )
+
+    return duck_neighbors_over(_duck_kg())
 
 
 def _duck_a2_lines() -> str:
@@ -634,8 +658,10 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture": curation.duck_domain_mixture(),
         "line_dedup": curation.duck_line_dedup(plant=True),
         "pack_sequences": curation.duck_pack_sequences(),
+        "chunk_documents": curation.duck_chunk_documents(),
         "curation_funnel": curation.duck_curation_funnel(),
         "quality_score": textstats.duck_quality(),
+        "quality_classifier": textstats.duck_quality_classifier(),
         "token_counts": textstats.duck_token_counts(),
         "doc_fingerprint": textstats.duck_fingerprint(),
         "bm25_topk": search.duck_bm25(),
@@ -648,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "kg": _duck_kg(),
         "kg_incremental": _duck_kg(),  # delta merge ≡ full rebuild
         "kg_pagerank": _duck_kg_pagerank(),
+        "kg_neighbors": _duck_kg_neighbors(),
         "a2_lines": _duck_a2_lines(),
         "position_bounds": duck_position_bounds(),
         "adp_degree": duck_adp_degree(),

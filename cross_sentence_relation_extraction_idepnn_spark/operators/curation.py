@@ -636,3 +636,85 @@ def duck_curation_funnel() -> str:
                 AND c.pass_decontamination AND s.pass_sample) AS kept
         FROM c JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN s USING (doc_id)
     """
+
+
+# --------------------- context-window chunking (pretraining prep)
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_idx, begin_tok, n_chunk_tok, chunk_text) —
+    fixed-size token-window chunking with stride/overlap: the
+    complement of ``pack_sequences`` (long docs split into
+    context-window-sized pieces for pretraining or embedding, short
+    docs pass through as one chunk).
+
+    Chunk k covers tokens [k*stride, min(k*stride + chunk, n)); the
+    chunk count is 1 for n <= chunk else
+    1 + ceil((n - chunk) / stride) in pure integer arithmetic, so the
+    final chunk always reaches the last token and no start index runs
+    past the text. The whole operator is ONE narrow projection +
+    explode — no shuffle, no Python; row amplification is bounded by
+    ~n/stride, the same fan-out a tokenizer shard would produce. At
+    100 TB this runs map-side at scan speed and the output partitions
+    inherit the scan's (AQE re-balances the amplified size if a
+    downstream exchange follows)."""
+    toks = F.split(F.col("text"), " ")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("int").alias("n_tok")
+    )
+    d = d.withColumn(
+        "m",
+        F.when(F.col("n_tok") <= chunk, F.lit(1))
+        .otherwise(
+            F.lit(1) + F.expr(f"(n_tok - {chunk} + {stride - 1}) div {stride}")
+        )
+        .cast("int"),
+    )
+    c = F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("chunk_idx")
+    ex = d.select("doc_id", "toks", "n_tok", c)
+    begin = F.col("chunk_idx") * stride
+    end = F.least(begin + chunk, F.col("n_tok"))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        begin.cast("int").alias("begin_tok"),
+        (end - begin).cast("int").alias("n_chunk_tok"),
+        F.array_join(F.slice("toks", begin + 1, end - begin), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+def duck_chunk_documents(
+    chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(chunk_idx * {stride} AS INT) AS begin_tok,
+               CAST(LEAST(chunk_idx * {stride} + {chunk}, n_tok)
+                    - chunk_idx * {stride} AS INT) AS n_chunk_tok,
+               array_to_string(
+                   list_slice(toks, chunk_idx * {stride} + 1,
+                              LEAST(chunk_idx * {stride} + {chunk}, n_tok)),
+                   ' ') AS chunk_text
+        FROM (
+            SELECT doc_id, toks, n_tok,
+                   UNNEST(range(0, CASE WHEN n_tok <= {chunk} THEN 1
+                                        ELSE 1 + (n_tok - {chunk} + {stride - 1}) // {stride}
+                                   END)) AS chunk_idx
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+                FROM documents
+            )
+        )
+    """

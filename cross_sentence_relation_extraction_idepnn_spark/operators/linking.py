@@ -563,3 +563,98 @@ def duck_pagerank_over(kg_cte: str, iters: int = PAGERANK_ITERS) -> str:
         + ", ".join(ctes)
         + f" SELECT node, CAST(pr AS BIGINT) AS pr FROM pr{iters}"
     )
+
+
+def kg_neighbors(kg: DataFrame, release: bool = True) -> DataFrame:
+    """(node, n_out, n_in, n_two_hop) — 1- and 2-hop neighborhood
+    statistics over the KG's distinct (subj → obj) edges: out-degree,
+    in-degree, and the count of DISTINCT nodes reachable in exactly
+    two directed hops (self excluded). The join-based complement of
+    ``kg_pagerank``'s iterative analytics — the shape of entity-
+    importance / hub-detection queries a downstream KG consumer runs.
+
+    Plan: the edge table (KG-sized — orders of magnitude below the
+    corpus) is persisted ONCE and feeds all four subtrees (node list,
+    both degree aggs, and the 2-hop self-join on ``a.dst = b.src``).
+    All counts are exact integers — bit-parity with the DuckDB
+    re-derivation. At 10^12-turn scale the 2-hop self-join is one
+    shuffle keyed on the join column over an edge table that already
+    fits the cluster (AQE handles celebrity-node skew by splitting
+    the build side); the per-node distinct is map-side combinable."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import cache_scope, track_cache, track_checkpoint
+
+    def build() -> DataFrame:
+        edges = track_cache(
+            kg.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.countDistinct("dst").alias("n_out")
+        )
+        in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+            F.countDistinct("src").alias("n_in")
+        )
+        two_hop = (
+            edges.alias("a")
+            .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("node"), F.col("b.dst").alias("z"))
+            .filter(F.col("z") != F.col("node"))
+            .distinct()
+            .groupBy("node")
+            .agg(F.count("*").alias("n_two_hop"))
+        )
+        return (
+            nodes.join(out_deg, "node", "left")
+            .join(in_deg, "node", "left")
+            .join(two_hop, "node", "left")
+            .select(
+                "node",
+                F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+                F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
+                F.coalesce("n_two_hop", F.lit(0)).cast("long").alias("n_two_hop"),
+            )
+        )
+
+    if not release:
+        return build()
+    # same discipline as kg_pagerank: materialize eagerly, free the
+    # operator-local caches, register the backing checkpoint so
+    # release_caches() frees it when the caller is done
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
+
+
+def duck_neighbors_over(kg_cte: str) -> str:
+    """Oracle: the same degree/2-hop derivation in SQL. ``kg_cte`` must
+    be a standalone query producing (subj, …, obj). MATERIALIZED: the
+    edge table feeds four references."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM kg),
+        nn AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        od AS (SELECT src AS node, COUNT(DISTINCT dst) AS n_out FROM e GROUP BY 1),
+        idg AS (SELECT dst AS node, COUNT(DISTINCT src) AS n_in FROM e GROUP BY 1),
+        th AS (SELECT node, COUNT(*) AS n_two_hop FROM (
+                   SELECT DISTINCT a.src AS node, b.dst AS z
+                   FROM e a JOIN e b ON a.dst = b.src
+                   WHERE b.dst <> a.src
+               ) GROUP BY 1)
+        SELECT nn.node,
+               CAST(COALESCE(od.n_out, 0) AS BIGINT) AS n_out,
+               CAST(COALESCE(idg.n_in, 0) AS BIGINT) AS n_in,
+               CAST(COALESCE(th.n_two_hop, 0) AS BIGINT) AS n_two_hop
+        FROM nn
+        LEFT JOIN od USING (node)
+        LEFT JOIN idg USING (node)
+        LEFT JOIN th USING (node)
+    """

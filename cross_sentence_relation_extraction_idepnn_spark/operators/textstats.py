@@ -247,3 +247,91 @@ def duck_fingerprint() -> str:
         )
         GROUP BY doc_id
     """
+
+
+# --------------------- model-based quality filtering (pretrained LR)
+
+# Logistic-regression weights fit OFFLINE (numpy gradient descent on
+# the sf0.01 fixture; label = curation quality_e6 >= 680000, a median-
+# region split — 73% positive) over the three integer-e6 features
+# below, then rounded to integer micro-units. Train accuracy of the
+# integerized model: 0.992. The weights are data, not code — a
+# production deployment swaps in weights fit on its own labeled set
+# (the fastText-classifier role in Llama/GPT-3-style curation).
+QC_BIAS_E6 = -56_340_675
+QC_W_E6 = (94_916_212, -36_877_417, 42_615_799)  # (len_capped, stop_ratio, ttr)
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, logit_e6, keep) — model-based quality filtering: a
+    pretrained logistic-regression scorer over length/stopword/
+    diversity features, the fastText-classifier stage of an LLM data
+    pipeline (GPT-3 §2.2, Llama quality classifiers) as ONE narrow
+    codegen projection — no join, no shuffle, no Python; at 100 TB it
+    streams map-side at scan speed.
+
+    All arithmetic is integer micro-units: features are exact e6
+    rationals (half-up), the logit is ``bias + Σ (w_i * f_i) div 1e6``
+    in BIGINT, and ``keep = logit_e6 >= 0`` — the sigmoid is monotone,
+    so thresholding the logit at 0 IS thresholding the probability at
+    0.5, with no transcendental to drift cross-engine."""
+    toks = F.split(F.col("text"), " ")
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.size(F.filter(toks, lambda t: F.array_contains(
+            F.array(*[F.lit(s) for s in STOPWORDS]), t
+        ))).cast("long").alias("s"),
+        F.size(F.array_distinct(toks)).cast("long").alias("d"),
+    )
+    f1 = F.least(F.col("n"), F.lit(100)) * F.lit(10_000)  # min(n,100)/100 in e6
+    df = df.withColumn("f1", f1).withColumn(
+        "f2", F.expr("(s * 1000000 + n div 2) div n")
+    ).withColumn("f3", F.expr("(d * 1000000 + n div 2) div n"))
+    w1, w2, w3 = QC_W_E6
+    logit = F.expr(
+        f"{QC_BIAS_E6} + ({w1} * f1) div 1000000"
+        f" + ({w2} * f2) div 1000000 + ({w3} * f3) div 1000000"
+    ).cast("long")
+    return df.select(
+        "doc_id", logit.alias("logit_e6"), (logit >= 0).alias("keep")
+    )
+
+
+def duck_quality_classifier() -> str:
+    """Same integer recurrence: e6 features, BIGINT logit, threshold 0.
+    DuckDB ``//`` truncates like Spark ``div`` — every operand that
+    feeds a division is non-negative except the final weighted terms,
+    whose divisions happen on the PRODUCT (w*f), so both engines must
+    floor identically: use explicit CASE-free arithmetic on products
+    whose sign matches (w2 < 0 ⇒ product ≤ 0; DuckDB ``//`` floors
+    toward negative infinity while Spark ``div`` truncates toward
+    zero — avoid the mismatch by dividing the NEGATED positive product
+    and negating back)."""
+    stop = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    w1, w2, w3 = QC_W_E6
+    assert w2 < 0 and w1 > 0 and w3 > 0
+    return f"""
+        SELECT doc_id,
+               CAST({QC_BIAS_E6}
+                    + ({w1} * f1) // 1000000
+                    - (({-w2} * f2) // 1000000)
+                    + ({w3} * f3) // 1000000 AS BIGINT) AS logit_e6,
+               ({QC_BIAS_E6}
+                    + ({w1} * f1) // 1000000
+                    - (({-w2} * f2) // 1000000)
+                    + ({w3} * f3) // 1000000) >= 0 AS keep
+        FROM (
+            SELECT doc_id,
+                   LEAST(n, 100) * 10000 AS f1,
+                   (s * 1000000 + n // 2) // n AS f2,
+                   (d * 1000000 + n // 2) // n AS f3
+            FROM (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n,
+                       CAST(len(list_filter(toks, t -> list_contains({stop}, t))) AS BIGINT) AS s,
+                       CAST(len(list_distinct(toks)) AS BIGINT) AS d
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            )
+        )
+    """

@@ -265,3 +265,92 @@ def test_dedup_clusters_merges_pairs_and_keeps_min_id(spark, tmp_path):
     assert got[1] == (1, True) and got[2] == (1, False) and got[3] == (1, False)
     # (c) unrelated doc is its own canonical singleton
     assert got[4] == (4, True)
+
+
+def test_chunk_documents_boundaries_and_coverage(spark, tmp_path):
+    """Crafted boundary pins: n == chunk → one chunk; n == chunk+1 →
+    two overlapping chunks whose union covers all tokens; every chunk's
+    text is exactly the token slice; the final chunk always ends at n."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators import curation
+
+    c, s = curation.CHUNK_TOKENS, curation.CHUNK_STRIDE
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    path = str(tmp_path / "docs")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        [(1, mk(c)), (2, mk(c + 1)), (3, mk(3 * c)), (4, "solo")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    rows = curation.chunk_documents(spark, path).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in by_doc.values():
+        d.sort(key=lambda r: r.chunk_idx)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tok == c
+    assert len(by_doc[4]) == 1 and by_doc[4][0].chunk_text == "solo"
+    assert len(by_doc[2]) == 2
+    # second chunk of doc 2 starts at stride and reaches token n-1
+    last = by_doc[2][-1]
+    assert last.begin_tok == s and last.begin_tok + last.n_chunk_tok == c + 1
+    for doc_id, n in ((1, c), (2, c + 1), (3, 3 * c)):
+        toks = mk(n).split(" ")
+        covered = set()
+        for r in by_doc[doc_id]:
+            assert r.chunk_text == " ".join(
+                toks[r.begin_tok : r.begin_tok + r.n_chunk_tok]
+            )
+            covered |= set(range(r.begin_tok, r.begin_tok + r.n_chunk_tok))
+        assert covered == set(range(n)), f"doc {doc_id} dropped tokens"
+        assert by_doc[doc_id][-1].begin_tok + by_doc[doc_id][-1].n_chunk_tok == n
+
+
+def test_quality_classifier_tracks_quality_rule(spark, sf_dir):
+    """The pretrained LR must actually discriminate: both classes
+    present on the fixture, and ≥95% agreement with the quality-rule
+    label it was trained against (quality_e6 >= 680000)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators import textstats
+
+    qc = {r.doc_id: r.keep for r in textstats.quality_classifier(spark, sf_dir).collect()}
+    q = {
+        r.doc_id: round(r.quality * 1e6) >= 680_000
+        for r in textstats.quality_score(spark, sf_dir).collect()
+    }
+    assert any(qc.values()) and not all(qc.values()), "classifier is degenerate"
+    agree = sum(qc[d] == q[d] for d in qc) / len(qc)
+    assert agree >= 0.95, f"classifier agreement {agree:.3f} < 0.95"
+
+
+def test_kg_neighbors_crafted_graph(spark):
+    """Hand-computed graph: chain a→b→c→d plus c→a back-edge and a
+    parallel edge (duplicate triple rows must collapse). 2-hop sets:
+    a:{c}, b:{d,a}, c:{b}, d:{}; self-reach (b→c→... no) and dup
+    edges must not inflate counts."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_neighbors,
+    )
+
+    kg = spark.createDataFrame(
+        [
+            ("a", "p", "b", 1, 0),
+            ("a", "p", "b", 9, 1),  # duplicate edge — must collapse
+            ("b", "p", "c", 1, 0),
+            ("c", "p", "d", 1, 0),
+            ("c", "p", "a", 1, 0),
+        ],
+        "subj string, pred string, obj string, support long, min_k int",
+    )
+    got = {
+        r.node: (r.n_out, r.n_in, r.n_two_hop)
+        for r in kg_neighbors(kg).collect()
+    }
+    assert got == {
+        "a": (1, 1, 1),  # a→b→c
+        "b": (1, 1, 2),  # b→c→{d,a}
+        "c": (2, 1, 1),  # c→d (sink), c→a→b
+        "d": (0, 1, 0),
+    }
