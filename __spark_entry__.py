@@ -285,6 +285,40 @@ def _kg_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     return kg_neighbors(materialize_kg(spark, sf))
 
 
+def _kg_temporal(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal KG: per canonical triple, the observation window
+    (first/last conversation timestamp) and distinct-conversation
+    support. All three aggregates are decomposable (min/max/count-
+    distinct-under-conv-partitioned-deltas), so the nightly-delta
+    merge argument of ``kg_incremental`` extends to the temporal
+    columns unchanged. The conv-grain timestamp dimension joins on
+    ``conv_id`` — the key the candidate pipeline already shuffles on
+    (conv-grain ≪ corpus; AQE picks broadcast vs shuffle by size)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        rekey_canonical,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        triples_from_transcripts,
+    )
+
+    tdf = transcripts(spark, sf)
+    canon = canonicalize(detect_mentions(spark, segment(tdf)))
+    rek = rekey_canonical(triples_from_transcripts(spark, tdf), canon)
+    conv_ts = tdf.groupBy("conv_id").agg(
+        F.min(F.col("ts").cast("long")).alias("c_first"),
+        F.max(F.col("ts").cast("long")).alias("c_last"),
+    )
+    return (
+        rek.join(conv_ts, "conv_id")
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("c_first").alias("first_seen"),
+            F.max("c_last").alias("last_seen"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
 def _kg_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental-maintenance twin of ``kg``: the corpus splits into
     two conv-hash deltas, each runs the full extraction → per-delta KG,
@@ -327,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         # join-based KG analytics: degrees + distinct 2-hop reach
         "kg_neighbors": _kg_neighbors,
+        # temporal KG: observation window + conv support per triple
+        "kg_temporal": _kg_temporal,
         # official-eval .a2 assembly over model scores
         "a2_lines": lambda s, d: a2_annotation_lines(
             scored_from_transcripts(s, transcripts(s, d))
@@ -539,6 +575,36 @@ def _duck_kg_pagerank() -> str:
     return duck_pagerank_over(_duck_kg())
 
 
+def _duck_kg_temporal() -> str:
+    """Temporal-KG oracle: gold-rule triples re-keyed through the
+    canonical map, joined to per-conv timestamp bounds, aggregated at
+    triple grain (exact BIGINT min/max/count-distinct)."""
+    from cross_sentence_relation_extraction_idepnn_spark.config import PREDICATE
+    from cross_sentence_relation_extraction_idepnn_spark.training import GOLD_MAX_HOPS
+
+    return f"""
+        {duck_sdp_prefix()}{duck_canonicalize_ctes()},
+        gold AS (
+            SELECT conv_id, e1_id AS subj, '{PREDICATE}' AS pred, e2_id AS obj,
+                   e1_surface AS subj_surface, e2_surface AS obj_surface
+            FROM sdp WHERE ok AND sdp_dist <= {GOLD_MAX_HOPS}
+        ),
+        cts AS (
+            SELECT conv_id, MIN(ts_epoch) AS c_first, MAX(ts_epoch) AS c_last
+            FROM transcripts GROUP BY conv_id
+        )
+        SELECT UPPER(COALESCE(cs.component, subj)) AS subj, pred,
+               UPPER(COALESCE(co.component, obj)) AS obj,
+               MIN(c.c_first) AS first_seen, MAX(c.c_last) AS last_seen,
+               COUNT(DISTINCT t.conv_id) AS n_convs
+        FROM gold t
+        LEFT JOIN canon cs ON cs.surface = t.subj_surface
+        LEFT JOIN canon co ON co.surface = t.obj_surface
+        JOIN cts c ON c.conv_id = t.conv_id
+        GROUP BY 1, 2, 3
+    """
+
+
 def _duck_kg_neighbors() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
         duck_neighbors_over,
@@ -675,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": _duck_kg(),  # delta merge ≡ full rebuild
         "kg_pagerank": _duck_kg_pagerank(),
         "kg_neighbors": _duck_kg_neighbors(),
+        "kg_temporal": _duck_kg_temporal(),
         "a2_lines": _duck_a2_lines(),
         "position_bounds": duck_position_bounds(),
         "adp_degree": duck_adp_degree(),

@@ -354,3 +354,21 @@ def test_kg_neighbors_crafted_graph(spark):
         "c": (2, 1, 1),  # c→d (sink), c→a→b
         "d": (0, 1, 0),
     }
+
+
+def test_kg_temporal_consistent_with_kg(spark, sf_dir):
+    """The temporal KG must cover EXACTLY the kg triple set, with a
+    well-ordered observation window and conv-support bounded by the
+    kg support count (several candidates per conv ⇒ n_convs <= support)."""
+    kgt = {
+        (r.subj, r.pred, r.obj): (r.first_seen, r.last_seen, r.n_convs)
+        for r in QUERIES["kg_temporal"](spark, sf_dir).collect()
+    }
+    kg = {
+        (r.subj, r.pred, r.obj): r.support
+        for r in QUERIES["kg"](spark, sf_dir).collect()
+    }
+    assert set(kgt) == set(kg)
+    for t, (f, l, n) in kgt.items():
+        assert f <= l, f"inverted window for {t}"
+        assert 1 <= n <= kg[t], f"n_convs out of bounds for {t}"

@@ -162,3 +162,23 @@ def test_minhash_pairs_has_no_aggregation(spark, sf_dir):
     # one HashAggregate pair for the candidate distinct, nothing else
     assert count_op(plan, "HashAggregate") <= 2
     assert count_op(plan, "Exchange") <= 4
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Context-window chunking must be one narrow projection + explode:
+    zero exchanges, exactly one Generate, no Python in the row path."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators import curation
+
+    plan = plan_of(curation.chunk_documents(spark, sf_dir))
+    assert count_op(plan, "Exchange") == 0, plan
+    assert count_op(plan, "Generate") == 1, plan
+    assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_quality_classifier_is_narrow_codegen(spark, sf_dir):
+    """Model-based quality filtering is a pure scoring projection —
+    zero exchanges, codegen, no Python (the model runs at scan speed)."""
+    plan = plan_of(textstats.quality_classifier(spark, sf_dir))
+    assert count_op(plan, "Exchange") == 0, plan
+    assert "codegen id" in plan
+    assert "Python" not in plan and "Pandas" not in plan
