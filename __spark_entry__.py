@@ -285,6 +285,17 @@ def _kg_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     return kg_neighbors(materialize_kg(spark, sf))
 
 
+def _kg_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """KG-embedding training prep: k deterministic corrupted-tail
+    negatives per materialized triple (hash-picked from the range-
+    numbered node dimension, +1 wraparound off the true tail)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_negatives,
+    )
+
+    return kg_negatives(materialize_kg(spark, sf))
+
+
 def _kg_temporal(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal KG: per canonical triple, the observation window
     (first/last conversation timestamp) and distinct-conversation
@@ -363,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbors": _kg_neighbors,
         # temporal KG: observation window + conv support per triple
         "kg_temporal": _kg_temporal,
+        # corrupted-tail negative sampling (KG-embedding training prep)
+        "kg_negatives": _kg_negatives,
         # official-eval .a2 assembly over model scores
         "a2_lines": lambda s, d: a2_annotation_lines(
             scored_from_transcripts(s, transcripts(s, d))
@@ -613,6 +626,14 @@ def _duck_kg_neighbors() -> str:
     return duck_neighbors_over(_duck_kg())
 
 
+def _duck_kg_negatives() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_negatives_over,
+    )
+
+    return duck_negatives_over(_duck_kg())
+
+
 def _duck_a2_lines() -> str:
     """S12 oracle: accepted (gold-rule) candidates numbered R1..Rn per
     doc in encounter order, formatted with the pinned fixed roles."""
@@ -742,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _duck_kg_pagerank(),
         "kg_neighbors": _duck_kg_neighbors(),
         "kg_temporal": _duck_kg_temporal(),
+        "kg_negatives": _duck_kg_negatives(),
         "a2_lines": _duck_a2_lines(),
         "position_bounds": duck_position_bounds(),
         "adp_degree": duck_adp_degree(),

@@ -306,6 +306,8 @@ def main() -> None:
     timed("ivf_ann_topk", similarity.ivf_ann_topk)
     timed("lang_id", textstats.lang_id)
     timed("quality_score", textstats.quality_score)
+    timed("quality_classifier", textstats.quality_classifier)
+    timed("chunk_documents", curation.chunk_documents)
     timed("token_counts", textstats.token_counts)
     timed("doc_fingerprint", textstats.doc_fingerprint)
     timed("pii_scrub", lambda s, d: curation.pii_scrub(s, d, plant=True))

@@ -22,7 +22,7 @@ SQL-expressible* despite being iterative.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 JACCARD_TAU = 0.5
@@ -657,4 +657,130 @@ def duck_neighbors_over(kg_cte: str) -> str:
         LEFT JOIN od USING (node)
         LEFT JOIN idg USING (node)
         LEFT JOIN th USING (node)
+    """
+
+
+NEG_SAMPLES = 2
+
+
+def kg_negatives(
+    kg: DataFrame, k: int = NEG_SAMPLES, n_ranges: int = 8, release: bool = True
+) -> DataFrame:
+    """(subj, pred, obj, neg_idx, neg_obj) — deterministic corrupted-
+    tail negative sampling for KG-embedding training (the TransE /
+    DistMult data-prep stage): each triple gets ``k`` negatives whose
+    tail is a hash-picked node, skipping the true tail by +1 wraparound
+    on collision.
+
+    The node dimension is numbered 0..n-1 in lexicographic order with
+    the SAME range-partitioned numbering as ``vocabulary`` (A9) — no
+    single-task global sort at billion-node scale — and joins back
+    broadcast (dimension-sized). Sampling is pure Column algebra over
+    the portable ``H`` hash, so the DuckDB oracle reproduces every
+    picked negative bit-for-bit. With n == 1 the wraparound degenerates
+    (the only candidate IS the true tail) — a one-node KG has no valid
+    negatives by definition."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..hashing import spark_h15
+    from ..session import cache_scope, track_cache, track_checkpoint
+
+    def build() -> DataFrame:
+        edges = kg.select("subj", "pred", "obj").distinct()
+        nodes = (
+            edges.select(F.col("subj").alias("node"))
+            .unionByName(edges.select(F.col("obj").alias("node")))
+            .distinct()
+        )
+        ranged = track_cache(
+            nodes.repartitionByRange(n_ranges, "node")
+            .withColumn("pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets, acc = [], 0
+        for p in sorted(counts):
+            offsets += [F.lit(p), F.lit(acc)]
+            acc += counts[p]
+        n = acc
+        w = Window.partitionBy("pid").orderBy("node")
+        numbered = ranged.withColumn(
+            "node_id",
+            (F.row_number().over(w) - 1 + F.create_map(*offsets)[F.col("pid")])
+            .cast("long"),
+        ).select("node", "node_id")
+        cand = edges.select(
+            "*",
+            F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_idx"),
+        )
+        raw = (
+            spark_h15(
+                F.concat_ws(
+                    "#", "subj", "pred", "obj", F.col("neg_idx").cast("string")
+                )
+            )
+            % F.lit(n)
+        )
+        withids = cand.withColumn("raw", raw).join(
+            F.broadcast(numbered.withColumnRenamed("node", "obj")), "obj"
+        ).withColumnRenamed("node_id", "obj_id")
+        neg_id = F.when(
+            F.col("raw") == F.col("obj_id"), (F.col("raw") + 1) % F.lit(n)
+        ).otherwise(F.col("raw"))
+        return (
+            withids.withColumn("neg_id", neg_id)
+            .join(
+                F.broadcast(
+                    numbered.select(
+                        F.col("node_id").alias("neg_id"),
+                        F.col("node").alias("neg_obj"),
+                    )
+                ),
+                "neg_id",
+            )
+            .select("subj", "pred", "obj", "neg_idx", "neg_obj")
+        )
+
+    if not release:
+        return build()
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
+
+
+def duck_negatives_over(kg_cte: str, k: int = NEG_SAMPLES) -> str:
+    """Oracle: identical numbering (ROW_NUMBER ordered by node — both
+    engines compare ASCII canonical ids bytewise) and identical hash
+    pick + wraparound."""
+    from ..hashing import duck_h15
+
+    h = duck_h15("subj || '#' || pred || '#' || obj || '#' || CAST(neg_idx AS VARCHAR)")
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        e AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM kg),
+        nn AS MATERIALIZED (
+            SELECT node, CAST(ROW_NUMBER() OVER (ORDER BY node) - 1 AS BIGINT) AS node_id
+            FROM (SELECT DISTINCT node FROM
+                    (SELECT subj AS node FROM e UNION ALL SELECT obj AS node FROM e))
+        ),
+        nc AS (SELECT COUNT(*) AS n FROM nn),
+        c AS (SELECT e.*, UNNEST(range({k})) AS neg_idx FROM e),
+        h AS (
+            SELECT c.subj, c.pred, c.obj, c.neg_idx,
+                   {h} % (SELECT n FROM nc) AS raw,
+                   o.node_id AS obj_id
+            FROM c JOIN nn o ON o.node = c.obj
+        )
+        SELECT x.subj, x.pred, x.obj, CAST(x.neg_idx AS INT) AS neg_idx,
+               g.node AS neg_obj
+        FROM (
+            SELECT *, CASE WHEN raw = obj_id
+                           THEN (raw + 1) % (SELECT n FROM nc)
+                           ELSE raw END AS neg_id
+            FROM h
+        ) x
+        JOIN nn g ON g.node_id = x.neg_id
     """

@@ -372,3 +372,27 @@ def test_kg_temporal_consistent_with_kg(spark, sf_dir):
     for t, (f, l, n) in kgt.items():
         assert f <= l, f"inverted window for {t}"
         assert 1 <= n <= kg[t], f"n_convs out of bounds for {t}"
+
+
+def test_kg_negatives_never_hit_true_tail(spark):
+    """Crafted 2-node graph maximizes hash-collision pressure on the
+    true tail: every triple must still get exactly k negatives, each a
+    real node and NEVER the triple's own tail (wraparound rule)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        NEG_SAMPLES,
+        kg_negatives,
+    )
+
+    kg = spark.createDataFrame(
+        [("a", "p", "b", 1, 0), ("b", "p", "a", 1, 0), ("a", "q", "b", 1, 0)],
+        "subj string, pred string, obj string, support long, min_k int",
+    )
+    rows = kg_negatives(kg).collect()
+    assert len(rows) == 3 * NEG_SAMPLES
+    nodes = {"a", "b"}
+    seen = set()
+    for r in rows:
+        assert r.neg_obj in nodes
+        assert r.neg_obj != r.obj, f"negative equals true tail for {r}"
+        seen.add((r.subj, r.pred, r.obj, r.neg_idx))
+    assert len(seen) == 3 * NEG_SAMPLES  # k distinct neg_idx per triple
