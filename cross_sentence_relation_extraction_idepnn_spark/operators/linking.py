@@ -686,7 +686,15 @@ def kg_negatives(
     from ..session import cache_scope, track_cache, track_checkpoint
 
     def build() -> DataFrame:
-        edges = kg.select("subj", "pred", "obj").distinct()
+        # the (expensive) kg subtree feeds BOTH the node numbering and
+        # the candidate fan-out — persist the triple-grain projection
+        # once (same hazard kg_pagerank guards: without it the whole
+        # extraction pipeline re-executes per consumer)
+        edges = track_cache(
+            kg.select("subj", "pred", "obj")
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         nodes = (
             edges.select(F.col("subj").alias("node"))
             .unionByName(edges.select(F.col("obj").alias("node")))
