@@ -93,10 +93,23 @@ def main() -> None:
     # warm at source scale: JIT + Python worker spin-up
     extract_triples(spark, SRC_SF).count()
 
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        chunk_documents,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_neighbors,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        quality_classifier,
+    )
+
     queries = {
         "kg_pipeline": extract_triples,
         "kg_materialize": materialize_kg,
+        "kg_neighbors": lambda s, d: kg_neighbors(materialize_kg(s, d)),
         "minhash_pairs": minhash_pairs,
+        "chunk_documents": chunk_documents,
+        "quality_classifier": quality_classifier,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():
