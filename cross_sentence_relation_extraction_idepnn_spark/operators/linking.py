@@ -596,11 +596,13 @@ def kg_neighbors(kg: DataFrame, release: bool = True) -> DataFrame:
             .unionByName(edges.select(F.col("dst").alias("node")))
             .distinct()
         )
+        # edges is already (src, dst)-distinct, so a plain count IS the
+        # distinct-neighbor count — no second dedup-aggregation phase
         out_deg = edges.groupBy(F.col("src").alias("node")).agg(
-            F.countDistinct("dst").alias("n_out")
+            F.count("*").alias("n_out")
         )
         in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
-            F.countDistinct("src").alias("n_in")
+            F.count("*").alias("n_in")
         )
         two_hop = (
             edges.alias("a")
@@ -642,8 +644,8 @@ def duck_neighbors_over(kg_cte: str) -> str:
         e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM kg),
         nn AS (SELECT DISTINCT node FROM
                  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
-        od AS (SELECT src AS node, COUNT(DISTINCT dst) AS n_out FROM e GROUP BY 1),
-        idg AS (SELECT dst AS node, COUNT(DISTINCT src) AS n_in FROM e GROUP BY 1),
+        od AS (SELECT src AS node, COUNT(*) AS n_out FROM e GROUP BY 1),
+        idg AS (SELECT dst AS node, COUNT(*) AS n_in FROM e GROUP BY 1),
         th AS (SELECT node, COUNT(*) AS n_two_hop FROM (
                    SELECT DISTINCT a.src AS node, b.dst AS z
                    FROM e a JOIN e b ON a.dst = b.src

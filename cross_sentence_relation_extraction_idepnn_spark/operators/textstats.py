@@ -279,9 +279,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).select(
         "doc_id",
         F.size(toks).cast("long").alias("n"),
-        F.size(F.filter(toks, lambda t: F.array_contains(
-            F.array(*[F.lit(s) for s in STOPWORDS]), t
-        ))).cast("long").alias("s"),
+        _count_in(toks, STOPWORDS).cast("long").alias("s"),
         F.size(F.array_distinct(toks)).cast("long").alias("d"),
     )
     f1 = F.least(F.col("n"), F.lit(100)) * F.lit(10_000)  # min(n,100)/100 in e6

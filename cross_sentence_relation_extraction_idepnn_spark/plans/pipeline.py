@@ -314,3 +314,54 @@ def materialize_kg(
     canon = canonicalize(mens)
     kg = dedup_triples(rekey_canonical(triples, canon))
     return cp.stage("kg", lambda: kg, upstream=["triples"], resume=kwargs.get("resume", True))
+
+
+def temporal_kg(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    tdf: DataFrame | None = None,
+    canon: DataFrame | None = None,
+    threshold: float = SCORE_THRESHOLD,
+) -> DataFrame:
+    """Temporal KG: per canonical triple, the observation window
+    (first/last conversation timestamp) and distinct-conversation
+    support — ``(subj, pred, obj, first_seen, last_seen, n_convs)``.
+
+    Shares ONE persisted sentence/mention subtree between the
+    candidate self-join and the canonicalization edge build — the same
+    plan-sharing shape as ``materialize_kg`` (VERDICT r3 #3: without
+    it the J7+J2 mention stage executes ~3× per run). All three
+    aggregates are decomposable (min / max / count-distinct under
+    conv-partitioned deltas), so ``merge_kg_tables``-style incremental
+    maintenance extends to the temporal columns: pass per-delta
+    ``tdf`` slices and a globally-built ``canon`` map, then merge with
+    (min first_seen, max last_seen, sum n_convs) — proven equal to the
+    full rebuild in ``tests/test_oracle_parity.py``. The conv-grain
+    timestamp dimension joins on ``conv_id`` — the key the pipeline
+    already shuffles on (conv-grain ≪ corpus; AQE picks broadcast vs
+    shuffle by size)."""
+    from pyspark.storagelevel import StorageLevel
+
+    if tdf is None:
+        tdf = transcripts(spark, sf_dir)
+    sents = track_cache(segment(tdf).persist(StorageLevel.MEMORY_ONLY))
+    mens = track_cache(
+        detect_mentions(spark, sents).persist(StorageLevel.MEMORY_ONLY)
+    )
+    triples = emit_triples(scored_from_shared(sents, mens), threshold=threshold)
+    if canon is None:
+        canon = canonicalize(mens)
+    conv_ts = tdf.groupBy("conv_id").agg(
+        F.min(F.col("ts").cast("long")).alias("c_first"),
+        F.max(F.col("ts").cast("long")).alias("c_last"),
+    )
+    return (
+        rekey_canonical(triples, canon)
+        .join(conv_ts, "conv_id")
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("c_first").alias("first_seen"),
+            F.max("c_last").alias("last_seen"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )

@@ -401,14 +401,16 @@ def test_kg_negatives_never_hit_true_tail(spark):
 def test_kg_temporal_delta_merge_equals_full(spark, sf_dir):
     """Proves the kg_temporal docstring's decomposability claim: split
     the corpus into two conv-hash deltas, build a temporal KG per
-    delta, merge with the decomposable combiners (min first_seen, max
-    last_seen, SUM n_convs — valid because deltas PARTITION the conv
-    space), and the merge must equal the full-corpus build exactly."""
+    delta WITH THE SAME shipped operator (``temporal_kg`` — the test
+    and the driver query share one implementation), merge with the
+    decomposable combiners (min first_seen, max last_seen, SUM
+    n_convs — valid because deltas PARTITION the conv space), and the
+    merge must equal the full-corpus build exactly."""
     from pyspark.sql import functions as F
 
     from cross_sentence_relation_extraction_idepnn_spark.hashing import spark_h15
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
-        rekey_canonical,
+        canonicalize,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
         detect_mentions,
@@ -416,11 +418,8 @@ def test_kg_temporal_delta_merge_equals_full(spark, sf_dir):
     from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
         segment,
     )
-    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
-        canonicalize,
-    )
     from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
-        triples_from_transcripts,
+        temporal_kg,
     )
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
         transcripts,
@@ -430,23 +429,10 @@ def test_kg_temporal_delta_merge_equals_full(spark, sf_dir):
     canon = canonicalize(detect_mentions(spark, segment(tdf)))  # global dim
     h = spark_h15(F.col("conv_id"))
 
-    def temporal_over(t):
-        conv_ts = t.groupBy("conv_id").agg(
-            F.min(F.col("ts").cast("long")).alias("c_first"),
-            F.max(F.col("ts").cast("long")).alias("c_last"),
-        )
-        return (
-            rekey_canonical(triples_from_transcripts(spark, t), canon)
-            .join(conv_ts, "conv_id")
-            .groupBy("subj", "pred", "obj")
-            .agg(
-                F.min("c_first").alias("first_seen"),
-                F.max("c_last").alias("last_seen"),
-                F.countDistinct("conv_id").alias("n_convs"),
-            )
-        )
-
-    deltas = [temporal_over(tdf.filter(h % 2 == i)) for i in (0, 1)]
+    deltas = [
+        temporal_kg(spark, tdf=tdf.filter(h % 2 == i), canon=canon)
+        for i in (0, 1)
+    ]
     merged = (
         deltas[0]
         .unionByName(deltas[1])
@@ -457,7 +443,7 @@ def test_kg_temporal_delta_merge_equals_full(spark, sf_dir):
             F.sum("n_convs").alias("n_convs"),
         )
     )
-    full = temporal_over(tdf)
+    full = temporal_kg(spark, tdf=tdf, canon=canon)
     got = sorted(map(tuple, merged.collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want
