@@ -35,6 +35,7 @@ from cross_sentence_relation_extraction_idepnn_spark.functions.text import (
     normalize_chain,
 )
 from cross_sentence_relation_extraction_idepnn_spark.operators import (
+    bpe,
     curation,
     dedup,
     multimodal,
@@ -353,6 +354,7 @@ _DRIVER_PRIORITY = [
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
     "bm25_topk", "lm_score", "quality_classifier", "chunk_documents",
+    "bpe_merges",
     # kernel attestations (closed-form SDP oracles)
     "featurized_sdp", "adp_degree", "position_bounds",
     # transcript → candidate core
@@ -493,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": curation.pack_sequences,
         # context-window chunking with stride (complement of packing)
         "chunk_documents": curation.chunk_documents,
+        # distributed BPE merge learning over the vocab-grain word counts
+        "bpe_merges": bpe.bpe_merges,
         # end-to-end curation funnel: per-stage pass booleans + kept
         "curation_funnel": curation.curation_funnel,
         # text analysis
@@ -761,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": curation.duck_line_dedup(plant=True),
         "pack_sequences": curation.duck_pack_sequences(),
         "chunk_documents": curation.duck_chunk_documents(),
+        "bpe_merges": bpe.duck_bpe_merges(),
         "curation_funnel": curation.duck_curation_funnel(),
         "quality_score": textstats.duck_quality(),
         "quality_classifier": textstats.duck_quality_classifier(),

@@ -308,6 +308,9 @@ def main() -> None:
     timed("quality_score", textstats.quality_score)
     timed("quality_classifier", textstats.quality_classifier)
     timed("chunk_documents", curation.chunk_documents)
+    from cross_sentence_relation_extraction_idepnn_spark.operators import bpe
+
+    timed("bpe_merges", bpe.bpe_merges)
     timed("token_counts", textstats.token_counts)
     timed("doc_fingerprint", textstats.doc_fingerprint)
     timed("pii_scrub", lambda s, d: curation.pii_scrub(s, d, plant=True))

@@ -447,3 +447,56 @@ def test_kg_temporal_delta_merge_equals_full(spark, sf_dir):
     got = sorted(map(tuple, merged.collect()))
     want = sorted(map(tuple, full.collect()))
     assert got == want
+
+
+def test_bpe_merges_match_pure_python_reference(spark, sf_dir):
+    """Third independent formulation: the classic dict-based Sennrich
+    loop (overlapping pair counts, count-desc/pair-asc argmax, greedy
+    leftmost skip-2 application) in pure Python over the same parquet,
+    compared row-for-row with the distributed trainer."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators import bpe
+
+    got = [
+        (r.merge_idx, r.lsym, r.rsym, r.pair_count)
+        for r in bpe.bpe_merges(spark, sf_dir).orderBy("merge_idx").collect()
+    ]
+    assert len(got) == bpe.N_MERGES  # fixture has plenty of pairs
+
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for f in glob.glob(f"{sf_dir}/documents.parquet") + glob.glob(
+        f"{sf_dir}/documents.parquet/*.parquet"
+    ):
+        for text in pq.read_table(f, columns=["text"]).column("text").to_pylist():
+            for w in text.split(" "):
+                if w:
+                    wc[w] += 1
+    syms = {w: list(w) for w in wc}
+    expect = []
+    for m in range(bpe.N_MERGES):
+        stats: Counter = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] += c
+        if not stats:
+            break
+        (l, r), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((m, l, r, cnt))
+        for w in wc:
+            s = syms[w]
+            new, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            syms[w] = new
+    assert got == expect
