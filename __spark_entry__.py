@@ -354,7 +354,7 @@ _DRIVER_PRIORITY = [
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
     "bm25_topk", "lm_score", "quality_classifier", "chunk_documents",
-    "bpe_merges",
+    "bpe_merges", "bpe_token_counts",
     # kernel attestations (closed-form SDP oracles)
     "featurized_sdp", "adp_degree", "position_bounds",
     # transcript → candidate core
@@ -497,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": curation.chunk_documents,
         # distributed BPE merge learning over the vocab-grain word counts
         "bpe_merges": bpe.bpe_merges,
+        # per-doc token counts under the TRAINED tokenizer
+        "bpe_token_counts": bpe.bpe_token_counts,
         # end-to-end curation funnel: per-stage pass booleans + kept
         "curation_funnel": curation.curation_funnel,
         # text analysis
@@ -766,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": curation.duck_pack_sequences(),
         "chunk_documents": curation.duck_chunk_documents(),
         "bpe_merges": bpe.duck_bpe_merges(),
+        "bpe_token_counts": bpe.duck_bpe_token_counts(),
         "curation_funnel": curation.duck_curation_funnel(),
         "quality_score": textstats.duck_quality(),
         "quality_classifier": textstats.duck_quality_classifier(),

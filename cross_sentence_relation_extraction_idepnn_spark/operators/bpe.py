@@ -73,13 +73,12 @@ def _apply_merge(syms, l: str, r: str):
     )
 
 
-def bpe_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
-) -> DataFrame:
-    """(merge_idx, lsym, rsym, pair_count) — the learned merge table.
-
-    Stops early if the vocabulary runs out of adjacent pairs before
-    ``n_merges`` (every word reduced to one symbol)."""
+def _train(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge-learning loop; returns (merge list, final
+    vocab-grain table ``(word, wcount, syms)`` — the per-word BPE
+    segmentation under the learned merges)."""
     from pyspark.storagelevel import StorageLevel
 
     cur = track_cache(
@@ -123,19 +122,61 @@ def bpe_merges(
             unpersist_checkpoint(prev)
         prev = nxt
         cur = nxt
-    out = spark.createDataFrame(
-        merges, "merge_idx int, lsym string, rsym string, pair_count bigint"
-    )
     if prev is not None:
         track_checkpoint(prev)
-    return out
+    return merges, cur
 
 
-def duck_bpe_merges(n_merges: int = N_MERGES) -> str:
-    """The same loop unrolled: per iteration a pair-count CTE (UNNEST
-    over overlapping adjacency), a 1-row argmax, and a recursive walk
-    applying the greedy fold. The walk's terminal row per word is the
-    unique state with position past the symbol array."""
+def bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """(merge_idx, lsym, rsym, pair_count) — the learned merge table.
+
+    Stops early if the vocabulary runs out of adjacent pairs before
+    ``n_merges`` (every word reduced to one symbol)."""
+    merges, _ = _train(spark, sf_dir, n_merges)
+    return spark.createDataFrame(
+        merges, "merge_idx int, lsym string, rsym string, pair_count bigint"
+    )
+
+
+def bpe_token_counts(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens) — per-document token counts
+    under the TRAINED tokenizer (the learned-merge upgrade of
+    ``textstats.token_counts``'s ``bpe_ish`` heuristic).
+
+    Tokenization cost rides the vocab: the trainer's final per-word
+    segmentation (vocab-grain) broadcasts back onto the corpus word
+    stream — the corpus itself is scanned once and never shuffled
+    except the per-doc sum (keyed on doc_id, the scan's natural
+    grain). This is how production tokenizer pipelines count tokens:
+    segment the vocabulary once, weight by word frequency."""
+    from ..session import read_parquet_cached
+
+    _, vocab = _train(spark, sf_dir, n_merges)
+    vlen = vocab.select("word", F.size("syms").alias("n_sub"))
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(vlen), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _duck_chain(n_merges: int) -> list[str]:
+    """The unrolled training chain: per iteration a pair-count CTE
+    (UNNEST over overlapping adjacency), a 1-row argmax, and a
+    recursive walk applying the greedy fold. The walk's terminal row
+    per word is the unique state with position past the symbol
+    array. ``v{n_merges}`` is the final per-word segmentation."""
     ctes = [
         """v0 AS MATERIALIZED (
             SELECT word, COUNT(*) AS wcount, string_split(word, '') AS syms
@@ -181,10 +222,36 @@ def duck_bpe_merges(n_merges: int = N_MERGES) -> str:
             FROM walk{m} w JOIN v{m} v USING (word)
             WHERE w.i > len(v.syms)
         )""")
+    return ctes
+
+
+def duck_bpe_merges(n_merges: int = N_MERGES) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {m} AS merge_idx, lsym, rsym, CAST(pair_count AS BIGINT) AS pair_count FROM best{m}"
         for m in range(n_merges)
     )
     return (
-        "WITH RECURSIVE " + ", ".join(ctes) + f" SELECT CAST(merge_idx AS INT) AS merge_idx, lsym, rsym, pair_count FROM ({union})"
+        "WITH RECURSIVE "
+        + ", ".join(_duck_chain(n_merges))
+        + f" SELECT CAST(merge_idx AS INT) AS merge_idx, lsym, rsym, pair_count FROM ({union})"
+    )
+
+
+def duck_bpe_token_counts(n_merges: int = N_MERGES) -> str:
+    """Per-doc counts from the chain's final segmentation table."""
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(_duck_chain(n_merges))
+        + f""",
+        dw AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+            FROM documents
+        )
+        SELECT d.doc_id,
+               COUNT(*) AS n_words,
+               CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+        FROM (SELECT * FROM dw WHERE word <> '') d
+        JOIN v{n_merges} v USING (word)
+        GROUP BY d.doc_id
+        """
     )

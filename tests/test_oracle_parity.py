@@ -500,3 +500,18 @@ def test_bpe_merges_match_pure_python_reference(spark, sf_dir):
                     i += 1
             syms[w] = new
     assert got == expect
+
+
+def test_bpe_token_counts_bounds_and_compression(spark, sf_dir):
+    """Trained-tokenizer counts must satisfy the structural bounds:
+    n_words <= n_bpe_tokens <= character count (the 0-merge
+    segmentation), and the learned merges must actually compress at
+    least one document."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators import bpe
+
+    full = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in bpe.bpe_token_counts(spark, sf_dir).collect()}
+    chars = {r.doc_id: r.n_bpe_tokens for r in bpe.bpe_token_counts(spark, sf_dir, n_merges=0).collect()}
+    assert set(full) == set(chars)
+    for d, (nw, nb) in full.items():
+        assert nw <= nb <= chars[d], f"doc {d}: {nw} <= {nb} <= {chars[d]} violated"
+    assert any(nb < chars[d] for d, (_, nb) in full.items()), "merges never fired"
