@@ -297,6 +297,38 @@ def _kg_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return kg_negatives(materialize_kg(spark, sf))
 
 
+def _kg_edge_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Edge-confidence weighting: exact-integer lift (monotone in PMI)
+    of every KG edge against its subject/object marginals."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_edge_lift,
+    )
+
+    return kg_edge_lift(materialize_kg(spark, sf))
+
+
+def _kg_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection: deterministic synchronous label propagation
+    (most-frequent neighbour label, ties to the smallest) over the KG's
+    undirected edge set — fixed rounds, bit-reproducible in SQL."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_communities,
+    )
+
+    return kg_communities(materialize_kg(spark, sf))
+
+
+def _transe_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One exact-integer TransE SGD step over the KG + its corrupted-
+    tail negatives: every entity/relation embedding coordinate after
+    the update (L1 subgradients, margin gate, lr=1)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        transe_step,
+    )
+
+    return transe_step(materialize_kg(spark, sf))
+
+
 def _kg_temporal(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal KG: per canonical triple, the observation window
     (first/last conversation timestamp) and distinct-conversation
@@ -350,7 +382,8 @@ def _kg_incremental(spark: SparkSession, sf: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # flagship KG product family + analytics
     "triples", "kg", "kg_incremental", "kg_pagerank", "kg_neighbors",
-    "kg_temporal", "kg_negatives", "a2_lines", "multimodal_features",
+    "kg_temporal", "kg_negatives", "kg_edge_lift", "kg_communities",
+    "transe_step", "a2_lines", "multimodal_features",
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
     "bm25_topk", "lm_score", "quality_classifier", "chunk_documents",
@@ -389,6 +422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal": _kg_temporal,
         # corrupted-tail negative sampling (KG-embedding training prep)
         "kg_negatives": _kg_negatives,
+        "kg_edge_lift": _kg_edge_lift,
+        "kg_communities": _kg_communities,
+        "transe_step": _transe_step,
         # official-eval .a2 assembly over model scores
         "a2_lines": lambda s, d: a2_annotation_lines(
             scored_from_transcripts(s, transcripts(s, d))
@@ -655,6 +691,30 @@ def _duck_kg_negatives() -> str:
     return duck_negatives_over(_duck_kg())
 
 
+def _duck_kg_edge_lift() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_edge_lift_over,
+    )
+
+    return duck_edge_lift_over(_duck_kg())
+
+
+def _duck_kg_communities() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_communities_over,
+    )
+
+    return duck_communities_over(_duck_kg())
+
+
+def _duck_transe_step() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        duck_transe_over,
+    )
+
+    return duck_transe_over(_duck_kg())
+
+
 def _duck_a2_lines() -> str:
     """S12 oracle: accepted (gold-rule) candidates numbered R1..Rn per
     doc in encounter order, formatted with the pinned fixed roles."""
@@ -787,6 +847,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbors": _duck_kg_neighbors(),
         "kg_temporal": _duck_kg_temporal(),
         "kg_negatives": _duck_kg_negatives(),
+        "kg_edge_lift": _duck_kg_edge_lift(),
+        "kg_communities": _duck_kg_communities(),
+        "transe_step": _duck_transe_step(),
         "a2_lines": _duck_a2_lines(),
         "position_bounds": duck_position_bounds(),
         "adp_degree": duck_adp_degree(),

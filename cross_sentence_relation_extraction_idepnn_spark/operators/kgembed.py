@@ -1,0 +1,214 @@
+"""Distributed KG-embedding training step (TransE, Bordes et al. 2013).
+
+The engine's KG product feeds embedding trainers downstream;
+``linking.kg_negatives`` already materializes the corrupted-tail
+training pairs. This module closes the loop with ONE full SGD step of
+TransE margin-ranking training executed AS A DATAFLOW — the shape a
+100 TB deployment needs, where the triple set no longer fits one
+machine and per-epoch gradients must be computed as a shuffle-
+aggregation rather than a parameter-server loop. The reference trains
+its relation scorer on a single node (``elman-bidirection.py``
+training loop); this is the distributed analogue for the KG-embedding
+stage it never had, expressed Spark-first.
+
+Exactness contract (what makes this ORACLE-CHECKABLE, unlike float
+SGD): embeddings are INTEGERS — init ``e_d(name) = H(name#emb#d) %
+201 - 100`` — the score is the L1 norm ``s(h,r,t) = Σ_d |h_d + r_d -
+t_d|``, whose subgradient is the SIGN vector (±1/0), and the margin
+loss ``max(0, margin + s_pos - s_neg)`` gates whole-pair
+contributions. With learning rate 1 the update ``e' = e - Σ sign
+terms`` is pure integer arithmetic: Spark and DuckDB reproduce every
+updated coordinate bit-for-bit, and the pytest oracle re-derives it
+independently in numpy. (Production would iterate this step with
+float embeddings and row-normalization; the dataflow — and its one
+gradient shuffle per step — is identical.)
+
+Plan at scale: the corpus is never touched — everything is KG-grain.
+The negatives subtree persists once and feeds the four contribution
+branches (head, true tail, corrupted tail, relation); gradients are
+one map-side-combinable (name, d) aggregation; the final join of the
+node-dimension-sized init table against gradients broadcasts. One
+real exchange (the gradient groupBy) per training step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..hashing import duck_h15, spark_h15
+
+TRANSE_DIM = 4
+TRANSE_MARGIN = 50
+EMB_MOD = 201  # init values in [-100, 100]
+EMB_OFF = 100
+REL_PREFIX = "@rel:"  # entity ids are canonical mention surfaces — never ':'-prefixed
+
+
+def _emb(name: Column, d: Column) -> Column:
+    """Deterministic integer init for coordinate ``d`` of ``name``."""
+    return (
+        spark_h15(F.concat_ws("#", name, F.lit("emb"), d.cast("string")))
+        % EMB_MOD
+        - EMB_OFF
+    )
+
+
+def transe_step(
+    kg: DataFrame,
+    dim: int = TRANSE_DIM,
+    margin: int = TRANSE_MARGIN,
+    release: bool = True,
+) -> DataFrame:
+    """(name, d, val) — every entity and relation embedding coordinate
+    after one exact-integer TransE SGD step over the KG's triples and
+    their ``kg_negatives`` corrupted-tail pairs.
+
+    Per (positive, negative) pair with ``margin + s_pos - s_neg > 0``:
+    head and relation receive ``sign(h+r-t) - sign(h+r-t')``, the true
+    tail ``-sign(h+r-t)``, the corrupted tail ``+sign(h+r-t')`` —
+    summed per coordinate across all active pairs, then subtracted
+    from the init (lr = 1)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import cache_scope, track_cache, track_checkpoint
+    from .linking import kg_negatives
+
+    def build() -> DataFrame:
+        dims = F.sequence(F.lit(0), F.lit(dim - 1))
+        rel = F.concat(F.lit(REL_PREFIX), F.col("pred"))
+        diff_pos = F.transform(
+            dims,
+            lambda d: _emb(F.col("subj"), d) + _emb(rel, d) - _emb(F.col("obj"), d),
+        )
+        diff_neg = F.transform(
+            dims,
+            lambda d: _emb(F.col("subj"), d)
+            + _emb(rel, d)
+            - _emb(F.col("neg_obj"), d),
+        )
+        l1 = lambda arr: F.aggregate(  # noqa: E731
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        )
+        sign = lambda arr: F.transform(  # noqa: E731
+            arr, lambda x: F.signum(x).cast("long")
+        )
+        # the negatives subtree (kg extraction + sampling) feeds FOUR
+        # contribution branches — persist the slim pair table once
+        pairs = track_cache(
+            kg_negatives(kg, release=False)
+            .withColumn("dp", diff_pos)
+            .withColumn("dn", diff_neg)
+            .withColumn(
+                "active", F.lit(margin) + l1(F.col("dp")) - l1(F.col("dn")) > 0
+            )
+            .filter("active")
+            .select(
+                "subj",
+                "pred",
+                "obj",
+                "neg_obj",
+                sign(F.col("dp")).alias("sp"),
+                sign(F.col("dn")).alias("sn"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        head_rel_c = F.zip_with("sp", "sn", lambda a, b: a - b)
+
+        def branch(name: Column, arr: Column) -> DataFrame:
+            return pairs.select(
+                name.alias("name"), F.posexplode(arr).alias("d", "c")
+            )
+
+        contribs = (
+            branch(F.col("subj"), head_rel_c)
+            .unionByName(branch(F.col("obj"), F.transform("sp", lambda x: -x)))
+            .unionByName(branch(F.col("neg_obj"), F.col("sn")))
+            .unionByName(branch(rel, head_rel_c))
+        )
+        grads = contribs.groupBy("name", "d").agg(F.sum("c").alias("g"))
+        names = (
+            kg.select(F.col("subj").alias("name"))
+            .unionByName(kg.select(F.col("obj").alias("name")))
+            .unionByName(kg.select(rel.alias("name")))
+            .distinct()
+        )
+        return (
+            names.select("name", F.explode(dims).alias("d"))
+            .withColumn("init", _emb(F.col("name"), F.col("d")))
+            .join(grads, ["name", "d"], "left")
+            .select(
+                "name",
+                F.col("d").cast("int").alias("d"),
+                (F.col("init") - F.coalesce("g", F.lit(0)))
+                .cast("long")
+                .alias("val"),
+            )
+        )
+
+    if not release:
+        return build()
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
+
+
+def duck_transe_over(
+    kg_cte: str, dim: int = TRANSE_DIM, margin: int = TRANSE_MARGIN
+) -> str:
+    """Oracle: the identical integer recurrence at (pair, d) grain —
+    the negatives CTE is the shared ``duck_negatives_over`` chain
+    nested over the outer KG table."""
+    from .linking import duck_negatives_over
+
+    def emb(name_expr: str) -> str:
+        h = duck_h15(f"{name_expr} || '#emb#' || CAST(dm.d AS VARCHAR)")
+        return f"({h} % {EMB_MOD} - {EMB_OFF})"
+
+    return f"""
+        WITH RECURSIVE okg AS MATERIALIZED ({kg_cte}),
+        negs AS MATERIALIZED ({duck_negatives_over("SELECT * FROM okg")}),
+        dims AS (SELECT UNNEST(range({dim})) AS d),
+        pd AS MATERIALIZED (
+            SELECT n.subj, n.pred, n.obj, n.neg_idx, n.neg_obj, dm.d,
+                   {emb("n.subj")} + {emb(f"'{REL_PREFIX}' || n.pred")}
+                       - {emb("n.obj")} AS dp,
+                   {emb("n.subj")} + {emb(f"'{REL_PREFIX}' || n.pred")}
+                       - {emb("n.neg_obj")} AS dn
+            FROM negs n CROSS JOIN dims dm
+        ),
+        ps AS (
+            SELECT subj, pred, obj, neg_idx,
+                   SUM(ABS(dp)) AS s_pos, SUM(ABS(dn)) AS s_neg
+            FROM pd GROUP BY 1, 2, 3, 4
+        ),
+        act AS MATERIALIZED (
+            SELECT pd.* FROM pd
+            JOIN ps USING (subj, pred, obj, neg_idx)
+            WHERE {margin} + ps.s_pos - ps.s_neg > 0
+        ),
+        co AS (
+            SELECT subj AS name, d,
+                   CAST(SIGN(dp) AS BIGINT) - CAST(SIGN(dn) AS BIGINT) AS c
+            FROM act
+            UNION ALL
+            SELECT obj, d, -CAST(SIGN(dp) AS BIGINT) FROM act
+            UNION ALL
+            SELECT neg_obj, d, CAST(SIGN(dn) AS BIGINT) FROM act
+            UNION ALL
+            SELECT '{REL_PREFIX}' || pred, d,
+                   CAST(SIGN(dp) AS BIGINT) - CAST(SIGN(dn) AS BIGINT)
+            FROM act
+        ),
+        gr AS (SELECT name, d, SUM(c) AS g FROM co GROUP BY 1, 2),
+        nm AS (SELECT DISTINCT name FROM (
+            SELECT subj AS name FROM okg
+            UNION ALL SELECT obj FROM okg
+            UNION ALL SELECT '{REL_PREFIX}' || pred FROM okg
+        )),
+        nd AS (SELECT nm.name, dm.d, {emb("nm.name")} AS init
+               FROM nm CROSS JOIN dims dm)
+        SELECT nd.name, CAST(nd.d AS INT) AS d,
+               CAST(nd.init - COALESCE(gr.g, 0) AS BIGINT) AS val
+        FROM nd LEFT JOIN gr USING (name, d)
+    """

@@ -794,3 +794,215 @@ def duck_negatives_over(kg_cte: str, k: int = NEG_SAMPLES) -> str:
         ) x
         JOIN nn g ON g.node_id = x.neg_id
     """
+
+
+LIFT_SCALE = 1_000_000
+
+
+def kg_edge_lift(kg: DataFrame, release: bool = True) -> DataFrame:
+    """(subj, pred, obj, support, lift_e6) — association strength of
+    every KG edge as the exact-integer LIFT of the pair against its
+    marginals: ``lift = p(s,o) / (p(s) * p(o))`` with
+    ``p(s,o) = support / N``, ``p(s) = c_s / N`` (subj's total support
+    as a subject), ``p(o) = c_o / N`` (obj's as an object). Lift is a
+    monotone transform of PMI (``pmi = log lift``), so rankings and
+    thresholds carry over while the arithmetic stays integral.
+
+    The fixed-point contract is the two-step floor division
+    ``((support * 1e6) // c_s) * N // c_o`` — every intermediate is
+    bounded by ``1e6 * N`` (no int64 overflow below N ~ 9e12 triples)
+    and both engines execute the identical integer steps, so the oracle
+    matches bit-for-bit (a float log would be summation-order hostile).
+
+    Plan: the (tiny, KG-grain) triple table is persisted once and feeds
+    the total, both marginal aggregates, and the final join; the
+    marginals are node-dimension-sized, so both joins broadcast. One
+    exchange each for the two marginal aggregations — nothing touches
+    the corpus. The reference has no KG-analytics analogue; this is the
+    LLM-pipeline/KG-consumer brief (edge-confidence weighting before a
+    downstream triple-store load)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import cache_scope, track_cache, track_checkpoint
+
+    def build() -> DataFrame:
+        t = track_cache(
+            kg.select("subj", "pred", "obj", "support").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
+        n = t.agg(F.sum("support")).collect()[0][0]
+        c_s = t.groupBy("subj").agg(F.sum("support").alias("c_s"))
+        c_o = t.groupBy("obj").agg(F.sum("support").alias("c_o"))
+        # `div` is INTEGER division (stays in long — a float `/` would
+        # lose exactness above 2^53); operands are positive, so Spark's
+        # truncate-toward-zero and DuckDB's floor `//` agree
+        lift = F.expr(
+            f"((support * {LIFT_SCALE}) div c_s) * {int(n)} div c_o"
+        ).cast("long")
+        return (
+            t.join(F.broadcast(c_s), "subj")
+            .join(F.broadcast(c_o), "obj")
+            .select("subj", "pred", "obj", "support", lift.alias("lift_e6"))
+        )
+
+    if not release:
+        return build()
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
+
+
+def duck_edge_lift_over(kg_cte: str) -> str:
+    """Oracle: identical two-step integer floor division over the same
+    marginals. ``kg_cte`` must produce (subj, pred, obj, support)."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        tot AS (SELECT SUM(support) AS n FROM kg),
+        ms AS (SELECT subj, SUM(support) AS c_s FROM kg GROUP BY subj),
+        mo AS (SELECT obj, SUM(support) AS c_o FROM kg GROUP BY obj)
+        SELECT t.subj, t.pred, t.obj, t.support,
+               CAST(((t.support * {LIFT_SCALE}) // ms.c_s)
+                    * (SELECT n FROM tot) // mo.c_o AS BIGINT) AS lift_e6
+        FROM kg t
+        JOIN ms ON ms.subj = t.subj
+        JOIN mo ON mo.obj = t.obj
+    """
+
+
+COMM_ITERS = 4
+
+
+def kg_communities(
+    kg: DataFrame, iters: int = COMM_ITERS, release: bool = True
+) -> DataFrame:
+    """(node, community) — deterministic SYNCHRONOUS label propagation
+    (Raghavan et al. 2007) over the KG's undirected distinct edge set:
+    every node starts as its own label; each round it adopts the most
+    frequent label among its neighbours, ties broken by the
+    lexicographically smallest label; nodes with no neighbours keep
+    their label. A fixed ``iters`` rounds (not convergence-detection)
+    keeps the recurrence bit-reproducible in SQL — synchronous LPA can
+    oscillate, and "the state after exactly N rounds" is the portable
+    contract.
+
+    Plan: the same iterative join-agg shape as ``kg_pagerank`` — the
+    undirected edge table (KG-sized) persists once; per round, one join
+    of edges against the label table (broadcast-able: labels are
+    node-dimension-sized), one (node, label) count aggregation, one
+    argmax via ``min(struct(-cnt, label))`` (map-side combinable), and
+    an eager ``localCheckpoint`` truncating lineage with the previous
+    round's checkpoint freed as soon as the next lands — in-flight
+    storage stays at 2 node-sized RDDs regardless of ``iters``."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import (
+        cache_scope,
+        track_cache,
+        track_checkpoint,
+        unpersist_checkpoint,
+    )
+
+    def loop() -> DataFrame:
+        directed = kg.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        edges = track_cache(
+            directed.unionByName(
+                directed.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nodes = track_cache(
+            kg.select(F.col("subj").alias("node"))
+            .unionByName(kg.select(F.col("obj").alias("node")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        lab = nodes.withColumn("label", F.col("node"))
+        prev = None
+        for _i in range(iters):
+            votes = (
+                edges.join(
+                    lab.select(F.col("node").alias("dst"), "label"), "dst"
+                )
+                .groupBy(F.col("src").alias("node"), "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            pick = votes.groupBy("node").agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                )["label"].alias("new_label")
+            )
+            lab = (
+                lab.join(pick, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("new_label", "label").alias("label"),
+                )
+                .localCheckpoint(eager=release)
+            )
+            if release:
+                if prev is not None:
+                    unpersist_checkpoint(prev)
+                prev = lab
+        if release and prev is None:
+            # iters=0: nothing checkpointed in-loop, but the release
+            # path registers the result's backing RDD — materialize it
+            lab = lab.localCheckpoint(eager=True)
+        return lab
+
+    # the rename is applied AFTER checkpoint registration: the tracked
+    # handle must see the bare LogicalRDD plan, not a projection of it
+    rename = lambda df: df.select(  # noqa: E731
+        "node", F.col("label").alias("community")
+    )
+    if not release:
+        return rename(loop())
+    with cache_scope():
+        out = loop()
+    return rename(track_checkpoint(out))
+
+
+def duck_communities_over(kg_cte: str, iters: int = COMM_ITERS) -> str:
+    """Oracle: the same synchronous rounds unrolled as chained CTEs
+    (argmax via ROW_NUMBER ordered by cnt DESC, label ASC — the same
+    (-cnt, label) struct-min total order as the Spark side)."""
+    ctes = [
+        f"kg AS MATERIALIZED ({kg_cte})",
+        """ce AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT subj AS src, obj AS dst FROM kg WHERE subj <> obj
+                UNION ALL
+                SELECT obj AS src, subj AS dst FROM kg WHERE subj <> obj
+            )
+        )""",
+        """cn AS MATERIALIZED (SELECT DISTINCT node FROM (
+            SELECT subj AS node FROM kg UNION ALL SELECT obj AS node FROM kg
+        ))""",
+        "lab0 AS (SELECT node, node AS label FROM cn)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""
+        pick{i} AS (
+            SELECT node, label AS new_label FROM (
+                SELECT e.src AS node, l.label, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY e.src
+                                          ORDER BY COUNT(*) DESC, l.label) AS rn
+                FROM ce e JOIN lab{i} l ON l.node = e.dst
+                GROUP BY e.src, l.label
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""
+        lab{i + 1} AS (
+            SELECT l.node, COALESCE(p.new_label, l.label) AS label
+            FROM lab{i} l LEFT JOIN pick{i} p USING (node)
+        )""")
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + f" SELECT node, label AS community FROM lab{iters}"
+    )

@@ -1,0 +1,198 @@
+"""Crafted-graph pins and independent (pure-Python) oracles for the KG
+analytics family added in round 4: kg_edge_lift, kg_communities,
+transe_step. The sf0.001 Spark-vs-DuckDB parity rows live in
+test_oracle_parity.py; these tests pin the SEMANTICS on inputs small
+enough to verify by hand or by an independent third implementation."""
+
+from __future__ import annotations
+
+import pytest
+
+from cross_sentence_relation_extraction_idepnn_spark.hashing import py_h15
+from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+    EMB_MOD,
+    EMB_OFF,
+    REL_PREFIX,
+    TRANSE_DIM,
+    TRANSE_MARGIN,
+    transe_step,
+)
+from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+    NEG_SAMPLES,
+    kg_communities,
+    kg_edge_lift,
+)
+from cross_sentence_relation_extraction_idepnn_spark.session import release_caches
+
+
+def _kg_df(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string, support long")
+
+
+def test_kg_edge_lift_hand_computed(spark):
+    """N=4, c_s(A)=3, c_s(D)=1, c_o(B)=3, c_o(C)=1 — every lift value
+    verified by hand against the two-step floor-division contract."""
+    kg = _kg_df(
+        spark,
+        [("A", "r", "B", 2), ("A", "r", "C", 1), ("D", "r", "B", 1)],
+    )
+    got = {
+        (r["subj"], r["obj"]): (r["support"], r["lift_e6"])
+        for r in kg_edge_lift(kg).collect()
+    }
+    release_caches()
+    assert got == {
+        # ((2*1e6) // 3) * 4 // 3 = 666666 * 4 // 3
+        ("A", "B"): (2, 888888),
+        # ((1*1e6) // 3) * 4 // 1
+        ("A", "C"): (1, 1333332),
+        # ((1*1e6) // 1) * 4 // 3
+        ("D", "B"): (1, 1333333),
+    }
+    # semantics: the exclusive pair (D,B observed every time D or B-as-
+    # object appears... actually A→C and D→B are each other's mirror)
+    # — the diluted pair (A,B): both marginals large → smallest lift
+    assert got[("A", "B")][1] == min(v[1] for v in got.values())
+
+
+def test_kg_communities_two_triangles(spark):
+    """Two disjoint triangles each collapse to one community (round 1:
+    tie → min neighbour label; round 2: majority locks the min label;
+    all-same is a fixed point), and the two components never mix."""
+    tri = lambda a, b, c: [(a, "r", b, 1), (b, "r", c, 1), (a, "r", c, 1)]  # noqa: E731
+    kg = _kg_df(spark, tri("A", "B", "C") + tri("X", "Y", "Z"))
+    got = {r["node"]: r["community"] for r in kg_communities(kg).collect()}
+    release_caches()
+    assert got == {
+        "A": "A", "B": "A", "C": "A",
+        "X": "X", "Y": "X", "Z": "X",
+    }
+
+
+def test_kg_communities_matches_python_twin(spark):
+    """Independent pure-Python synchronous-LPA twin (most-frequent
+    neighbour label, ties to the smallest, fixed rounds) on a crafted
+    barbell-ish graph — including the oscillating isolated edge."""
+    edges = [
+        ("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"),  # triangle + tail
+        ("X", "Y"),  # isolated edge: oscillates under sync LPA
+        ("P", "Q"), ("Q", "R"), ("P", "R"), ("R", "S"), ("S", "T"),
+    ]
+    kg = _kg_df(spark, [(a, "r", b, 1) for a, b in edges])
+    got = {r["node"]: r["community"] for r in kg_communities(kg).collect()}
+    release_caches()
+
+    und: dict[str, set[str]] = {}
+    for a, b in edges:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    lab = {n: n for n in und}
+    for _ in range(4):  # COMM_ITERS
+        new = {}
+        for n in und:
+            cnt: dict[str, int] = {}
+            for m in und[n]:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = min(cnt, key=lambda L: (-cnt[L], L)) if cnt else lab[n]
+        lab = new
+    assert got == lab
+
+
+def _py_transe(rows, dim=TRANSE_DIM, margin=TRANSE_MARGIN, k=NEG_SAMPLES):
+    """Third implementation: kg_negatives' numbering/sampling plus the
+    TransE integer step, in pure Python."""
+    triples = sorted({(s, p, o) for s, p, o, _ in rows})
+    nodes = sorted({s for s, _, _ in triples} | {o for _, _, o in triples})
+    nid = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+
+    def emb(name, d):
+        return py_h15(f"{name}#emb#{d}") % EMB_MOD - EMB_OFF
+
+    grad: dict[tuple[str, int], int] = {}
+    for s, p, o in triples:
+        rel = REL_PREFIX + p
+        for i in range(k):
+            raw = py_h15(f"{s}#{p}#{o}#{i}") % n
+            neg = nodes[(raw + 1) % n if raw == nid[o] else raw]
+            dp = [emb(s, d) + emb(rel, d) - emb(o, d) for d in range(dim)]
+            dn = [emb(s, d) + emb(rel, d) - emb(neg, d) for d in range(dim)]
+            if margin + sum(map(abs, dp)) - sum(map(abs, dn)) <= 0:
+                continue
+            sgn = lambda x: (x > 0) - (x < 0)  # noqa: E731
+            for d in range(dim):
+                for name, c in (
+                    (s, sgn(dp[d]) - sgn(dn[d])),
+                    (o, -sgn(dp[d])),
+                    (neg, sgn(dn[d])),
+                    (rel, sgn(dp[d]) - sgn(dn[d])),
+                ):
+                    grad[(name, d)] = grad.get((name, d), 0) + c
+    names = set(nodes) | {REL_PREFIX + p for _, p, _ in triples}
+    return {
+        (name, d): emb(name, d) - grad.get((name, d), 0)
+        for name in names
+        for d in range(dim)
+    }
+
+
+def test_transe_step_matches_python_twin(spark):
+    rows = [
+        ("A", "r", "B", 2),
+        ("A", "r", "C", 1),
+        ("B", "s", "C", 1),
+        ("D", "r", "A", 3),
+        ("C", "s", "D", 1),
+    ]
+    got = {
+        (r["name"], r["d"]): r["val"]
+        for r in transe_step(_kg_df(spark, rows)).collect()
+    }
+    release_caches()
+    want = _py_transe(rows)
+    assert got == want
+    # non-vacuous: at least one coordinate actually moved
+    def emb(name, d):
+        return py_h15(f"{name}#emb#{d}") % EMB_MOD - EMB_OFF
+
+    assert any(v != emb(nm, d) for (nm, d), v in want.items())
+
+
+def test_new_kg_operators_release_their_caches(spark):
+    """Same unpersist discipline as kg_pagerank: repeated calls leave
+    only the tracked result checkpoints; release_caches() drains to
+    baseline."""
+    def n_persistent_rdds() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_caches()
+    spark.catalog.clearCache()
+    base = n_persistent_rdds()
+    kg = _kg_df(spark, [("A", "r", "B", 1), ("B", "r", "C", 2)])
+    outs = []
+    for _ in range(3):
+        outs.append(kg_edge_lift(kg).count())
+        outs.append(kg_communities(kg).count())
+        outs.append(transe_step(kg).count())
+    assert len(set(outs[0::3])) == 1
+    assert n_persistent_rdds() - base <= 9  # ≤ one checkpoint per call
+    release_caches()
+    spark.catalog.clearCache()
+    assert n_persistent_rdds() <= base
+
+
+@pytest.mark.parametrize("iters", [0, 1])
+def test_kg_communities_iteration_contract(spark, iters):
+    """iters=0 is the identity labelling; iters=1 on a star graph sends
+    every leaf to the hub's label and the hub to the smallest leaf."""
+    star = [("H", "r", leaf, 1) for leaf in ("L1", "L2", "L3")]
+    kg = _kg_df(spark, star)
+    got = {
+        r["node"]: r["community"]
+        for r in kg_communities(kg, iters=iters).collect()
+    }
+    release_caches()
+    if iters == 0:
+        assert got == {n: n for n in ("H", "L1", "L2", "L3")}
+    else:
+        assert got == {"H": "L1", "L1": "H", "L2": "H", "L3": "H"}

@@ -432,3 +432,54 @@ def test_stream_kg_with_buffering_survives_split_conversations(spark, sf_dir, tm
         want[cols].sort_values(cols).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_stream_dedup_equals_batch_dedup(spark, sf_dir):
+    """Continuous exact dedup: on a bounded documents stream the
+    emitted key set must equal batch ``dedup_exact``'s — one survivor
+    per distinct content hash."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import dedup_exact
+    from cross_sentence_relation_extraction_idepnn_spark.streaming import docs as D
+
+    got = S.run_available_now(
+        D.stream_dedup(D.stream_documents(spark, sf_dir)),
+        "stream_dedup_test",
+        output_mode="append",
+    ).toPandas()
+    batch = dedup_exact(spark, sf_dir).toPandas()
+    assert len(got) == len(batch)
+    assert set(got["text_md5"]) == set(batch["text_md5"])
+    assert got["text_md5"].is_unique
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Duplicates arriving in a LATER micro-batch (maxFilesPerTrigger=1
+    → one file per batch) must be dropped by the watermark state, and
+    unseen content must still pass."""
+    import pandas as pd
+    from cross_sentence_relation_extraction_idepnn_spark.streaming import docs as D
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    mk = lambda i, t: {  # noqa: E731
+        "doc_id": i, "text": t, "lang": "en", "source": "s", "n_chars": len(t),
+    }
+    pd.DataFrame([mk(1, "alpha beta"), mk(2, "gamma delta")]).to_parquet(
+        d / "a.parquet"
+    )
+    pd.DataFrame(
+        [mk(3, "alpha beta"), mk(4, "epsilon zeta"), mk(5, "gamma delta")]
+    ).to_parquet(d / "b.parquet")
+
+    got = S.run_available_now(
+        D.stream_dedup(D.stream_documents(spark, str(d), glob="*.parquet")),
+        "stream_dedup_xbatch_test",
+        output_mode="append",
+    ).toPandas()
+    # 3 distinct texts survive out of 5 rows; the duplicate doc_ids
+    # (whichever file arrived second) never appear
+    assert len(got) == 3
+    assert got["text_md5"].is_unique
+    surviving = set(got["doc_id"])
+    assert len(surviving & {1, 3}) == 1 and len(surviving & {2, 5}) == 1
+    assert 4 in surviving
