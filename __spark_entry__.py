@@ -41,6 +41,7 @@ from cross_sentence_relation_extraction_idepnn_spark.operators import (
     multimodal,
     search,
     similarity,
+    sketch,
     textstats,
 )
 from cross_sentence_relation_extraction_idepnn_spark.streaming import events as stream_events_mod
@@ -329,6 +330,37 @@ def _transe_step(spark: SparkSession, sf: str) -> DataFrame:
     return transe_step(materialize_kg(spark, sf))
 
 
+def _kg_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle participation over the KG's undirected edges
+    (cohesion / clustering-coefficient numerator)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_triangles,
+    )
+
+    return kg_triangles(materialize_kg(spark, sf))
+
+
+def _hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog register table (per-source distinct-
+    document sketch) — the integer sketch STATE is the parity surface;
+    the float estimator is pytest-verified against exact counts."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        hll_registers,
+    )
+
+    return hll_registers(spark, sf)
+
+
+def _cms_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Count-Min sketch grid over document tokens
+    (constant-size mergeable state; point queries never under-count)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        cms_sketch,
+    )
+
+    return cms_sketch(spark, sf)
+
+
 def _kg_temporal(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal KG: per canonical triple, the observation window
     (first/last conversation timestamp) and distinct-conversation
@@ -383,7 +415,8 @@ _DRIVER_PRIORITY = [
     # flagship KG product family + analytics
     "triples", "kg", "kg_incremental", "kg_pagerank", "kg_neighbors",
     "kg_temporal", "kg_negatives", "kg_edge_lift", "kg_communities",
-    "transe_step", "a2_lines", "multimodal_features",
+    "kg_triangles", "transe_step", "hll_registers", "cms_sketch",
+    "a2_lines", "multimodal_features",
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
     "bm25_topk", "lm_score", "quality_classifier", "chunk_documents",
@@ -424,7 +457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _kg_negatives,
         "kg_edge_lift": _kg_edge_lift,
         "kg_communities": _kg_communities,
+        "kg_triangles": _kg_triangles,
         "transe_step": _transe_step,
+        "hll_registers": _hll_registers,
+        "cms_sketch": _cms_sketch,
         # official-eval .a2 assembly over model scores
         "a2_lines": lambda s, d: a2_annotation_lines(
             scored_from_transcripts(s, transcripts(s, d))
@@ -707,6 +743,14 @@ def _duck_kg_communities() -> str:
     return duck_communities_over(_duck_kg())
 
 
+def _duck_kg_triangles() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_triangles_over,
+    )
+
+    return duck_triangles_over(_duck_kg())
+
+
 def _duck_transe_step() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
         duck_transe_over,
@@ -849,7 +893,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_negatives": _duck_kg_negatives(),
         "kg_edge_lift": _duck_kg_edge_lift(),
         "kg_communities": _duck_kg_communities(),
+        "kg_triangles": _duck_kg_triangles(),
         "transe_step": _duck_transe_step(),
+        "hll_registers": sketch.duck_hll_registers(),
+        "cms_sketch": sketch.duck_cms_sketch(),
         "a2_lines": _duck_a2_lines(),
         "position_bounds": duck_position_bounds(),
         "adp_degree": duck_adp_degree(),

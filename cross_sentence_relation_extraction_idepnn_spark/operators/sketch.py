@@ -1,0 +1,156 @@
+"""Mergeable sketches over the corpus: HyperLogLog registers and a
+Count-Min sketch — both DETERMINISTIC (built on the portable ``H``
+hash, :mod:`..hashing`), so the sketch STATE itself is oracle-checked
+bit-for-bit in DuckDB, not just the float estimate derived from it.
+
+Why sketches are first-class at 100 TB: exact ``COUNT(DISTINCT)`` and
+exact per-token frequencies need a corpus-sized shuffle; a sketch is a
+CONSTANT-size state (64 registers / a 4×128 counter grid here) built
+by one map-side-combinable aggregation, and it MERGES — HLL registers
+by ``max``, CMS cells by ``+`` — so per-shard/per-day sketches roll up
+without re-reading history (the same decomposability argument as
+``merge_kg_tables``). Spark's built-in ``approx_count_distinct`` is
+HLL++ too, but its register layout isn't reproducible in another
+engine; this implementation trades its bias corrections for exact
+cross-engine checkability with the standard error still ~1.04/√64.
+
+Estimator floats (harmonic mean, bias ranges) stay OUT of the parity
+surface: the driver-checked queries emit the integer register/counter
+tables, and the float estimators are pytest-verified against exact
+counts in numpy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..hashing import duck_h15, duck_minhash_term, spark_h15, spark_minhash_term
+from ..session import read_parquet_cached
+
+HLL_BUCKETS = 64  # p=6; relative error ~ 1.04/sqrt(64) = 13%
+HLL_REST_BITS = 54  # H is 60-bit; 6 bits index the bucket
+
+CMS_DEPTH = 4
+CMS_WIDTH = 128
+
+
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, bucket, max_rank) — per-source HLL register table for
+    distinct-document estimation. ``bucket = H(text) mod 64``; ``rank``
+    = leading zeros of the remaining 54 bits + 1 (``55`` for the
+    all-zero remainder). One map-side-combinable max-aggregation; the
+    result is ≤ 64 rows per group regardless of corpus size."""
+    return hll_from_docs(
+        read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    )
+
+
+def hll_from_docs(docs: DataFrame) -> DataFrame:
+    h = spark_h15(F.col("text"))
+    # h div 64 via shiftright — a float `/` would lose exactness above
+    # 2^53 (H is 60-bit); duck's `//` is exact on the oracle side
+    rest = F.shiftright(h, 6)
+    # bin() renders without leading zeros in BOTH engines, so
+    # bit_length(rest) = length(bin(rest)) for rest > 0
+    rank = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+        F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest))
+    )
+    return (
+        docs.select(
+            "source",
+            (h % HLL_BUCKETS).cast("int").alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def duck_hll_registers() -> str:
+    h = duck_h15("text")
+    return f"""
+        SELECT source,
+               CAST(({h}) % {HLL_BUCKETS} AS INT) AS bucket,
+               CAST(MAX(CASE WHEN ({h}) // {HLL_BUCKETS} = 0
+                             THEN {HLL_REST_BITS + 1}
+                             ELSE {HLL_REST_BITS + 1}
+                                  - length(bin(({h}) // {HLL_BUCKETS}))
+                        END) AS INT) AS max_rank
+        FROM documents
+        GROUP BY source, CAST(({h}) % {HLL_BUCKETS} AS INT)
+    """
+
+
+def hll_estimate(registers: dict[int, int], m: int = HLL_BUCKETS) -> float:
+    """Flajolet et al. 2007 raw estimator with the small-range
+    (linear-counting) correction — the float stage, verified in pytest
+    against exact distinct counts (the register table itself is the
+    driver-checked artifact). ``registers`` maps bucket → max_rank;
+    absent buckets are zero."""
+    import math
+
+    alpha = 0.709  # alpha_64
+    zsum = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    est = alpha * m * m / zsum
+    zeros = sum(1 for b in range(m) if registers.get(b, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return est
+
+
+def cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r, c, cnt) — Count-Min sketch (Cormode & Muthukrishnan 2005)
+    over whitespace tokens of the documents table: ``CMS_DEPTH``
+    pairwise-independent hash rows (the MinHash universal-hash family,
+    reused), ``CMS_WIDTH`` columns. The grid is ≤ 4×128 cells however
+    large the corpus — one explode + one map-side-combinable count;
+    per-shard grids merge by cell-wise addition."""
+    return cms_from_docs(
+        read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    )
+
+
+def cms_from_docs(docs: DataFrame) -> DataFrame:
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).withColumn("h", spark_h15(F.col("tok")))
+    rows = [
+        toks.select(
+            F.lit(r).alias("r"),
+            (spark_minhash_term(F.col("h"), r) % CMS_WIDTH)
+            .cast("int")
+            .alias("c"),
+        )
+        for r in range(CMS_DEPTH)
+    ]
+    import functools
+
+    allrows = functools.reduce(lambda a, b: a.unionByName(b), rows)
+    return allrows.groupBy("r", "c").agg(F.count("*").alias("cnt"))
+
+
+def duck_cms_sketch() -> str:
+    h = duck_h15("tok")
+    branches = " UNION ALL ".join(
+        f"SELECT {r} AS r, CAST(({duck_minhash_term(f'({h})', r)}) % {CMS_WIDTH} AS INT) AS c FROM toks"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+        )
+        SELECT r, c, COUNT(*) AS cnt FROM ({branches}) GROUP BY r, c
+    """
+
+
+def cms_query(grid: dict[tuple[int, int], int], token: str) -> int:
+    """Point-frequency estimate: min over the token's cells. Never
+    under-counts (CMS guarantee); over-counts by at most εN w.h.p."""
+    from ..hashing import py_h15, py_minhash_term
+
+    h = py_h15(token)
+    return min(
+        grid.get((r, py_minhash_term(h, r) % CMS_WIDTH), 0)
+        for r in range(CMS_DEPTH)
+    )

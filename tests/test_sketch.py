@@ -1,0 +1,139 @@
+"""Sketch-family semantics: estimator accuracy, the merge property
+(the thing that makes sketches useful at 100 TB — per-shard states
+roll up without re-reading history), CMS point-query guarantees, and
+the kg_triangles crafted-graph pin. The bit-level Spark-vs-DuckDB
+parity of the sketch STATE lives in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_BUCKETS,
+    cms_from_docs,
+    cms_query,
+    cms_sketch,
+    hll_estimate,
+    hll_from_docs,
+    hll_registers,
+)
+from cross_sentence_relation_extraction_idepnn_spark.session import (
+    read_parquet_cached,
+    release_caches,
+)
+
+
+def _docs(spark, sf_dir):
+    return read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+
+
+def test_hll_estimate_tracks_exact_distinct(spark, sf_dir):
+    regs = hll_registers(spark, sf_dir).toPandas()
+    exact = duckdb.sql(
+        f"SELECT source, COUNT(DISTINCT text) AS n "
+        f"FROM '{sf_dir}/documents.parquet' GROUP BY source"
+    ).df()
+    assert set(regs["source"]) == set(exact["source"])
+    for _, row in exact.iterrows():
+        sub = regs[regs["source"] == row["source"]]
+        registers = dict(zip(sub["bucket"], sub["max_rank"]))
+        est = hll_estimate(registers)
+        # p=6 → σ ≈ 13%; allow 3.5σ (plus linear-counting small range)
+        assert abs(est - row["n"]) <= max(0.45 * row["n"], 3), (
+            row["source"], est, row["n"],
+        )
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """Registers over the full corpus == element-wise MAX of registers
+    over any partition of it (here: doc_id parity halves)."""
+    docs = _docs(spark, sf_dir)
+    full = hll_from_docs(docs).toPandas()
+    halves = [
+        hll_from_docs(docs.filter(F.col("doc_id") % 2 == i)).toPandas()
+        for i in (0, 1)
+    ]
+    import pandas as pd
+
+    merged = (
+        pd.concat(halves)
+        .groupby(["source", "bucket"], as_index=False)["max_rank"]
+        .max()
+    )
+    key = ["source", "bucket", "max_rank"]
+    assert sorted(map(tuple, full[key].values.tolist())) == sorted(
+        map(tuple, merged[key].values.tolist())
+    )
+
+
+def test_cms_merges_and_never_undercounts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    full = cms_sketch(spark, sf_dir).toPandas()
+    grid = {(r, c): n for r, c, n in full.itertuples(index=False)}
+    assert len(grid) <= CMS_DEPTH * CMS_WIDTH  # constant-size state
+
+    # merge property: cell-wise sum of parity-half grids == full grid
+    import pandas as pd
+
+    halves = [
+        cms_from_docs(docs.filter(F.col("doc_id") % 2 == i)).toPandas()
+        for i in (0, 1)
+    ]
+    merged = pd.concat(halves).groupby(["r", "c"], as_index=False)["cnt"].sum()
+    assert sorted(map(tuple, merged.values.tolist())) == sorted(
+        map(tuple, full.values.tolist())
+    )
+
+    # point queries: never under-count, bounded by total mass
+    exact = duckdb.sql(
+        f"SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST(string_split(text, ' ')) AS tok "
+        f"FROM '{sf_dir}/documents.parquet') GROUP BY tok ORDER BY n DESC LIMIT 20"
+    ).df()
+    total = int(duckdb.sql(
+        f"SELECT SUM(len(string_split(text, ' '))) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0])
+    for tok, n in exact.itertuples(index=False):
+        est = cms_query(grid, tok)
+        assert est >= n
+        assert est <= total
+
+
+def test_kg_triangles_crafted(spark):
+    """K4 on {A,B,C,D} (4 triangles, each node in 3) plus a dangling
+    edge D—E (E in 0)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_triangles,
+    )
+
+    k4 = [
+        ("A", "B"), ("A", "C"), ("A", "D"),
+        ("B", "C"), ("B", "D"), ("C", "D"),
+    ]
+    kg = spark.createDataFrame(
+        [(a, "r", b, 1) for a, b in k4 + [("D", "E")]],
+        "subj string, pred string, obj string, support long",
+    )
+    got = {r["node"]: r["n_tri"] for r in kg_triangles(kg).collect()}
+    release_caches()
+    assert got == {"A": 3, "B": 3, "C": 3, "D": 3, "E": 0}
+
+
+def test_kg_triangles_direction_and_dup_invariant(spark):
+    """Reversed / duplicated / self-loop edges must not change the
+    undirected triangle counts."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_triangles,
+    )
+
+    tri = [("A", "B"), ("B", "C"), ("C", "A")]
+    noisy = tri + [("B", "A"), ("A", "B"), ("A", "A")]
+    kg = spark.createDataFrame(
+        [(a, "r", b, 1) for a, b in noisy],
+        "subj string, pred string, obj string, support long",
+    )
+    got = {r["node"]: r["n_tri"] for r in kg_triangles(kg).collect()}
+    release_caches()
+    assert got == {"A": 1, "B": 1, "C": 1}
