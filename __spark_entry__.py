@@ -419,7 +419,8 @@ _DRIVER_PRIORITY = [
     "a2_lines", "multimodal_features",
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
-    "bm25_topk", "lm_score", "quality_classifier", "chunk_documents",
+    "bm25_topk", "overlap_topk", "hybrid_topk", "lm_score",
+    "quality_classifier", "chunk_documents",
     "bpe_merges", "bpe_token_counts",
     # kernel attestations (closed-form SDP oracles)
     "featurized_sdp", "adp_degree", "position_bounds",
@@ -583,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-statistics ranking: posting-join BM25 retrieval and
         # bigram-LM scoring, both in exact integer micro-units
         "bm25_topk": search.bm25_topk,
+        "overlap_topk": search.overlap_topk,
+        "hybrid_topk": search.hybrid_topk,
         "lm_score": search.lm_score,
         # plant=True: deterministic perturbed twins keep the parity row
         # non-vacuous (the fixture has no organic near-dup vectors)
@@ -879,6 +882,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": textstats.duck_token_counts(),
         "doc_fingerprint": textstats.duck_fingerprint(),
         "bm25_topk": search.duck_bm25(),
+        "overlap_topk": search.duck_overlap(),
+        "hybrid_topk": search.duck_hybrid(),
         "lm_score": search.duck_lm_score(),
         "sentences_punkt": duck_sentences_punkt(),
         "muc6_triples": duck_muc6_triples(),

@@ -276,3 +276,136 @@ def duck_lm_score() -> str:
                MIN(p6) AS min_p6
         FROM p GROUP BY doc_id
     """
+
+
+RRF_K = 60
+
+
+def overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rnk, doc_id, n_overlap): the second retrieval signal
+    for hybrid fusion — per query, the top-``TOP_K`` docs by count of
+    DISTINCT query terms present in the document (exact integer; ties
+    by doc_id). Same corpus-derived query set as :func:`bm25_topk`.
+
+    Plan: the same exploded-token → broadcast-query-semi-join shape as
+    the BM25 postings build; the per-(query, doc) distinct-term count
+    is one map-side-combinable aggregation over the (tiny) surviving
+    postings."""
+    base = _base(spark, sf_dir)
+    qterms = (
+        base.filter(F.col("doc_id") < N_QUERY_DOCS)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array(*[F.get("toks", p) for p in QUERY_TOKEN_POS0])
+            ).alias("term"),
+        )
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
+    hits = (
+        base.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("n_overlap").desc(), F.col("doc_id")
+    )
+    return (
+        hits.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "doc_id", "n_overlap")
+    )
+
+
+def duck_overlap() -> str:
+    pos = ", ".join(f"toks[{p + 1}]" for p in QUERY_TOKEN_POS0)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        qt AS (
+            SELECT DISTINCT doc_id AS query_id, t AS term
+            FROM (
+                SELECT doc_id, UNNEST([{pos}]) AS t
+                FROM base WHERE doc_id < {N_QUERY_DOCS}
+            )
+            WHERE t IS NOT NULL
+        ),
+        hits AS (
+            SELECT q.query_id, d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM (SELECT doc_id, UNNEST(list_distinct(toks)) AS term FROM base) d
+            JOIN qt q USING (term)
+            GROUP BY q.query_id, d.doc_id
+        )
+        SELECT query_id, rnk, doc_id, n_overlap
+        FROM (
+            SELECT query_id, doc_id, n_overlap,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY n_overlap DESC, doc_id
+                   ) AS BIGINT) AS rnk
+            FROM hits
+        )
+        WHERE rnk <= {TOP_K}
+    """
+
+
+def hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rnk, doc_id, rrf_e6): Reciprocal-Rank Fusion
+    (Cormack et al. 2009) of the BM25 and distinct-term-overlap
+    top-``TOP_K`` lists — the standard hybrid-retrieval combiner for
+    lexical + second-signal rankers. Contribution per list is the
+    exact integer ``1e6 div (60 + rank)``; docs absent from a list
+    contribute 0; final ties by doc_id.
+
+    Plan: fusion runs on the two top-k LISTS (≤ 2·K rows per query —
+    constant-bounded however large the corpus), so the only work
+    beyond the two rankers is a union + one tiny aggregation + the
+    final per-query window."""
+    contrib = F.expr(f"1000000 div ({RRF_K} + rnk)").alias("c")
+    fused = (
+        bm25_topk(spark, sf_dir).select("query_id", "doc_id", contrib)
+        .unionByName(
+            overlap_topk(spark, sf_dir).select("query_id", "doc_id", contrib)
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("rrf_e6"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e6").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", "doc_id", "rrf_e6")
+    )
+
+
+def duck_hybrid() -> str:
+    """Oracle: the two ranker chains nested as CTEs + the same integer
+    RRF recurrence."""
+    return f"""
+        WITH bm AS MATERIALIZED ({duck_bm25()}),
+        ov AS MATERIALIZED ({duck_overlap()}),
+        fused AS (
+            SELECT query_id, doc_id, SUM(c) AS rrf_e6
+            FROM (
+                SELECT query_id, doc_id, 1000000 // ({RRF_K} + rnk) AS c FROM bm
+                UNION ALL
+                SELECT query_id, doc_id, 1000000 // ({RRF_K} + rnk) AS c FROM ov
+            )
+            GROUP BY query_id, doc_id
+        )
+        SELECT query_id, rnk, doc_id, rrf_e6
+        FROM (
+            SELECT query_id, doc_id, rrf_e6,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_e6 DESC, doc_id
+                   ) AS BIGINT) AS rnk
+            FROM fused
+        )
+        WHERE rnk <= {TOP_K}
+    """

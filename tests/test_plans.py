@@ -182,3 +182,47 @@ def test_quality_classifier_is_narrow_codegen(spark, sf_dir):
     assert count_op(plan, "Exchange") == 0, plan
     assert "codegen id" in plan
     assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_hll_registers_is_single_exchange_no_python(spark, sf_dir):
+    """The HLL register build is scan → narrow hash/rank projection →
+    one partial/final aggregate pair: ONE exchange, no Python stage,
+    constant-size output regardless of corpus size."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        hll_registers,
+    )
+
+    plan = plan_of(hll_registers(spark, sf_dir))
+    assert count_op(plan, "Exchange") == 1, plan
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_sketch_is_single_exchange_no_python(spark, sf_dir):
+    """The CMS grid: scan → explode → 4 unioned hash projections →
+    one count aggregate. ONE exchange (the grid groupBy), no Python."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        cms_sketch,
+    )
+
+    plan = plan_of(cms_sketch(spark, sf_dir))
+    assert count_op(plan, "Exchange") == 1, plan
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kg_edge_lift_marginal_joins_broadcast(spark):
+    """Both marginal joins in kg_edge_lift must broadcast (the
+    marginals are node-dimension-sized) — no sort-merge join sneaks in
+    when the KG grows."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_edge_lift,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import release_caches
+
+    kg = spark.createDataFrame(
+        [("A", "r", "B", 2), ("A", "r", "C", 1), ("D", "r", "B", 1)],
+        "subj string, pred string, obj string, support long",
+    )
+    plan = plan_of(kg_edge_lift(kg, release=False))
+    assert count_op(plan, "BroadcastHashJoin") == 2, plan
+    assert count_op(plan, "SortMergeJoin") == 0, plan
+    release_caches()

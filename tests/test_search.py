@@ -98,3 +98,37 @@ def test_lm_score_repetitive_doc_scores_higher(spark, sf_dir):
         "percentile_approx(mean_p6, 0.5) AS med", "max(mean_p6) AS mx"
     ).first()
     assert stats.mx > stats.med  # non-degenerate spread on the fixture
+
+
+def test_hybrid_rrf_recomputes_from_component_rankers(spark, sf_dir):
+    """Independent pandas recomputation of the RRF fusion from the two
+    rankers' own outputs: per (query, doc), rrf_e6 must equal the sum
+    of 1e6 // (60 + rank) over the lists containing the doc, and the
+    fused ordering must follow (rrf desc, doc_id)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.search import (
+        RRF_K,
+        TOP_K,
+        bm25_topk,
+        hybrid_topk,
+        overlap_topk,
+    )
+
+    bm = bm25_topk(spark, sf_dir).toPandas()
+    ov = overlap_topk(spark, sf_dir).toPandas()
+    hy = hybrid_topk(spark, sf_dir).toPandas()
+
+    want: dict[tuple[int, int], int] = {}
+    for frame in (bm, ov):
+        for q, r, d in frame[["query_id", "rnk", "doc_id"]].itertuples(index=False):
+            want[(q, d)] = want.get((q, d), 0) + 1_000_000 // (RRF_K + r)
+    for q in sorted(set(hy["query_id"])):
+        sub = hy[hy["query_id"] == q].sort_values("rnk")
+        expected = sorted(
+            ((v, k[1]) for k, v in want.items() if k[0] == q),
+            key=lambda t: (-t[0], t[1]),
+        )[:TOP_K]
+        got = list(zip(sub["rrf_e6"], sub["doc_id"]))
+        assert got == expected, (q, got, expected)
+    # non-degenerate: at least one query has a doc boosted by BOTH lists
+    both = {k for k, v in want.items() if v > 1_000_000 // (RRF_K + 1)}
+    assert both or len(bm) == 0  # corpus-derived queries overlap heavily
