@@ -424,23 +424,24 @@ _DRIVER_PRIORITY = [
     "bpe_merges", "bpe_token_counts",
     # kernel attestations (closed-form SDP oracles)
     "featurized_sdp", "adp_degree", "position_bounds",
+    # single-green-round queries (r3 only) — keep inside the cap
+    "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
     "transcripts", "sentences", "mentions", "candidates",
-    "tagged_candidates", "intra_inter", "class_freq", "relation_ids",
-    "vocabulary", "macro_f1", "macro_f1_3class", "token_offsets",
+    "tagged_candidates", "relation_ids", "vocabulary", "token_offsets",
     "sentences_punkt", "normalize_docs", "canonicalize",
     "located_annotations",
     # pair-generation / ANN / sources / streaming
     "minhash_pairs", "simhash_pairs", "ngram_pairs", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "embedding_neardup",
-    "embedding_neardup_mp", "muc6_triples", "standoff_parse",
+    # tail (driver rows green in ≥2 rounds; PARITY_SELF covers)
+    "embedding_neardup_mp", "standoff_parse",
     "events_windowed", "sessionize_batch", "tool_usage", "frame_sample",
-    # tail (driver rows green in rounds 2 AND 3; PARITY_SELF covers)
+    "intra_inter", "class_freq", "macro_f1", "macro_f1_3class",
     "dedup_exact", "minhash_signatures", "simhash_docs", "lang_id",
     "quality_score", "token_counts", "doc_fingerprint", "pii_scrub",
     "repetition_score", "decontaminate", "sample_stratified",
-    "domain_mixture", "line_dedup", "pack_sequences", "curation_funnel",
-    "cc_records", "multimodal_meta",
+    "domain_mixture", "cc_records", "multimodal_meta",
 ]
 
 
