@@ -416,7 +416,7 @@ _DRIVER_PRIORITY = [
     "triples", "kg", "kg_incremental", "kg_pagerank", "kg_neighbors",
     "kg_temporal", "kg_negatives", "kg_edge_lift", "kg_communities",
     "kg_triangles", "transe_step", "hll_registers", "cms_sketch",
-    "a2_lines", "multimodal_features",
+    "events_hll", "a2_lines", "multimodal_features",
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
     "bm25_topk", "overlap_topk", "hybrid_topk", "lm_score",
@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transe_step": _transe_step,
         "hll_registers": _hll_registers,
         "cms_sketch": _cms_sketch,
+        "events_hll": stream_events_mod.windowed_hll_batch,
         # official-eval .a2 assembly over model scores
         "a2_lines": lambda s, d: a2_annotation_lines(
             scored_from_transcripts(s, transcripts(s, d))
@@ -903,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
         "transe_step": _duck_transe_step(),
         "hll_registers": sketch.duck_hll_registers(),
         "cms_sketch": sketch.duck_cms_sketch(),
+        "events_hll": stream_events_mod.duck_windowed_hll(),
         "a2_lines": _duck_a2_lines(),
         "position_bounds": duck_position_bounds(),
         "adp_degree": duck_adp_degree(),

@@ -260,3 +260,74 @@ def run_available_now(
     )
     q.awaitTermination()
     return df.sparkSession.table(query_name)
+
+
+def _hll_cols(key):
+    """(bucket, rank) sketch columns for a key Column — shared by the
+    stream and batch twins (operators.sketch discipline: H mod 64
+    buckets, leading-zero rank of the remaining 54 bits)."""
+    from ..hashing import spark_h15
+    from ..operators.sketch import HLL_BUCKETS, HLL_REST_BITS
+
+    h = spark_h15(key.cast("string"))
+    rest = F.shiftright(h, 6)
+    rank = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+        F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest))
+    )
+    return (h % HLL_BUCKETS).cast("int").alias("bucket"), rank.cast("int").alias(
+        "rank"
+    )
+
+
+def windowed_hll(stream: DataFrame) -> DataFrame:
+    """Streaming sketch: per-window HyperLogLog register table for
+    distinct-user estimation — (win_start, bucket, max_rank). The
+    state per window is ≤ 64 integers however many events arrive (the
+    sketch property carried into streaming: an exact windowed
+    COUNT(DISTINCT) would hold every user id in state); ``max`` is
+    insensitive to both duplication and arrival order, so the stream
+    result equals the batch twin exactly."""
+    bucket, rank = _hll_cols(F.col("user_id"))
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .select(F.window("ts", WINDOW).alias("w"), bucket, rank)
+        .groupBy("w", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+        .select(
+            _epoch_ntz("w.start").alias("win_start"), "bucket", "max_rank"
+        )
+    )
+
+
+def windowed_hll_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`windowed_hll` (oracle-checkable)."""
+    bucket, rank = _hll_cols(F.col("user_id"))
+    return (
+        events_batch(spark, sf_dir)
+        .select(F.window("ts", WINDOW).alias("w"), bucket, rank)
+        .groupBy("w", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+        .select(
+            _epoch_ntz("w.start").alias("win_start"), "bucket", "max_rank"
+        )
+    )
+
+
+def duck_windowed_hll() -> str:
+    """Oracle: same 600s window floor, same hash/bucket/rank algebra
+    as ``operators.sketch.duck_hll_registers``."""
+    from ..hashing import duck_h15
+    from ..operators.sketch import HLL_BUCKETS, HLL_REST_BITS
+
+    h = duck_h15("CAST(user_id AS VARCHAR)")
+    return f"""
+        SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+               CAST(({h}) % {HLL_BUCKETS} AS INT) AS bucket,
+               CAST(MAX(CASE WHEN ({h}) // {HLL_BUCKETS} = 0
+                             THEN {HLL_REST_BITS + 1}
+                             ELSE {HLL_REST_BITS + 1}
+                                  - length(bin(({h}) // {HLL_BUCKETS}))
+                        END) AS INT) AS max_rank
+        FROM events
+        GROUP BY 1, 2
+    """

@@ -483,3 +483,39 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     surviving = set(got["doc_id"])
     assert len(surviving & {1, 3}) == 1 and len(surviving & {2, 5}) == 1
     assert 4 in surviving
+
+
+def test_windowed_hll_stream_equals_batch(spark, sf_dir):
+    """The streaming per-window HLL register table must equal the
+    batch twin exactly on bounded input (max is duplication- and
+    order-insensitive), and each window's state is at most 64 rows."""
+    got = (
+        S.run_available_now(
+            S.windowed_hll(S.stream_events(spark, sf_dir)), "win_hll_test"
+        )
+        .toPandas()
+        .sort_values(["win_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    want = (
+        S.windowed_hll_batch(spark, sf_dir)
+        .toPandas()
+        .sort_values(["win_start", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.groupby("win_start").size().max() <= 64
+    # estimator sanity per window vs exact distinct users
+    import duckdb
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        hll_estimate,
+    )
+
+    exact = duckdb.sql(
+        f"SELECT CAST(FLOOR(epoch(ts)/600)*600 AS BIGINT) AS w, "
+        f"COUNT(DISTINCT user_id) AS n FROM '{sf_dir}/events.parquet' GROUP BY 1"
+    ).df()
+    for w, n in exact.itertuples(index=False):
+        sub = got[got["win_start"] == w]
+        est = hll_estimate(dict(zip(sub["bucket"], sub["max_rank"])))
+        assert abs(est - n) <= max(0.45 * n, 3), (w, est, n)
