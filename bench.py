@@ -322,6 +322,11 @@ def main() -> None:
         "canonicalize",
         lambda s, d: linking.canonicalize(detect_mentions(s, segment(transcripts(s, d)))),
     )
+    from cross_sentence_relation_extraction_idepnn_spark.operators import search, sketch
+
+    timed("hll_registers", sketch.hll_registers)
+    timed("cms_sketch", sketch.cms_sketch)
+    timed("hybrid_topk", search.hybrid_topk)
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -96,8 +96,20 @@ def main() -> None:
     from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
         chunk_documents,
     )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        transe_step,
+    )
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_communities,
         kg_neighbors,
+        kg_triangles,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.search import (
+        hybrid_topk,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        cms_sketch,
+        hll_registers,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
         quality_classifier,
@@ -107,9 +119,15 @@ def main() -> None:
         "kg_pipeline": extract_triples,
         "kg_materialize": materialize_kg,
         "kg_neighbors": lambda s, d: kg_neighbors(materialize_kg(s, d)),
+        "kg_communities": lambda s, d: kg_communities(materialize_kg(s, d)),
+        "kg_triangles": lambda s, d: kg_triangles(materialize_kg(s, d)),
+        "transe_step": lambda s, d: transe_step(materialize_kg(s, d)),
         "minhash_pairs": minhash_pairs,
         "chunk_documents": chunk_documents,
         "quality_classifier": quality_classifier,
+        "hll_registers": hll_registers,
+        "cms_sketch": cms_sketch,
+        "hybrid_topk": hybrid_topk,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():
