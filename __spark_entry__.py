@@ -319,6 +319,18 @@ def _kg_communities(spark: SparkSession, sf: str) -> DataFrame:
     return kg_communities(materialize_kg(spark, sf))
 
 
+def _transe_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-epoch TransE training (3 exact-integer SGD epochs): the
+    embedding table is explicit iterative state — each epoch reads the
+    previous epoch's checkpointed table; the oracle threads the same
+    state through chained CTE blocks."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        transe_epochs,
+    )
+
+    return transe_epochs(materialize_kg(spark, sf))
+
+
 def _transe_step(spark: SparkSession, sf: str) -> DataFrame:
     """One exact-integer TransE SGD step over the KG + its corrupted-
     tail negatives: every entity/relation embedding coordinate after
@@ -415,8 +427,8 @@ _DRIVER_PRIORITY = [
     # flagship KG product family + analytics
     "triples", "kg", "kg_incremental", "kg_pagerank", "kg_neighbors",
     "kg_temporal", "kg_negatives", "kg_edge_lift", "kg_communities",
-    "kg_triangles", "transe_step", "hll_registers", "cms_sketch",
-    "events_hll", "a2_lines", "multimodal_features",
+    "kg_triangles", "transe_step", "transe_epochs", "hll_registers",
+    "cms_sketch", "events_hll", "a2_lines", "multimodal_features",
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
     "bm25_topk", "overlap_topk", "hybrid_topk", "lm_score",
@@ -461,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _kg_communities,
         "kg_triangles": _kg_triangles,
         "transe_step": _transe_step,
+        "transe_epochs": _transe_epochs,
         "hll_registers": _hll_registers,
         "cms_sketch": _cms_sketch,
         "events_hll": stream_events_mod.windowed_hll_batch,
@@ -748,6 +761,14 @@ def _duck_kg_communities() -> str:
     return duck_communities_over(_duck_kg())
 
 
+def _duck_transe_epochs() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        duck_transe_epochs_over,
+    )
+
+    return duck_transe_epochs_over(_duck_kg())
+
+
 def _duck_kg_triangles() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
         duck_triangles_over,
@@ -902,6 +923,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _duck_kg_communities(),
         "kg_triangles": _duck_kg_triangles(),
         "transe_step": _duck_transe_step(),
+        "transe_epochs": _duck_transe_epochs(),
         "hll_registers": sketch.duck_hll_registers(),
         "cms_sketch": sketch.duck_cms_sketch(),
         "events_hll": stream_events_mod.duck_windowed_hll(),

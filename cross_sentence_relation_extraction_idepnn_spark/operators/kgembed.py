@@ -212,3 +212,199 @@ def duck_transe_over(
                CAST(nd.init - COALESCE(gr.g, 0) AS BIGINT) AS val
         FROM nd LEFT JOIN gr USING (name, d)
     """
+
+
+TRANSE_EPOCHS = 3
+
+
+def transe_epochs(
+    kg: DataFrame,
+    steps: int = TRANSE_EPOCHS,
+    dim: int = TRANSE_DIM,
+    margin: int = TRANSE_MARGIN,
+    release: bool = True,
+) -> DataFrame:
+    """(name, d, val) — ``steps`` full TransE SGD epochs as an
+    ITERATIVE dataflow: the embedding table is explicit state that
+    each epoch reads (four broadcast joins of the node-dimension-sized
+    state onto the persisted-once pair table), produces one
+    map-side-combinable gradient aggregation from, and updates with
+    lineage truncated per epoch (eager ``localCheckpoint``, previous
+    epoch's RDD freed as the next lands — the kg_pagerank /
+    kg_communities discipline).
+
+    ``steps=1`` is provably identical to :func:`transe_step` (tested);
+    unlike the closed-form single step, later epochs' inits are the
+    previous epoch's output, which the DuckDB oracle threads through
+    as one chained CTE block per epoch — distributed multi-epoch
+    KG-embedding training, bit-exact at every epoch."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import (
+        cache_scope,
+        track_cache,
+        track_checkpoint,
+        unpersist_checkpoint,
+    )
+    from .linking import kg_negatives
+
+    def loop() -> DataFrame:
+        dims = F.sequence(F.lit(0), F.lit(dim - 1))
+        rel = F.concat(F.lit(REL_PREFIX), F.col("pred"))
+        pairs = track_cache(
+            kg_negatives(kg, release=False)
+            .withColumn("rel", rel)
+            .withColumn("d", F.explode(dims))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        names = (
+            kg.select(F.col("subj").alias("name"))
+            .unionByName(kg.select(F.col("obj").alias("name")))
+            .unionByName(kg.select(rel.alias("name")))
+            .distinct()
+        )
+        emb = (
+            names.select("name", F.explode(dims).alias("d"))
+            .withColumn("val", _emb(F.col("name"), F.col("d")).cast("long"))
+            .localCheckpoint(eager=release)
+        )
+        prev = emb if release else None
+
+        def side(key: str, out: str):
+            return F.broadcast(
+                emb.select(
+                    F.col("name").alias(key), "d", F.col("val").alias(out)
+                )
+            )
+
+        sgn = lambda c: F.signum(c).cast("long")  # noqa: E731
+        for _i in range(steps):
+            j = (
+                pairs.join(side("subj", "h"), ["subj", "d"])
+                .join(side("rel", "r"), ["rel", "d"])
+                .join(side("obj", "t"), ["obj", "d"])
+                .join(side("neg_obj", "tn"), ["neg_obj", "d"])
+                .withColumn("dp", F.col("h") + F.col("r") - F.col("t"))
+                .withColumn("dn", F.col("h") + F.col("r") - F.col("tn"))
+            )
+            ps = j.groupBy("subj", "pred", "obj", "neg_idx").agg(
+                F.sum(F.abs("dp")).alias("s_pos"),
+                F.sum(F.abs("dn")).alias("s_neg"),
+            )
+            act = j.join(ps, ["subj", "pred", "obj", "neg_idx"]).filter(
+                F.lit(margin) + F.col("s_pos") - F.col("s_neg") > 0
+            )
+
+            def branch(name_col, c):
+                return act.select(name_col.alias("name"), "d", c.alias("c"))
+
+            contribs = (
+                branch(F.col("subj"), sgn("dp") - sgn("dn"))
+                .unionByName(branch(F.col("obj"), -sgn("dp")))
+                .unionByName(branch(F.col("neg_obj"), sgn("dn")))
+                .unionByName(branch(F.col("rel"), sgn("dp") - sgn("dn")))
+            )
+            grads = contribs.groupBy("name", "d").agg(F.sum("c").alias("g"))
+            emb = (
+                emb.join(grads, ["name", "d"], "left")
+                .select(
+                    "name",
+                    "d",
+                    (F.col("val") - F.coalesce("g", F.lit(0)))
+                    .cast("long")
+                    .alias("val"),
+                )
+                .localCheckpoint(eager=release)
+            )
+            if release:
+                unpersist_checkpoint(prev)
+                prev = emb
+        return emb
+
+    # rename AFTER checkpoint registration (the handle needs the bare
+    # LogicalRDD plan — same discipline as kg_communities)
+    rename = lambda df: df.select(  # noqa: E731
+        "name", F.col("d").cast("int").alias("d"), "val"
+    )
+    if not release:
+        return rename(loop())
+    with cache_scope():
+        out = loop()
+    return rename(track_checkpoint(out))
+
+
+def duck_transe_epochs_over(
+    kg_cte: str,
+    steps: int = TRANSE_EPOCHS,
+    dim: int = TRANSE_DIM,
+    margin: int = TRANSE_MARGIN,
+) -> str:
+    """Oracle: one chained CTE block per epoch — each epoch's embedding
+    table (emb{i}) is explicit state read by the next block, exactly
+    like the Spark loop's checkpointed DataFrames."""
+    from .linking import duck_negatives_over
+
+    h0 = duck_h15("nm.name || '#emb#' || CAST(dm.d AS VARCHAR)")
+    ctes = [
+        f"okg AS MATERIALIZED ({kg_cte})",
+        f"negs AS MATERIALIZED ({duck_negatives_over('SELECT * FROM okg')})",
+        f"dims AS (SELECT UNNEST(range({dim})) AS d)",
+        f"""nm AS (SELECT DISTINCT name FROM (
+            SELECT subj AS name FROM okg
+            UNION ALL SELECT obj FROM okg
+            UNION ALL SELECT '{REL_PREFIX}' || pred FROM okg
+        ))""",
+        f"""emb0 AS MATERIALIZED (
+            SELECT nm.name, dm.d, CAST({h0} % {EMB_MOD} - {EMB_OFF} AS BIGINT) AS val
+            FROM nm CROSS JOIN dims dm
+        )""",
+    ]
+    for i in range(steps):
+        ctes.append(f"""
+        pd{i} AS MATERIALIZED (
+            SELECT n.subj, n.pred, n.obj, n.neg_idx, n.neg_obj, dm.d,
+                   eh.val + er.val - et.val AS dp,
+                   eh.val + er.val - en.val AS dn
+            FROM negs n
+            CROSS JOIN dims dm
+            JOIN emb{i} eh ON eh.name = n.subj AND eh.d = dm.d
+            JOIN emb{i} er ON er.name = '{REL_PREFIX}' || n.pred AND er.d = dm.d
+            JOIN emb{i} et ON et.name = n.obj AND et.d = dm.d
+            JOIN emb{i} en ON en.name = n.neg_obj AND en.d = dm.d
+        )""")
+        ctes.append(f"""
+        ps{i} AS (
+            SELECT subj, pred, obj, neg_idx,
+                   SUM(ABS(dp)) AS s_pos, SUM(ABS(dn)) AS s_neg
+            FROM pd{i} GROUP BY 1, 2, 3, 4
+        )""")
+        ctes.append(f"""
+        act{i} AS MATERIALIZED (
+            SELECT pd{i}.* FROM pd{i}
+            JOIN ps{i} USING (subj, pred, obj, neg_idx)
+            WHERE {margin} + ps{i}.s_pos - ps{i}.s_neg > 0
+        )""")
+        ctes.append(f"""
+        gr{i} AS (
+            SELECT name, d, SUM(c) AS g FROM (
+                SELECT subj AS name, d,
+                       CAST(SIGN(dp) AS BIGINT) - CAST(SIGN(dn) AS BIGINT) AS c
+                FROM act{i}
+                UNION ALL SELECT obj, d, -CAST(SIGN(dp) AS BIGINT) FROM act{i}
+                UNION ALL SELECT neg_obj, d, CAST(SIGN(dn) AS BIGINT) FROM act{i}
+                UNION ALL SELECT '{REL_PREFIX}' || pred, d,
+                       CAST(SIGN(dp) AS BIGINT) - CAST(SIGN(dn) AS BIGINT)
+                FROM act{i}
+            ) GROUP BY 1, 2
+        )""")
+        ctes.append(f"""
+        emb{i + 1} AS MATERIALIZED (
+            SELECT e.name, e.d,
+                   CAST(e.val - COALESCE(g.g, 0) AS BIGINT) AS val
+            FROM emb{i} e LEFT JOIN gr{i} g USING (name, d)
+        )""")
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + f" SELECT name, CAST(d AS INT) AS d, val FROM emb{steps}"
+    )
