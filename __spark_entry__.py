@@ -342,6 +342,17 @@ def _transe_step(spark: SparkSession, sf: str) -> DataFrame:
     return transe_step(materialize_kg(spark, sf))
 
 
+def _kg_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact connected components over the KG's undirected entity
+    graph (disconnected-knowledge-island census) — shared G6 machinery
+    (driver union-find / star rounds), min-reachable-label oracle."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_components,
+    )
+
+    return kg_components(materialize_kg(spark, sf))
+
+
 def _kg_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle participation over the KG's undirected edges
     (cohesion / clustering-coefficient numerator)."""
@@ -427,11 +438,13 @@ _DRIVER_PRIORITY = [
     # flagship KG product family + analytics
     "triples", "kg", "kg_incremental", "kg_pagerank", "kg_neighbors",
     "kg_temporal", "kg_negatives", "kg_edge_lift", "kg_communities",
-    "kg_triangles", "transe_step", "transe_epochs", "hll_registers",
+    "kg_triangles", "kg_components", "transe_step", "transe_epochs",
+    "hll_registers",
     "cms_sketch", "events_hll", "a2_lines", "multimodal_features",
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
-    "bm25_topk", "overlap_topk", "hybrid_topk", "lm_score",
+    "bm25_topk", "overlap_topk", "hybrid_topk", "collocations",
+    "lm_score",
     "quality_classifier", "chunk_documents",
     "bpe_merges", "bpe_token_counts",
     # kernel attestations (closed-form SDP oracles)
@@ -472,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_lift": _kg_edge_lift,
         "kg_communities": _kg_communities,
         "kg_triangles": _kg_triangles,
+        "kg_components": _kg_components,
         "transe_step": _transe_step,
         "transe_epochs": _transe_epochs,
         "hll_registers": _hll_registers,
@@ -601,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": search.bm25_topk,
         "overlap_topk": search.overlap_topk,
         "hybrid_topk": search.hybrid_topk,
+        "collocations": search.collocations,
         "lm_score": search.lm_score,
         # plant=True: deterministic perturbed twins keep the parity row
         # non-vacuous (the fixture has no organic near-dup vectors)
@@ -761,6 +776,14 @@ def _duck_kg_communities() -> str:
     return duck_communities_over(_duck_kg())
 
 
+def _duck_kg_components() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_kg_components_over,
+    )
+
+    return duck_kg_components_over(_duck_kg())
+
+
 def _duck_transe_epochs() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
         duck_transe_epochs_over,
@@ -907,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": search.duck_bm25(),
         "overlap_topk": search.duck_overlap(),
         "hybrid_topk": search.duck_hybrid(),
+        "collocations": search.duck_collocations(),
         "lm_score": search.duck_lm_score(),
         "sentences_punkt": duck_sentences_punkt(),
         "muc6_triples": duck_muc6_triples(),
@@ -922,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_lift": _duck_kg_edge_lift(),
         "kg_communities": _duck_kg_communities(),
         "kg_triangles": _duck_kg_triangles(),
+        "kg_components": _duck_kg_components(),
         "transe_step": _duck_transe_step(),
         "transe_epochs": _duck_transe_epochs(),
         "hll_registers": sketch.duck_hll_registers(),

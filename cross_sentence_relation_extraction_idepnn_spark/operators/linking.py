@@ -1097,3 +1097,43 @@ def duck_triangles_over(kg_cte: str) -> str:
         SELECT alln.node, CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri
         FROM alln LEFT JOIN pn USING (node)
     """
+
+
+def kg_components(kg: DataFrame) -> DataFrame:
+    """(node, component) — EXACT connected components over the KG's
+    undirected entity graph (component = lexicographic-min reachable
+    node). The complement of ``kg_communities``: LPA finds dense
+    sub-groups inside a component; this finds the components
+    themselves (disconnected knowledge islands — the "how many
+    disjoint sub-graphs did extraction produce" health metric).
+
+    Reuses the G6 machinery end-to-end: driver union-find below the
+    vocabulary threshold, alternating large-star/small-star above it
+    (O(log n) rounds, per-round lineage truncation) — the identical
+    mapping either way, so the oracle (min-reachable-label recursive
+    CTE) covers both paths."""
+    nodes = (
+        kg.select(F.col("subj").alias("surface"))
+        .unionByName(kg.select(F.col("obj").alias("surface")))
+        .distinct()
+    )
+    edges = kg.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return connected_components(nodes, edges).select(
+        F.col("surface").alias("node"), "component"
+    )
+
+
+def duck_kg_components_over(kg_cte: str) -> str:
+    """Oracle: the shared min-reachable-label recursive CTE over the
+    KG's node/edge projections."""
+    inner = duck_components_cte()
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        cc_nodes AS (SELECT DISTINCT surface FROM (
+            SELECT subj AS surface FROM kg UNION ALL SELECT obj FROM kg
+        )),
+        cc_edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM kg
+                     WHERE subj <> obj),
+        comp AS ({inner})
+        SELECT surface AS node, component FROM comp
+    """

@@ -409,3 +409,89 @@ def duck_hybrid() -> str:
         )
         WHERE rnk <= {TOP_K}
     """
+
+
+COLL_MIN_COUNT = 5
+COLL_TOP = 50
+
+
+def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rnk, w1, w2, c2, lift_e6): the corpus's top-``COLL_TOP``
+    collocations — adjacent token pairs ranked by exact-integer LIFT
+    against their positional marginals (same monotone-in-PMI two-step
+    floor-division contract as ``linking.kg_edge_lift``), with a
+    ``COLL_MIN_COUNT`` support floor so hapax pairs can't dominate.
+    The classic phrase-mining signal (Mikolov-style phrase joining
+    uses exactly this statistic) for tokenizer/vocab curation.
+
+    Plan: one bigram groupBy (map-side combinable) builds c2; both
+    marginals and the total derive FROM c2 (vocabulary-sized — no
+    second corpus pass); marginals broadcast back on; the global
+    top-k is a distributed TakeOrdered over the min-count survivors —
+    the corpus is touched exactly once."""
+    base = _base(spark, sf_dir)
+    n1 = F.col("dl") - 1
+    bigrams = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n1),
+                F.slice("toks", 2, n1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    cr = c2.groupBy("w2").agg(F.sum("c2").alias("cr"))
+    total = c2.agg(F.sum("c2")).collect()[0][0]
+    lift = F.expr(f"((c2 * 1000000) div c1) * {int(total)} div cr").cast("long")
+    ranked = (
+        c2.filter(F.col("c2") >= COLL_MIN_COUNT)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cr), "w2")
+        .select("w1", "w2", "c2", lift.alias("lift_e6"))
+        .orderBy(F.col("lift_e6").desc(), "w1", "w2")
+        .limit(COLL_TOP)
+    )
+    win = Window.orderBy(F.col("lift_e6").desc(), "w1", "w2")
+    return ranked.select(
+        F.row_number().over(win).cast("long").alias("rnk"),
+        "w1",
+        "w2",
+        "c2",
+        "lift_e6",
+    )
+
+
+def duck_collocations() -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        big AS (
+            SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+            FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i FROM base)
+        ),
+        c2 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM big GROUP BY w1, w2
+        ),
+        c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+        cr AS (SELECT w2, SUM(c2) AS cr FROM c2 GROUP BY w2),
+        tot AS (SELECT SUM(c2) AS t FROM c2),
+        ranked AS (
+            SELECT c2.w1, c2.w2, c2.c2,
+                   CAST(((c2.c2 * 1000000) // c1.c1)
+                        * (SELECT t FROM tot) // cr.cr AS BIGINT) AS lift_e6
+            FROM c2
+            JOIN c1 USING (w1)
+            JOIN cr USING (w2)
+            WHERE c2.c2 >= {COLL_MIN_COUNT}
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift_e6 DESC, w1, w2) AS BIGINT)
+                   AS rnk,
+               w1, w2, c2, lift_e6
+        FROM ranked
+        ORDER BY lift_e6 DESC, w1, w2
+        LIMIT {COLL_TOP}
+    """

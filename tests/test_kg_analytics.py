@@ -282,3 +282,30 @@ def test_transe_epochs_matches_python_twin_multi_step(spark):
     assert got == want
     # epochs actually progress: state after 3 steps differs from step 1
     assert want != _py_transe_epochs(_TRANSE_ROWS, 1)
+
+
+def test_kg_components_islands_and_community_refinement(spark):
+    """Crafted two-island KG: components identify the islands exactly,
+    and every LPA community is a REFINEMENT of a component (labels
+    never cross a component boundary)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_components,
+    )
+
+    edges = [
+        ("A", "B"), ("B", "C"), ("C", "D"),       # island 1 (path)
+        ("X", "Y"), ("Y", "Z"), ("X", "Z"),       # island 2 (triangle)
+    ]
+    kg = _kg_df(spark, [(a, "r", b, 1) for a, b in edges])
+    comp = {r["node"]: r["component"] for r in kg_components(kg).collect()}
+    comm = {r["node"]: r["community"] for r in kg_communities(kg).collect()}
+    release_caches()
+    assert comp == {
+        "A": "A", "B": "A", "C": "A", "D": "A",
+        "X": "X", "Y": "X", "Z": "X",
+    }
+    # refinement: two nodes sharing a community share a component
+    for u in comm:
+        for v in comm:
+            if comm[u] == comm[v]:
+                assert comp[u] == comp[v]
