@@ -56,28 +56,10 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, rnk, doc_id, score_e6): BM25 top-``TOP_K`` docs per
-    query, exact integer micro-unit scores, ties broken by doc_id.
-
-    Queries are derived from the corpus itself (no external data): the
-    ``N_QUERY_DOCS`` smallest doc_ids each contribute their distinct
-    tokens at positions ``QUERY_TOKEN_POS0``.
-
-    Plan: one stats aggregate (N docs, total length L → integer avgdl
-    A), then explode → broadcast semi-join on the query-term set →
-    tf groupBy → df from the surviving postings → broadcast df + query
-    map back on → integer weight → sum → per-query top-k window. The
-    only wide exchanges are the tf groupBy (keyed on (doc,term), no
-    skew: term set is tiny and pre-filtered) and the final per-query
-    window over candidate docs."""
-    base = _base(spark, sf_dir)
-    n_docs, total_len = base.agg(
-        F.count("*").cast("long"), F.sum("dl").cast("long")
-    ).first()
-    avgdl = (2 * int(total_len) + int(n_docs)) // (2 * int(n_docs))  # half-up
-
-    qterms = (
+def _qterms(base: DataFrame) -> DataFrame:
+    """Corpus-derived query-term set (query_id, term) — shared by the
+    BM25 and overlap rankers."""
+    return (
         base.filter(F.col("doc_id") < N_QUERY_DOCS)
         .select(
             F.col("doc_id").alias("query_id"),
@@ -89,14 +71,27 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    postings = (
+
+def _postings(base: DataFrame, qterms: DataFrame) -> DataFrame:
+    """(doc_id, term, dl, tf) — the ONE corpus pass both rankers need:
+    exploded tokens semi-joined against the broadcast query-term set,
+    then tf-aggregated. (doc, term)-unique by construction."""
+    return (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term", "dl")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    dfreq = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
+
+def _bm25_rank(base: DataFrame, qterms: DataFrame, postings: DataFrame) -> DataFrame:
+    """BM25 integer-microunit scoring + per-query top-k over a postings
+    table (see module docstring for the exact-rational algebra)."""
+    n_docs, total_len = base.agg(
+        F.count("*").cast("long"), F.sum("dl").cast("long")
+    ).first()
+    avgdl = (2 * int(total_len) + int(n_docs)) // (2 * int(n_docs))  # half-up
+    dfreq = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_lit = F.lit(int(n_docs)).cast("long")
     a_lit = F.lit(avgdl).cast("long")
     w = (
@@ -127,6 +122,26 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "rnk", "doc_id", "score_e6")
     )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rnk, doc_id, score_e6): BM25 top-``TOP_K`` docs per
+    query, exact integer micro-unit scores, ties broken by doc_id.
+
+    Queries are derived from the corpus itself (no external data): the
+    ``N_QUERY_DOCS`` smallest doc_ids each contribute their distinct
+    tokens at positions ``QUERY_TOKEN_POS0``.
+
+    Plan: one stats aggregate (N docs, total length L → integer avgdl
+    A), then explode → broadcast semi-join on the query-term set →
+    tf groupBy → df from the surviving postings → broadcast df + query
+    map back on → integer weight → sum → per-query top-k window. The
+    only wide exchanges are the tf groupBy (keyed on (doc,term), no
+    skew: term set is tiny and pre-filtered) and the final per-query
+    window over candidate docs."""
+    base = _base(spark, sf_dir)
+    qterms = _qterms(base)
+    return _bm25_rank(base, qterms, _postings(base, qterms))
 
 
 def duck_bm25() -> str:
@@ -287,25 +302,19 @@ def overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT query terms present in the document (exact integer; ties
     by doc_id). Same corpus-derived query set as :func:`bm25_topk`.
 
-    Plan: the same exploded-token → broadcast-query-semi-join shape as
-    the BM25 postings build; the per-(query, doc) distinct-term count
-    is one map-side-combinable aggregation over the (tiny) surviving
-    postings."""
+    Plan: the SAME postings table as BM25 (exploded tokens →
+    broadcast-query-semi-join → tf groupBy; (doc, term)-unique by
+    construction, so counting its rows per (query, doc) IS the
+    distinct-term overlap); one map-side-combinable aggregation over
+    the tiny surviving postings."""
     base = _base(spark, sf_dir)
-    qterms = (
-        base.filter(F.col("doc_id") < N_QUERY_DOCS)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(
-                F.array(*[F.get("toks", p) for p in QUERY_TOKEN_POS0])
-            ).alias("term"),
-        )
-        .where(F.col("term").isNotNull())
-        .distinct()
-    )
+    qterms = _qterms(base)
+    return _overlap_rank(qterms, _postings(base, qterms))
+
+
+def _overlap_rank(qterms: DataFrame, postings: DataFrame) -> DataFrame:
     hits = (
-        base.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
-        .join(F.broadcast(qterms), "term")
+        postings.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").cast("long").alias("n_overlap"))
     )
@@ -360,15 +369,28 @@ def hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer ``1e6 div (60 + rank)``; docs absent from a list
     contribute 0; final ties by doc_id.
 
-    Plan: fusion runs on the two top-k LISTS (≤ 2·K rows per query —
-    constant-bounded however large the corpus), so the only work
-    beyond the two rankers is a union + one tiny aggregation + the
-    final per-query window."""
+    Plan: the corpus is touched ONCE — both rankers read the same
+    persisted postings table (the overlap count is derivable from
+    BM25's postings because it is (doc, term)-unique), so hybrid costs
+    one corpus explode + two tiny ranking subtrees instead of two full
+    corpus passes. Fusion then runs on the two top-k LISTS (≤ 2·K rows
+    per query — constant-bounded however large the corpus): a union +
+    one tiny aggregation + the final per-query window."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
+    base = _base(spark, sf_dir)
+    qterms = _qterms(base)
+    postings = track_cache(
+        _postings(base, qterms).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     contrib = F.expr(f"1000000 div ({RRF_K} + rnk)").alias("c")
     fused = (
-        bm25_topk(spark, sf_dir).select("query_id", "doc_id", contrib)
+        _bm25_rank(base, qterms, postings)
+        .select("query_id", "doc_id", contrib)
         .unionByName(
-            overlap_topk(spark, sf_dir).select("query_id", "doc_id", contrib)
+            _overlap_rank(qterms, postings).select("query_id", "doc_id", contrib)
         )
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("rrf_e6"))
