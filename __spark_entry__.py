@@ -353,6 +353,16 @@ def _kg_components(spark: SparkSession, sf: str) -> DataFrame:
     return kg_components(materialize_kg(spark, sf))
 
 
+def _kg_node_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighbour-set Jaccard for common-neighbour entity pairs — the
+    link-prediction signal over the materialized KG."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_node_sim,
+    )
+
+    return kg_node_sim(materialize_kg(spark, sf))
+
+
 def _kg_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle participation over the KG's undirected edges
     (cohesion / clustering-coefficient numerator)."""
@@ -438,8 +448,8 @@ _DRIVER_PRIORITY = [
     # flagship KG product family + analytics
     "triples", "kg", "kg_incremental", "kg_pagerank", "kg_neighbors",
     "kg_temporal", "kg_negatives", "kg_edge_lift", "kg_communities",
-    "kg_triangles", "kg_components", "transe_step", "transe_epochs",
-    "hll_registers",
+    "kg_triangles", "kg_components", "kg_node_sim", "transe_step",
+    "transe_epochs", "hll_registers",
     "cms_sketch", "events_hll", "a2_lines", "multimodal_features",
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
@@ -486,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _kg_communities,
         "kg_triangles": _kg_triangles,
         "kg_components": _kg_components,
+        "kg_node_sim": _kg_node_sim,
         "transe_step": _transe_step,
         "transe_epochs": _transe_epochs,
         "hll_registers": _hll_registers,
@@ -784,6 +795,14 @@ def _duck_kg_components() -> str:
     return duck_kg_components_over(_duck_kg())
 
 
+def _duck_kg_node_sim() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_node_sim_over,
+    )
+
+    return duck_node_sim_over(_duck_kg())
+
+
 def _duck_transe_epochs() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
         duck_transe_epochs_over,
@@ -947,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _duck_kg_communities(),
         "kg_triangles": _duck_kg_triangles(),
         "kg_components": _duck_kg_components(),
+        "kg_node_sim": _duck_kg_node_sim(),
         "transe_step": _duck_transe_step(),
         "transe_epochs": _duck_transe_epochs(),
         "hll_registers": sketch.duck_hll_registers(),

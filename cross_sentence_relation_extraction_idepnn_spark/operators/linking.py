@@ -1137,3 +1137,92 @@ def duck_kg_components_over(kg_cte: str) -> str:
         comp AS ({inner})
         SELECT surface AS node, component FROM comp
     """
+
+
+def kg_node_sim(kg: DataFrame, release: bool = True) -> DataFrame:
+    """(src, dst, n_common, jac_e6) — neighbour-set Jaccard similarity
+    for every entity pair sharing at least one common neighbour in the
+    KG's undirected graph: the classic link-prediction / missing-edge
+    signal a KG consumer runs after construction (pairs that are
+    connected but share no neighbour are out of scope by definition of
+    common-neighbour candidate generation — documented contract).
+
+    jac_e6 is the exact integer ``(inter * 1e6) div (deg_a + deg_b -
+    inter)``. Plan: the id-oriented wedge join (same shape and skew
+    notes as ``kg_triangles``) generates candidates — never all pairs;
+    degrees ride back as a broadcast (node-dimension-sized); one
+    count aggregation at pair grain."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import cache_scope, track_cache, track_checkpoint
+
+    def build() -> DataFrame:
+        directed = kg.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        und = track_cache(
+            directed.unionByName(
+                directed.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        deg = und.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("deg")
+        )
+        wedges = (
+            und.alias("x")
+            .join(und.alias("y"), F.col("x.src") == F.col("y.src"))
+            .filter(F.col("x.dst") < F.col("y.dst"))
+            .select(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        )
+        common = wedges.groupBy("a", "b").agg(F.count("*").alias("n_common"))
+        return (
+            common.join(
+                F.broadcast(deg.select(F.col("node").alias("a"),
+                                       F.col("deg").alias("da"))), "a")
+            .join(
+                F.broadcast(deg.select(F.col("node").alias("b"),
+                                       F.col("deg").alias("db"))), "b")
+            .select(
+                F.col("a").alias("src"),
+                F.col("b").alias("dst"),
+                "n_common",
+                F.expr("(n_common * 1000000) div (da + db - n_common)")
+                .cast("long")
+                .alias("jac_e6"),
+            )
+        )
+
+    if not release:
+        return build()
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
+
+
+def duck_node_sim_over(kg_cte: str) -> str:
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        und AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT subj AS src, obj AS dst FROM kg WHERE subj <> obj
+                UNION ALL
+                SELECT obj AS src, subj AS dst FROM kg WHERE subj <> obj
+            )
+        ),
+        dg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+        com AS (
+            SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+            GROUP BY x.dst, y.dst
+        )
+        SELECT com.a AS src, com.b AS dst, com.n_common,
+               CAST((com.n_common * 1000000)
+                    // (da.deg + db.deg - com.n_common) AS BIGINT) AS jac_e6
+        FROM com
+        JOIN dg da ON da.node = com.a
+        JOIN dg db ON db.node = com.b
+    """

@@ -309,3 +309,27 @@ def test_kg_components_islands_and_community_refinement(spark):
         for v in comm:
             if comm[u] == comm[v]:
                 assert comp[u] == comp[v]
+
+
+def test_kg_node_sim_hand_computed(spark):
+    """Path A—B—C: (A,C) share neighbour B, deg 1 each → Jaccard 1.
+    Triangle P,Q,R: every pair shares exactly one common neighbour,
+    deg 2 each → 1*1e6 div (2+2-1) = 333333. Connected-but-no-common-
+    neighbour pairs (A,B) are out of scope by contract."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_node_sim,
+    )
+
+    edges = [("A", "B"), ("B", "C"), ("P", "Q"), ("Q", "R"), ("P", "R")]
+    kg = _kg_df(spark, [(a, "r", b, 1) for a, b in edges])
+    got = {
+        (r["src"], r["dst"]): (r["n_common"], r["jac_e6"])
+        for r in kg_node_sim(kg).collect()
+    }
+    release_caches()
+    assert got == {
+        ("A", "C"): (1, 1_000_000),
+        ("P", "Q"): (1, 333_333),
+        ("P", "R"): (1, 333_333),
+        ("Q", "R"): (1, 333_333),
+    }
