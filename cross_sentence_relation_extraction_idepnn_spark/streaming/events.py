@@ -331,3 +331,64 @@ def duck_windowed_hll() -> str:
         FROM events
         GROUP BY 1, 2
     """
+
+
+def _cms_cols(key):
+    """(r, c) Count-Min coordinates for a key Column across the
+    ``CMS_DEPTH`` hash rows — shared by stream and batch twins."""
+    from ..hashing import spark_h15, spark_minhash_term
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    h = spark_h15(key.cast("string"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (spark_minhash_term(h, r) % CMS_WIDTH).cast("int").alias("c"),
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    return F.explode(rows).alias("rc")
+
+
+def windowed_cms(stream: DataFrame) -> DataFrame:
+    """Streaming Count-Min: per-window user-activity sketch —
+    (win_start, r, c, cnt). State per window is the fixed 4×128 grid
+    however many users are active (the heavy-hitter / rate-limiting
+    shape: an exact per-user windowed count keys state by user).
+    Counts are additive and arrival-order-insensitive, so the stream
+    result equals the batch twin exactly on bounded input."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .select(F.window("ts", WINDOW).alias("w"), _cms_cols(F.col("user_id")))
+        .groupBy("w", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("cnt"))
+        .select(_epoch_ntz("w.start").alias("win_start"), "r", "c", "cnt")
+    )
+
+
+def windowed_cms_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`windowed_cms` (oracle-checkable)."""
+    return (
+        events_batch(spark, sf_dir)
+        .select(F.window("ts", WINDOW).alias("w"), _cms_cols(F.col("user_id")))
+        .groupBy("w", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("cnt"))
+        .select(_epoch_ntz("w.start").alias("win_start"), "r", "c", "cnt")
+    )
+
+
+def duck_windowed_cms() -> str:
+    from ..hashing import duck_h15, duck_minhash_term
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    h = duck_h15("CAST(user_id AS VARCHAR)")
+    branches = " UNION ALL ".join(
+        f"""SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+                   {r} AS r,
+                   CAST(({duck_minhash_term(f'({h})', r)}) % {CMS_WIDTH} AS INT) AS c
+            FROM events"""
+        for r in range(CMS_DEPTH)
+    )
+    return f"SELECT win_start, r, c, COUNT(*) AS cnt FROM ({branches}) GROUP BY 1, 2, 3"

@@ -168,14 +168,29 @@ def test_new_kg_operators_release_their_caches(spark):
     release_caches()
     spark.catalog.clearCache()
     base = n_persistent_rdds()
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        transe_epochs,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_node_sim,
+        kg_triangles,
+    )
+
     kg = _kg_df(spark, [("A", "r", "B", 1), ("B", "r", "C", 2)])
+    ops = [
+        lambda: kg_edge_lift(kg).count(),
+        lambda: kg_communities(kg).count(),
+        lambda: transe_step(kg).count(),
+        lambda: kg_triangles(kg).count(),
+        lambda: kg_node_sim(kg).count(),
+        lambda: transe_epochs(kg, steps=2).count(),
+    ]
     outs = []
-    for _ in range(3):
-        outs.append(kg_edge_lift(kg).count())
-        outs.append(kg_communities(kg).count())
-        outs.append(transe_step(kg).count())
-    assert len(set(outs[0::3])) == 1
-    assert n_persistent_rdds() - base <= 9  # ≤ one checkpoint per call
+    for _ in range(2):
+        outs.extend(op() for op in ops)
+    assert outs[: len(ops)] == outs[len(ops):]  # call-idempotent
+    # ≤ one tracked result checkpoint per call survives
+    assert n_persistent_rdds() - base <= 2 * len(ops)
     release_caches()
     spark.catalog.clearCache()
     assert n_persistent_rdds() <= base

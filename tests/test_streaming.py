@@ -519,3 +519,43 @@ def test_windowed_hll_stream_equals_batch(spark, sf_dir):
         sub = got[got["win_start"] == w]
         est = hll_estimate(dict(zip(sub["bucket"], sub["max_rank"])))
         assert abs(est - n) <= max(0.45 * n, 3), (w, est, n)
+
+
+def test_windowed_cms_stream_equals_batch(spark, sf_dir):
+    """Streaming per-window Count-Min grid must equal the batch twin
+    exactly (counts are additive and order-insensitive); state per
+    window is bounded by the fixed grid; per-user point queries never
+    under-count."""
+    got = (
+        S.run_available_now(
+            S.windowed_cms(S.stream_events(spark, sf_dir)), "win_cms_test"
+        )
+        .toPandas()
+        .sort_values(["win_start", "r", "c"])
+        .reset_index(drop=True)
+    )
+    want = (
+        S.windowed_cms_batch(spark, sf_dir)
+        .toPandas()
+        .sort_values(["win_start", "r", "c"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_query,
+    )
+
+    assert got.groupby("win_start").size().max() <= CMS_DEPTH * CMS_WIDTH
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT CAST(FLOOR(epoch(ts)/600)*600 AS BIGINT) AS w, user_id, "
+        f"COUNT(*) AS n FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 "
+        f"ORDER BY n DESC LIMIT 25"
+    ).df()
+    for w, uid, n in exact.itertuples(index=False):
+        sub = got[got["win_start"] == w]
+        grid = {(r, c): v for _, r, c, v in sub.itertuples(index=False)}
+        assert cms_query(grid, str(uid)) >= n
