@@ -105,6 +105,7 @@ def main() -> None:
         kg_triangles,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.search import (
+        collocations,
         hybrid_topk,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
@@ -128,6 +129,7 @@ def main() -> None:
         "hll_registers": hll_registers,
         "cms_sketch": cms_sketch,
         "hybrid_topk": hybrid_topk,
+        "collocations": collocations,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():
