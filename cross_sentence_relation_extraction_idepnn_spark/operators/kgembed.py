@@ -75,6 +75,14 @@ def transe_step(
     from .linking import kg_negatives
 
     def build() -> DataFrame:
+        # one kg-subtree execution feeds BOTH the negatives build and
+        # the name dimension (measured at sf1: the un-persisted names
+        # derivation doubled end-to-end wall time)
+        from pyspark.storagelevel import StorageLevel as _SL
+
+        base = track_cache(
+            kg.select("subj", "pred", "obj").persist(_SL.MEMORY_AND_DISK)
+        )
         dims = F.sequence(F.lit(0), F.lit(dim - 1))
         rel = F.concat(F.lit(REL_PREFIX), F.col("pred"))
         diff_pos = F.transform(
@@ -96,7 +104,7 @@ def transe_step(
         # the negatives subtree (kg extraction + sampling) feeds FOUR
         # contribution branches — persist the slim pair table once
         pairs = track_cache(
-            kg_negatives(kg, release=False)
+            kg_negatives(base, release=False)
             .withColumn("dp", diff_pos)
             .withColumn("dn", diff_neg)
             .withColumn(
@@ -128,9 +136,9 @@ def transe_step(
         )
         grads = contribs.groupBy("name", "d").agg(F.sum("c").alias("g"))
         names = (
-            kg.select(F.col("subj").alias("name"))
-            .unionByName(kg.select(F.col("obj").alias("name")))
-            .unionByName(kg.select(rel.alias("name")))
+            base.select(F.col("subj").alias("name"))
+            .unionByName(base.select(F.col("obj").alias("name")))
+            .unionByName(base.select(rel.alias("name")))
             .distinct()
         )
         return (
@@ -249,18 +257,23 @@ def transe_epochs(
     from .linking import kg_negatives
 
     def loop() -> DataFrame:
+        base = track_cache(
+            kg.select("subj", "pred", "obj").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
         dims = F.sequence(F.lit(0), F.lit(dim - 1))
         rel = F.concat(F.lit(REL_PREFIX), F.col("pred"))
         pairs = track_cache(
-            kg_negatives(kg, release=False)
+            kg_negatives(base, release=False)
             .withColumn("rel", rel)
             .withColumn("d", F.explode(dims))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         names = (
-            kg.select(F.col("subj").alias("name"))
-            .unionByName(kg.select(F.col("obj").alias("name")))
-            .unionByName(kg.select(rel.alias("name")))
+            base.select(F.col("subj").alias("name"))
+            .unionByName(base.select(F.col("obj").alias("name")))
+            .unionByName(base.select(rel.alias("name")))
             .distinct()
         )
         emb = (

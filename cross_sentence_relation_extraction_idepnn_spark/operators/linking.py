@@ -904,7 +904,15 @@ def kg_communities(
     )
 
     def loop() -> DataFrame:
-        directed = kg.select(
+        # the (expensive) kg subtree feeds BOTH the edge and node
+        # derivations — persist the KG-grain projection ONCE so the
+        # upstream extraction pipeline executes once, not per consumer
+        # (measured at sf1: the un-persisted nodes derivation doubled
+        # the operator's end-to-end wall time)
+        base = track_cache(
+            kg.select("subj", "obj").persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        directed = base.select(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         ).filter(F.col("src") != F.col("dst"))
         edges = track_cache(
@@ -917,8 +925,8 @@ def kg_communities(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         nodes = track_cache(
-            kg.select(F.col("subj").alias("node"))
-            .unionByName(kg.select(F.col("obj").alias("node")))
+            base.select(F.col("subj").alias("node"))
+            .unionByName(base.select(F.col("obj").alias("node")))
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -1027,8 +1035,12 @@ def kg_triangles(kg: DataFrame, release: bool = True) -> DataFrame:
     from ..session import cache_scope, track_cache, track_checkpoint
 
     def build() -> DataFrame:
+        # one kg-subtree execution feeds the edge AND node derivations
+        base = track_cache(
+            kg.select("subj", "obj").persist(StorageLevel.MEMORY_AND_DISK)
+        )
         und = track_cache(
-            kg.select(
+            base.select(
                 F.least("subj", "obj").alias("u"),
                 F.greatest("subj", "obj").alias("v"),
             )
@@ -1055,8 +1067,8 @@ def kg_triangles(kg: DataFrame, release: bool = True) -> DataFrame:
             .agg(F.count("*").alias("n_tri"))
         )
         nodes = (
-            kg.select(F.col("subj").alias("node"))
-            .unionByName(kg.select(F.col("obj").alias("node")))
+            base.select(F.col("subj").alias("node"))
+            .unionByName(base.select(F.col("obj").alias("node")))
             .distinct()
         )
         return nodes.join(per_node, "node", "left").select(
@@ -1157,7 +1169,12 @@ def kg_node_sim(kg: DataFrame, release: bool = True) -> DataFrame:
     from ..session import cache_scope, track_cache, track_checkpoint
 
     def build() -> DataFrame:
-        directed = kg.select(
+        # persist the KG-grain projection first: the undirected union
+        # references it twice within one job (plus any later consumer)
+        base = track_cache(
+            kg.select("subj", "obj").persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        directed = base.select(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         ).filter(F.col("src") != F.col("dst"))
         und = track_cache(
