@@ -450,7 +450,7 @@ _DRIVER_PRIORITY = [
     "kg_temporal", "kg_negatives", "kg_edge_lift", "kg_communities",
     "kg_triangles", "kg_components", "kg_node_sim", "transe_step",
     "transe_epochs", "hll_registers",
-    "cms_sketch", "events_hll", "events_cms", "a2_lines",
+    "cms_sketch", "heavy_hitters", "events_hll", "events_cms", "a2_lines",
     "multimodal_features",
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
@@ -502,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transe_epochs": _transe_epochs,
         "hll_registers": _hll_registers,
         "cms_sketch": _cms_sketch,
+        "heavy_hitters": sketch.heavy_hitters,
         "events_hll": stream_events_mod.windowed_hll_batch,
         "events_cms": stream_events_mod.windowed_cms_batch,
         # official-eval .a2 assembly over model scores
@@ -973,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
         "transe_epochs": _duck_transe_epochs(),
         "hll_registers": sketch.duck_hll_registers(),
         "cms_sketch": sketch.duck_cms_sketch(),
+        "heavy_hitters": sketch.duck_heavy_hitters(),
         "events_hll": stream_events_mod.duck_windowed_hll(),
         "events_cms": stream_events_mod.duck_windowed_cms(),
         "a2_lines": _duck_a2_lines(),

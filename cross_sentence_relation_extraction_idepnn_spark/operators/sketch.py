@@ -154,3 +154,69 @@ def cms_query(grid: dict[tuple[int, int], int], token: str) -> int:
         grid.get((r, py_minhash_term(h, r) % CMS_WIDTH), 0)
         for r in range(CMS_DEPTH)
     )
+
+
+HH_MIN_THRESHOLD = 25
+HH_THRESHOLD_DIV = 200  # threshold = max(25, total_tokens div 200)
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, n) — EXACT counts of every token whose frequency reaches
+    ``max(25, total div 200)``, found with the canonical two-pass
+    sketch pipeline: pass 1 builds the Count-Min grid (constant-size
+    state); pass 2 re-scans and exact-counts ONLY tokens whose CMS
+    estimate clears the threshold. CMS never under-counts, so the
+    prefilter is LOSSLESS for heavy hitters — but it prunes the long
+    tail BEFORE the shuffle, so the aggregation carries rows
+    proportional to heavy-token mass instead of the full vocabulary
+    (at 100 TB: the difference between shuffling every distinct token
+    and shuffling the few thousand that matter). The oracle is the
+    brute-force HAVING query — equality IS the losslessness proof."""
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    total = toks.count()
+    thr = max(HH_MIN_THRESHOLD, total // HH_THRESHOLD_DIV)
+    # the grid is ≤ 4×128 cells — a literal map in the executor closure
+    grid = {
+        (r, c): n for r, c, n in cms_sketch(spark, sf_dir).collect()
+    }
+    h = spark_h15(F.col("tok"))
+    est = F.least(
+        *[
+            F.coalesce(
+                F.create_map(
+                    *[
+                        x
+                        for (r, c), n in grid.items()
+                        if r == row
+                        for x in (F.lit(c), F.lit(n))
+                    ]
+                )[(spark_minhash_term(h, row) % CMS_WIDTH).cast("int")],
+                F.lit(0),
+            )
+            for row in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        toks.filter(est >= thr)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= thr)
+    )
+
+
+def duck_heavy_hitters() -> str:
+    """Brute-force oracle — the CMS prefilter is lossless by the
+    never-under-count guarantee, so plain HAVING matches exactly."""
+    return f"""
+        WITH toks AS (
+            SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tot AS (SELECT COUNT(*) AS t FROM toks),
+        thr AS (SELECT GREATEST({HH_MIN_THRESHOLD},
+                                (SELECT t FROM tot) // {HH_THRESHOLD_DIV}) AS v)
+        SELECT tok, COUNT(*) AS n
+        FROM toks
+        GROUP BY tok
+        HAVING COUNT(*) >= (SELECT v FROM thr)
+    """

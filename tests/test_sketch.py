@@ -137,3 +137,35 @@ def test_kg_triangles_direction_and_dup_invariant(spark):
     got = {r["node"]: r["n_tri"] for r in kg_triangles(kg).collect()}
     release_caches()
     assert got == {"A": 1, "B": 1, "C": 1}
+
+
+def test_heavy_hitters_prefilter_is_lossless_and_prunes(spark, sf_dir):
+    """Two-pass heavy hitters: the result must equal the brute-force
+    HAVING query exactly (CMS never under-counts ⇒ no heavy hitter is
+    pruned), AND the CMS prefilter must actually prune — some token's
+    estimate falls below the threshold."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        HH_MIN_THRESHOLD,
+        HH_THRESHOLD_DIV,
+        cms_query,
+        cms_sketch,
+        heavy_hitters,
+    )
+
+    got = {
+        (r["tok"], r["n"]) for r in heavy_hitters(spark, sf_dir).collect()
+    }
+    exact = duckdb.sql(
+        f"SELECT tok, COUNT(*) AS n FROM (SELECT UNNEST(string_split(text, ' ')) "
+        f"AS tok FROM '{sf_dir}/documents.parquet') GROUP BY tok"
+    ).df()
+    total = int(exact["n"].sum())
+    thr = max(HH_MIN_THRESHOLD, total // HH_THRESHOLD_DIV)
+    want = {
+        (t, int(n)) for t, n in exact.itertuples(index=False) if n >= thr
+    }
+    assert got == want and got
+    # non-vacuous pruning: at least one token's estimate is sub-threshold
+    grid = {(r, c): n for r, c, n in cms_sketch(spark, sf_dir).collect()}
+    ests = [cms_query(grid, t) for t in exact["tok"].head(500)]
+    assert any(e < thr for e in ests), "prefilter never pruned anything"
