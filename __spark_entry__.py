@@ -42,6 +42,7 @@ from cross_sentence_relation_extraction_idepnn_spark.operators import (
     search,
     similarity,
     sketch,
+    temporal,
     textstats,
 )
 from cross_sentence_relation_extraction_idepnn_spark.streaming import events as stream_events_mod
@@ -460,6 +461,9 @@ _DRIVER_PRIORITY = [
     "bpe_merges", "bpe_token_counts",
     # kernel attestations (closed-form SDP oracles)
     "featurized_sdp", "adp_degree", "position_bounds",
+    # temporal / warehouse family — no driver row yet
+    "events_asof", "scd2_users", "events_interval_join",
+    "events_rollup", "kg_rollup",
     # single-green-round queries (r3 only) — keep inside the cap
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -662,6 +666,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": stream_events_mod.windowed_counts_batch,
         "sessionize_batch": stream_events_mod.sessionize_batch,
         "tool_usage": tool_usage,
+        # temporal / warehouse family: as-of enrichment, SCD2 history,
+        # bounded interval join (stream-stream twin in streaming.events),
+        # grouping-set rollups (operators/temporal.py)
+        "events_asof": temporal.events_asof,
+        "scd2_users": temporal.scd2_users,
+        "events_interval_join": temporal.events_interval_join,
+        "events_rollup": temporal.events_rollup,
+        "kg_rollup": lambda s, d: temporal.kg_rollup(materialize_kg(s, d)),
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -980,6 +992,11 @@ def oracle_sql() -> dict[str, str]:
         "a2_lines": _duck_a2_lines(),
         "position_bounds": duck_position_bounds(),
         "adp_degree": duck_adp_degree(),
+        "events_asof": temporal.duck_events_asof(),
+        "scd2_users": temporal.duck_scd2_users(),
+        "events_interval_join": temporal.duck_events_interval_join(),
+        "events_rollup": temporal.duck_events_rollup(),
+        "kg_rollup": temporal.duck_kg_rollup(_duck_kg()),
     }
 
 

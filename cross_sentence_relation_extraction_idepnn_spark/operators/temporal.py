@@ -1,0 +1,346 @@
+"""Temporal / warehouse-grade operators over the ``events`` feed and
+the materialized KG: as-of enrichment, SCD2 dimension history,
+bounded-range interval join, and grouping-set rollups.
+
+The reference engine is a pure batch relation-extraction pipeline
+(SURVEY.md §2), so nothing here is a parity target against
+`/root/reference`; these are the analytics-engine operators a
+production transcript/event deployment needs around the KG product —
+the same role as the dedup/similarity/curation families.
+
+Scale notes (the 100 TB shapes):
+
+- **As-of join** is implemented as the union-tag + single window pass
+  (one exchange on ``user_id``, sequential scan per user), NOT as a
+  range join — a range join on (user, ts<ts') explodes quadratically
+  on hot users, while the window form is linear in events-per-user and
+  AQE-splittable. The DuckDB oracle deliberately uses the *other*
+  formulation (`ASOF LEFT JOIN` with a strict inequality) so the two
+  engines cross-check each other's semantics rather than sharing one.
+- **SCD2** is the change-point/running-sum form (windows + one
+  user-grain aggregation); the oracle is the independent
+  gaps-and-islands (ROW_NUMBER difference) form.
+- **Interval join** keeps the equi-key (``user_id``) in the join
+  condition so Spark plans a hash join with the time predicate as a
+  post-join filter; at 100 TB you'd additionally bucket both sides by
+  (user_id) or pre-bin by coarse time so the range residual never sees
+  unrelated rows. The streaming twin (:mod:`..streaming.events`
+  ``interval_join_stream``) is a genuine stream-stream join with
+  watermarks on BOTH sides — state is bounded by the watermark delta,
+  and tests assert stream ≡ this batch form on bounded input.
+- **Rollup** is one shuffle producing every grouping set in a single
+  pass (Spark expands grouping sets before the exchange; map-side
+  partial aggregation applies per set).
+
+All emitted quantities are integer-exact (epoch microseconds, counts,
+support sums) so the cross-engine hash comparison has no float-tie
+hazard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..streaming.events import events_batch
+
+ASOF_REF_TYPE = "error"
+# errors within 4h before a purchase — wide enough that the synthetic
+# event timeline yields a non-vacuous pair set at every tested SF
+# (12 pairs at sf0.001, 141 at sf0.01); the plan shape is identical at
+# any width, only the residual-filter selectivity changes
+INTERVAL_JOIN_SECONDS = 14400
+
+
+def _epoch_us(col_sql: str):
+    """Wall-time epoch MICROseconds for a timestamp column — pure
+    timestamp arithmetic, independent of ``spark.sql.session.timeZone``
+    (mirrors ``streaming.events._epoch_ntz``)."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col_sql})"
+    )
+
+
+# ------------------------------------------------------------- as-of join
+
+
+def asof_enrich(events: DataFrame) -> DataFrame:
+    """Each non-``error`` event enriched with the most recent strictly
+    prior ``error`` event of the same user (latest by (ts, event_id)).
+
+    Union-tag + window form: reference rows sort AFTER probe rows at
+    equal ``ts`` (``side`` 1 vs 0), so a reference at the exact probe
+    timestamp is invisible — strict ``<`` semantics; ``event_id`` in
+    the sort key makes the latest-reference pick deterministic when two
+    references share a timestamp. One exchange on ``user_id``.
+    """
+    probes = events.filter(F.col("event_type") != ASOF_REF_TYPE).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "event_id",
+        "event_type",
+        F.lit(None).cast("bigint").alias("ref_id"),
+        F.lit(None).cast(events.schema["ts"].dataType).alias("ref_ts"),
+    )
+    refs = events.filter(F.col("event_type") == ASOF_REF_TYPE).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("event_id").alias("ref_id"),
+        F.col("ts").alias("ref_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        probes.unionByName(refs)
+        .select(
+            "*",
+            F.last("ref_id", ignorenulls=True).over(w).alias("last_err_id"),
+            F.last("ref_ts", ignorenulls=True).over(w).alias("last_err_ts"),
+        )
+        .filter(F.col("side") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "last_err_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, last_err_ts, ts)"
+            ).alias("gap_us"),
+        )
+    )
+
+
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: as-of error enrichment over the events table."""
+    return asof_enrich(events_batch(spark, sf_dir))
+
+
+def duck_events_asof() -> str:
+    """Oracle in the OTHER formulation: DuckDB ``ASOF LEFT JOIN`` with a
+    strict ``>`` match, over references pre-deduped at (user, ts) grain
+    to the max event_id (the same latest-by-(ts, event_id) pick the
+    window form makes implicitly)."""
+    return f"""
+        WITH refs AS (
+            SELECT user_id, ts, MAX(event_id) AS ref_id
+            FROM events WHERE event_type = '{ASOF_REF_TYPE}'
+            GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, p.event_type,
+               r.ref_id AS last_err_id,
+               date_diff('microsecond', r.ts, p.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type <> '{ASOF_REF_TYPE}') p
+        ASOF LEFT JOIN refs r
+          ON p.user_id = r.user_id AND p.ts > r.ts
+    """
+
+
+# ---------------------------------------------------------- SCD2 history
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history of each user's event
+    type: one row per consecutive run, with [valid_from, valid_to)
+    epoch-microsecond validity, run length, version, and is_current.
+
+    Change-point form: flag rows where the type differs from the
+    previous row (per user, ordered by (ts, event_id)), running-sum the
+    flags into a version number, aggregate each version to its
+    interval. All keys are user-grain, so the window exchange is reused
+    by AQE where possible and nothing is quadratic on hot users.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("int")
+    versioned = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int").alias("version"),
+    )
+    runs = versioned.groupBy("user_id", "version").agg(
+        F.first("event_type").alias("event_type"),
+        _epoch_us("min(ts)").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "version",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        "n_events",
+        F.lead("valid_from_us").over(wv).isNull().alias("is_current"),
+    )
+
+
+def scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: SCD2 event-type history per user."""
+    return scd2_history(events_batch(spark, sf_dir))
+
+
+def duck_scd2_users() -> str:
+    """Oracle in the independent gaps-and-islands form: global-vs-per-
+    type ROW_NUMBER difference identifies each run, then versions are
+    renumbered by run start."""
+    return """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rnt
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, event_type,
+                   epoch_us(MIN(ts)) AS valid_from_us,
+                   COUNT(*) AS n_events
+            FROM ordered GROUP BY user_id, event_type, rn - rnt
+        )
+        SELECT user_id, event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY valid_from_us) AS INT)
+                   AS version,
+               valid_from_us,
+               LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                         ORDER BY valid_from_us)
+                   AS valid_to_us,
+               n_events,
+               LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                         ORDER BY valid_from_us) IS NULL
+                   AS is_current
+        FROM islands
+    """
+
+
+# -------------------------------------------------------- interval join
+
+
+def interval_join(purchases: DataFrame, errors: DataFrame) -> DataFrame:
+    """Every (purchase, error) pair of the same user with the error in
+    the ``INTERVAL_JOIN_SECONDS`` window before (or at) the purchase.
+
+    The user equi-key drives a hash join; the time window is the
+    residual condition. Works identically on bounded batch input and as
+    a watermarked stream-stream join (see
+    :func:`..streaming.events.interval_join_stream`).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = errors.select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return (
+        p.join(
+            e,
+            (p.user_id == e.e_user)
+            & (e.e_ts <= p.p_ts)
+            & (
+                e.e_ts
+                >= p.p_ts - F.expr(f"INTERVAL {INTERVAL_JOIN_SECONDS} SECONDS")
+            ),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "error_id",
+            F.expr("timestampdiff(MICROSECOND, e_ts, p_ts)").alias("gap_us"),
+        )
+    )
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: purchase × recent-error pairs (batch twin of the
+    watermarked stream-stream join)."""
+    ev = events_batch(spark, sf_dir)
+    return interval_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == ASOF_REF_TYPE),
+    )
+
+
+def duck_events_interval_join() -> str:
+    return f"""
+        SELECT p.event_id AS purchase_id, p.user_id,
+               e.event_id AS error_id,
+               date_diff('microsecond', e.ts, p.ts) AS gap_us
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+         AND p.event_type = 'purchase' AND e.event_type = '{ASOF_REF_TYPE}'
+         AND e.ts <= p.ts
+         AND e.ts >= p.ts - INTERVAL {INTERVAL_JOIN_SECONDS} SECONDS
+    """
+
+
+# ------------------------------------------------------------- rollups
+
+
+def kg_rollup(kg: DataFrame) -> DataFrame:
+    """Grouping-set rollup over the materialized KG: triple counts and
+    support sums at (pred, subj), (pred), and grand-total grain, with
+    the standard grouping_id bitmask. One shuffle for all three sets."""
+    return kg.rollup("pred", "subj").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_triples"),
+        F.sum("support").alias("support_sum"),
+    )
+
+
+def duck_kg_rollup(kg_sql: str) -> str:
+    """Oracle: ``GROUP BY ROLLUP`` over the same KG SQL (DuckDB's
+    GROUPING() emits the identical MSB-first bitmask)."""
+    return f"""
+        SELECT pred, subj,
+               CAST(GROUPING(pred, subj) AS INT) AS gid,
+               COUNT(*) AS n_triples,
+               SUM(support) AS support_sum
+        FROM ({kg_sql})
+        GROUP BY ROLLUP(pred, subj)
+    """
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day): all four grouping sets in
+    one pass — counts plus integer-cent value sums (exact; a float SUM
+    would be order-sensitive across engines)."""
+    ev = events_batch(spark, sf_dir).select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hh"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ev.cube("event_type", "hh").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("cents_sum"),
+    )
+
+
+def duck_events_rollup() -> str:
+    return """
+        SELECT event_type, CAST(hour(ts) AS INT) AS hh,
+               CAST(GROUPING(event_type, hour(ts)) AS INT) AS gid,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents_sum
+        FROM events
+        GROUP BY CUBE(event_type, hour(ts))
+    """

@@ -392,3 +392,23 @@ def duck_windowed_cms() -> str:
         for r in range(CMS_DEPTH)
     )
     return f"SELECT win_start, r, c, COUNT(*) AS cnt FROM ({branches}) GROUP BY 1, 2, 3"
+
+
+# ------------------------------------------------- stream-stream join
+
+
+def interval_join_stream(purchases: DataFrame, errors: DataFrame) -> DataFrame:
+    """Watermarked stream-stream inner join: the streaming twin of
+    :func:`..operators.temporal.interval_join` (purchase × recent-error
+    pairs). Watermarks on BOTH sides plus the two-sided time-range
+    condition let Spark derive a state watermark, so buffered rows are
+    evicted once they can no longer match — state is bounded by
+    (watermark delay + join window), never by stream length. Append
+    output mode; on bounded input the result equals the batch form
+    (asserted in tests/test_temporal.py)."""
+    from ..operators.temporal import interval_join
+
+    return interval_join(
+        purchases.withWatermark("ts", WATERMARK),
+        errors.withWatermark("ts", WATERMARK),
+    )

@@ -1,0 +1,177 @@
+"""Temporal / warehouse operator semantics: as-of strictness and tie
+rules, SCD2 interval correctness, stream≡batch for the stream-stream
+interval join, and plan-shape pins (cross-engine parity for all five
+queries runs via tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from cross_sentence_relation_extraction_idepnn_spark.operators import temporal
+from cross_sentence_relation_extraction_idepnn_spark.streaming import (
+    events as stream_events,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _count_op(plan: str, op: str) -> int:
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.MULTILINE))
+
+
+def _events(spark, rows):
+    """(event_id, ts_str, user_id, event_type, value) -> events frame."""
+    df = spark.createDataFrame(
+        [(i, ts, u, t, 1.0, "{}") for (i, ts, u, t) in rows],
+        "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+# ------------------------------------------------------------- as-of
+
+
+def test_asof_is_strictly_prior_and_breaks_ts_ties_by_event_id(spark):
+    """An error AT the probe's timestamp must be invisible (strict <);
+    two errors sharing a timestamp resolve to the max event_id; users
+    with no prior error keep a NULL enrichment."""
+    rows = [
+        # user 1: errors at 00:10 (ids 10 and 11 — tie) and at 00:30
+        (10, "2024-01-01 00:10:00", 1, "error"),
+        (11, "2024-01-01 00:10:00", 1, "error"),
+        (12, "2024-01-01 00:30:00", 1, "error"),
+        # probes: before any error / between / exactly at an error ts
+        (1, "2024-01-01 00:05:00", 1, "click"),
+        (2, "2024-01-01 00:20:00", 1, "purchase"),
+        (3, "2024-01-01 00:30:00", 1, "click"),
+        # user 2: no errors at all
+        (4, "2024-01-01 00:20:00", 2, "click"),
+    ]
+    got = {
+        r["event_id"]: (r["last_err_id"], r["gap_us"])
+        for r in temporal.asof_enrich(_events(spark, rows)).collect()
+    }
+    assert got[1] == (None, None)  # nothing prior
+    assert got[2] == (11, 600 * 1_000_000)  # tie → max event_id
+    assert got[3] == (11, 1200 * 1_000_000)  # 00:30 error not yet visible
+    assert got[4] == (None, None)  # user without references
+
+
+def test_asof_plan_is_window_form_no_join(spark):
+    """The as-of must compile to the union+window shape: zero Join
+    operators (a range join would explode on hot users) and a single
+    user_id exchange feeding the window."""
+    df = temporal.events_asof(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert _count_op(plan, "SortMergeJoin") == 0
+    assert _count_op(plan, "BroadcastHashJoin") == 0
+    assert _count_op(plan, "BroadcastNestedLoopJoin") == 0
+    assert _count_op(plan, "CartesianProduct") == 0
+    assert _count_op(plan, "Window") == 1
+    assert _count_op(plan, "Exchange") == 1
+
+
+# -------------------------------------------------------------- SCD2
+
+
+def test_scd2_intervals_versions_and_current_flag(spark):
+    """A→A→B→A history: three runs with touching [from, to) intervals,
+    versions 1..3, only the last current."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "a"),
+        (2, "2024-01-01 00:10:00", 7, "a"),
+        (3, "2024-01-01 00:20:00", 7, "b"),
+        (4, "2024-01-01 00:30:00", 7, "a"),
+    ]
+    got = sorted(
+        temporal.scd2_history(_events(spark, rows)).collect(),
+        key=lambda r: r["version"],
+    )
+    base = 1_704_067_200 * 1_000_000  # 2024-01-01 epoch us
+    m = 60 * 1_000_000
+    assert [
+        (r["event_type"], r["version"], r["valid_from_us"], r["valid_to_us"],
+         r["n_events"], r["is_current"])
+        for r in got
+    ] == [
+        ("a", 1, base, base + 20 * m, 2, False),
+        ("b", 2, base + 20 * m, base + 30 * m, 1, False),
+        ("a", 3, base + 30 * m, None, 1, True),
+    ]
+
+
+def test_scd2_merge_of_delta_equals_full_rebuild(spark):
+    """CDC property: appending a late delta batch and re-running the
+    history build gives the same table as building from the unioned
+    input — SCD2 is a pure function of the event log, so incremental
+    maintenance can re-derive only the affected users' partitions."""
+    old = [
+        (1, "2024-01-01 00:00:00", 7, "a"),
+        (2, "2024-01-01 00:10:00", 7, "b"),
+        (3, "2024-01-01 00:00:00", 8, "a"),
+    ]
+    delta = [
+        (4, "2024-01-01 00:20:00", 7, "b"),
+        (5, "2024-01-01 00:05:00", 8, "b"),  # late arrival, rewrites user 8
+    ]
+    full = temporal.scd2_history(_events(spark, old + delta))
+    merged = temporal.scd2_history(
+        _events(spark, old).unionByName(_events(spark, delta))
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+# ----------------------------------------------- stream-stream join
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream join on bounded input must equal
+    the batch interval join — the streaming-correctness contract used
+    for every streaming twin in this engine."""
+    batch = temporal.events_interval_join(spark, sf_dir).toPandas()
+    ev = stream_events.stream_events(spark, sf_dir)
+    joined = stream_events.interval_join_stream(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == temporal.ASOF_REF_TYPE),
+    )
+    got = stream_events.run_available_now(
+        joined, "interval_join_test", output_mode="append"
+    ).toPandas()
+    cols = sorted(batch.columns)
+    assert sorted(got.columns) == cols
+    a = batch[cols].sort_values(cols).reset_index(drop=True)
+    b = got[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0, "vacuous join fixture"
+
+
+# ------------------------------------------------------------ rollup
+
+
+def test_rollup_gid_bitmask_and_single_pass(spark, sf_dir):
+    """events_rollup emits all four CUBE grouping sets from ONE
+    aggregation pass (a single Expand feeding ≤2 exchanges), and the
+    gid bitmask is MSB-first (event_type high bit)."""
+    df = temporal.events_rollup(spark, sf_dir)
+    plan = _plan(df)
+    assert _count_op(plan, "Expand") == 1
+    assert _count_op(plan, "Exchange") <= 2  # AQE final agg exchange
+    gids = {r["gid"] for r in df.select("gid").distinct().collect()}
+    assert gids == {0, 1, 2, 3}
+    grand = df.filter("gid = 3").collect()
+    assert len(grand) == 1 and grand[0]["event_type"] is None
+    # hh rolled out (gid bit 1 set) => hh NULL, event_type kept
+    only_type = df.filter("gid = 1").filter(F.col("event_type").isNull())
+    assert only_type.count() == 0
