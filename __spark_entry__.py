@@ -463,7 +463,7 @@ _DRIVER_PRIORITY = [
     "featurized_sdp", "adp_degree", "position_bounds",
     # temporal / warehouse family — no driver row yet
     "events_asof", "scd2_users", "events_interval_join",
-    "events_rollup", "kg_rollup",
+    "events_rollup", "kg_rollup", "quality_bands",
     # single-green-round queries (r3 only) — keep inside the cap
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -674,6 +674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": temporal.events_interval_join,
         "events_rollup": temporal.events_rollup,
         "kg_rollup": lambda s, d: temporal.kg_rollup(materialize_kg(s, d)),
+        # exact per-language NTILE quartiles without a per-lang
+        # single-task sort (range-partitioned ranking, metrics.vocabulary
+        # pattern) — integer micro-unit quality bands
+        "quality_bands": textstats.quality_bands,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -997,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": temporal.duck_events_interval_join(),
         "events_rollup": temporal.duck_events_rollup(),
         "kg_rollup": temporal.duck_kg_rollup(_duck_kg()),
+        "quality_bands": textstats.duck_quality_bands(),
     }
 
 

@@ -333,3 +333,138 @@ def duck_quality_classifier() -> str:
             )
         )
     """
+
+
+def quality_bands(
+    spark: SparkSession, sf_dir: str, n_bands: int = 4, n_ranges: int = 16
+) -> DataFrame:
+    """(lang, band, n_docs, min_q_e6, max_q_e6): exact per-language
+    quality quartiles — identical to ``NTILE(4) OVER (PARTITION BY lang
+    ORDER BY q_e6, doc_id)`` but WITHOUT putting each whole language in
+    a single window task (at corpus scale one language IS the corpus,
+    so ``Window.partitionBy(lang)`` would serialize it). Same shape as
+    :func:`..operators.metrics.vocabulary`: range-partition on the full
+    sort key, number locally per partition, add driver-side per-(range,
+    lang) prefix offsets (≤ ``n_ranges × n_langs`` tiny rows collected),
+    then map ranks to NTILE buckets with the standard first-``rem``-
+    buckets-get-one-extra rule. ``q_e6`` is the integer micro-unit
+    quality from :func:`quality_score` — every emitted column is an
+    integer, so the cross-engine hash has no float hazard."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop, t))
+    ).cast("long")
+    n_dist = F.size(F.array_distinct(toks)).cast("long")
+    numer = (
+        F.least(n, F.lit(64).cast("long")) * n
+        + F.lit(48).cast("long") * n
+        + F.lit(48).cast("long") * (n_dist - n_stop)
+    )
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        numer.alias("_numer"),
+        (F.lit(160).cast("long") * n).alias("_denom"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("(_numer * 1000000 + _denom div 2) div _denom").alias("q_e6"),
+    )
+    ranged = (
+        base.repartitionByRange(n_ranges, "lang", "q_e6", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_cache(ranged)
+    counts = ranged.groupBy("pid", "lang").agg(F.count("*").alias("cnt")).collect()
+    if not counts:
+        return spark.createDataFrame(
+            [],
+            "lang string, band int, n_docs bigint, "
+            "min_q_e6 bigint, max_q_e6 bigint",
+        )
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in counts:
+        by_lang.setdefault(r["lang"], []).append((r["pid"], r["cnt"]))
+    off_entries: list = []
+    tot_entries: list = []
+    for lang, lst in by_lang.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            off_entries += [F.lit(f"{pid}|{lang}"), F.lit(acc)]
+            acc += cnt
+        tot_entries += [F.lit(lang), F.lit(acc)]
+    off_map = F.create_map(*off_entries)
+    tot_map = F.create_map(*tot_entries)
+    w = Window.partitionBy("pid", "lang").orderBy("q_e6", "doc_id")
+    rank = (
+        F.row_number().over(w)
+        + off_map[F.concat_ws("|", F.col("pid"), F.col("lang"))]
+    ).cast("long")
+    cnt = tot_map[F.col("lang")].cast("long")
+    # NTILE rule in pure integer `div` arithmetic (float division +
+    # floor would drift once ranks exceed 2^53): the first cnt%b
+    # buckets hold cnt div b + 1 rows, the rest cnt div b;
+    # greatest(…, 1) guards the unreachable else-branch divisor when
+    # cnt < n_bands (ANSI mode evaluates both branches' divisors)
+    band = F.expr(
+        f"""CAST(CASE
+            WHEN _rank <= (_cnt % {n_bands}) * (_cnt div {n_bands} + 1)
+            THEN (_rank - 1) div (_cnt div {n_bands} + 1)
+            ELSE (_cnt % {n_bands})
+                 + (_rank - (_cnt % {n_bands}) * (_cnt div {n_bands} + 1) - 1)
+                   div greatest(_cnt div {n_bands}, 1)
+        END + 1 AS INT)"""
+    )
+    banded = (
+        ranged.withColumn("_cnt", cnt)
+        .withColumn("_rank", rank)
+        .select("lang", "q_e6", band.alias("band"))
+    )
+    return banded.groupBy("lang", "band").agg(
+        F.count("*").alias("n_docs"),
+        F.min("q_e6").alias("min_q_e6"),
+        F.max("q_e6").alias("max_q_e6"),
+    )
+
+
+def duck_quality_bands(n_bands: int = 4) -> str:
+    """Oracle: the plain windowed NTILE over the same integer q_e6."""
+    stop = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+        WITH q AS (
+            SELECT doc_id, lang,
+                   (numer * 1000000 + denom // 2) // denom AS q_e6
+            FROM (
+                SELECT doc_id, lang,
+                       LEAST(CAST(len(toks) AS BIGINT), 64)
+                         * CAST(len(toks) AS BIGINT)
+                         + 48 * CAST(len(toks) AS BIGINT)
+                         + 48 * (CAST(len(list_distinct(toks)) AS BIGINT)
+                                 - CAST(len(list_filter(toks,
+                                       t -> list_contains({stop}, t)))
+                                     AS BIGINT)) AS numer,
+                       160 * CAST(len(toks) AS BIGINT) AS denom
+                FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                      FROM documents)
+            )
+        ),
+        banded AS (
+            SELECT lang,
+                   CAST(NTILE({n_bands}) OVER (PARTITION BY lang
+                                               ORDER BY q_e6, doc_id)
+                        AS INT) AS band,
+                   q_e6
+            FROM q
+        )
+        SELECT lang, band, COUNT(*) AS n_docs,
+               MIN(q_e6) AS min_q_e6, MAX(q_e6) AS max_q_e6
+        FROM banded GROUP BY lang, band
+    """

@@ -175,3 +175,23 @@ def test_rollup_gid_bitmask_and_single_pass(spark, sf_dir):
     # hh rolled out (gid bit 1 set) => hh NULL, event_type kept
     only_type = df.filter("gid = 1").filter(F.col("event_type").isNull())
     assert only_type.count() == 0
+
+
+# ----------------------------------------------------- quality bands
+
+
+def test_quality_bands_uneven_counts_follow_ntile_rule(spark, tmp_path):
+    """7 docs in one language, 4 bands → sizes (2, 2, 2, 1): the
+    first cnt%b buckets take the extra row. The synthetic corpus langs
+    may all divide evenly, so this pins the rem-branch explicitly."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators import textstats
+
+    rows = [(i, "w " * (i + 1) + "end", "xx", "s", 1) for i in range(7)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["band"]: r["n_docs"]
+        for r in textstats.quality_bands(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1}
