@@ -278,6 +278,16 @@ def _kg_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return kg_pagerank(materialize_kg(spark, sf))
 
 
+def _kg_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """BFS shortest-path layers from the KG hub entity (frontier-only
+    expansion with per-layer lineage truncation)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_paths,
+    )
+
+    return kg_paths(materialize_kg(spark, sf))
+
+
 def _kg_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     """KG neighborhood analytics: out/in degree + distinct 2-hop reach
     per canonical entity over the materialized KG's edge set."""
@@ -463,7 +473,7 @@ _DRIVER_PRIORITY = [
     "featurized_sdp", "adp_degree", "position_bounds",
     # temporal / warehouse family — no driver row yet
     "events_asof", "scd2_users", "events_interval_join",
-    "events_rollup", "kg_rollup", "quality_bands",
+    "events_rollup", "kg_rollup", "quality_bands", "kg_paths",
     # single-green-round queries (r3 only) — keep inside the cap
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -678,6 +688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-task sort (range-partitioned ranking, metrics.vocabulary
         # pattern) — integer micro-unit quality bands
         "quality_bands": textstats.quality_bands,
+        # BFS shortest-path layers from the KG hub (frontier-only
+        # expansion, per-layer lineage truncation; recursive-CTE oracle)
+        "kg_paths": _kg_paths,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -742,6 +755,14 @@ def _duck_kg_pagerank() -> str:
     )
 
     return duck_pagerank_over(_duck_kg())
+
+
+def _duck_kg_paths() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_kg_paths_over,
+    )
+
+    return duck_kg_paths_over(_duck_kg())
 
 
 def _duck_kg_temporal() -> str:
@@ -1002,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": temporal.duck_events_rollup(),
         "kg_rollup": temporal.duck_kg_rollup(_duck_kg()),
         "quality_bands": textstats.duck_quality_bands(),
+        "kg_paths": _duck_kg_paths(),
     }
 
 

@@ -1243,3 +1243,96 @@ def duck_node_sim_over(kg_cte: str) -> str:
         JOIN dg da ON da.node = com.a
         JOIN dg db ON db.node = com.b
     """
+
+
+# ------------------------------------------------------- BFS distances
+
+BFS_MAX_HOPS = 4
+
+
+def kg_paths(kg: DataFrame, max_hops: int = BFS_MAX_HOPS, release: bool = True) -> DataFrame:
+    """(node, dist) — BFS shortest-path layers over the KG's directed
+    (subj → obj) edges from the hub entity (highest out-degree, ties to
+    the lexicographically smallest subject — a deterministic pick both
+    engines can reproduce), bounded at ``max_hops``.
+
+    Frontier-only expansion: each layer joins ONLY the newly discovered
+    nodes against the edge table and anti-joins the known set, so per-
+    iteration work is O(frontier × avg-degree), not O(visited) — the
+    scalable BFS shape (one equi-join + one anti-join per layer, edge
+    table persisted once, lineage truncated per layer exactly like the
+    PageRank loop above). Early-exits when a layer is empty.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import (
+        cache_scope,
+        track_cache,
+        track_checkpoint,
+        unpersist_checkpoint,
+    )
+
+    spark = kg.sparkSession
+
+    def loop() -> DataFrame:
+        edges = track_cache(
+            kg.select("subj", "obj").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        hub = (
+            edges.groupBy("subj")
+            .agg(F.count("*").alias("deg"))
+            .orderBy(F.desc("deg"), F.asc("subj"))
+            .limit(1)
+            .collect()
+        )
+        if not hub:
+            return spark.createDataFrame([], "node string, dist int")
+        dist = spark.createDataFrame(
+            [(hub[0]["subj"], 0)], "node string, dist int"
+        ).localCheckpoint(eager=release)
+        frontier = dist
+        prev = dist
+        for h in range(1, max_hops + 1):
+            reached = (
+                frontier.join(edges, frontier["node"] == edges["subj"])
+                .select(F.col("obj").alias("node"))
+                .distinct()
+            )
+            new = reached.join(dist, "node", "left_anti").select(
+                "node", F.lit(h).cast("int").alias("dist")
+            )
+            if new.isEmpty():
+                break
+            dist = dist.unionByName(new).localCheckpoint(eager=release)
+            frontier = dist.filter(F.col("dist") == h)
+            if release:
+                unpersist_checkpoint(prev)
+                prev = dist
+        return dist
+
+    if not release:
+        return loop()
+    with cache_scope():
+        out = loop()
+    return track_checkpoint(out)
+
+
+def duck_kg_paths_over(kg_cte: str, max_hops: int = BFS_MAX_HOPS) -> str:
+    """Oracle: recursive-CTE walk bounded at ``max_hops``, min-dist per
+    node — equals BFS layers by definition."""
+    return f"""
+        WITH RECURSIVE kgt AS (SELECT * FROM ({kg_cte})),
+        edges AS (SELECT DISTINCT subj, obj FROM kgt),
+        hub AS (
+            SELECT subj AS node FROM edges
+            GROUP BY subj ORDER BY COUNT(*) DESC, subj LIMIT 1
+        ),
+        walk(node, dist) AS (
+            SELECT node, 0 FROM hub
+            UNION ALL
+            SELECT e.obj, w.dist + 1
+            FROM walk w JOIN edges e ON e.subj = w.node
+            WHERE w.dist < {max_hops}
+        )
+        SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY node
+    """

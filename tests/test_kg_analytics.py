@@ -348,3 +348,29 @@ def test_kg_node_sim_hand_computed(spark):
         ("P", "R"): (1, 333_333),
         ("Q", "R"): (1, 333_333),
     }
+
+
+def test_kg_paths_bfs_min_dist_cycle_and_hop_bound(spark):
+    """Diamond + cycle + long chain: dist is the MINIMUM hop count
+    (diamond converges), cycles don't loop forever, nodes beyond
+    max_hops are absent, and the hub pick is deterministic (highest
+    out-degree, ties to smallest subject)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import kg_paths
+
+    edges = [
+        # hub H: out-degree 3 (everything else has less)
+        ("H", "A"), ("H", "B"), ("H", "C"),
+        ("A", "D"), ("B", "D"),           # diamond → D at dist 2
+        ("D", "H"),                        # cycle back to the hub
+        ("C", "E"), ("E", "F"), ("F", "G"),  # chain: G at dist 4
+        ("G", "Z"),                        # Z at dist 5 — beyond bound
+    ]
+    kg = spark.createDataFrame(
+        [(s, "p", o, 1, 1) for s, o in edges],
+        "subj string, pred string, obj string, support bigint, min_k int",
+    )
+    got = {r["node"]: r["dist"] for r in kg_paths(kg, max_hops=4).collect()}
+    assert got == {
+        "H": 0, "A": 1, "B": 1, "C": 1,
+        "D": 2, "E": 2, "F": 3, "G": 4,
+    }
