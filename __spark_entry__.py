@@ -38,6 +38,7 @@ from cross_sentence_relation_extraction_idepnn_spark.operators import (
     bpe,
     curation,
     dedup,
+    layout,
     multimodal,
     search,
     similarity,
@@ -474,6 +475,7 @@ _DRIVER_PRIORITY = [
     # temporal / warehouse family — no driver row yet
     "events_asof", "scd2_users", "events_interval_join",
     "events_rollup", "kg_rollup", "quality_bands", "kg_paths",
+    "zorder_files",
     # single-green-round queries (r3 only) — keep inside the cap
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -691,6 +693,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BFS shortest-path layers from the KG hub (frontier-only
         # expansion, per-layer lineage truncation; recursive-CTE oracle)
         "kg_paths": _kg_paths,
+        # Z-order (Morton) clustering stats: the file-level min/max
+        # table a z-clustered write would produce — data-skipping proof
+        # lives in tests/test_layout.py (operators/layout.py)
+        "zorder_files": layout.zorder_files,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1024,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rollup": temporal.duck_kg_rollup(_duck_kg()),
         "quality_bands": textstats.duck_quality_bands(),
         "kg_paths": _duck_kg_paths(),
+        "zorder_files": layout.duck_zorder_files(),
     }
 
 

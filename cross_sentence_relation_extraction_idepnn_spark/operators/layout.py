@@ -1,0 +1,140 @@
+"""Data-layout operators: Z-order (Morton) clustering of the events
+table and the file-level min/max statistics that make it pay.
+
+Why this is an engine feature at 100 TB: scan pruning is the single
+biggest lever on a petabyte table — a parquet/Iceberg/Delta reader
+skips a file when the query predicate excludes the file's min/max
+range. Sorting by one column gives perfect pruning on that column and
+none on any other; interleaving the bits of two (or more) columns into
+a Morton code and clustering files by code prefix gives bounded ranges
+on BOTH columns in every file, so point/range predicates on either
+dimension prune most files (the Delta Lake / Iceberg Z-ORDER feature,
+and the same curve-clustering idea as Hilbert layout).
+
+The implementation is shuffle-minimal by construction: the Morton code
+is a narrow codegen projection, and the "file" assignment keeps the
+top ``FILE_PREFIX_BITS`` of the code (prefix buckets — exactly how a
+writer would split clustered output), so the whole per-file statistics
+query is projection + one aggregation. A production writer would
+``repartitionByRange(z).sortWithinPartitions(z)`` and let the sink
+record the stats; this operator computes the stats table itself so the
+pruning claim is testable (tests/test_layout.py compares files touched
+by a user-range query under Z-order vs time-ordered layout).
+
+Both engines build the code from the same 16-term shift/mask sum, so
+the oracle is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.events import events_batch
+
+# A production writer sizes the per-dimension bit width from table
+# statistics so the code's top bits actually vary (too wide a width
+# leaves the high interleave bits constant and every row lands in one
+# prefix file). 8 bits per dimension fits the synthetic feed's
+# cardinalities (≤ 1.5k users, hours wrapped mod 256) and yields up to
+# 256 prefix files of 16×16 dimension cells.
+DIM_BITS = 8  # per-dimension bits kept in the interleave
+FILE_PREFIX_BITS = 8  # z >> (2*DIM_BITS - 8): 256 possible prefix files
+EPOCH_2024_HOURS = 1_704_067_200 // 3600  # hour index of 2024-01-01
+
+
+def _dims_sql(idiv: str) -> tuple[str, str]:
+    """(user_dim, time_dim) SQL: low 16 bits of user_id and of the hour
+    index relative to 2024-01-01 (the synthetic feed's origin; a fixed
+    offset keeps the dimension small without a data-dependent min
+    pass). ``idiv`` is the engine's integer-division token — the ONLY
+    syntax difference (`div` in Spark, `//` in DuckDB); the bit
+    operators `&`, `>>`, `<<` parse identically in both."""
+    mask = (1 << DIM_BITS) - 1
+    u = f"(user_id & {mask})"
+    t = f"(((epoch_s {idiv} 3600) - {EPOCH_2024_HOURS}) & {mask})"
+    return u, t
+
+
+def _morton_sql(u: str, t: str) -> str:
+    """Morton interleave of two DIM_BITS-wide ints: user bits land on
+    odd positions, time bits on even — one flat integer expression both
+    engines fold into codegen/constant arithmetic."""
+    terms = []
+    for i in range(DIM_BITS):
+        terms.append(f"((({u} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({t} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _stats_over(rel: str, epoch_s: str, idiv: str) -> str:
+    """Shared SQL body: per-prefix-file row counts and min/max of both
+    dimensions. ``rel``/``epoch_s``/``idiv`` differ per engine (epoch
+    seconds of the ts column; integer-division token)."""
+    u, t = _dims_sql(idiv)
+    z = _morton_sql("udim", "tdim")
+    shift = 2 * DIM_BITS - FILE_PREFIX_BITS
+    return f"""
+        SELECT zfile, COUNT(*) AS n_rows,
+               MIN(udim) AS min_user, MAX(udim) AS max_user,
+               MIN(tdim) AS min_hour, MAX(tdim) AS max_hour
+        FROM (
+            SELECT ({z} >> {shift}) AS zfile, udim, tdim
+            FROM (
+                SELECT {u} AS udim, {t} AS tdim
+                FROM (SELECT user_id, {epoch_s} AS epoch_s FROM {rel})
+            )
+        )
+        GROUP BY zfile
+    """
+
+
+def zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(zfile, n_rows, min_user, max_user, min_hour, max_hour) — the
+    file-statistics table a Z-order-clustered write of ``events`` would
+    produce, with files = top-``FILE_PREFIX_BITS`` Morton prefixes.
+    Narrow projection + one aggregation; no sort, no window."""
+    ev = events_batch(spark, sf_dir)
+    ev.createOrReplaceTempView("_zorder_events")
+    epoch_s = (
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    return spark.sql(_stats_over("_zorder_events", epoch_s, "div"))
+
+
+def duck_zorder_files() -> str:
+    return _stats_over("events", "epoch_us(ts) // 1000000", "//")
+
+
+def files_touched(stats: DataFrame, user_lo: int, user_hi: int) -> int:
+    """How many files a user-range predicate must read under the given
+    layout — the data-skipping metric (a reader consults exactly these
+    min/max columns)."""
+    return stats.filter(
+        (F.col("max_user") >= user_lo) & (F.col("min_user") <= user_hi)
+    ).count()
+
+
+def timeorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline layout: the same events split into equal-width TIME
+    buckets (what a plain append-by-arrival writer produces). Same
+    stats schema, for the pruning comparison in tests."""
+    ev = events_batch(spark, sf_dir)
+    ev.createOrReplaceTempView("_timeorder_events")
+    mask = (1 << DIM_BITS) - 1
+    return spark.sql(f"""
+        SELECT zfile, COUNT(*) AS n_rows,
+               MIN(udim) AS min_user, MAX(udim) AS max_user,
+               MIN(tdim) AS min_hour, MAX(tdim) AS max_hour
+        FROM (
+            SELECT (tdim % 256) AS zfile, udim, tdim
+            FROM (
+                SELECT (user_id & {mask}) AS udim,
+                       (((timestampdiff(SECOND,
+                             TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+                          div 3600) - {EPOCH_2024_HOURS}) & {mask}) AS tdim
+                FROM _timeorder_events
+            )
+        )
+        GROUP BY zfile
+    """)
