@@ -327,6 +327,13 @@ def main() -> None:
     timed("hll_registers", sketch.hll_registers)
     timed("cms_sketch", sketch.cms_sketch)
     timed("hybrid_topk", search.hybrid_topk)
+    from cross_sentence_relation_extraction_idepnn_spark.operators import layout, temporal
+
+    timed("events_asof", temporal.events_asof)
+    timed("scd2_users", temporal.scd2_users)
+    timed("quality_bands", textstats.quality_bands)
+    timed("zorder_files", layout.zorder_files)
+    timed("kg_paths", lambda s, d: linking.kg_paths(materialize_kg(s, d)))
 
     result = {
         "metric": "kg_pipeline_sec",
