@@ -60,7 +60,28 @@ def build_scaled_documents(spark) -> str:
         shutil.rmtree(SCRATCH)
     os.makedirs(SCRATCH, exist_ok=True)
     out.write.mode("overwrite").parquet(f"{SCRATCH}/documents.parquet")
+    build_scaled_events(spark)
     return SCRATCH
+
+
+def build_scaled_events(spark) -> None:
+    """10× events for the temporal/layout operators: copies get DISJOINT
+    user-id spaces (user_id*COPIES+copy) so every per-user sequence —
+    the thing the as-of/SCD2/interval operators key on — is preserved
+    exactly while the table grows 10×."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SRC_SF}/events.parquet")
+    copies = spark.range(COPIES).select(F.col("id").cast("long").alias("copy"))
+    out = ev.crossJoin(F.broadcast(copies)).select(
+        (F.col("event_id") * COPIES + F.col("copy")).alias("event_id"),
+        "ts",
+        (F.col("user_id") * COPIES + F.col("copy")).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    out.write.mode("overwrite").parquet(f"{SCRATCH}/events.parquet")
 
 
 def stage_metrics(spark) -> dict[int, dict]:
@@ -113,7 +134,15 @@ def main() -> None:
         hll_registers,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        quality_bands,
         quality_classifier,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators import temporal
+    from cross_sentence_relation_extraction_idepnn_spark.operators.layout import (
+        zorder_files,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_paths,
     )
 
     queries = {
@@ -130,6 +159,11 @@ def main() -> None:
         "cms_sketch": cms_sketch,
         "hybrid_topk": hybrid_topk,
         "collocations": collocations,
+        "events_asof": temporal.events_asof,
+        "scd2_users": temporal.scd2_users,
+        "quality_bands": quality_bands,
+        "zorder_files": zorder_files,
+        "kg_paths": lambda s, d: kg_paths(materialize_kg(s, d)),
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():
