@@ -329,7 +329,12 @@ def main() -> None:
     timed("hybrid_topk", search.hybrid_topk)
     from cross_sentence_relation_extraction_idepnn_spark.operators import layout, temporal
 
-    timed("events_asof", temporal.events_asof)
+    # filter on the enrichment column: a bare count() lets Catalyst
+    # prune the window projection away and times only the scan
+    timed(
+        "events_asof",
+        lambda s, d: temporal.events_asof(s, d).filter("last_err_id IS NOT NULL"),
+    )
     timed("scd2_users", temporal.scd2_users)
     timed("quality_bands", textstats.quality_bands)
     timed("zorder_files", layout.zorder_files)

@@ -159,7 +159,11 @@ def main() -> None:
         "cms_sketch": cms_sketch,
         "hybrid_topk": hybrid_topk,
         "collocations": collocations,
-        "events_asof": temporal.events_asof,
+        # filter on the enrichment column: a bare count() lets Catalyst
+        # prune the window projection away and times only the scan
+        "events_asof": lambda s, d: temporal.events_asof(s, d).filter(
+            "last_err_id IS NOT NULL"
+        ),
         "scd2_users": temporal.scd2_users,
         "quality_bands": quality_bands,
         "zorder_files": zorder_files,
