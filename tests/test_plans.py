@@ -226,3 +226,38 @@ def test_kg_edge_lift_marginal_joins_broadcast(spark):
     assert count_op(plan, "BroadcastHashJoin") == 2, plan
     assert count_op(plan, "SortMergeJoin") == 0, plan
     release_caches()
+
+
+def test_bucketed_kg_join_has_no_exchange(spark, tmp_path):
+    """Bucketing as durable partitioning (the 100 TB co-location
+    story): a subj-keyed join between two tables bucketed on subj with
+    equal bucket counts must plan with ZERO Exchange operators, while
+    the identical join over plain parquet shuffles both sides.
+    Broadcast is disabled so the comparison is SMJ-vs-SMJ."""
+    from cross_sentence_relation_extraction_idepnn_spark.plans.bucketing import (
+        read_table,
+        write_bucketed_table,
+    )
+
+    kg = spark.createDataFrame(
+        [(f"e{i % 40}", "p", f"e{(i * 7) % 40}", i) for i in range(400)],
+        "subj string, pred string, obj string, support bigint",
+    )
+    deg = kg.groupBy("subj").count()
+    write_bucketed_table(kg, "kg_b", str(tmp_path / "kg_b"), ["subj"])
+    write_bucketed_table(deg, "deg_b", str(tmp_path / "deg_b"), ["subj"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = read_table(spark, "kg_b").join(read_table(spark, "deg_b"), "subj")
+        plain = kg.join(deg, "subj")
+        p_bucketed = plan_of(bucketed)
+        p_plain = plan_of(plain)
+        assert count_op(p_bucketed, "Exchange") == 0, p_bucketed
+        assert count_op(p_plain, "Exchange") >= 2
+        # same rows either way — layout, not semantics
+        assert bucketed.count() == plain.count() == 400
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS kg_b")
+        spark.sql("DROP TABLE IF EXISTS deg_b")
