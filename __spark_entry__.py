@@ -475,7 +475,7 @@ _DRIVER_PRIORITY = [
     # temporal / warehouse family — no driver row yet
     "events_asof", "scd2_users", "events_interval_join",
     "events_rollup", "kg_rollup", "quality_bands", "kg_paths",
-    "zorder_files",
+    "zorder_files", "events_fill",
     # single-green-round queries (r3 only) — keep inside the cap
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -684,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": temporal.events_asof,
         "scd2_users": temporal.scd2_users,
         "events_interval_join": temporal.events_interval_join,
+        # daily spine + last-observation-carried-forward densification
+        "events_fill": temporal.events_fill,
         "events_rollup": temporal.events_rollup,
         "kg_rollup": lambda s, d: temporal.kg_rollup(materialize_kg(s, d)),
         # exact per-language NTILE quartiles without a per-lang
@@ -1026,6 +1028,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": temporal.duck_events_asof(),
         "scd2_users": temporal.duck_scd2_users(),
         "events_interval_join": temporal.duck_events_interval_join(),
+        "events_fill": temporal.duck_events_fill(),
         "events_rollup": temporal.duck_events_rollup(),
         "kg_rollup": temporal.duck_kg_rollup(_duck_kg()),
         "quality_bands": textstats.duck_quality_bands(),

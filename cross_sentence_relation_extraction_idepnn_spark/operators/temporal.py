@@ -344,3 +344,93 @@ def duck_events_rollup() -> str:
         FROM events
         GROUP BY CUBE(event_type, hour(ts))
     """
+
+
+# ------------------------------------------------------- gap fill/LOCF
+
+
+def gap_fill_daily(events: DataFrame) -> DataFrame:
+    """(user_id, day, cents, observed) — per-user DAILY spine from the
+    user's first to last active day, with the latest observed value
+    carried forward across gap days (LOCF densification — the standard
+    prep for time-series features over sparse event feeds).
+
+    Per day the observation is the value of the LATEST event (by
+    (ts, event_id), deterministic via a struct max). The spine is
+    generated per user with ``sequence`` (no cross join against a
+    global calendar — each user only materializes their own active
+    range), and the fill is one ``last(ignorenulls)`` window pass.
+    Every key is user-grain: the aggregation exchange is reused by the
+    join and the window.
+    """
+    day = (
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(86400)
+    ).cast("long")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        events.select(
+            "user_id",
+            day.alias("day"),
+            F.struct("ts", "event_id", cents.alias("cents")).alias("obs"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max("obs")["cents"].alias("obs_cents"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("obs_cents", ignorenulls=True).over(w).alias("cents"),
+        F.col("obs_cents").isNotNull().alias("observed"),
+    )
+
+
+def events_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: daily LOCF gap fill over the events feed."""
+    return gap_fill_daily(events_batch(spark, sf_dir))
+
+
+def duck_events_fill() -> str:
+    """Oracle in the other formulation: generate the spine with
+    ``generate_series`` and resolve the carried value with an ASOF
+    join of spine days against the per-day observations (non-strict:
+    the day's own observation wins)."""
+    return """
+        WITH daily AS (
+            SELECT user_id, day, MAX(obs).cents AS obs_cents
+            FROM (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                       {'ts': ts, 'event_id': event_id,
+                        'cents': CAST(ROUND(value * 100) AS BIGINT)} AS obs
+                FROM events
+            )
+            GROUP BY user_id, day
+        ),
+        spine AS (
+            SELECT user_id, UNNEST(generate_series(d0, d1)) AS day
+            FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                  FROM daily GROUP BY user_id)
+        )
+        SELECT s.user_id, s.day, d.obs_cents AS cents,
+               EXISTS (SELECT 1 FROM daily x
+                       WHERE x.user_id = s.user_id AND x.day = s.day)
+                   AS observed
+        FROM spine s
+        ASOF LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day >= d.day
+    """

@@ -195,3 +195,35 @@ def test_quality_bands_uneven_counts_follow_ntile_rule(spark, tmp_path):
         for r in textstats.quality_bands(spark, str(tmp_path)).collect()
     }
     assert got == {1: 2, 2: 2, 3: 2, 4: 1}
+
+
+# ----------------------------------------------------------- gap fill
+
+
+def test_gap_fill_locf_semantics(spark):
+    """Gaps carry the last observation forward; observed flags mark
+    real days; the per-day value is the LATEST event's (by ts then
+    event_id); each user's spine spans only their own active range."""
+    day0 = "2024-01-01 12:00:00"  # day 19723
+    rows = [
+        (1, day0, 7, "a"),
+        (2, "2024-01-01 13:00:00", 7, "a"),   # later same day → wins
+        (3, "2024-01-04 01:00:00", 7, "b"),   # 2-day gap before this
+        (4, "2024-01-02 00:00:00", 8, "a"),   # different user, 1 day
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, float(i * 10), "{}") for (i, ts, u, t) in rows],
+        "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["user_id"], r["day"]): (r["cents"], r["observed"])
+        for r in temporal.gap_fill_daily(df).collect()
+    }
+    d = 19723
+    assert got[(7, d)] == (2000, True)       # event 2 (later ts) wins day 0
+    assert got[(7, d + 1)] == (2000, False)  # gap: carried forward
+    assert got[(7, d + 2)] == (2000, False)
+    assert got[(7, d + 3)] == (3000, True)
+    assert got[(8, d + 1)] == (4000, True)
+    assert len(got) == 5  # user 8 contributes exactly one spine day
