@@ -39,6 +39,7 @@ from cross_sentence_relation_extraction_idepnn_spark.operators import (
     curation,
     dedup,
     layout,
+    linalg,
     multimodal,
     search,
     similarity,
@@ -365,6 +366,16 @@ def _kg_components(spark: SparkSession, sf: str) -> DataFrame:
     return kg_components(materialize_kg(spark, sf))
 
 
+def _kg_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core peel over the materialized KG: the dense-nucleus census
+    (fixed synchronous rounds; degree inside the surviving subgraph)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_kcore,
+    )
+
+    return kg_kcore(materialize_kg(spark, sf))
+
+
 def _kg_node_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Neighbour-set Jaccard for common-neighbour entity pairs — the
     link-prediction signal over the materialized KG."""
@@ -476,6 +487,8 @@ _DRIVER_PRIORITY = [
     "events_asof", "scd2_users", "events_interval_join",
     "events_rollup", "kg_rollup", "quality_bands", "kg_paths",
     "zorder_files", "events_fill",
+    # round-4 late wave — no driver row yet
+    "embedding_gram", "kg_kcore", "event_funnel", "value_histogram",
     # single-green-round queries (r3 only) — keep inside the cap
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -699,6 +712,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table a z-clustered write would produce — data-skipping proof
         # lives in tests/test_layout.py (operators/layout.py)
         "zorder_files": layout.zorder_files,
+        # distributed exact Gram matrix (constant-size partials per
+        # Arrow batch-group + one tiny reduce); PCA eigen stage is
+        # pytest-verified vs numpy (operators/linalg.py)
+        "embedding_gram": linalg.embedding_gram,
+        # k-core peel over the KG (fixed synchronous rounds, unrolled
+        # oracle — the kg_communities portability contract)
+        "kg_kcore": _kg_kcore,
+        # ordered view→click→purchase funnel: one user-grain exchange,
+        # codegen'd fold over the sorted event array
+        "event_funnel": temporal.event_funnel,
+        # mergeable fixed-bin histogram of event values (quantile
+        # estimator pytest-verified vs exact numpy quantiles)
+        "value_histogram": sketch.value_histogram,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -865,6 +891,14 @@ def _duck_kg_triangles() -> str:
     )
 
     return duck_triangles_over(_duck_kg())
+
+
+def _duck_kg_kcore() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_kcore_over,
+    )
+
+    return duck_kcore_over(_duck_kg())
 
 
 def _duck_transe_step() -> str:
@@ -1034,6 +1068,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_bands": textstats.duck_quality_bands(),
         "kg_paths": _duck_kg_paths(),
         "zorder_files": layout.duck_zorder_files(),
+        "embedding_gram": linalg.duck_embedding_gram(),
+        "kg_kcore": _duck_kg_kcore(),
+        "event_funnel": temporal.duck_event_funnel(),
+        "value_histogram": sketch.duck_value_histogram(),
     }
 
 

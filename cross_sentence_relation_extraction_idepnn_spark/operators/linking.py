@@ -1336,3 +1336,136 @@ def duck_kg_paths_over(kg_cte: str, max_hops: int = BFS_MAX_HOPS) -> str:
         )
         SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY node
     """
+
+
+# --------------------------------------------------------------- k-core
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def kg_kcore(
+    kg: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    release: bool = True,
+) -> DataFrame:
+    """(node, deg) — the nodes surviving ``rounds`` synchronous peel
+    rounds of the k-core (Seidman 1983) over the KG's undirected
+    distinct edge set, with their degree inside the surviving subgraph:
+    the standard dense-nucleus census a KG consumer runs to separate
+    load-bearing entity clusters from pendant trivia.
+
+    Each round simultaneously removes every node whose degree within
+    the current subgraph is < k. Fixed ``rounds`` (not
+    convergence-detection) keeps the state portable to SQL — the same
+    "state after exactly N rounds" contract as ``kg_communities``; the
+    pytest pin proves N rounds reach the true fixpoint on crafted
+    worst-case chains and that the driver-scale graph is at fixpoint.
+
+    Plan: edge table (KG-sized, persisted once) survives unchanged; per
+    round the ALIVE set (node-dimension-sized, strictly shrinking) is
+    broadcast into two semi-joins on the edges, one degree count, one
+    filter — no corpus-sized state, lineage truncated per round with
+    the same eager ``localCheckpoint`` + previous-round release as
+    ``kg_communities``, so in-flight storage is 2 node-sized RDDs
+    regardless of ``rounds``."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import (
+        cache_scope,
+        track_cache,
+        track_checkpoint,
+        unpersist_checkpoint,
+    )
+
+    def loop() -> DataFrame:
+        base = track_cache(
+            kg.select("subj", "obj").persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        directed = base.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        edges = track_cache(
+            directed.unionByName(
+                directed.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        alive = edges.select(F.col("src").alias("node")).distinct()
+        prev = None
+        for _i in range(rounds):
+            live_edges = edges.join(
+                F.broadcast(alive.select(F.col("node").alias("src"))), "src"
+            ).join(F.broadcast(alive.select(F.col("node").alias("dst"))), "dst")
+            deg = live_edges.groupBy(F.col("src").alias("node")).agg(
+                F.count("*").alias("deg")
+            )
+            alive = (
+                deg.filter(F.col("deg") >= k)
+                .select("node")
+                .localCheckpoint(eager=release)
+            )
+            if release:
+                if prev is not None:
+                    unpersist_checkpoint(prev)
+                prev = alive
+        # final degree measured on the surviving subgraph
+        live_edges = edges.join(
+            F.broadcast(alive.select(F.col("node").alias("src"))), "src"
+        ).join(F.broadcast(alive.select(F.col("node").alias("dst"))), "dst")
+        out = live_edges.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("deg")
+        )
+        if release:
+            out = out.localCheckpoint(eager=True)
+            if prev is not None:
+                unpersist_checkpoint(prev)
+        return out
+
+    if not release:
+        return loop()
+    with cache_scope():
+        out = loop()
+    return track_checkpoint(out)
+
+
+def duck_kcore_over(
+    kg_cte: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """Oracle: the same synchronous peel unrolled as chained CTEs."""
+    ctes = [
+        f"kg AS MATERIALIZED ({kg_cte})",
+        """pe AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT subj AS src, obj AS dst FROM kg WHERE subj <> obj
+                UNION ALL
+                SELECT obj AS src, subj AS dst FROM kg WHERE subj <> obj
+            )
+        )""",
+        "alive0 AS (SELECT DISTINCT src AS node FROM pe)",
+    ]
+    for i in range(rounds):
+        ctes.append(f"""
+        alive{i + 1} AS (
+            SELECT e.src AS node
+            FROM pe e
+            JOIN alive{i} a ON a.node = e.src
+            JOIN alive{i} b ON b.node = e.dst
+            GROUP BY e.src
+            HAVING COUNT(*) >= {k}
+        )""")
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + f"""
+        SELECT e.src AS node, COUNT(*) AS deg
+        FROM pe e
+        JOIN alive{rounds} a ON a.node = e.src
+        JOIN alive{rounds} b ON b.node = e.dst
+        GROUP BY e.src
+    """
+    )

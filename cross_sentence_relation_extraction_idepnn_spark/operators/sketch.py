@@ -220,3 +220,69 @@ def duck_heavy_hitters() -> str:
         GROUP BY tok
         HAVING COUNT(*) >= (SELECT v FROM thr)
     """
+
+
+# --------------------------------------------------- fixed-bin histogram
+
+HIST_BINS = 64
+HIST_BIN_WIDTH = 8  # power of two: value/8 is exact in IEEE double
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bin, cnt) — per-event-type fixed-bin histogram of
+    the ``value`` column: the mergeable quantile/distribution sketch.
+    ≤ 64 rows per type however large the feed; per-shard histograms
+    merge by cell-wise addition (the same decomposability as the CMS
+    grid), and any quantile is answered from the constant-size state
+    with error ≤ one bin width (estimator pytest-verified against
+    exact numpy quantiles — the float stage stays out of the parity
+    surface). One map-side-combinable count aggregation; bin width is
+    a power of two so ``value / 8`` is exact in IEEE double in both
+    engines (no float-boundary tie hazard)."""
+    from ..session import read_parquet_cached
+
+    ev = read_parquet_cached(spark, f"{sf_dir}/events.parquet")
+    return histogram_from_events(ev)
+
+
+def histogram_from_events(events: DataFrame) -> DataFrame:
+    b = F.least(
+        F.greatest(
+            F.floor(F.col("value") / HIST_BIN_WIDTH), F.lit(0)
+        ),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        events.select("event_type", b.cast("int").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def duck_value_histogram() -> str:
+    return f"""
+        SELECT event_type,
+               CAST(LEAST(GREATEST(FLOOR(value / {HIST_BIN_WIDTH}), 0),
+                          {HIST_BINS - 1}) AS INT) AS bin,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    """
+
+
+def histogram_quantile(bins: dict[int, int], q: float) -> float:
+    """Quantile estimate from the integer bin counts (linear
+    interpolation within the hit bin) — the float stage, verified in
+    pytest against exact quantiles with error ≤ one bin width."""
+    total = sum(bins.values())
+    if total == 0:
+        return 0.0
+    target = q * total
+    run = 0
+    for b in range(HIST_BINS):
+        c = bins.get(b, 0)
+        if run + c >= target and c > 0:
+            frac = (target - run) / c
+            return (b + frac) * HIST_BIN_WIDTH
+        run += c
+    return HIST_BINS * HIST_BIN_WIDTH

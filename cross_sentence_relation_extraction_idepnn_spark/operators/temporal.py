@@ -434,3 +434,131 @@ def duck_events_fill() -> str:
         ASOF LEFT JOIN daily d
           ON s.user_id = d.user_id AND s.day >= d.day
     """
+
+
+# ------------------------------------------------------------- funnel
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """(user_id, t1_us, t2_us, t3_us, stage) — ordered-funnel analysis
+    per user over the event feed: the earliest strictly-ordered
+    completion of view → click → purchase, with ``stage`` = how many
+    steps the user completed in order.
+
+    Semantics pinned (crafted test): events are totally ordered by
+    (ts, event_id); stage s+1 counts only when it occurs strictly
+    later in that order than the chosen stage-s event; each stage
+    greedily takes its EARLIEST eligible event (greedy-earliest is
+    optimal: delaying a stage can only shrink the eligible suffix for
+    later stages, so greedy completes the funnel whenever any
+    assignment does). Users with none of the three event types emit no
+    row (the funnel is defined over funnel-event participants).
+
+    Plan: ONE exchange (the user_id groupBy); the per-user fold is a
+    single codegen'd ``aggregate`` over the sorted event array — no
+    second shuffle, no window cascade (the window/join formulation
+    needs three sequential user-grain shuffles; the oracle uses it as
+    the independent cross-check). Per-user state is 3 longs; the
+    collected array is bounded by events-per-user — the same per-key
+    bound as ``sessionize``, with the same salting/spill escape hatch
+    if a feed has a pathological user."""
+    idx = F.array_position(
+        F.array(*[F.lit(s) for s in FUNNEL_STAGES]), F.col("event_type")
+    )
+    ev = (
+        events.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+        .select(
+            "user_id",
+            F.struct(
+                _epoch_us("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                (idx - 1).cast("int").alias("idx"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+    )
+    folded = ev.select(
+        "user_id",
+        F.expr(
+            """
+            aggregate(
+                evs,
+                named_struct('t1', CAST(-1 AS BIGINT),
+                             't2', CAST(-1 AS BIGINT),
+                             't3', CAST(-1 AS BIGINT)),
+                (a, x) -> named_struct(
+                    't1', CASE WHEN a.t1 < 0 AND x.idx = 0
+                               THEN x.us ELSE a.t1 END,
+                    't2', CASE WHEN a.t2 < 0 AND a.t1 >= 0 AND x.idx = 1
+                               THEN x.us ELSE a.t2 END,
+                    't3', CASE WHEN a.t3 < 0 AND a.t2 >= 0 AND x.idx = 2
+                               THEN x.us ELSE a.t3 END)
+            )
+            """
+        ).alias("acc"),
+    )
+    t = lambda c: F.when(F.col(f"acc.{c}") >= 0, F.col(f"acc.{c}"))  # noqa: E731
+    return folded.select(
+        "user_id",
+        t("t1").alias("t1_us"),
+        t("t2").alias("t2_us"),
+        t("t3").alias("t3_us"),
+        (
+            F.when(F.col("acc.t3") >= 0, 3)
+            .when(F.col("acc.t2") >= 0, 2)
+            .when(F.col("acc.t1") >= 0, 1)
+            .otherwise(0)
+        ).cast("int").alias("stage"),
+    )
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-user ordered view→click→purchase funnel."""
+    return funnel_stages(events_batch(spark, sf_dir))
+
+
+def duck_event_funnel() -> str:
+    """Oracle in the other formulation: stage times resolved with
+    chained conditional MIN aggregations over (us, eid) tuples —
+    stage s+1's eligible set is everything strictly after stage s's
+    tuple (struct comparison gives the same (ts, event_id) total
+    order as the Spark fold's sorted scan)."""
+    stages = ", ".join(f"'{s}'" for s in FUNNEL_STAGES)
+    return f"""
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id AS eid, event_type
+            FROM events WHERE event_type IN ({stages})
+        ),
+        u AS (SELECT DISTINCT user_id FROM ev),
+        s1 AS (
+            SELECT user_id, MIN({{'us': us, 'eid': eid}}) AS k1
+            FROM ev WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN({{'us': e.us, 'eid': e.eid}}) AS k2
+            FROM ev e JOIN s1 ON s1.user_id = e.user_id
+            WHERE e.event_type = '{FUNNEL_STAGES[1]}'
+              AND {{'us': e.us, 'eid': e.eid}} > s1.k1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN({{'us': e.us, 'eid': e.eid}}) AS k3
+            FROM ev e JOIN s2 ON s2.user_id = e.user_id
+            WHERE e.event_type = '{FUNNEL_STAGES[2]}'
+              AND {{'us': e.us, 'eid': e.eid}} > s2.k2
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               s1.k1.us AS t1_us, s2.k2.us AS t2_us, s3.k3.us AS t3_us,
+               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         WHEN s1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS stage
+        FROM u
+        LEFT JOIN s1 USING (user_id)
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+    """

@@ -374,3 +374,77 @@ def test_kg_paths_bfs_min_dist_cycle_and_hop_bound(spark):
         "H": 0, "A": 1, "B": 1, "C": 1,
         "D": 2, "E": 2, "F": 3, "G": 4,
     }
+
+
+# ------------------------------------------------------------- k-core
+
+
+def test_kcore_triangle_survives_pendant_chain_peels(spark):
+    """Triangle A-B-C with a pendant chain C-D-E-F: the 2-core is
+    exactly the triangle (degree 2 each); the chain peels off one
+    endpoint layer per synchronous round."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import kg_kcore
+
+    kg = _kg_df(
+        spark,
+        [
+            ("A", "p", "B", 1),
+            ("B", "p", "C", 1),
+            ("A", "p", "C", 1),
+            ("C", "p", "D", 1),
+            ("D", "p", "E", 1),
+            ("E", "p", "F", 1),
+        ],
+    )
+    out = {r.node: r.deg for r in kg_kcore(kg).collect()}
+    assert out == {"A": 2, "B": 2, "C": 2}
+
+
+def test_kcore_synchronous_round_contract_on_a_long_path(spark):
+    """A 14-node path peels from both ends, one layer per round: after
+    6 rounds the 2 centre nodes survive (degree 1 each — the state
+    after exactly N rounds is the contract, same as kg_communities);
+    round 7 reaches the empty fixpoint."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import kg_kcore
+
+    n = 14
+    kg = _kg_df(
+        spark,
+        [(f"N{i:02d}", "p", f"N{i + 1:02d}", 1) for i in range(n - 1)],
+    )
+    six = {r.node: r.deg for r in kg_kcore(kg, rounds=6).collect()}
+    assert six == {"N06": 1, "N07": 1}
+    assert kg_kcore(kg, rounds=7).count() == 0
+
+
+def test_kcore_three_core_and_fixpoint_stability(spark):
+    """k=3: the K4 clique survives its pendant decorations; once at
+    fixpoint, extra rounds change nothing (rounds=6 ≡ rounds=9)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import kg_kcore
+
+    k4 = [("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"), ("C", "D")]
+    deco = [("A", "X"), ("X", "Y"), ("B", "Z")]
+    kg = _kg_df(spark, [(u, "p", v, 1) for u, v in k4 + deco])
+    out6 = sorted(map(tuple, kg_kcore(kg, k=3, rounds=6).collect()))
+    out9 = sorted(map(tuple, kg_kcore(kg, k=3, rounds=9).collect()))
+    assert out6 == out9 == [("A", 3), ("B", 3), ("C", 3), ("D", 3)]
+
+
+def test_kcore_self_loops_and_duplicate_edges_ignored(spark):
+    """Self-loops never contribute degree; a duplicated (and reversed)
+    edge counts once — the distinct undirected edge set is the graph."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import kg_kcore
+
+    kg = _kg_df(
+        spark,
+        [
+            ("A", "p", "A", 1),      # self-loop only: A has no edges
+            ("B", "p", "C", 1),
+            ("C", "p", "B", 1),      # reverse duplicate
+            ("B", "p", "C", 1),      # exact duplicate
+            ("B", "p", "D", 1),
+            ("C", "p", "D", 1),
+        ],
+    )
+    out = {r.node: r.deg for r in kg_kcore(kg).collect()}
+    assert out == {"B": 2, "C": 2, "D": 2}

@@ -169,3 +169,74 @@ def test_heavy_hitters_prefilter_is_lossless_and_prunes(spark, sf_dir):
     grid = {(r, c): n for r, c, n in cms_sketch(spark, sf_dir).collect()}
     ests = [cms_query(grid, t) for t in exact["tok"].head(500)]
     assert any(e < thr for e in ests), "prefilter never pruned anything"
+
+
+# --------------------------------------------------- fixed-bin histogram
+
+
+def test_histogram_counts_match_numpy_binning(spark, sf_dir):
+    import numpy as np
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        HIST_BIN_WIDTH,
+        HIST_BINS,
+        value_histogram,
+    )
+
+    got = {
+        (r.event_type, r.bin): r.cnt
+        for r in value_histogram(spark, sf_dir).collect()
+    }
+    import duckdb as _dd
+
+    rows = _dd.sql(
+        f"SELECT event_type, value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    want: dict = {}
+    for t, v in rows:
+        b = int(min(max(np.floor(v / HIST_BIN_WIDTH), 0), HIST_BINS - 1))
+        want[(t, b)] = want.get((t, b), 0) + 1
+    assert got == want
+
+
+def test_histogram_clamps_out_of_range_values(spark):
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        histogram_from_events,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -3.0), (2, 0.0), (3, 7.99), (4, 8.0), (5, 1e9)],
+        "event_id bigint, value double",
+    ).withColumn("event_type", F.lit("x"))
+    got = {r.bin: r.cnt for r in histogram_from_events(df).collect()}
+    assert got == {0: 3, 1: 1, 63: 1}
+
+
+def test_histogram_quantile_within_one_bin_width(spark, sf_dir):
+    import numpy as np
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        HIST_BIN_WIDTH,
+        histogram_quantile,
+        value_histogram,
+    )
+
+    rows = value_histogram(spark, sf_dir).collect()
+    import duckdb as _dd
+
+    vals = np.array(
+        [
+            v
+            for (v,) in _dd.sql(
+                f"SELECT value FROM '{sf_dir}/events.parquet'"
+            ).fetchall()
+        ]
+    )
+    # merge across types: cell-wise addition (the mergeability claim)
+    bins: dict = {}
+    for r in rows:
+        bins[r.bin] = bins.get(r.bin, 0) + r.cnt
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = histogram_quantile(bins, q)
+        exact = float(np.quantile(vals, q))
+        assert abs(est - exact) <= HIST_BIN_WIDTH, (q, est, exact)

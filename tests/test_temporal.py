@@ -227,3 +227,93 @@ def test_gap_fill_locf_semantics(spark):
     assert got[(7, d + 3)] == (3000, True)
     assert got[(8, d + 1)] == (4000, True)
     assert len(got) == 5  # user 8 contributes exactly one spine day
+
+
+# ------------------------------------------------------------- funnel
+
+
+US = 1_000_000
+
+
+def _us(h, m, s=0):
+    """Epoch micros for 2024-01-01 HH:MM:SS (the _events fixture day)."""
+    import datetime
+
+    return int(
+        datetime.datetime(2024, 1, 1, h, m, s).timestamp()
+        - datetime.datetime(1970, 1, 1).timestamp()
+    ) * US
+
+
+def test_funnel_out_of_order_stages_do_not_count(spark):
+    """A click BEFORE the first view is invisible; a purchase after the
+    view but with no intervening click leaves the funnel at stage 1."""
+    rows = [
+        (2, "2024-01-01 00:05:00", 1, "click"),
+        (1, "2024-01-01 00:10:00", 1, "view"),
+        (3, "2024-01-01 00:20:00", 1, "purchase"),
+    ]
+    out = temporal.funnel_stages(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.stage, r.t1_us, r.t2_us, r.t3_us) == (1, _us(0, 10), None, None)
+
+
+def test_funnel_ts_ties_resolve_by_event_id_order(spark):
+    """At equal timestamps the (ts, event_id) total order decides
+    'after': a click with a larger event_id than the view counts; a
+    purchase with a smaller event_id than that click does not."""
+    rows = [
+        (9, "2024-01-01 00:10:00", 2, "purchase"),
+        (10, "2024-01-01 00:10:00", 2, "view"),
+        (11, "2024-01-01 00:10:00", 2, "click"),
+    ]
+    r = temporal.funnel_stages(_events(spark, rows)).collect()[0]
+    assert (r.stage, r.t1_us, r.t2_us, r.t3_us) == (
+        2,
+        _us(0, 10),
+        _us(0, 10),
+        None,
+    )
+
+
+def test_funnel_greedy_earliest_completion_times(spark):
+    """Each stage takes its EARLIEST eligible event: with view@01,
+    click@03, purchase@04, view@05 the times are (01, 03, 04) — the
+    later view never displaces the earlier anchor."""
+    rows = [
+        (20, "2024-01-01 00:01:00", 3, "view"),
+        (22, "2024-01-01 00:03:00", 3, "click"),
+        (23, "2024-01-01 00:04:00", 3, "purchase"),
+        (21, "2024-01-01 00:05:00", 3, "view"),
+    ]
+    r = temporal.funnel_stages(_events(spark, rows)).collect()[0]
+    assert (r.stage, r.t1_us, r.t2_us, r.t3_us) == (
+        3,
+        _us(0, 1),
+        _us(0, 3),
+        _us(0, 4),
+    )
+
+
+def test_funnel_stage_zero_user_still_emits_a_row(spark):
+    """A user with funnel-type events but no view anchors at stage 0
+    (present in the output — the funnel reports attrition, not just
+    converters); a user with NO funnel-type events emits nothing."""
+    rows = [
+        (30, "2024-01-01 00:01:00", 4, "click"),
+        (31, "2024-01-01 00:02:00", 4, "purchase"),
+        (32, "2024-01-01 00:03:00", 5, "error"),
+    ]
+    out = temporal.funnel_stages(_events(spark, rows)).collect()
+    assert [r.user_id for r in out] == [4]
+    assert (out[0].stage, out[0].t1_us) == (0, None)
+
+
+def test_funnel_plan_is_single_exchange_fold(spark):
+    """The fold formulation shuffles ONCE (the user-grain aggregate);
+    no join, no window cascade."""
+    rows = [(40, "2024-01-01 00:01:00", 6, "view")]
+    plan = _plan(temporal.funnel_stages(_events(spark, rows)))
+    assert _count_op(plan, "Exchange") == 1, plan
+    assert _count_op(plan, r"\w*Join\w*") == 0, plan
