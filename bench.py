@@ -339,6 +339,12 @@ def main() -> None:
     timed("quality_bands", textstats.quality_bands)
     timed("zorder_files", layout.zorder_files)
     timed("kg_paths", lambda s, d: linking.kg_paths(materialize_kg(s, d)))
+    from cross_sentence_relation_extraction_idepnn_spark.operators import linalg
+
+    timed("embedding_gram", linalg.embedding_gram)
+    timed("kg_kcore", lambda s, d: linking.kg_kcore(materialize_kg(s, d)))
+    timed("event_funnel", temporal.event_funnel)
+    timed("value_histogram", sketch.value_histogram)
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -142,7 +142,14 @@ def main() -> None:
         zorder_files,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_kcore,
         kg_paths,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linalg import (
+        embedding_gram,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        value_histogram,
     )
 
     queries = {
@@ -168,6 +175,10 @@ def main() -> None:
         "quality_bands": quality_bands,
         "zorder_files": zorder_files,
         "kg_paths": lambda s, d: kg_paths(materialize_kg(s, d)),
+        "embedding_gram": embedding_gram,
+        "kg_kcore": lambda s, d: kg_kcore(materialize_kg(s, d)),
+        "event_funnel": temporal.event_funnel,
+        "value_histogram": value_histogram,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():
