@@ -376,6 +376,27 @@ def _kg_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return kg_kcore(materialize_kg(spark, sf))
 
 
+def _kg_walks(spark: SparkSession, sf: str) -> DataFrame:
+    """DeepWalk/node2vec walk corpus: deterministic hash-steered random
+    walks over the materialized KG (entity-embedding training prep)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_walks,
+    )
+
+    return kg_walks(materialize_kg(spark, sf))
+
+
+def _walk_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram co-occurrence counts over the walk corpus — the
+    sufficient statistic DeepWalk/word2vec trains entity embeddings
+    on (Levy & Goldberg 2014)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        walk_pairs,
+    )
+
+    return walk_pairs(materialize_kg(spark, sf))
+
+
 def _kg_node_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Neighbour-set Jaccard for common-neighbour entity pairs — the
     link-prediction signal over the materialized KG."""
@@ -489,6 +510,7 @@ _DRIVER_PRIORITY = [
     "zorder_files", "events_fill",
     # round-4 late wave — no driver row yet
     "embedding_gram", "kg_kcore", "event_funnel", "value_histogram",
+    "kg_walks", "compaction_plan", "walk_pairs",
     # single-green-round queries (r3 only) — keep inside the cap
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -712,6 +734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table a z-clustered write would produce — data-skipping proof
         # lives in tests/test_layout.py (operators/layout.py)
         "zorder_files": layout.zorder_files,
+        # table-maintenance twin of the layout story: bin-packing
+        # compaction plan over the z-clustered file statistics
+        "compaction_plan": layout.compaction_plan,
         # distributed exact Gram matrix (constant-size partials per
         # Arrow batch-group + one tiny reduce); PCA eigen stage is
         # pytest-verified vs numpy (operators/linalg.py)
@@ -719,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-core peel over the KG (fixed synchronous rounds, unrolled
         # oracle — the kg_communities portability contract)
         "kg_kcore": _kg_kcore,
+        "kg_walks": _kg_walks,
+        "walk_pairs": _walk_pairs,
         # ordered view→click→purchase funnel: one user-grain exchange,
         # codegen'd fold over the sorted event array
         "event_funnel": temporal.event_funnel,
@@ -901,6 +928,22 @@ def _duck_kg_kcore() -> str:
     return duck_kcore_over(_duck_kg())
 
 
+def _duck_kg_walks() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_walks_over,
+    )
+
+    return duck_walks_over(_duck_kg())
+
+
+def _duck_walk_pairs() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_pairs_over,
+    )
+
+    return duck_pairs_over(_duck_kg())
+
+
 def _duck_transe_step() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
         duck_transe_over,
@@ -1068,8 +1111,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_bands": textstats.duck_quality_bands(),
         "kg_paths": _duck_kg_paths(),
         "zorder_files": layout.duck_zorder_files(),
+        "compaction_plan": layout.duck_compaction_plan(),
         "embedding_gram": linalg.duck_embedding_gram(),
         "kg_kcore": _duck_kg_kcore(),
+        "kg_walks": _duck_kg_walks(),
+        "walk_pairs": _duck_walk_pairs(),
         "event_funnel": temporal.duck_event_funnel(),
         "value_histogram": sketch.duck_value_histogram(),
     }

@@ -138,3 +138,107 @@ def timeorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY zfile
     """)
+
+
+# ------------------------------------------------------------ compaction
+
+COMPACT_TARGET_ROWS = 2048
+
+
+def compaction_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    target_rows: int = COMPACT_TARGET_ROWS,
+    n_ranges: int = 16,
+) -> DataFrame:
+    """(bin, n_files, total_rows, first_file, last_file, min_user,
+    max_user) — the bin-packing plan a table-maintenance compactor
+    (Iceberg ``rewrite_data_files`` binpack / Delta OPTIMIZE) would
+    produce over the Z-clustered file statistics: walk files in layout
+    order (zfile ascending — preserving the clustering the layout paid
+    for) and start a new output file whenever the running row total
+    crosses ``target_rows``. Small-file compaction is the maintenance
+    half of the layout story: Z-order buys data skipping, compaction
+    keeps per-file row counts near the scanner's sweet spot so the
+    skipping survives a million tiny appends.
+
+    Assignment rule (engine-portable): ``bin = cum_before div
+    target_rows`` where ``cum_before`` is the exact running sum of rows
+    in files strictly earlier in zfile order — a pure prefix-sum, no
+    greedy driver loop.
+
+    Plan: the file-stats relation is metadata-grain (one row per file —
+    millions of rows for a 100 TB table, never corpus-grain), but the
+    prefix sum still avoids the single-task global sort: range-partition
+    by zfile, windowed cumsum within each sorted range, and add
+    driver-side per-range prefix offsets (≤ ``n_ranges`` numbers
+    collected) — the A9 ``vocabulary`` recipe applied to a SUM instead
+    of a COUNT."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
+    stats = zorder_files(spark, sf_dir)
+    ranged = (
+        stats.repartitionByRange(n_ranges, "zfile")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_cache(ranged)
+    sums = {
+        r["pid"]: r["s"]
+        for r in ranged.groupBy("pid")
+        .agg(F.sum("n_rows").alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(sums):
+        offsets += [F.lit(p), F.lit(acc)]
+        acc += sums[p]
+    off_map = F.create_map(*offsets) if offsets else F.create_map()
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("zfile")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_rows").over(w), F.lit(0)) + F.coalesce(
+        off_map[F.col("pid")], F.lit(0)
+    )
+    return (
+        ranged.withColumn("cum_before", cum)
+        .withColumn(
+            "bin", F.expr(f"CAST(cum_before div {target_rows} AS INT)")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("zfile").alias("first_file"),
+            F.max("zfile").alias("last_file"),
+            F.min("min_user").alias("min_user"),
+            F.max("max_user").alias("max_user"),
+        )
+    )
+
+
+def duck_compaction_plan(target_rows: int = COMPACT_TARGET_ROWS) -> str:
+    """Oracle: the same prefix-sum assignment as one window over the
+    stats subquery (independent formulation: global ordered window vs
+    the engine's range-partitioned two-phase cumsum)."""
+    return f"""
+        WITH stats AS ({duck_zorder_files()}),
+        c AS (
+            SELECT *,
+                   COALESCE(SUM(n_rows) OVER (
+                       ORDER BY zfile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM stats
+        )
+        SELECT CAST(cum_before // {target_rows} AS INT) AS bin,
+               COUNT(*) AS n_files, SUM(n_rows) AS total_rows,
+               MIN(zfile) AS first_file, MAX(zfile) AS last_file,
+               MIN(min_user) AS min_user, MAX(max_user) AS max_user
+        FROM c GROUP BY 1
+    """

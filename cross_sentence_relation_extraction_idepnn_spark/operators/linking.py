@@ -1469,3 +1469,215 @@ def duck_kcore_over(
         GROUP BY e.src
     """
     )
+
+
+# --------------------------------------------------------------- walks
+
+WALKS_PER_NODE = 2
+WALK_LEN = 4
+WALK_MAX_NBRS = 64
+
+
+def kg_walks(
+    kg: DataFrame,
+    walks: int = WALKS_PER_NODE,
+    length: int = WALK_LEN,
+    max_nbrs: int = WALK_MAX_NBRS,
+    release: bool = True,
+) -> DataFrame:
+    """(start, walk, step, node) — ``walks`` deterministic random walks
+    of up to ``length`` hops from every KG node with out-edges, in long
+    form: the DeepWalk/node2vec *walk corpus* (Perozzi et al. 2014) that
+    feeds skip-gram entity-embedding training downstream of the KG.
+
+    Determinism (the engine's portability contract): a node's
+    out-neighbours are the SORTED distinct objects, truncated at
+    ``max_nbrs`` (hub-degree cap — at corpus scale a celebrity entity's
+    adjacency list must not become a multi-MB array riding every join;
+    sorted-prefix truncation keeps the cap reproducible in SQL), and
+    step *t* of walk *w* from *v* picks index
+    ``H(start|w|t|v) mod deg(v)`` with the engine-portable 60-bit md5
+    hash — so DuckDB replays the identical walks via a recursive CTE.
+
+    Plan: adjacency (node-dimension-sized) builds with ONE exchange and
+    persists once; each hop is ONE equi-join of the walk-state
+    (``n_nodes × walks`` rows, never larger) against it, with per-hop
+    ``localCheckpoint`` lineage truncation and previous-hop release —
+    the ``kg_paths`` discipline. Walks halt at sink nodes (inner join
+    drops them), so per-hop work only shrinks. At 100 TB the adjacency
+    is still node-grain (broadcastable for most KGs); the walk-state
+    join is the textbook iterative equi-join shape.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..hashing import spark_h15
+    from ..session import (
+        cache_scope,
+        track_cache,
+        track_checkpoint,
+        unpersist_checkpoint,
+    )
+
+    def loop() -> DataFrame:
+        adj = track_cache(
+            kg.select("subj", "obj")
+            .distinct()
+            .groupBy("subj")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_set("obj")), 1, max_nbrs
+                ).alias("nbrs")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        state = adj.select(
+            F.col("subj").alias("start"),
+            F.explode(F.sequence(F.lit(0), F.lit(walks - 1))).alias("walk"),
+            F.lit(0).cast("int").alias("step"),
+            F.col("subj").alias("node"),
+        )
+        out = state.localCheckpoint(eager=release)
+        frontier = out
+        prev = out
+        for t in range(1, length + 1):
+            nxt = (
+                frontier.join(adj, frontier["node"] == adj["subj"])
+                .select(
+                    "start",
+                    "walk",
+                    F.lit(t).cast("int").alias("step"),
+                    F.element_at(
+                        "nbrs",
+                        (
+                            spark_h15(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("start"),
+                                    F.col("walk").cast("string"),
+                                    F.lit(str(t)),
+                                    F.col("node"),
+                                )
+                            )
+                            % F.size("nbrs")
+                            + F.lit(1)
+                        ).cast("int"),
+                    ).alias("node"),
+                )
+            )
+            if nxt.isEmpty():
+                break
+            out = out.unionByName(nxt).localCheckpoint(eager=release)
+            frontier = out.filter(F.col("step") == t)
+            if release:
+                unpersist_checkpoint(prev)
+                prev = out
+        return out
+
+    if not release:
+        return loop()
+    with cache_scope():
+        res = loop()
+    return track_checkpoint(res)
+
+
+def duck_walks_over(
+    kg_cte: str,
+    walks: int = WALKS_PER_NODE,
+    length: int = WALK_LEN,
+    max_nbrs: int = WALK_MAX_NBRS,
+) -> str:
+    """Oracle: the identical deterministic walks as a recursive CTE over
+    the sorted-truncated adjacency lists (independent formulation: list
+    indexing in SQL vs the engine's iterative equi-join loop)."""
+    from ..hashing import duck_h15
+
+    h = duck_h15(
+        "w.start || '|' || CAST(w.walk AS VARCHAR) || '|' "
+        "|| CAST(w.step + 1 AS VARCHAR) || '|' || w.node"
+    )
+    return f"""
+        WITH RECURSIVE kgt AS MATERIALIZED ({kg_cte}),
+        adj AS MATERIALIZED (
+            SELECT subj, list_sort(list(DISTINCT obj))[1:{max_nbrs}] AS nbrs
+            FROM kgt GROUP BY subj
+        ),
+        wids AS (SELECT CAST(range AS INT) AS walk FROM range(0, {walks})),
+        walkrec(start, walk, step, node) AS (
+            SELECT subj, walk, CAST(0 AS INT), subj FROM adj CROSS JOIN wids
+            UNION ALL
+            SELECT w.start, w.walk, CAST(w.step + 1 AS INT),
+                   a.nbrs[CAST(({h}) % len(a.nbrs) AS INT) + 1]
+            FROM walkrec w JOIN adj a ON a.subj = w.node
+            WHERE w.step < {length}
+        )
+        SELECT start, walk, step, node FROM walkrec
+    """
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def walk_pairs(
+    kg: DataFrame,
+    window: int = SKIPGRAM_WINDOW,
+    walks: int = WALKS_PER_NODE,
+    length: int = WALK_LEN,
+    max_nbrs: int = WALK_MAX_NBRS,
+) -> DataFrame:
+    """(center, context, cnt) — skip-gram co-occurrence counts over the
+    :func:`kg_walks` corpus: for every walk, every ordered (center,
+    context) pair within ``window`` hops, aggregated across the corpus.
+    This is the input word2vec/DeepWalk trains on — the pair-count
+    table IS the sufficient statistic for the skip-gram objective
+    (Levy & Goldberg 2014 show SGNS factorizes the shifted PMI of
+    exactly these counts), so emitting it closes the entity-embedding
+    prep path: KG → walks → co-occurrence counts.
+
+    Plan: walks regroup to one bounded array per (start, walk) — at
+    most ``length+1`` elements, so the array can never skew — and the
+    pair expansion is pure Column algebra (indexed ``transform`` ×
+    indexed ``filter``: ≤ ``(length+1)·2·window`` structs per walk, a
+    constant). Two exchanges total: the regroup and the final pair
+    count (map-side combine collapses the corpus before the wire).
+    At 100 TB the walk corpus is node-grain × a constant — this is a
+    word-count over it, the canonical Spark shape."""
+    wk = kg_walks(kg, walks=walks, length=length, max_nbrs=max_nbrs)
+    seqs = wk.groupBy("start", "walk").agg(
+        F.array_sort(F.collect_list(F.struct("step", "node"))).alias("seq")
+    )
+    pairs = F.expr(
+        f"""flatten(transform(seq, (c, i) -> transform(
+                filter(seq, (x, j) -> j != i AND abs(j - i) <= {window}),
+                x -> named_struct('center', c.node, 'context', x.node))))"""
+    )
+    return (
+        seqs.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def duck_pairs_over(
+    kg_cte: str,
+    window: int = SKIPGRAM_WINDOW,
+    walks: int = WALKS_PER_NODE,
+    length: int = WALK_LEN,
+    max_nbrs: int = WALK_MAX_NBRS,
+) -> str:
+    """Oracle: the same counts by a step-range self-join of the walk
+    relation (independent formulation: row-pair join vs the engine's
+    bounded-array expansion)."""
+    walks_sql = duck_walks_over(kg_cte, walks=walks, length=length,
+                                max_nbrs=max_nbrs)
+    return f"""
+        WITH wlk AS MATERIALIZED ({walks_sql})
+        SELECT a.node AS center, b.node AS context, COUNT(*) AS cnt
+        FROM wlk a JOIN wlk b
+          ON a.start = b.start AND a.walk = b.walk
+         AND b.step BETWEEN a.step - {window} AND a.step + {window}
+         AND b.step <> a.step
+        GROUP BY 1, 2
+    """

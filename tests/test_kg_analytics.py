@@ -448,3 +448,126 @@ def test_kcore_self_loops_and_duplicate_edges_ignored(spark):
     )
     out = {r.node: r.deg for r in kg_kcore(kg).collect()}
     assert out == {"B": 2, "C": 2, "D": 2}
+
+
+# ------------------------------------------------------------ kg_walks
+
+
+def _py_walks(edges, walks, length, max_nbrs):
+    """Independent pure-Python replay of the deterministic walk spec."""
+    adj: dict[str, list[str]] = {}
+    for s, o in sorted(set(edges)):
+        adj.setdefault(s, [])
+    for s, o in sorted(set(edges)):
+        adj[s].append(o)
+    adj = {s: sorted(set(os))[:max_nbrs] for s, os in adj.items() if os}
+    out = set()
+    for start in adj:
+        for w in range(walks):
+            node = start
+            out.add((start, w, 0, node))
+            for t in range(1, length + 1):
+                nbrs = adj.get(node)
+                if not nbrs:
+                    break
+                h = py_h15(f"{start}|{w}|{t}|{node}")
+                node = nbrs[h % len(nbrs)]
+                out.add((start, w, t, node))
+    return out
+
+
+def test_kg_walks_matches_python_twin_with_sink_halt(spark):
+    """Crafted graph with a sink (C has no out-edges): walks entering C
+    halt early; every emitted (start, walk, step, node) row equals the
+    pure-Python hash-steered replay."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_walks,
+    )
+
+    edges = [
+        ("A", "B"), ("A", "C"), ("B", "A"), ("B", "C"), ("D", "A"),
+    ]
+    kg = _kg_df(spark, [(s, "r", o, 1) for s, o in edges])
+    got = {
+        (r["start"], r["walk"], r["step"], r["node"])
+        for r in kg_walks(kg, walks=2, length=3).collect()
+    }
+    release_caches()
+    assert got == _py_walks(edges, walks=2, length=3, max_nbrs=64)
+    # the sink is reachable but never emits a step from itself
+    assert all(not (s == "C" and st == 0) for (s, _w, st, _n) in got)
+
+
+def test_kg_walks_hub_cap_truncates_sorted_prefix(spark):
+    """max_nbrs=2 on a degree-4 hub: only the two lexicographically
+    smallest neighbours are ever visited, matching the Python twin run
+    under the same cap (the celebrity-entity degree guard)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_walks,
+    )
+
+    edges = [("H", x) for x in ("N4", "N2", "N3", "N1")] + [
+        ("N1", "H"), ("N2", "H"),
+    ]
+    kg = _kg_df(spark, [(s, "r", o, 1) for s, o in edges])
+    got = {
+        (r["start"], r["walk"], r["step"], r["node"])
+        for r in kg_walks(kg, walks=3, length=4, max_nbrs=2).collect()
+    }
+    release_caches()
+    assert got == _py_walks(edges, walks=3, length=4, max_nbrs=2)
+    visited_from_hub = {n for (_s, _w, st, n) in got if st > 0}
+    assert visited_from_hub <= {"N1", "N2", "H"}
+
+
+def _py_walk_seqs(edges, walks, length, max_nbrs):
+    """Walk corpus as ordered sequences per (start, walk)."""
+    adj: dict[str, list[str]] = {}
+    for s, o in sorted(set(edges)):
+        adj.setdefault(s, []).append(o)
+    adj = {s: sorted(set(os))[:max_nbrs] for s, os in adj.items() if os}
+    seqs = {}
+    for start in adj:
+        for w in range(walks):
+            node, seq = start, [start]
+            for t in range(1, length + 1):
+                nbrs = adj.get(node)
+                if not nbrs:
+                    break
+                h = py_h15(f"{start}|{w}|{t}|{node}")
+                node = nbrs[h % len(nbrs)]
+                seq.append(node)
+            seqs[(start, w)] = seq
+    return seqs
+
+
+def test_walk_pairs_matches_python_skipgram_twin(spark):
+    """Every (center, context, cnt) row equals a pure-Python skip-gram
+    count over the replayed walk sequences — including revisit pairs
+    (center == context when a short cycle is walked) and truncated
+    windows at walk edges/sink halts."""
+    from collections import Counter
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        walk_pairs,
+    )
+
+    edges = [
+        ("A", "B"), ("A", "C"), ("B", "A"), ("B", "C"), ("D", "A"),
+    ]
+    kg = _kg_df(spark, [(s, "r", o, 1) for s, o in edges])
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in walk_pairs(kg, window=2, walks=2, length=3).collect()
+    }
+    release_caches()
+    expect: Counter = Counter()
+    for seq in _py_walk_seqs(edges, walks=2, length=3, max_nbrs=64).values():
+        for i, c in enumerate(seq):
+            for j, x in enumerate(seq):
+                if j != i and abs(j - i) <= 2:
+                    expect[(c, x)] += 1
+    assert got == dict(expect)
+    # the window actually truncates: adjacent-only pairs exist for the
+    # length-2 sink walks, so the corpus is not one big all-pairs blob
+    assert any(v > 1 for v in got.values())

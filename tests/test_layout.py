@@ -66,3 +66,68 @@ def test_zorder_prunes_user_range_queries_timeorder_cannot(spark):
     assert t_frac > 0.5, "time layout unexpectedly has user locality"
     assert z_frac <= 0.2, f"z-order pruning vacuous: {z_frac:.0%} touched"
     assert z_frac * 4 <= t_frac
+
+
+def test_compaction_plan_bins_are_contiguous_and_lossless(spark):
+    """Plan invariants at sf0.01: (a) bins partition the files with no
+    row lost (sum of total_rows == corpus rows), (b) bins are contiguous
+    in zfile order (file ranges never interleave), (c) every bin except
+    the last crosses the target quota once its first file is counted —
+    the cumulative-quota packing contract."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.layout import (
+        COMPACT_TARGET_ROWS,
+        compaction_plan,
+        zorder_files,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.01"
+    stats = zorder_files(spark, sf).collect()
+    plan = sorted(
+        compaction_plan(spark, sf).collect(), key=lambda r: r["bin"]
+    )
+    release_caches()
+    assert sum(r["total_rows"] for r in plan) == sum(
+        r["n_rows"] for r in stats
+    )
+    assert sum(r["n_files"] for r in plan) == len(stats)
+    for a, b in zip(plan, plan[1:]):
+        assert a["last_file"] < b["first_file"]
+    # quota: bin b's cum_before span is [b*T, (b+1)*T) — so every bin
+    # except possibly the last must contain at least one row past its
+    # quota boundary minus the first-file overshoot; concretely the
+    # plan must produce >1 bin at this scale and no empty bins
+    assert len(plan) > 1
+    assert all(r["n_files"] >= 1 and r["total_rows"] > 0 for r in plan)
+
+
+def test_compaction_plan_hand_computed_bins(spark):
+    """Pure-Python replay of the prefix-sum assignment over the actual
+    sf0.001 stats: bin of every file equals cum_before // target."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.layout import (
+        compaction_plan,
+        zorder_files,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    target = 64  # small quota so sf0.001 still yields several bins
+    stats = sorted(
+        zorder_files(spark, sf).collect(), key=lambda r: r["zfile"]
+    )
+    expect: dict[int, list] = {}
+    cum = 0
+    for r in stats:
+        expect.setdefault(cum // target, []).append(r)
+        cum += r["n_rows"]
+    got = {
+        r["bin"]: r
+        for r in compaction_plan(spark, sf, target_rows=target).collect()
+    }
+    release_caches()
+    assert set(got) == set(expect)
+    for b, files in expect.items():
+        assert got[b]["n_files"] == len(files)
+        assert got[b]["total_rows"] == sum(f["n_rows"] for f in files)
+        assert got[b]["first_file"] == files[0]["zfile"]
+        assert got[b]["last_file"] == files[-1]["zfile"]
