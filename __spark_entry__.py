@@ -397,6 +397,29 @@ def _walk_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return walk_pairs(materialize_kg(spark, sf))
 
 
+def _entity_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation-grain canonical-entity co-occurrence PMI — the
+    relation-discovery / distant-supervision signal next to the KG's
+    typed edges."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        canonicalize,
+        entity_pmi,
+    )
+
+    m = _mentions(spark, sf)
+    return entity_pmi(m, canonicalize(m))
+
+
+def _ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the sign-LSH ANN vs the exact cosine top-k — the
+    measured quality side of the ANN speed/quality trade."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.similarity import (
+        ann_recall,
+    )
+
+    return ann_recall(spark, sf)
+
+
 def _kg_node_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Neighbour-set Jaccard for common-neighbour entity pairs — the
     link-prediction signal over the materialized KG."""
@@ -510,7 +533,7 @@ _DRIVER_PRIORITY = [
     "zorder_files", "events_fill",
     # round-4 late wave — no driver row yet
     "embedding_gram", "kg_kcore", "event_funnel", "value_histogram",
-    "kg_walks", "compaction_plan", "walk_pairs",
+    "kg_walks", "compaction_plan", "walk_pairs", "entity_pmi", "ann_recall",
     # single-green-round queries (r3 only) — keep inside the cap
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -746,6 +769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _kg_kcore,
         "kg_walks": _kg_walks,
         "walk_pairs": _walk_pairs,
+        # conversation-grain canonical-entity PMI (relation discovery)
+        "entity_pmi": _entity_pmi,
+        # measured recall@k of the LSH ANN vs exact top-k
+        "ann_recall": _ann_recall,
         # ordered view→click→purchase funnel: one user-grain exchange,
         # codegen'd fold over the sorted event array
         "event_funnel": temporal.event_funnel,
@@ -944,6 +971,16 @@ def _duck_walk_pairs() -> str:
     return duck_pairs_over(_duck_kg())
 
 
+def _duck_entity_pmi() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_entity_pmi_tail,
+    )
+
+    return f"""
+        {duck_sdp_prefix()}{duck_canonicalize_ctes()}{duck_entity_pmi_tail()}
+    """
+
+
 def _duck_transe_step() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
         duck_transe_over,
@@ -1116,6 +1153,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _duck_kg_kcore(),
         "kg_walks": _duck_kg_walks(),
         "walk_pairs": _duck_walk_pairs(),
+        "entity_pmi": _duck_entity_pmi(),
+        "ann_recall": similarity.duck_ann_recall(),
         "event_funnel": temporal.duck_event_funnel(),
         "value_histogram": sketch.duck_value_histogram(),
     }

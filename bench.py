@@ -345,6 +345,15 @@ def main() -> None:
     timed("kg_kcore", lambda s, d: linking.kg_kcore(materialize_kg(s, d)))
     timed("event_funnel", temporal.event_funnel)
     timed("value_histogram", sketch.value_histogram)
+    timed("kg_walks", lambda s, d: linking.kg_walks(materialize_kg(s, d)))
+    timed("walk_pairs", lambda s, d: linking.walk_pairs(materialize_kg(s, d)))
+    timed("compaction_plan", layout.compaction_plan)
+    def _pmi(s, d):
+        m = detect_mentions(s, segment(transcripts(s, d)))
+        return linking.entity_pmi(m, linking.canonicalize(m))
+
+    timed("entity_pmi", _pmi)
+    timed("ann_recall", similarity.ann_recall)
 
     result = {
         "metric": "kg_pipeline_sec",

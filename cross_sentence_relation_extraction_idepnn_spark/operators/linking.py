@@ -1681,3 +1681,113 @@ def duck_pairs_over(
          AND b.step <> a.step
         GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------- entity PMI
+
+PMI_MIN_PAIRS = 2
+
+
+def entity_pmi(
+    mentions: DataFrame, canon: DataFrame, min_pairs: int = PMI_MIN_PAIRS
+) -> DataFrame:
+    """(e1, e2, pair_cnt, pmi) — pointwise mutual information of
+    canonical-entity co-occurrence at conversation grain (Church &
+    Hanks 1990): ``pmi = ln(P(e1,e2) / (P(e1)·P(e2)))`` with
+    probabilities estimated over conversations containing ≥1 linked
+    mention. Entities are keyed exactly like the KG (``UPPER(
+    COALESCE(component, surface))``), so high-PMI pairs are the
+    relation-discovery candidates the KG's typed edges don't yet
+    cover — the classic distant-supervision signal.
+
+    Plan: the per-conversation entity set is bounded by the alias
+    dictionary (a dimension table), so the pair expansion is the
+    walk_pairs shape — one bounded sorted array per conversation,
+    indexed-``transform`` × ``slice`` Column algebra, ≤ |dict|²/2
+    structs per conversation — then ONE map-side-combinable pair
+    count. Entity marginals are a dimension-sized aggregate that
+    rides back as a broadcast; the corpus-wide conversation count
+    joins as a broadcast 1-row aggregate (no driver action). Total:
+    two corpus-grain exchanges (entity-set build, pair count)."""
+    ents = (
+        mentions.join(F.broadcast(canon), "surface", "left")
+        .select(
+            "conv_id",
+            F.upper(F.coalesce("component", "surface")).alias("entity"),
+        )
+        .distinct()
+    )
+    sets = ents.groupBy("conv_id").agg(
+        F.array_sort(F.collect_set("entity")).alias("es")
+    )
+    pairs = F.expr(
+        """flatten(transform(es, (a, i) -> transform(
+               slice(es, i + 2, size(es)),
+               b -> named_struct('e1', a, 'e2', b))))"""
+    )
+    pc = (
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.e1").alias("e1"), F.col("p.e2").alias("e2"))
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    cnts = ents.groupBy("entity").agg(F.count("*").alias("cnt"))
+    n_df = ents.agg(F.count_distinct("conv_id").alias("n_convs"))
+    return (
+        pc.filter(F.col("pair_cnt") >= min_pairs)
+        .join(
+            F.broadcast(
+                cnts.select(F.col("entity").alias("e1"), F.col("cnt").alias("c1"))
+            ),
+            "e1",
+        )
+        .join(
+            F.broadcast(
+                cnts.select(F.col("entity").alias("e2"), F.col("cnt").alias("c2"))
+            ),
+            "e2",
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "e1",
+            "e2",
+            "pair_cnt",
+            F.round(
+                F.log(
+                    F.col("pair_cnt").cast("double")
+                    * F.col("n_convs").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def duck_entity_pmi_tail(min_pairs: int = PMI_MIN_PAIRS) -> str:
+    """Oracle tail (compose after the sdp prefix + canonicalize CTEs,
+    which leave ``mentions`` and ``canon`` in scope): the same PMI by
+    a conversation-grain self-join instead of the engine's bounded-
+    array expansion."""
+    return f"""
+        , ents AS (
+            SELECT DISTINCT m.conv_id,
+                   UPPER(COALESCE(c.component, m.surface)) AS entity
+            FROM mentions m LEFT JOIN canon c ON c.surface = m.surface
+        ),
+        pc AS (
+            SELECT a.entity AS e1, b.entity AS e2, COUNT(*) AS pair_cnt
+            FROM ents a JOIN ents b
+              ON a.conv_id = b.conv_id AND a.entity < b.entity
+            GROUP BY 1, 2
+        ),
+        cnts AS (SELECT entity, COUNT(*) AS cnt FROM ents GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT conv_id) AS n_convs FROM ents)
+        SELECT pc.e1, pc.e2, pc.pair_cnt,
+               ROUND(ln(pc.pair_cnt * 1.0 * n.n_convs
+                        / (c1.cnt * 1.0 * c2.cnt)), 6) AS pmi
+        FROM pc
+        JOIN cnts c1 ON c1.entity = pc.e1
+        JOIN cnts c2 ON c2.entity = pc.e2
+        CROSS JOIN n
+        WHERE pc.pair_cnt >= {min_pairs}
+    """

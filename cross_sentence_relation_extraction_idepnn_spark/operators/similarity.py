@@ -720,3 +720,63 @@ def duck_semantic_dedup(
                (l.vec_id IS NOT NULL) AS is_dup
         FROM docs d LEFT JOIN losers l ON d.vec_id = l.vec_id
     """
+
+
+# --------------------------------------------------------- ANN evaluation
+
+
+def ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """(query_id, k_exact, hits, recall) — recall@k of the sign-LSH
+    bucketed ANN (:func:`lsh_ann_topk`) against the exact cosine top-k
+    (:func:`cosine_topk`), per query. The "measure, don't guess"
+    harness for the ANN quality/speed trade: a production index change
+    (band count, probe count, cell count) lands with this table, not a
+    hope.
+
+    Both rankings are deterministic (cosine DESC, neighbor_id
+    tie-break), so recall is exact and reproducible. Plan: the two
+    rankings share the one embeddings scan; their outputs are
+    query-dimension-sized (``n_queries × k`` rows), so the comparison
+    join and per-query rollup are metadata-grain — at 100 TB the cost
+    is the two scans, and the exact side runs over a SAMPLED query
+    panel by construction (``n_queries``), never all-pairs."""
+    exact = cosine_topk(spark, sf_dir, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        lsh_ann_topk(spark, sf_dir, k=k, n_queries=n_queries)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("hits") / F.col("k_exact"), 6),
+        )
+    )
+
+
+def duck_ann_recall(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    """Oracle: the same per-query rollup over the two ranking oracles
+    (each already an independent SQL formulation of its engine twin)."""
+    return f"""
+        SELECT ex.query_id, COUNT(*) AS k_exact,
+               SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+               ROUND(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS recall
+        FROM ({duck_cosine_topk(k=k, n_queries=n_queries)}) ex
+        LEFT JOIN ({duck_lsh_ann_topk(k=k, n_queries=n_queries)}) ap
+          ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+        GROUP BY 1
+    """

@@ -61,6 +61,7 @@ def build_scaled_documents(spark) -> str:
     os.makedirs(SCRATCH, exist_ok=True)
     out.write.mode("overwrite").parquet(f"{SCRATCH}/documents.parquet")
     build_scaled_events(spark)
+    build_scaled_embeddings(spark)
     return SCRATCH
 
 
@@ -82,6 +83,29 @@ def build_scaled_events(spark) -> None:
         "props",
     )
     out.write.mode("overwrite").parquet(f"{SCRATCH}/events.parquet")
+
+
+def build_scaled_embeddings(spark) -> None:
+    """10x embeddings for the linalg/ANN operators: disjoint vec_id
+    spaces plus a copy-specific cyclic rotation of the vector dims --
+    norms (and hence the Gram trace and cosine structure within a
+    copy) are preserved exactly while LSH buckets and top-k sets
+    change across copies, so the ANN candidate joins grow 10x in
+    work, not just in duplicate rows."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SRC_SF}/embeddings.parquet")
+    copies = spark.range(COPIES).select(F.col("id").cast("int").alias("copy"))
+    v = F.col("embedding")
+    d = F.size(v)
+    c = F.col("copy") % F.greatest(d, F.lit(1))
+    rotated = F.concat(F.slice(v, c + 1, d - c), F.slice(v, F.lit(1), c))
+    out = emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") * COPIES + F.col("copy")).alias("vec_id"),
+        rotated.alias("embedding"),
+        *[c2 for c2 in emb.columns if c2 not in ("vec_id", "embedding")],
+    )
+    out.write.mode("overwrite").parquet(f"{SCRATCH}/embeddings.parquet")
 
 
 def stage_metrics(spark) -> dict[int, dict]:
@@ -139,11 +163,16 @@ def main() -> None:
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators import temporal
     from cross_sentence_relation_extraction_idepnn_spark.operators.layout import (
+        compaction_plan,
         zorder_files,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
         kg_kcore,
         kg_paths,
+        kg_walks,
+        walk_pairs,
+        canonicalize,
+        entity_pmi,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.linalg import (
         embedding_gram,
@@ -151,6 +180,20 @@ def main() -> None:
     from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
         value_histogram,
     )
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators import similarity
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    def _m(s, d):
+        return detect_mentions(s, segment(transcripts(s, d)))
 
     queries = {
         "kg_pipeline": extract_triples,
@@ -179,6 +222,13 @@ def main() -> None:
         "kg_kcore": lambda s, d: kg_kcore(materialize_kg(s, d)),
         "event_funnel": temporal.event_funnel,
         "value_histogram": value_histogram,
+        "kg_walks": lambda s, d: kg_walks(materialize_kg(s, d)),
+        "walk_pairs": lambda s, d: walk_pairs(materialize_kg(s, d)),
+        "compaction_plan": compaction_plan,
+        "entity_pmi": lambda s, d: entity_pmi(
+            _m(s, d), canonicalize(_m(s, d))
+        ),
+        "ann_recall": similarity.ann_recall,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():

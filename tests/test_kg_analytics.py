@@ -571,3 +571,45 @@ def test_walk_pairs_matches_python_skipgram_twin(spark):
     # the window actually truncates: adjacent-only pairs exist for the
     # length-2 sink walks, so the corpus is not one big all-pairs blob
     assert any(v > 1 for v in got.values())
+
+
+# ----------------------------------------------------------- entity_pmi
+
+
+def test_entity_pmi_hand_computed(spark):
+    """4 conversations, hand-computed PMI. Canon folds b→a, giving
+    conversation entity sets {A,C} {A,C} {A,D} {C,D} with N=4,
+    counts A=3 C=3 D=2. Repeat mentions inside one conversation do
+    NOT inflate counts (conversation grain is distinct). min_pairs=2
+    keeps only (A,C): pmi = ln(2·4/(3·3)); with min_pairs=1 the
+    singleton pairs appear with pmi = ln(1·4/(3·2))."""
+    import math
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        entity_pmi,
+    )
+
+    mentions = spark.createDataFrame(
+        [
+            ("c1", "a"), ("c1", "c"),
+            ("c2", "b"), ("c2", "c"), ("c2", "c"),
+            ("c3", "a"), ("c3", "d"),
+            ("c4", "c"), ("c4", "d"),
+        ],
+        "conv_id string, surface string",
+    )
+    canon = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "surface string, component string"
+    )
+    got = {
+        (r["e1"], r["e2"]): (r["pair_cnt"], r["pmi"])
+        for r in entity_pmi(mentions, canon).collect()
+    }
+    assert got == {("A", "C"): (2, round(math.log(8 / 9), 6))}
+    loose = {
+        (r["e1"], r["e2"]): (r["pair_cnt"], r["pmi"])
+        for r in entity_pmi(mentions, canon, min_pairs=1).collect()
+    }
+    assert loose[("A", "D")] == (1, round(math.log(4 / 6), 6))
+    assert loose[("C", "D")] == (1, round(math.log(4 / 6), 6))
+    assert set(loose) == {("A", "C"), ("A", "D"), ("C", "D")}
