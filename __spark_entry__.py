@@ -114,8 +114,10 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
 )
 from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
     documents,
+    duck_tool_transition,
     duck_tool_usage,
     duck_transcripts_cte,
+    tool_transition,
     tool_usage,
     transcripts,
 )
@@ -534,6 +536,7 @@ _DRIVER_PRIORITY = [
     # round-4 late wave — no driver row yet
     "embedding_gram", "kg_kcore", "event_funnel", "value_histogram",
     "kg_walks", "compaction_plan", "walk_pairs", "entity_pmi", "ann_recall",
+    "tool_transition", "events_cohorts",
     # single-green-round queries (r3 only) — keep inside the cap
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -773,6 +776,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pmi": _entity_pmi,
         # measured recall@k of the LSH ANN vs exact top-k
         "ann_recall": _ann_recall,
+        # first-order Markov tool-transition stats over conversations
+        "tool_transition": tool_transition,
+        # weekly cohort retention grid over the events feed
+        "events_cohorts": temporal.events_cohorts,
         # ordered view→click→purchase funnel: one user-grain exchange,
         # codegen'd fold over the sorted event array
         "event_funnel": temporal.event_funnel,
@@ -1155,6 +1162,9 @@ def oracle_sql() -> dict[str, str]:
         "walk_pairs": _duck_walk_pairs(),
         "entity_pmi": _duck_entity_pmi(),
         "ann_recall": similarity.duck_ann_recall(),
+        "tool_transition": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_tool_transition()}",
+        "events_cohorts": temporal.duck_events_cohorts(),
         "event_funnel": temporal.duck_event_funnel(),
         "value_histogram": sketch.duck_value_histogram(),
     }

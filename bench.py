@@ -354,6 +354,12 @@ def main() -> None:
 
     timed("entity_pmi", _pmi)
     timed("ann_recall", similarity.ann_recall)
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        tool_transition,
+    )
+
+    timed("tool_transition", tool_transition)
+    timed("events_cohorts", temporal.events_cohorts)
 
     result = {
         "metric": "kg_pipeline_sec",

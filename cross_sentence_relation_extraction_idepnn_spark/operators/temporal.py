@@ -562,3 +562,82 @@ def duck_event_funnel() -> str:
         LEFT JOIN s2 USING (user_id)
         LEFT JOIN s3 USING (user_id)
     """
+
+
+# ------------------------------------------------------ cohort retention
+
+WEEK_SECONDS = 604800
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_users, p) — classic weekly cohort
+    retention: users are cohorted by the epoch-week of their first
+    event; for every later week in which they are active, the cohort
+    counts them at that week offset; ``p`` is the count normalized by
+    the cohort's size (offset 0 — every user is active in their own
+    first week by construction).
+
+    Plan: ONE corpus-grain exchange — the per-user ``collect_set`` of
+    active week indices (bounded: a user can touch at most
+    corpus-duration/week distinct weeks, a few thousand even over
+    decades) — then pure Column algebra derives (cohort, offset) rows
+    and a map-side-combinable count collapses to the cohort × offset
+    grid (calendar-dimension-sized). Cohort sizes are the grid's own
+    offset-0 slice riding back as a broadcast: no second corpus pass,
+    no per-user join."""
+    wk = F.expr(
+        "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" ts) div 1000000 div {WEEK_SECONDS} AS INT)"
+    )
+    uweeks = (
+        events.select("user_id", wk.alias("week"))
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("wks"))
+    )
+    grid = (
+        uweeks.select(
+            F.expr("array_min(wks)").alias("cohort_week"),
+            F.explode(F.expr("transform(wks, x -> x - array_min(wks))")).alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+    sizes = grid.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return grid.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("p"),
+    )
+
+
+def events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: weekly cohort retention over the events feed."""
+    return cohort_retention(events_batch(spark, sf_dir))
+
+
+def duck_events_cohorts() -> str:
+    """Oracle in the other formulation: per-user first week via
+    GROUP BY + join back (vs the engine's single array pass)."""
+    return f"""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 1000000 // {WEEK_SECONDS} AS INT) AS week
+            FROM events
+        ),
+        fw AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+        c AS (
+            SELECT f.cohort_week, u.week - f.cohort_week AS week_offset,
+                   COUNT(*) AS n_users
+            FROM uw u JOIN fw f USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT c.cohort_week, c.week_offset, c.n_users,
+               ROUND(c.n_users * 1.0 / s.n_users, 6) AS p
+        FROM c JOIN c s
+          ON s.cohort_week = c.cohort_week AND s.week_offset = 0
+    """

@@ -174,3 +174,56 @@ def duck_transcripts_cte() -> str:
             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         )
     """
+
+
+def tool_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_tool, dst_tool, n, p) — first-order Markov transition
+    statistics over per-conversation tool sequences (non-tool turns
+    are the 'chat' state): for consecutive turns (turn_idx, turn_idx+1)
+    within a conversation, transition counts and the row-normalized
+    transition probability. This is agent-behavior analytics over the
+    north-rule input schema — which tool follows which — and leans on
+    the same stable turn ordering the per-turn text-equality invariant
+    pins.
+
+    Plan: ONE conversation-grain exchange (the ``lead`` window), one
+    map-side-combinable count over the (src, dst) dimension (≤ |tools|²
+    rows at any corpus size), and the per-source totals ride back as a
+    broadcast — never a second corpus pass."""
+    from pyspark.sql import Window
+
+    t = transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.coalesce("tool", F.lit("chat")).alias("s")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tr = (
+        t.withColumn("nxt", F.lead("s").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("s").alias("src_tool"), F.col("nxt").alias("dst_tool"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tr.groupBy("src_tool").agg(F.sum("n").alias("tot"))
+    return tr.join(F.broadcast(tot), "src_tool").select(
+        "src_tool",
+        "dst_tool",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+    )
+
+
+def duck_tool_transition() -> str:
+    """Oracle (compose after a ``transcripts`` CTE): the same counts by
+    a turn_idx+1 self-join — the independent formulation of the
+    engine's window ``lead``."""
+    return """
+        SELECT src_tool, dst_tool, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY src_tool), 6) AS p
+        FROM (
+            SELECT COALESCE(a.tool, 'chat') AS src_tool,
+                   COALESCE(b.tool, 'chat') AS dst_tool, COUNT(*) AS n
+            FROM transcripts a
+            JOIN transcripts b
+              ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+            GROUP BY 1, 2
+        )
+    """

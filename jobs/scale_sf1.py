@@ -189,6 +189,7 @@ def main() -> None:
         segment,
     )
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        tool_transition,
         transcripts,
     )
 
@@ -229,6 +230,8 @@ def main() -> None:
             _m(s, d), canonicalize(_m(s, d))
         ),
         "ann_recall": similarity.ann_recall,
+        "tool_transition": tool_transition,
+        "events_cohorts": temporal.events_cohorts,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():

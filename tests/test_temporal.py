@@ -317,3 +317,58 @@ def test_funnel_plan_is_single_exchange_fold(spark):
     plan = _plan(temporal.funnel_stages(_events(spark, rows)))
     assert _count_op(plan, "Exchange") == 1, plan
     assert _count_op(plan, r"\w*Join\w*") == 0, plan
+
+
+# ------------------------------------------------------ cohort retention
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Two cohorts, hand-checked grid. Users 1,2 first appear in epoch-
+    week W (2024-01-01 falls in week 2817); user 1 returns in W+1 and
+    W+3, user 2 never returns, user 3 starts in W+1 and returns in
+    W+2. Repeat events inside one week count the user once."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-02 00:00:00", 1, "view"),     # same week, dedup
+        (3, "2024-01-08 00:00:00", 1, "view"),     # W+1
+        (4, "2024-01-22 00:00:00", 1, "view"),     # W+3
+        (5, "2024-01-01 12:00:00", 2, "click"),    # W only
+        (6, "2024-01-08 00:00:00", 3, "view"),     # starts W+1
+        (7, "2024-01-15 00:00:00", 3, "view"),     # W+2
+    ]
+    got = {
+        (r["cohort_week"], r["week_offset"]): (r["n_users"], r["p"])
+        for r in temporal.cohort_retention(_events(spark, rows)).collect()
+    }
+    w = (1704067200 // 604800)  # epoch-week of 2024-01-01
+    assert got == {
+        (w, 0): (2, 1.0),
+        (w, 1): (1, 0.5),
+        (w, 3): (1, 0.5),
+        (w + 1, 0): (1, 1.0),
+        (w + 1, 1): (1, 1.0),
+    }
+
+
+def test_tool_transition_probabilities_sum_to_one(spark, sf_dir):
+    """Corpus-level invariants: (a) total transition count equals
+    turns minus conversations (every turn but each conversation's last
+    has a successor), (b) per-source probabilities sum to 1 within
+    rounding, (c) states are exactly the synthetic tool alphabet."""
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        tool_transition,
+        transcripts,
+    )
+
+    t = transcripts(spark, sf_dir)
+    n_turns = t.count()
+    n_convs = t.select("conv_id").distinct().count()
+    rows = tool_transition(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == n_turns - n_convs
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["src_tool"], []).append(r)
+        assert r["src_tool"] in {"chat", "search", "code"}
+        assert r["dst_tool"] in {"chat", "search", "code"}
+    for src, rs in by_src.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4, src
