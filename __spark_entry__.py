@@ -506,6 +506,33 @@ def _kg_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return merge_kg_tables(*deltas).drop("max_score")
 
 
+def _kg_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff (Iceberg changelog shape): the KG built from the
+    conv-hash-even half of the corpus vs the full rebuild — added /
+    changed / unchanged per triple ('removed' can't occur here since
+    the old corpus is a subset; the operator itself is generic and the
+    removed branch is pinned on crafted snapshots in tests)."""
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import spark_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        dedup_triples,
+        kg_diff,
+        rekey_canonical,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        triples_from_transcripts,
+    )
+
+    tdf = transcripts(spark, sf)
+    canon = canonicalize(detect_mentions(spark, segment(tdf)))
+    h = spark_h15(F.col("conv_id"))
+    old = dedup_triples(
+        rekey_canonical(
+            triples_from_transcripts(spark, tdf.filter(h % 2 == 0)), canon
+        )
+    )
+    return kg_diff(old, materialize_kg(spark, sf))
+
+
 # Driver-harness priority: the correctness harness evaluates queries()
 # in dict order and may truncate (round 3 stopped at exactly 50
 # entries), so the first 50 slots carry (a) the flagship KG family, (b)
@@ -536,7 +563,7 @@ _DRIVER_PRIORITY = [
     # round-4 late wave — no driver row yet
     "embedding_gram", "kg_kcore", "event_funnel", "value_histogram",
     "kg_walks", "compaction_plan", "walk_pairs", "entity_pmi", "ann_recall",
-    "tool_transition", "events_cohorts",
+    "tool_transition", "events_cohorts", "kg_diff",
     # single-green-round queries (r3 only) — keep inside the cap
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -780,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transition": tool_transition,
         # weekly cohort retention grid over the events feed
         "events_cohorts": temporal.events_cohorts,
+        # snapshot diff: half-corpus KG vs full rebuild (changelog scan)
+        "kg_diff": _kg_diff,
         # ordered view→click→purchase funnel: one user-grain exchange,
         # codegen'd fold over the sorted event array
         "event_funnel": temporal.event_funnel,
@@ -978,6 +1007,56 @@ def _duck_walk_pairs() -> str:
     return duck_pairs_over(_duck_kg())
 
 
+def _duck_kg_diff() -> str:
+    """Snapshot-diff oracle: keyed gold rows (conv_id retained), the
+    even-hash old snapshot and the full new snapshot aggregated
+    separately, full-outer-joined on the triple key."""
+    from cross_sentence_relation_extraction_idepnn_spark.config import PREDICATE
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import duck_h15
+    from cross_sentence_relation_extraction_idepnn_spark.training import GOLD_MAX_HOPS
+
+    h = duck_h15("t.conv_id")
+    return f"""
+        {duck_sdp_prefix()}{duck_canonicalize_ctes()},
+        gold AS (
+            SELECT conv_id, e1_id AS subj, '{PREDICATE}' AS pred,
+                   e2_id AS obj, e1_surface AS subj_surface,
+                   e2_surface AS obj_surface, k
+            FROM sdp WHERE ok AND sdp_dist <= {GOLD_MAX_HOPS}
+        ),
+        keyed AS (
+            SELECT t.conv_id,
+                   UPPER(COALESCE(cs.component, subj)) AS subj, pred,
+                   UPPER(COALESCE(co.component, obj)) AS obj, k
+            FROM gold t
+            LEFT JOIN canon cs ON cs.surface = t.subj_surface
+            LEFT JOIN canon co ON co.surface = t.obj_surface
+        ),
+        oldkg AS (
+            SELECT subj, pred, obj, COUNT(*) AS old_support,
+                   MIN(k) AS old_min_k
+            FROM keyed t WHERE ({h}) % 2 = 0 GROUP BY 1, 2, 3
+        ),
+        newkg AS (
+            SELECT subj, pred, obj, COUNT(*) AS new_support,
+                   MIN(k) AS new_min_k
+            FROM keyed GROUP BY 1, 2, 3
+        )
+        SELECT COALESCE(o.subj, n.subj) AS subj,
+               COALESCE(o.pred, n.pred) AS pred,
+               COALESCE(o.obj, n.obj) AS obj,
+               CASE WHEN o.old_support IS NULL THEN 'added'
+                    WHEN n.new_support IS NULL THEN 'removed'
+                    WHEN o.old_support <> n.new_support
+                         OR o.old_min_k <> n.new_min_k THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               o.old_support, n.new_support
+        FROM oldkg o
+        FULL OUTER JOIN newkg n
+          ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+    """
+
+
 def _duck_entity_pmi() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
         duck_entity_pmi_tail,
@@ -1165,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_transition": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {duck_tool_transition()}",
         "events_cohorts": temporal.duck_events_cohorts(),
+        "kg_diff": _duck_kg_diff(),
         "event_funnel": temporal.duck_event_funnel(),
         "value_histogram": sketch.duck_value_histogram(),
     }

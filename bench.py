@@ -360,6 +360,9 @@ def main() -> None:
 
     timed("tool_transition", tool_transition)
     timed("events_cohorts", temporal.events_cohorts)
+    import __spark_entry__ as _entry
+
+    timed("kg_diff", _entry.queries()["kg_diff"])
 
     result = {
         "metric": "kg_pipeline_sec",

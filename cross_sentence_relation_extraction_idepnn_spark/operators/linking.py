@@ -1791,3 +1791,46 @@ def duck_entity_pmi_tail(min_pairs: int = PMI_MIN_PAIRS) -> str:
         CROSS JOIN n
         WHERE pc.pair_cnt >= {min_pairs}
     """
+
+
+# --------------------------------------------------------- snapshot diff
+
+
+def kg_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(subj, pred, obj, status, old_support, new_support) — snapshot
+    diff between two KG versions (the Iceberg time-travel /
+    changelog-scan shape): ``added`` triples exist only in ``new``,
+    ``removed`` only in ``old``, ``changed`` have different integer
+    statistics (support or min_k — float max_score is deliberately
+    excluded so the diff surface is engine-portable), else
+    ``unchanged``. This is the audit table an incremental KG
+    maintenance job publishes per snapshot.
+
+    Plan: both sides are triple-grain (dimension-sized relative to
+    the corpus); ONE full-outer equi-join on the (subj, pred, obj)
+    key — co-located and shuffle-free when both versions live in the
+    bucketed triple table the engine's sink writes."""
+    o = old.select(
+        "subj", "pred", "obj",
+        F.col("support").alias("old_support"),
+        F.col("min_k").alias("old_min_k"),
+    )
+    n = new.select(
+        "subj", "pred", "obj",
+        F.col("support").alias("new_support"),
+        F.col("min_k").alias("new_min_k"),
+    )
+    status = (
+        F.when(F.col("old_support").isNull(), F.lit("added"))
+        .when(F.col("new_support").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_support") != F.col("new_support"))
+            | (F.col("old_min_k") != F.col("new_min_k")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, ["subj", "pred", "obj"], "full_outer").select(
+        "subj", "pred", "obj", status.alias("status"),
+        "old_support", "new_support",
+    )

@@ -613,3 +613,46 @@ def test_entity_pmi_hand_computed(spark):
     assert loose[("A", "D")] == (1, round(math.log(4 / 6), 6))
     assert loose[("C", "D")] == (1, round(math.log(4 / 6), 6))
     assert set(loose) == {("A", "C"), ("A", "D"), ("C", "D")}
+
+
+# -------------------------------------------------------------- kg_diff
+
+
+def test_kg_diff_all_four_statuses(spark):
+    """Crafted snapshots exercise every branch: added (only in new),
+    removed (only in old), changed (support or min_k differs),
+    unchanged (identical integer stats)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_diff,
+    )
+
+    schema = "subj string, pred string, obj string, support long, min_k int"
+    old = spark.createDataFrame(
+        [
+            ("A", "r", "B", 2, 0),   # unchanged
+            ("A", "r", "C", 1, 0),   # changed: support grows
+            ("B", "r", "C", 3, 2),   # changed: min_k drops
+            ("D", "r", "E", 1, 1),   # removed
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("A", "r", "B", 2, 0),
+            ("A", "r", "C", 4, 0),
+            ("B", "r", "C", 3, 1),
+            ("X", "r", "Y", 1, 0),   # added
+        ],
+        schema,
+    )
+    got = {
+        (r["subj"], r["obj"]): (r["status"], r["old_support"], r["new_support"])
+        for r in kg_diff(old, new).collect()
+    }
+    assert got == {
+        ("A", "B"): ("unchanged", 2, 2),
+        ("A", "C"): ("changed", 1, 4),
+        ("B", "C"): ("changed", 3, 3),
+        ("D", "E"): ("removed", 1, None),
+        ("X", "Y"): ("added", None, 1),
+    }
