@@ -545,26 +545,31 @@ _DRIVER_PRIORITY = [
     "triples", "kg", "kg_incremental", "kg_pagerank", "kg_neighbors",
     "kg_temporal", "kg_negatives", "kg_edge_lift", "kg_communities",
     "kg_triangles", "kg_components", "kg_node_sim", "transe_step",
-    "transe_epochs", "hll_registers",
-    "cms_sketch", "heavy_hitters", "events_hll", "events_cms", "a2_lines",
+    "hll_registers",
+    "cms_sketch", "a2_lines",
     "multimodal_features",
     # round-4 additions — no driver row yet
     "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
     "bm25_topk", "overlap_topk", "hybrid_topk", "collocations",
     "lm_score",
     "quality_classifier", "chunk_documents",
-    "bpe_merges", "bpe_token_counts",
-    # kernel attestations (closed-form SDP oracles)
-    "featurized_sdp", "adp_degree", "position_bounds",
+    "bpe_merges",
     # temporal / warehouse family — no driver row yet
     "events_asof", "scd2_users", "events_interval_join",
     "events_rollup", "kg_rollup", "quality_bands", "kg_paths",
     "zorder_files", "events_fill",
-    # round-4 late wave — no driver row yet
+    # round-4 late + final waves — no driver row yet
     "embedding_gram", "kg_kcore", "event_funnel", "value_histogram",
     "kg_walks", "compaction_plan", "walk_pairs", "entity_pmi", "ann_recall",
     "tool_transition", "events_cohorts", "kg_diff",
-    # single-green-round queries (r3 only) — keep inside the cap
+    # ---- entries below here may fall outside a 50-entry driver cap ----
+    # r3-hash-green kernel attestations + twins of in-window queries
+    # (events_cms twins cms_sketch, bpe_token_counts twins bpe_merges);
+    # PARITY_SELF.json re-records all of them at sf0.01 every round
+    "featurized_sdp", "adp_degree", "position_bounds",
+    "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
+    "transe_epochs",
+    # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
     "transcripts", "sentences", "mentions", "candidates",
