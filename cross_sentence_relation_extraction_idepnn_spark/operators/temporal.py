@@ -583,8 +583,9 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     decades) — then pure Column algebra derives (cohort, offset) rows
     and a map-side-combinable count collapses to the cohort × offset
     grid (calendar-dimension-sized). Cohort sizes are the grid's own
-    offset-0 slice riding back as a broadcast: no second corpus pass,
-    no per-user join."""
+    offset-0 value surfaced by a window over the tiny grid — the corpus
+    is read exactly once (a slice-and-join would re-derive the grid on
+    the broadcast side: a second corpus pass), and no per-user join."""
     wk = F.expr(
         "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
         f" ts) div 1000000 div {WEEK_SECONDS} AS INT)"
@@ -604,14 +605,15 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
-    sizes = grid.filter(F.col("week_offset") == 0).select(
-        "cohort_week", F.col("n_users").alias("cohort_size")
-    )
-    return grid.join(F.broadcast(sizes), "cohort_week").select(
+    wsz = Window.partitionBy("cohort_week")
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(wsz)
+    return grid.select(
         "cohort_week",
         "week_offset",
         "n_users",
-        F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("p"),
+        F.round(F.col("n_users") / cohort_size, 6).alias("p"),
     )
 
 

@@ -188,8 +188,10 @@ def tool_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: ONE conversation-grain exchange (the ``lead`` window), one
     map-side-combinable count over the (src, dst) dimension (≤ |tools|²
-    rows at any corpus size), and the per-source totals ride back as a
-    broadcast — never a second corpus pass."""
+    rows at any corpus size), and the per-source normalization is a
+    window over that already-tiny grid — the corpus is read exactly
+    once (a totals join would re-derive the grid from scratch on the
+    broadcast side: a second corpus pass for a 9-row denominator)."""
     from pyspark.sql import Window
 
     t = transcripts(spark, sf_dir).select(
@@ -202,12 +204,12 @@ def tool_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s").alias("src_tool"), F.col("nxt").alias("dst_tool"))
         .agg(F.count("*").alias("n"))
     )
-    tot = tr.groupBy("src_tool").agg(F.sum("n").alias("tot"))
-    return tr.join(F.broadcast(tot), "src_tool").select(
+    tot = F.sum("n").over(Window.partitionBy("src_tool"))
+    return tr.select(
         "src_tool",
         "dst_tool",
         "n",
-        F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        F.round(F.col("n") / tot, 6).alias("p"),
     )
 
 
