@@ -1705,10 +1705,18 @@ def entity_pmi(
     walk_pairs shape — one bounded sorted array per conversation,
     indexed-``transform`` × ``slice`` Column algebra, ≤ |dict|²/2
     structs per conversation — then ONE map-side-combinable pair
-    count. Entity marginals are a dimension-sized aggregate that
-    rides back as a broadcast; the corpus-wide conversation count
-    joins as a broadcast 1-row aggregate (no driver action). Total:
-    two corpus-grain exchanges (entity-set build, pair count)."""
+    count. Entity marginals and the corpus conversation count derive
+    from the PERSISTED conversation-grain ``sets`` relation (one
+    bounded row per conversation) and ride back as broadcasts — the
+    corpus is read exactly once (joining back aggregates of the
+    un-persisted subtree would re-derive the mention pipeline from
+    scratch on every broadcast side: measured 4 parquet scans before
+    this persist, 1 after). Total: two corpus-grain exchanges
+    (entity-set build, pair count)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
     ents = (
         mentions.join(F.broadcast(canon), "surface", "left")
         .select(
@@ -1717,8 +1725,10 @@ def entity_pmi(
         )
         .distinct()
     )
-    sets = ents.groupBy("conv_id").agg(
-        F.array_sort(F.collect_set("entity")).alias("es")
+    sets = track_cache(
+        ents.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_set("entity")).alias("es"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = F.expr(
         """flatten(transform(es, (a, i) -> transform(
@@ -1730,8 +1740,12 @@ def entity_pmi(
         .groupBy(F.col("p.e1").alias("e1"), F.col("p.e2").alias("e2"))
         .agg(F.count("*").alias("pair_cnt"))
     )
-    cnts = ents.groupBy("entity").agg(F.count("*").alias("cnt"))
-    n_df = ents.agg(F.count_distinct("conv_id").alias("n_convs"))
+    cnts = (
+        sets.select(F.explode("es").alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_df = sets.agg(F.count("*").alias("n_convs"))
     return (
         pc.filter(F.col("pair_cnt") >= min_pairs)
         .join(
