@@ -266,6 +266,9 @@ def extract_triples(
     )
 
 
+_KG_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def materialize_kg(
     spark: SparkSession,
     sf_dir: str,
@@ -273,6 +276,18 @@ def materialize_kg(
     **kwargs,
 ) -> DataFrame:
     """Triples → canonical entity map → deduped KG table.
+
+    Session-level memo (default-argument path only): ~15 analytics
+    queries take the materialized KG as input; in one session (the
+    driver correctness harness runs them back-to-back) each would
+    otherwise re-run the whole extraction pipeline for an identical
+    dimension-sized table — which is exactly what "materialize" is
+    supposed to prevent. The memoized KG is persisted with lineage
+    intact and registered with ``track_cache``; after a
+    ``release_caches()`` (bench does this per query so its timings
+    keep including the honest rebuild) the entry is discarded and the
+    next call rebuilds fresh, so the shared-subtree persists inside
+    the rebuild stay effective.
 
     Canonical components re-key subj/obj (G6) before the A10 dedup
     shuffle; the component map is tiny → broadcast join.
@@ -289,24 +304,26 @@ def materialize_kg(
     """
     from pyspark.storagelevel import StorageLevel
 
-    if warehouse is None:
-        threshold = kwargs.pop("threshold", SCORE_THRESHOLD)
-        tokenizer = kwargs.pop("tokenizer", "split")
-        segmenter = kwargs.pop("segmenter", None)
-        kwargs.pop("resume", None)
-        seg = segmenter if segmenter is not None else segment
-        sents = track_cache(
-            seg(transcripts(spark, sf_dir)).persist(StorageLevel.MEMORY_ONLY)
-        )
-        mens = track_cache(
-            detect_mentions(spark, sents, tokenizer=tokenizer).persist(
-                StorageLevel.MEMORY_ONLY
+    if warehouse is None and not kwargs:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        memo = _KG_MEMO.get(key)
+        if memo is not None and (
+            memo.storageLevel.useMemory or memo.storageLevel.useDisk
+        ):
+            return memo
+        _KG_MEMO.pop(key, None)
+        if len(_KG_MEMO) > 64:
+            _KG_MEMO.clear()
+        kg = track_cache(
+            _materialize_kg_fresh(spark, sf_dir).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
         )
-        scored = scored_from_shared(sents, mens, tokenizer=tokenizer, **kwargs)
-        triples = emit_triples(scored, threshold=threshold)
-        canon = canonicalize(mens)
-        return dedup_triples(rekey_canonical(triples, canon))
+        _KG_MEMO[key] = kg
+        return kg
+
+    if warehouse is None:
+        return _materialize_kg_fresh(spark, sf_dir, **kwargs)
 
     triples = extract_triples(spark, sf_dir, warehouse=warehouse, **kwargs)
     cp = Checkpointer(spark, warehouse)
@@ -314,6 +331,31 @@ def materialize_kg(
     canon = canonicalize(mens)
     kg = dedup_triples(rekey_canonical(triples, canon))
     return cp.stage("kg", lambda: kg, upstream=["triples"], resume=kwargs.get("resume", True))
+
+
+def _materialize_kg_fresh(
+    spark: SparkSession, sf_dir: str, **kwargs
+) -> DataFrame:
+    """The un-memoized default-path build (shared mention subtree)."""
+    from pyspark.storagelevel import StorageLevel
+
+    threshold = kwargs.pop("threshold", SCORE_THRESHOLD)
+    tokenizer = kwargs.pop("tokenizer", "split")
+    segmenter = kwargs.pop("segmenter", None)
+    kwargs.pop("resume", None)
+    seg = segmenter if segmenter is not None else segment
+    sents = track_cache(
+        seg(transcripts(spark, sf_dir)).persist(StorageLevel.MEMORY_ONLY)
+    )
+    mens = track_cache(
+        detect_mentions(spark, sents, tokenizer=tokenizer).persist(
+            StorageLevel.MEMORY_ONLY
+        )
+    )
+    scored = scored_from_shared(sents, mens, tokenizer=tokenizer, **kwargs)
+    triples = emit_triples(scored, threshold=threshold)
+    canon = canonicalize(mens)
+    return dedup_triples(rekey_canonical(triples, canon))
 
 
 def temporal_kg(
