@@ -145,12 +145,43 @@ def _transcripts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf: str, kind: str, build) -> DataFrame:
+    """Session-level memo for the shared corpus-derived tables the
+    harness queries rebuild back-to-back (same contract as
+    ``plans.pipeline.materialize_kg``'s memo: persisted + tracked,
+    discarded after ``release_caches()`` so bench stays honest)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from cross_sentence_relation_extraction_idepnn_spark.session import track_cache
+
+    key = (spark.sparkContext.applicationId, sf, kind)
+    df = _MEMO.get(key)
+    if df is not None and (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        return df
+    _MEMO.pop(key, None)
+    if len(_MEMO) > 128:
+        _MEMO.clear()
+    df = track_cache(build().persist(StorageLevel.MEMORY_AND_DISK))
+    _MEMO[key] = df
+    return df
+
+
 def _sentences(spark: SparkSession, sf: str) -> DataFrame:
-    return segment(transcripts(spark, sf))
+    return _memo(
+        spark, sf, "sentences", lambda: segment(transcripts(spark, sf))
+    )
 
 
 def _mentions(spark: SparkSession, sf: str) -> DataFrame:
-    return detect_mentions(spark, _sentences(spark, sf))
+    return _memo(
+        spark,
+        sf,
+        "mentions",
+        lambda: detect_mentions(spark, _sentences(spark, sf)),
+    )
 
 
 def _candidates(spark: SparkSession, sf: str) -> DataFrame:
@@ -493,7 +524,7 @@ def _kg_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     tdf = transcripts(spark, sf)
-    canon = canonicalize(detect_mentions(spark, segment(tdf)))
+    canon = canonicalize(_mentions(spark, sf))
     h = spark_h15(F.col("conv_id"))
     deltas = [
         dedup_triples(
@@ -532,7 +563,7 @@ def _kg_diff(spark: SparkSession, sf: str) -> DataFrame:
     from cross_sentence_relation_extraction_idepnn_spark.session import track_cache
 
     tdf = transcripts(spark, sf)
-    canon = canonicalize(detect_mentions(spark, segment(tdf)))
+    canon = canonicalize(_mentions(spark, sf))
     keyed = track_cache(
         rekey_canonical(triples_from_transcripts(spark, tdf), canon).persist(
             StorageLevel.MEMORY_AND_DISK
