@@ -590,7 +590,7 @@ _DRIVER_PRIORITY = [
     "cms_sketch", "a2_lines",
     "multimodal_features",
     # round-4 additions — no driver row yet
-    "semantic_dedup", "dedup_clusters", "dup_spans", "span_coverage",
+    "semantic_dedup", "dedup_clusters", "dup_spans",
     "bm25_topk", "overlap_topk", "hybrid_topk", "collocations",
     "lm_score",
     "quality_classifier", "chunk_documents",
@@ -602,14 +602,14 @@ _DRIVER_PRIORITY = [
     # round-4 late + final waves — no driver row yet
     "embedding_gram", "kg_kcore", "event_funnel", "value_histogram",
     "kg_walks", "compaction_plan", "walk_pairs", "entity_pmi", "ann_recall",
-    "tool_transition", "events_cohorts", "kg_diff",
+    "tool_transition", "events_cohorts", "kg_diff", "source_keywords",
     # ---- entries below here may fall outside a 50-entry driver cap ----
     # r3-hash-green kernel attestations + twins of in-window queries
     # (events_cms twins cms_sketch, bpe_token_counts twins bpe_merges);
     # PARITY_SELF.json re-records all of them at sf0.01 every round
     "featurized_sdp", "adp_degree", "position_bounds",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
-    "transe_epochs",
+    "transe_epochs", "span_coverage",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -855,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohorts": temporal.events_cohorts,
         # snapshot diff: half-corpus KG vs full rebuild (changelog scan)
         "kg_diff": _kg_diff,
+        # Dunning G2 keyness: top-k distinctive tokens per source
+        "source_keywords": textstats.source_keywords,
         # ordered view→click→purchase funnel: one user-grain exchange,
         # codegen'd fold over the sorted event array
         "event_funnel": temporal.event_funnel,
@@ -1291,6 +1293,7 @@ def oracle_sql() -> dict[str, str]:
         f" {duck_tool_transition()}",
         "events_cohorts": temporal.duck_events_cohorts(),
         "kg_diff": _duck_kg_diff(),
+        "source_keywords": textstats.duck_source_keywords(),
         "event_funnel": temporal.duck_event_funnel(),
         "value_histogram": sketch.duck_value_histogram(),
     }

@@ -363,6 +363,7 @@ def main() -> None:
     import __spark_entry__ as _entry
 
     timed("kg_diff", _entry.queries()["kg_diff"])
+    timed("source_keywords", textstats.source_keywords)
 
     result = {
         "metric": "kg_pipeline_sec",

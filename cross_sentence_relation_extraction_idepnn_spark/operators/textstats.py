@@ -468,3 +468,124 @@ def duck_quality_bands(n_bands: int = 4) -> str:
                MIN(q_e6) AS min_q_e6, MAX(q_e6) AS max_q_e6
         FROM banded GROUP BY lang, band
     """
+
+
+# -------------------------------------------------------- source keyness
+
+KEYNESS_TOP_K = 10
+
+
+def source_keywords(
+    spark: SparkSession, sf_dir: str, k: int = KEYNESS_TOP_K
+) -> DataFrame:
+    """(source, token, cnt, g2, rank) — the ``k`` most DISTINCTIVE
+    tokens of each document source by Dunning's log-likelihood ratio
+    (G², Dunning 1993), restricted to positively-associated tokens
+    (observed > expected). This is the domain-diagnostics operator a
+    corpus-mixture pipeline runs before choosing sampling weights:
+    which vocabulary makes ``source`` different from the rest.
+
+    All four contingency cells derive from ONE persisted (source,
+    token) count grid — corpus-grain work is the single tokenize +
+    count exchange; everything after (token/source marginals, the
+    grand total, G², per-source top-k) is window/broadcast algebra
+    over the vocabulary × |sources| dimension grid. Ranking orders by
+    the ROUNDED statistic (ties then by token) so the cross-engine
+    ordering has no float-ulp hazard — the cosine_topk discipline."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
+    toks = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    cnts = track_cache(
+        toks.groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_df = cnts.agg(F.sum("cnt").alias("n_total"))
+    tok_tot = F.sum("cnt").over(Window.partitionBy("token"))
+    src_tot = F.sum("cnt").over(Window.partitionBy("source"))
+    g = (
+        cnts.withColumn("tok_tot", tok_tot)
+        .withColumn("src_tot", src_tot)
+        .crossJoin(F.broadcast(n_df))
+    )
+    a = F.col("cnt").cast("double")
+    b = (F.col("tok_tot") - F.col("cnt")).cast("double")
+    c = (F.col("src_tot") - F.col("cnt")).cast("double")
+    d = (
+        F.col("n_total") - F.col("tok_tot") - F.col("src_tot") + F.col("cnt")
+    ).cast("double")
+    n = F.col("n_total").cast("double")
+    row1, row2 = a + b, c + d
+    col1, col2 = a + c, b + d
+
+    def xlx(x, e):
+        return F.when(x > 0, x * F.log(x / e)).otherwise(F.lit(0.0))
+
+    g2 = F.round(
+        2.0
+        * (
+            xlx(a, row1 * col1 / n)
+            + xlx(b, row1 * col2 / n)
+            + xlx(c, row2 * col1 / n)
+            + xlx(d, row2 * col2 / n)
+        ),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("g2"), F.col("token"))
+    return (
+        g.withColumn("g2", g2)
+        .filter(a * n > F.col("tok_tot").cast("double") * F.col("src_tot"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("source", "token", "cnt", "g2", "rank")
+    )
+
+
+def duck_source_keywords(k: int = KEYNESS_TOP_K) -> str:
+    """Oracle: identical G² over the same count grid, windows for the
+    marginals, scalar subquery for the grand total."""
+    return f"""
+        WITH cnts AS (
+            SELECT source, token, COUNT(*) AS cnt
+            FROM (
+                SELECT source, UNNEST(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ) WHERE token <> '' GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT *,
+                   SUM(cnt) OVER (PARTITION BY token) AS tok_tot,
+                   SUM(cnt) OVER (PARTITION BY source) AS src_tot,
+                   (SELECT SUM(cnt) FROM cnts) AS n_total
+            FROM cnts
+        ),
+        g AS (
+            SELECT source, token, cnt,
+                   ROUND(2.0 * (
+                       CASE WHEN cnt > 0 THEN cnt * ln(cnt /
+                           (tok_tot * 1.0 * src_tot / n_total)) ELSE 0 END
+                     + CASE WHEN tok_tot - cnt > 0 THEN (tok_tot - cnt) * ln((tok_tot - cnt) /
+                           (tok_tot * 1.0 * (n_total - src_tot) / n_total)) ELSE 0 END
+                     + CASE WHEN src_tot - cnt > 0 THEN (src_tot - cnt) * ln((src_tot - cnt) /
+                           ((n_total - tok_tot) * 1.0 * src_tot / n_total)) ELSE 0 END
+                     + CASE WHEN n_total - tok_tot - src_tot + cnt > 0
+                            THEN (n_total - tok_tot - src_tot + cnt) * ln((n_total - tok_tot - src_tot + cnt) /
+                           ((n_total - tok_tot) * 1.0 * (n_total - src_tot) / n_total)) ELSE 0 END
+                   ), 6) AS g2,
+                   tok_tot, src_tot, n_total
+            FROM m
+        )
+        SELECT source, token, cnt, g2,
+               CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY g2 DESC, token) AS rank
+            FROM g WHERE cnt * 1.0 * n_total > tok_tot * 1.0 * src_tot
+        )
+        WHERE rank <= {k}
+    """

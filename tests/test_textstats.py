@@ -1,0 +1,67 @@
+
+
+def test_source_keywords_matches_python_twin(spark, sf_dir):
+    """Independent third implementation (pandas + math.log) of the G²
+    keyness table over the same parquet: every (source, token, cnt,
+    g2, rank) row must match, including the positive-association
+    filter and the rounded-statistic tie-break."""
+    import collections
+    import math
+
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        KEYNESS_TOP_K,
+        source_keywords,
+    )
+
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt: collections.Counter = collections.Counter()
+    for src, text in zip(df["source"], df["text"]):
+        for tok in str(text).lower().split(" "):
+            if tok:
+                cnt[(src, tok)] += 1
+    tok_tot: collections.Counter = collections.Counter()
+    src_tot: collections.Counter = collections.Counter()
+    for (s, t), c in cnt.items():
+        tok_tot[t] += c
+        src_tot[s] += c
+    n = sum(cnt.values())
+
+    def xlx(x, e):
+        return x * math.log(x / e) if x > 0 else 0.0
+
+    rows = []
+    for (s, t), c in cnt.items():
+        tt, st = tok_tot[t], src_tot[s]
+        if c * n <= tt * st:
+            continue
+        a, b = float(c), float(tt - c)
+        cc, d = float(st - c), float(n - tt - st + c)
+        g2 = round(
+            2.0
+            * (
+                xlx(a, tt * st / n)
+                + xlx(b, tt * (n - st) / n)
+                + xlx(cc, (n - tt) * st / n)
+                + xlx(d, (n - tt) * (n - st) / n)
+            ),
+            6,
+        )
+        rows.append((s, t, c, g2))
+    expect = {}
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r[0], []).append(r)
+    for s, rs in by_src.items():
+        rs.sort(key=lambda r: (-r[3], r[1]))
+        for i, r in enumerate(rs[:KEYNESS_TOP_K], start=1):
+            expect[(s, r[1])] = (r[2], r[3], i)
+    got = {
+        (r["source"], r["token"]): (r["cnt"], r["g2"], r["rank"])
+        for r in source_keywords(spark, sf_dir).collect()
+    }
+    from cross_sentence_relation_extraction_idepnn_spark.session import release_caches
+
+    release_caches()
+    assert got == expect
