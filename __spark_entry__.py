@@ -430,6 +430,25 @@ def _walk_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return walk_pairs(materialize_kg(spark, sf))
 
 
+def _kg_linkpred(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-setting link-prediction eval (exact rank + reciprocal rank
+    of the true tail) of the TransE embedding table over a hash-held-
+    out slice of the KG."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        linkpred_eval,
+    )
+
+    return linkpred_eval(materialize_kg(spark, sf))
+
+
+def _duck_kg_linkpred() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        duck_linkpred_over,
+    )
+
+    return duck_linkpred_over(_duck_kg())
+
+
 def _entity_pmi(spark: SparkSession, sf: str) -> DataFrame:
     """Conversation-grain canonical-entity co-occurrence PMI — the
     relation-discovery / distant-supervision signal next to the KG's
@@ -609,7 +628,7 @@ _DRIVER_PRIORITY = [
     # PARITY_SELF.json re-records all of them at sf0.01 every round
     "featurized_sdp", "adp_degree", "position_bounds",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
-    "transe_epochs", "span_coverage",
+    "transe_epochs", "span_coverage", "kg_linkpred",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -857,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": _kg_diff,
         # Dunning G2 keyness: top-k distinctive tokens per source
         "source_keywords": textstats.source_keywords,
+        # link-prediction eval: exact rank/RR of true tails (TransE)
+        "kg_linkpred": _kg_linkpred,
         # ordered view→click→purchase funnel: one user-grain exchange,
         # codegen'd fold over the sorted event array
         "event_funnel": temporal.event_funnel,
@@ -1294,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cohorts": temporal.duck_events_cohorts(),
         "kg_diff": _duck_kg_diff(),
         "source_keywords": textstats.duck_source_keywords(),
+        "kg_linkpred": _duck_kg_linkpred(),
         "event_funnel": temporal.duck_event_funnel(),
         "value_histogram": sketch.duck_value_histogram(),
     }

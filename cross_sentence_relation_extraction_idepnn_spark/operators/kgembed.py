@@ -421,3 +421,111 @@ def duck_transe_epochs_over(
         + ", ".join(ctes)
         + f" SELECT name, CAST(d AS INT) AS d, val FROM emb{steps}"
     )
+
+
+# ----------------------------------------------------- link-pred eval
+
+LINKPRED_TEST_MOD = 5
+
+
+def linkpred_eval(
+    kg: DataFrame, dim: int = TRANSE_DIM, test_mod: int = LINKPRED_TEST_MOD
+) -> DataFrame:
+    """(subj, pred, obj, rank, rr) — raw-setting link-prediction
+    evaluation of the TransE embedding table over a deterministic
+    hash-held-out test slice (``H(subj#pred#obj) % test_mod == 0``):
+    for each test triple the true tail is ranked among ALL entities by
+    the L1 score ``Σ_d |e(subj,d) + e(rel,d) - e(tail,d)|`` (ties
+    broken by entity id, so the rank is exact, not estimated);
+    ``rr = 1/rank`` — averaging it downstream gives MRR, counting
+    ``rank ≤ k`` gives hits@k. Evaluates the deterministic INIT table
+    (the oracle-checkable surface — see the module exactness
+    contract); a production run plugs the trained float table into
+    the identical dataflow.
+
+    Plan: everything is KG-grain. The entity dimension broadcasts
+    into the test × entities scoring join (the standard link-pred
+    eval blow-up, bounded by the hash-sampled test slice); per-test
+    rank is ONE map-side-combinable count of strictly-better
+    candidates. The corpus is never touched."""
+    nodes = (
+        kg.select(F.explode(F.array("subj", "obj")).alias("ent"))
+        .distinct()
+    )
+    h = spark_h15(F.concat_ws("#", "subj", "pred", "obj"))
+    test = kg.select("subj", "pred", "obj").distinct().filter(
+        h % test_mod == 0
+    )
+    rel = F.concat(F.lit(REL_PREFIX), F.col("pred"))
+    q = test.select(
+        "subj",
+        "pred",
+        "obj",
+        *[
+            (_emb(F.col("subj"), F.lit(d)) + _emb(rel, F.lit(d))).alias(
+                f"q{d}"
+            )
+            for d in range(dim)
+        ],
+    )
+    s_true = sum(
+        F.abs(F.col(f"q{d}") - _emb(F.col("obj"), F.lit(d)))
+        for d in range(dim)
+    )
+    scored = q.withColumn("s_true", s_true).join(F.broadcast(nodes))
+    s_cand = sum(
+        F.abs(F.col(f"q{d}") - _emb(F.col("ent"), F.lit(d)))
+        for d in range(dim)
+    )
+    better = (
+        (s_cand < F.col("s_true"))
+        | ((s_cand == F.col("s_true")) & (F.col("ent") < F.col("obj")))
+    ).cast("long")
+    return (
+        scored.groupBy("subj", "pred", "obj")
+        .agg((F.sum(better) + 1).cast("int").alias("rank"))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "rank",
+            F.round(1.0 / F.col("rank"), 6).alias("rr"),
+        )
+    )
+
+
+def duck_linkpred_over(
+    kg_cte: str, dim: int = TRANSE_DIM, test_mod: int = LINKPRED_TEST_MOD
+) -> str:
+    """Oracle: identical ranks via the same hash-init embeddings and a
+    plain CROSS JOIN + conditional count."""
+
+    def e(name_sql: str, d: int) -> str:
+        return f"({duck_h15(f'{name_sql} || ' + repr('#emb#' + str(d)))} % {EMB_MOD} - {EMB_OFF})"
+
+    q = {d: f"({e('t.subj', d)} + {e(chr(39) + REL_PREFIX + chr(39) + ' || t.pred', d)})" for d in range(dim)}
+    s_true = " + ".join(f"ABS({q[d]} - {e('t.obj', d)})" for d in range(dim))
+    s_cand = " + ".join(f"ABS({q[d]} - {e('n.ent', d)})" for d in range(dim))
+    h = duck_h15("t.subj || '#' || t.pred || '#' || t.obj")
+    return f"""
+        WITH kgt AS MATERIALIZED ({kg_cte}),
+        nodes AS (
+            SELECT DISTINCT ent FROM (
+                SELECT subj AS ent FROM kgt UNION SELECT obj FROM kgt
+            )
+        ),
+        test AS (
+            SELECT DISTINCT subj, pred, obj FROM kgt t
+            WHERE ({h}) % {test_mod} = 0
+        ),
+        ranked AS (
+            SELECT t.subj, t.pred, t.obj,
+                   CAST(1 + SUM(CASE WHEN ({s_cand}) < ({s_true})
+                                 OR (({s_cand}) = ({s_true}) AND n.ent < t.obj)
+                            THEN 1 ELSE 0 END) AS INT) AS rank
+            FROM test t CROSS JOIN nodes n
+            GROUP BY 1, 2, 3
+        )
+        SELECT subj, pred, obj, rank, ROUND(1.0 / rank, 6) AS rr
+        FROM ranked
+    """

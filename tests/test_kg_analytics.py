@@ -656,3 +656,53 @@ def test_kg_diff_all_four_statuses(spark):
         ("D", "E"): ("removed", 1, None),
         ("X", "Y"): ("added", None, 1),
     }
+
+
+# --------------------------------------------------------- linkpred_eval
+
+
+def test_linkpred_eval_matches_python_twin(spark):
+    """Pure-Python replay: same hash-held-out test slice, same integer
+    L1 scores, same (score, entity-id) tie-break — every rank and
+    reciprocal rank must match, and ranks are exact positions in
+    [1, |entities|]."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        EMB_MOD,
+        EMB_OFF,
+        LINKPRED_TEST_MOD,
+        REL_PREFIX,
+        TRANSE_DIM,
+        linkpred_eval,
+    )
+
+    rows = [
+        ("A", "r", "B", 1), ("A", "r", "C", 2), ("B", "s", "C", 1),
+        ("D", "r", "A", 3), ("C", "s", "D", 1), ("E", "r", "B", 1),
+        ("B", "r", "E", 1), ("D", "s", "E", 2),
+    ]
+    kg = _kg_df(spark, rows)
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (r["rank"], r["rr"])
+        for r in linkpred_eval(kg, test_mod=2).collect()
+    }
+    release_caches()
+
+    def emb(name, d):
+        return py_h15(f"{name}#emb#{d}") % EMB_MOD - EMB_OFF
+
+    nodes = sorted({s for s, _, _, _ in rows} | {o for _, _, o, _ in rows})
+    expect = {}
+    for s, p, o, _ in rows:
+        if py_h15(f"{s}#{p}#{o}") % 2 != 0:
+            continue
+        q = [emb(s, d) + emb(REL_PREFIX + p, d) for d in range(TRANSE_DIM)]
+        st = sum(abs(q[d] - emb(o, d)) for d in range(TRANSE_DIM))
+        rank = 1
+        for c in nodes:
+            sc = sum(abs(q[d] - emb(c, d)) for d in range(TRANSE_DIM))
+            if sc < st or (sc == st and c < o):
+                rank += 1
+        expect[(s, p, o)] = (rank, round(1.0 / rank, 6))
+    assert got == expect
+    assert expect, "hash slice empty — fixture must hold out something"
+    assert all(1 <= r <= len(nodes) for r, _ in got.values())
