@@ -628,7 +628,7 @@ _DRIVER_PRIORITY = [
     # PARITY_SELF.json re-records all of them at sf0.01 every round
     "featurized_sdp", "adp_degree", "position_bounds",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
-    "transe_epochs", "span_coverage", "kg_linkpred",
+    "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -878,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_keywords": textstats.source_keywords,
         # link-prediction eval: exact rank/RR of true tails (TransE)
         "kg_linkpred": _kg_linkpred,
+        # integer-exact per-user daily activity outliers (z>3)
+        "events_anomalies": temporal.events_anomalies,
         # ordered view→click→purchase funnel: one user-grain exchange,
         # codegen'd fold over the sorted event array
         "event_funnel": temporal.event_funnel,
@@ -1316,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_diff": _duck_kg_diff(),
         "source_keywords": textstats.duck_source_keywords(),
         "kg_linkpred": _duck_kg_linkpred(),
+        "events_anomalies": temporal.duck_events_anomalies(),
         "event_funnel": temporal.duck_event_funnel(),
         "value_histogram": sketch.duck_value_histogram(),
     }

@@ -365,6 +365,7 @@ def main() -> None:
     timed("kg_diff", _entry.queries()["kg_diff"])
     timed("source_keywords", textstats.source_keywords)
     timed("kg_linkpred", _entry.queries()["kg_linkpred"])
+    timed("events_anomalies", temporal.events_anomalies)
 
     result = {
         "metric": "kg_pipeline_sec",

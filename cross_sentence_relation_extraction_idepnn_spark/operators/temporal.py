@@ -643,3 +643,92 @@ def duck_events_cohorts() -> str:
         FROM c JOIN c s
           ON s.cohort_week = c.cohort_week AND s.week_offset = 0
     """
+
+
+# ---------------------------------------------------- anomalous activity
+
+ANOMALY_Z = 3
+ANOMALY_MIN_DAYS = 3
+
+
+def activity_anomalies(
+    events: DataFrame, z: int = ANOMALY_Z, min_days: int = ANOMALY_MIN_DAYS
+) -> DataFrame:
+    """(user_id, day, n_events, n_days, is_anomaly) — days on which a
+    user's event count is more than ``z`` standard deviations above or
+    below that user's own daily mean (users active on fewer than
+    ``min_days`` days are skipped — one observation has no variance).
+    The per-user-baseline outlier detector an abuse/quality pipeline
+    runs over activity feeds.
+
+    Exactness contract (what makes this oracle-checkable, unlike a
+    float z-score): with integer daily counts x_i, n = #days,
+    s = Σx_i, q = Σx_i², the test |x - mean| > z·σ is equivalent to
+
+        (n·x - s)² > z² · (n·q - s²)
+
+    — pure int64 algebra, no division, no sqrt, so Spark, DuckDB and
+    the Python twin agree bit-for-bit. Overflow headroom: |n·x| and
+    |s| stay < 2³¹ for any plausible per-user history, so the squares
+    stay < 2⁶², inside int64.
+
+    Plan: ONE user-day count (map-side combinable), ONE user-grain
+    window for (n, s, q) — no per-user join, no second corpus pass;
+    the flag is codegen'd Column algebra on the windowed row."""
+    day = F.expr(
+        "CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " ts) div 1000000 div 86400 AS INT)"
+    )
+    daily = events.select("user_id", day.alias("day")).groupBy(
+        "user_id", "day"
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("user_id")
+    stats = (
+        daily.withColumn("n_days", F.count("*").over(w))
+        .withColumn("s", F.sum("n_events").over(w))
+        .withColumn("q", F.sum(F.col("n_events") * F.col("n_events")).over(w))
+        .filter(F.col("n_days") >= min_days)
+    )
+    lhs = (F.col("n_days") * F.col("n_events") - F.col("s"))
+    rhs = (
+        F.lit(z * z)
+        * (F.col("n_days") * F.col("q") - F.col("s") * F.col("s"))
+    )
+    return stats.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.col("n_days").cast("int").alias("n_days"),
+        (lhs * lhs > rhs).alias("is_anomaly"),
+    )
+
+
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-user daily activity outliers over events."""
+    return activity_anomalies(events_batch(spark, sf_dir))
+
+
+def duck_events_anomalies(
+    z: int = ANOMALY_Z, min_days: int = ANOMALY_MIN_DAYS
+) -> str:
+    """Oracle: identical integer inequality, marginals via GROUP BY +
+    join back (the other formulation of the engine's window pass)."""
+    return f"""
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 1000000 // 86400 AS INT) AS day,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        st AS (
+            SELECT user_id, COUNT(*) AS n_days, SUM(n_events) AS s,
+                   SUM(n_events * n_events) AS q
+            FROM daily GROUP BY 1
+        )
+        SELECT d.user_id, d.day, d.n_events,
+               CAST(st.n_days AS INT) AS n_days,
+               (st.n_days * d.n_events - st.s) * (st.n_days * d.n_events - st.s)
+                   > {z * z} * (st.n_days * st.q - st.s * st.s) AS is_anomaly
+        FROM daily d JOIN st USING (user_id)
+        WHERE st.n_days >= {min_days}
+    """

@@ -372,3 +372,39 @@ def test_tool_transition_probabilities_sum_to_one(spark, sf_dir):
         assert r["dst_tool"] in {"chat", "search", "code"}
     for src, rs in by_src.items():
         assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4, src
+
+
+# --------------------------------------------------- activity anomalies
+
+
+def test_activity_anomalies_integer_exact_twin(spark):
+    """Crafted feed + pure-Python replay of the integer inequality
+    (n·x − s)² > z²(n·q − s²): a 30-event spike against a 12-day flat
+    baseline flags, the flat days don't, and a 2-day user is skipped
+    by min_days (one observation has no variance)."""
+    rows = []
+    eid = 0
+    for d in range(12):  # user 1: flat baseline, 2 events/day
+        for j in range(2):
+            eid += 1
+            rows.append((eid, f"2024-01-{d + 1:02d} 0{j}:00:00", 1, "view"))
+    for j in range(30):  # user 1: day-13 spike
+        eid += 1
+        rows.append((eid, f"2024-01-13 00:{j:02d}:00", 1, "view"))
+    for d in range(2):  # user 2: below min_days
+        eid += 1
+        rows.append((eid, f"2024-01-{d + 1:02d} 00:00:00", 2, "view"))
+    got = {
+        (r["user_id"], r["day"]): (r["n_events"], r["n_days"], r["is_anomaly"])
+        for r in temporal.activity_anomalies(_events(spark, rows)).collect()
+    }
+    assert all(u == 1 for (u, _d) in got), "user 2 must be skipped"
+    assert len(got) == 13
+    counts = [v[0] for v in got.values()]
+    n, s, q = len(counts), sum(counts), sum(c * c for c in counts)
+    for (u, d), (x, nd, flag) in got.items():
+        assert nd == n
+        assert flag == ((n * x - s) ** 2 > 9 * (n * q - s * s)), (d, x)
+    spike = [v for v in got.values() if v[0] == 30]
+    assert spike and spike[0][2] is True
+    assert all(v[2] is False for v in got.values() if v[0] == 2)
