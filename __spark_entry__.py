@@ -629,6 +629,7 @@ _DRIVER_PRIORITY = [
     "featurized_sdp", "adp_degree", "position_bounds",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
+    "bloom_prefilter",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -880,6 +881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linkpred": _kg_linkpred,
         # integer-exact per-user daily activity outliers (z>3)
         "events_anomalies": temporal.events_anomalies,
+        # Bloom pre-filter for decontamination, FP cost measured
+        "bloom_prefilter": curation.bloom_prefilter,
         # ordered view→click→purchase funnel: one user-grain exchange,
         # codegen'd fold over the sorted event array
         "event_funnel": temporal.event_funnel,
@@ -1319,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "source_keywords": textstats.duck_source_keywords(),
         "kg_linkpred": _duck_kg_linkpred(),
         "events_anomalies": temporal.duck_events_anomalies(),
+        "bloom_prefilter": curation.duck_bloom_prefilter(),
         "event_funnel": temporal.duck_event_funnel(),
         "value_histogram": sketch.duck_value_histogram(),
     }

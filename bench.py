@@ -366,6 +366,7 @@ def main() -> None:
     timed("source_keywords", textstats.source_keywords)
     timed("kg_linkpred", _entry.queries()["kg_linkpred"])
     timed("events_anomalies", temporal.events_anomalies)
+    timed("bloom_prefilter", curation.bloom_prefilter)
 
     result = {
         "metric": "kg_pipeline_sec",

@@ -718,3 +718,139 @@ def duck_chunk_documents(
             )
         )
     """
+
+
+# ------------------------------------------------------ bloom prefilter
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def bloom_prefilter(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = DECON_N,
+    bench_every: int = BENCH_EVERY,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(doc_id, n_grams, n_candidates, n_exact, n_fp) — Bloom-filter
+    pre-screening for decontamination, with its false-positive cost
+    MEASURED per document (the ann_recall discipline: an index change
+    lands with numbers, not hope). The benchmark shingle set folds
+    into an ``m``-bit Bloom filter (``k`` portable md5 hash functions);
+    a corpus shingle is a *candidate* when all ``k`` bits are set, and
+    ``n_fp = n_candidates − n_exact`` counts the shingles the exact
+    semi-join then rejects. Blooms never miss (``n_exact ≤
+    n_candidates`` always — pinned in tests), so the pre-filter is
+    lossless.
+
+    Why this exists next to :func:`decontaminate`: the broadcast
+    semi-join needs the RAW shingle set driver-side — fine for a KB
+    eval set, impossible when the blocklist is billions of shingles.
+    The Bloom table is ≤ ``m`` rows (here 4 KB) NO MATTER how large
+    the blocklist grows, so it always broadcasts; the expensive exact
+    join then runs only on the candidate subset. Integer bit
+    positions and counts make the whole surface hash-exact across
+    engines."""
+    ws = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", grams.alias("g"))
+    bench_g = (
+        docs.filter(F.col("doc_id") % bench_every == 0)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+
+    def bit(j, col="gram"):
+        return (
+            spark_h15(F.concat(F.lit(f"bloom{j}|"), F.col(col))) % m
+        ).cast("int")
+
+    bloom = (
+        bench_g.select(
+            F.explode(F.array(*[bit(j) for j in range(k)])).alias("bitpos")
+        )
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    cg = docs.filter(F.col("doc_id") % bench_every != 0).select(
+        "doc_id", F.explode("g").alias("gram")
+    )
+    hitbits = (
+        cg.select(
+            "doc_id",
+            "gram",
+            F.explode(F.array(*[bit(j) for j in range(k)])).alias("bitpos"),
+        )
+        .join(F.broadcast(bloom), "bitpos", "left")
+        .groupBy("doc_id", "gram")
+        .agg((F.sum(F.coalesce("set_", F.lit(0))) == k).alias("cand"))
+    )
+    flagged = hitbits.join(
+        F.broadcast(bench_g.withColumn("exact", F.lit(True))), "gram", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("cand").cast("long")).alias("n_candidates"),
+        F.sum(F.coalesce("exact", F.lit(False)).cast("long")).alias("n_exact"),
+        (
+            F.sum(F.col("cand").cast("long"))
+            - F.sum(F.coalesce("exact", F.lit(False)).cast("long"))
+        ).alias("n_fp"),
+    )
+
+
+def duck_bloom_prefilter(
+    n: int = DECON_N,
+    bench_every: int = BENCH_EVERY,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> str:
+    """Oracle: identical bit algebra, bit membership via IN-subquery."""
+    from ..hashing import duck_h15
+
+    def bit(j, col):
+        return f"CAST({duck_h15(repr('bloom' + str(j) + '|') + ' || ' + col)} % {m} AS INT)"
+
+    bits_b = ", ".join(bit(j, "gram") for j in range(k))
+    return f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(0, GREATEST(len(ws) - {n} + 1, 0)),
+                       i -> array_to_string(ws[i + 1 : i + {n}], ' ')
+                   )) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ),
+        bench AS (
+            SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % {bench_every} = 0
+        ),
+        bloom AS (
+            SELECT DISTINCT UNNEST([{bits_b}]) AS bitpos FROM bench
+        ),
+        cg AS (
+            SELECT doc_id, UNNEST(grams) AS gram FROM g
+            WHERE doc_id % {bench_every} != 0
+        ),
+        per_gram AS (
+            SELECT c.doc_id, c.gram,
+                   ({" AND ".join(f"{bit(j, 'c.gram')} IN (SELECT bitpos FROM bloom)" for j in range(k))}) AS cand,
+                   (c.gram IN (SELECT gram FROM bench)) AS exact
+            FROM cg c
+        )
+        SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS n_candidates,
+               SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS n_exact,
+               SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS n_fp
+        FROM per_gram GROUP BY 1
+    """
