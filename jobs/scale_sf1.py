@@ -139,9 +139,11 @@ def main() -> None:
     extract_triples(spark, SRC_SF).count()
 
     from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        bloom_prefilter,
         chunk_documents,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        linkpred_eval,
         transe_step,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
@@ -160,6 +162,7 @@ def main() -> None:
     from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
         quality_bands,
         quality_classifier,
+        source_keywords,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators import temporal
     from cross_sentence_relation_extraction_idepnn_spark.operators.layout import (
@@ -232,6 +235,10 @@ def main() -> None:
         "ann_recall": similarity.ann_recall,
         "tool_transition": tool_transition,
         "events_cohorts": temporal.events_cohorts,
+        "source_keywords": source_keywords,
+        "kg_linkpred": lambda s, d: linkpred_eval(materialize_kg(s, d)),
+        "events_anomalies": temporal.events_anomalies,
+        "bloom_prefilter": bloom_prefilter,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():
