@@ -24,8 +24,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import graph_incore
 
 JACCARD_TAU = 0.5
+
+
+def _track_result(df: DataFrame) -> DataFrame:
+    """``track_checkpoint`` for distributed (eager localCheckpoint)
+    results; in-core fast-path results analyze to a LocalRelation —
+    nothing to unpersist, and the checkpoint handle can't wrap them."""
+    from ..session import track_checkpoint
+
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() == "LocalRelation":
+        return df
+    return track_checkpoint(df)
 
 
 def _bigrams(col):
@@ -435,7 +450,10 @@ PAGERANK_ITERS = 10
 
 
 def kg_pagerank(
-    kg: DataFrame, iters: int = PAGERANK_ITERS, release: bool = True
+    kg: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    release: bool = True,
+    incore_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, pr) — deterministic fixed-point PageRank over the KG's
     distinct (subj → obj) edges: the canonical ITERATIVE join-agg
@@ -479,6 +497,25 @@ def kg_pagerank(
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # hybrid fast path (the connected_components pattern): the KG's
+        # edge set is dimension-sized — below the threshold, N Spark
+        # jobs of fixed launch overhead lose to ONE collect + the
+        # identical integer recurrence in-core (graph_incore.pagerank;
+        # bit-equal by construction, pinned in test_graph_incore.py)
+        thr = (
+            graph_incore.INCORE_MAX_EDGES
+            if incore_max_edges is None
+            else incore_max_edges
+        )
+        if edges.count() <= thr:
+            rows = graph_incore.pagerank(
+                [(r.src, r.dst) for r in edges.collect()],
+                iters,
+                PAGERANK_SCALE,
+            )
+            return kg.sparkSession.createDataFrame(
+                rows, "node string, pr bigint"
+            )
         nodes = track_cache(
             edges.select(F.col("src").alias("node"))
             .unionByName(edges.select(F.col("dst").alias("node")))
@@ -523,7 +560,7 @@ def kg_pagerank(
         return loop()
     with cache_scope():
         out = loop()
-    return track_checkpoint(out)
+    return _track_result(out)
 
 
 def duck_pagerank_over(kg_cte: str, iters: int = PAGERANK_ITERS) -> str:
@@ -874,7 +911,10 @@ COMM_ITERS = 4
 
 
 def kg_communities(
-    kg: DataFrame, iters: int = COMM_ITERS, release: bool = True
+    kg: DataFrame,
+    iters: int = COMM_ITERS,
+    release: bool = True,
+    incore_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, community) — deterministic SYNCHRONOUS label propagation
     (Raghavan et al. 2007) over the KG's undirected distinct edge set:
@@ -912,6 +952,23 @@ def kg_communities(
         base = track_cache(
             kg.select("subj", "obj").persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # hybrid fast path (connected_components pattern): below the
+        # threshold the dimension-sized graph runs the identical
+        # synchronous LPA in-core (graph_incore.lpa) — one collect vs
+        # per-round Spark jobs; bit-equal, pinned in
+        # test_graph_incore.py
+        thr = (
+            graph_incore.INCORE_MAX_EDGES
+            if incore_max_edges is None
+            else incore_max_edges
+        )
+        if base.count() <= thr:
+            rows = graph_incore.lpa(
+                [(r.subj, r.obj) for r in base.collect()], iters
+            )
+            return kg.sparkSession.createDataFrame(
+                rows, "node string, label string"
+            )
         directed = base.select(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         ).filter(F.col("src") != F.col("dst"))
@@ -972,7 +1029,7 @@ def kg_communities(
         return rename(loop())
     with cache_scope():
         out = loop()
-    return rename(track_checkpoint(out))
+    return rename(_track_result(out))
 
 
 def duck_communities_over(kg_cte: str, iters: int = COMM_ITERS) -> str:
@@ -1250,7 +1307,12 @@ def duck_node_sim_over(kg_cte: str) -> str:
 BFS_MAX_HOPS = 4
 
 
-def kg_paths(kg: DataFrame, max_hops: int = BFS_MAX_HOPS, release: bool = True) -> DataFrame:
+def kg_paths(
+    kg: DataFrame,
+    max_hops: int = BFS_MAX_HOPS,
+    release: bool = True,
+    incore_max_edges: int | None = None,
+) -> DataFrame:
     """(node, dist) — BFS shortest-path layers over the KG's directed
     (subj → obj) edges from the hub entity (highest out-degree, ties to
     the lexicographically smallest subject — a deterministic pick both
@@ -1278,6 +1340,20 @@ def kg_paths(kg: DataFrame, max_hops: int = BFS_MAX_HOPS, release: bool = True) 
         edges = track_cache(
             kg.select("subj", "obj").distinct().persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # hybrid fast path (connected_components pattern): below the
+        # threshold the BFS runs in-core (graph_incore.bfs_layers) —
+        # one collect vs 2 jobs/layer; bit-equal, pinned in
+        # test_graph_incore.py
+        thr = (
+            graph_incore.INCORE_MAX_EDGES
+            if incore_max_edges is None
+            else incore_max_edges
+        )
+        if edges.count() <= thr:
+            rows = graph_incore.bfs_layers(
+                [(r.subj, r.obj) for r in edges.collect()], max_hops
+            )
+            return spark.createDataFrame(rows, "node string, dist int")
         hub = (
             edges.groupBy("subj")
             .agg(F.count("*").alias("deg"))
@@ -1314,7 +1390,7 @@ def kg_paths(kg: DataFrame, max_hops: int = BFS_MAX_HOPS, release: bool = True) 
         return loop()
     with cache_scope():
         out = loop()
-    return track_checkpoint(out)
+    return _track_result(out)
 
 
 def duck_kg_paths_over(kg_cte: str, max_hops: int = BFS_MAX_HOPS) -> str:
@@ -1349,6 +1425,7 @@ def kg_kcore(
     k: int = KCORE_K,
     rounds: int = KCORE_ROUNDS,
     release: bool = True,
+    incore_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, deg) — the nodes surviving ``rounds`` synchronous peel
     rounds of the k-core (Seidman 1983) over the KG's undirected
@@ -1395,6 +1472,28 @@ def kg_kcore(
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # hybrid fast path (connected_components pattern): below the
+        # threshold the peel runs in-core (graph_incore.kcore) — one
+        # collect of the symmetric distinct edge set vs 2 jobs/round;
+        # bit-equal, pinned in test_graph_incore.py
+        thr = (
+            graph_incore.INCORE_MAX_EDGES
+            if incore_max_edges is None
+            else incore_max_edges
+        )
+        if edges.count() <= thr:
+            rows = graph_incore.kcore(
+                [(r.src, r.dst) for r in edges.collect()], k, rounds
+            )
+            return kg.sparkSession.createDataFrame(
+                rows,
+                T.StructType(
+                    [
+                        T.StructField("node", T.StringType(), True),
+                        T.StructField("deg", T.LongType(), False),
+                    ]
+                ),
+            )
         alive = edges.select(F.col("src").alias("node")).distinct()
         prev = None
         for _i in range(rounds):
@@ -1430,7 +1529,7 @@ def kg_kcore(
         return loop()
     with cache_scope():
         out = loop()
-    return track_checkpoint(out)
+    return _track_result(out)
 
 
 def duck_kcore_over(
@@ -1484,6 +1583,7 @@ def kg_walks(
     length: int = WALK_LEN,
     max_nbrs: int = WALK_MAX_NBRS,
     release: bool = True,
+    incore_max_edges: int | None = None,
 ) -> DataFrame:
     """(start, walk, step, node) — ``walks`` deterministic random walks
     of up to ``length`` hops from every KG node with out-edges, in long
@@ -1519,9 +1619,40 @@ def kg_walks(
     )
 
     def loop() -> DataFrame:
-        adj = track_cache(
+        dedges = track_cache(
             kg.select("subj", "obj")
             .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # hybrid fast path (connected_components pattern): below the
+        # threshold the hash-steered walks replay in-core
+        # (graph_incore.walks, same 60-bit md5 hash) — one collect vs
+        # 2 jobs/hop; bit-equal, pinned in test_graph_incore.py
+        thr = (
+            graph_incore.INCORE_MAX_EDGES
+            if incore_max_edges is None
+            else incore_max_edges
+        )
+        if dedges.count() <= thr:
+            rows = graph_incore.walks(
+                [(r.subj, r.obj) for r in dedges.collect()],
+                walks,
+                length,
+                max_nbrs,
+            )
+            return kg.sparkSession.createDataFrame(
+                rows,
+                T.StructType(
+                    [
+                        T.StructField("start", T.StringType(), True),
+                        T.StructField("walk", T.IntegerType(), False),
+                        T.StructField("step", T.IntegerType(), False),
+                        T.StructField("node", T.StringType(), True),
+                    ]
+                ),
+            )
+        adj = track_cache(
+            dedges
             .groupBy("subj")
             .agg(
                 F.slice(
@@ -1577,7 +1708,7 @@ def kg_walks(
         return loop()
     with cache_scope():
         res = loop()
-    return track_checkpoint(res)
+    return _track_result(res)
 
 
 def duck_walks_over(

@@ -1,0 +1,99 @@
+"""Hybrid-path equivalence pins for the iterative KG analytics.
+
+Each operator runs twice on the SAME materialized KG: once on the
+in-core fast path (default — the sf0.001 KG is far below
+``INCORE_MAX_EDGES``) and once with ``incore_max_edges=0`` forcing the
+distributed per-round loop. The sorted row sets and the schemas must be
+IDENTICAL — the recurrences are integer/lexicographic-exact, so the two
+paths are bit-equal by construction, and this test keeps that contract
+honest against future edits to either path.
+
+A crafted worst-case graph (chain + hub + self-loops + isolated-ish
+nodes) exercises the edge semantics that differ between operators
+(self-loop filtering, symmetrization, sink halting, tie-breaks).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cross_sentence_relation_extraction_idepnn_spark.operators import linking
+from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+    materialize_kg,
+)
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    return materialize_kg(spark, SF_SMALL)
+
+
+@pytest.fixture(scope="module")
+def crafted_kg(spark):
+    # chain a->b->c->d, hub h -> {a..d}, self-loop s->s, back-edge d->a,
+    # plus a 2-clique island (x<->y) — covers peel survival, BFS tie on
+    # hub pick (h and the chain), LPA oscillation, walk sink halting
+    rows = [
+        ("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("d", "p", "a"),
+        ("h", "p", "a"), ("h", "p", "b"), ("h", "p", "c"), ("h", "p", "d"),
+        ("s", "p", "s"), ("x", "p", "y"), ("y", "p", "x"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+OPS = [
+    ("kg_pagerank", lambda kg, **kw: linking.kg_pagerank(kg, **kw)),
+    ("kg_communities", lambda kg, **kw: linking.kg_communities(kg, **kw)),
+    ("kg_kcore", lambda kg, **kw: linking.kg_kcore(kg, **kw)),
+    ("kg_paths", lambda kg, **kw: linking.kg_paths(kg, **kw)),
+    ("kg_walks", lambda kg, **kw: linking.kg_walks(kg, **kw)),
+]
+
+
+@pytest.mark.parametrize("name,op", OPS, ids=[n for n, _ in OPS])
+def test_incore_matches_distributed_on_corpus_kg(name, op, kg):
+    fast = op(kg)
+    slow = op(kg, incore_max_edges=0)
+    assert fast.schema == slow.schema, name
+    assert _rows(fast) == _rows(slow), name
+
+
+@pytest.mark.parametrize("name,op", OPS, ids=[n for n, _ in OPS])
+def test_incore_matches_distributed_on_crafted_graph(name, op, crafted_kg):
+    fast = op(crafted_kg)
+    slow = op(crafted_kg, incore_max_edges=0)
+    assert fast.schema == slow.schema, name
+    rows = _rows(fast)
+    assert rows == _rows(slow), name
+    assert rows, name  # non-vacuous
+
+
+def test_walk_pairs_rides_the_fast_path(kg):
+    # walk_pairs composes kg_walks: the corpus-level counts must be
+    # unchanged whichever path the walk corpus took
+    fast = linking.walk_pairs(kg)
+    slow_walks = linking.kg_walks(kg, incore_max_edges=0)
+    import pyspark.sql.functions as F
+
+    seqs = slow_walks.groupBy("start", "walk").agg(
+        F.array_sort(F.collect_list(F.struct("step", "node"))).alias("seq")
+    )
+    pairs = F.expr(
+        """flatten(transform(seq, (c, i) -> transform(
+               filter(seq, (x, j) -> j != i AND abs(j - i) <= 2),
+               x -> named_struct('center', c.node, 'context', x.node))))"""
+    )
+    slow = (
+        seqs.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.center").alias("center"),
+            F.col("p.context").alias("context"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    assert _rows(fast) == _rows(slow)
