@@ -263,29 +263,38 @@ def main() -> None:
     n_turns = transcripts(spark, SF_DIR).count()
 
     extract_triples(spark, SF_DIR).count()  # warm: JIT + Python workers
-    sec_high = float("inf")
-    for _ in range(2):  # best-of-2 damps single-run VM noise
-        release_caches()
-        spark.catalog.clearCache()
-        t0 = time.time()
-        extract_triples(spark, SF_DIR).count()
-        sec_high = min(sec_high, time.time() - t0)
-    timings["kg_pipeline"] = round(sec_high, 3)
+
+    # Per-query attempts are INTERLEAVED as full passes over the query
+    # list, not run back-to-back. The shared VM's neighbor steal arrives
+    # in multi-minute BANDS (three same-day round-4 recordings each had
+    # probe-healthy brackets yet a different contiguous SEGMENT of the
+    # query list 3-15x slow: head / tail / head again); two consecutive
+    # attempts sit in the same band, so best-of-2 couldn't escape it.
+    # Two full passes put a query's attempts ~10 min apart — almost
+    # never in the same band — for the SAME total work, and min-per-
+    # query across passes keeps the one-sided-noise estimator.
+    _entries: list[tuple[str, object]] = []
 
     def timed(name: str, fn) -> None:
-        # clean cache per query: lingering persisted subtrees from a
-        # previous query would otherwise pollute unrelated timings.
-        # best-of-2 per query — same min-time estimator as the scaling
-        # block (one-sided VM noise inflated a clean-4.2s minhash run
-        # to 35.6s in one degraded-window sample)
-        best = float("inf")
-        for _ in range(2):
-            release_caches()
-            spark.catalog.clearCache()
-            t = time.time()
-            fn(spark, SF_DIR).count()
-            best = min(best, time.time() - t)
-        timings[name] = round(best, 3)
+        _entries.append((name, fn))
+
+    def _run_passes(n_passes: int = 2) -> None:
+        for _ in range(n_passes):
+            for name, fn in _entries:
+                # clean cache per query: lingering persisted subtrees
+                # from a previous query would otherwise pollute
+                # unrelated timings
+                release_caches()
+                spark.catalog.clearCache()
+                t = time.time()
+                fn(spark, SF_DIR).count()
+                dt = time.time() - t
+                timings[name] = round(min(timings.get(name, dt), dt), 3)
+
+    def _kg_pipeline(s, d):
+        return extract_triples(s, d)
+
+    timed("kg_pipeline", _kg_pipeline)
 
     from cross_sentence_relation_extraction_idepnn_spark.operators import curation
     from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
@@ -368,11 +377,17 @@ def main() -> None:
     timed("events_anomalies", temporal.events_anomalies)
     timed("bloom_prefilter", curation.bloom_prefilter)
 
+    _run_passes()
+    sec_high = timings["kg_pipeline"]
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": round(sec_high, 3),
         "unit": "sec",
         "queries": timings,
+        # min per query over 2 full INTERLEAVED passes (band-noise
+        # decorrelation; see _run_passes)
+        "timing_protocol": "min_over_2_interleaved_passes",
         "sf": _sf_from_dir(SF_DIR),
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / sec_high, 1) if sec_high > 0 else None,
