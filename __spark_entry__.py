@@ -114,9 +114,11 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
 )
 from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
     documents,
+    duck_skew_profile,
     duck_tool_transition,
     duck_tool_usage,
     duck_transcripts_cte,
+    skew_profile,
     tool_transition,
     tool_usage,
     transcripts,
@@ -630,6 +632,9 @@ _DRIVER_PRIORITY = [
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
     "bloom_prefilter",
+    # round-4-final additions: PARITY_SELF-covered now; first in line
+    # (with the nine above) for the round-5 driver window
+    "skew_profile", "dataset_split",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -871,6 +876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _ann_recall,
         # first-order Markov tool-transition stats over conversations
         "tool_transition": tool_transition,
+        # exact conv-size count-of-counts + salting advisor
+        "skew_profile": skew_profile,
+        # deterministic hash-keyed train/val/test assignment
+        "dataset_split": curation.dataset_split,
         # weekly cohort retention grid over the events feed
         "events_cohorts": temporal.events_cohorts,
         # snapshot diff: half-corpus KG vs full rebuild (changelog scan)
@@ -1252,6 +1261,10 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": stream_events_mod.duck_windowed_counts(),
         "sessionize_batch": stream_events_mod.duck_sessionize_batch(),
         "tool_usage": f"WITH transcripts AS ({duck_transcripts_cte()}) {duck_tool_usage()}",
+        "skew_profile": (
+            f"WITH transcripts AS ({duck_transcripts_cte()}) {duck_skew_profile()}"
+        ),
+        "dataset_split": curation.duck_dataset_split(),
         "lang_id": textstats.duck_lang_id(),
         "pii_scrub": curation.duck_pii_scrub(plant=True),
         "repetition_score": curation.duck_repetition(),

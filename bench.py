@@ -376,6 +376,8 @@ def main() -> None:
     timed("kg_linkpred", _entry.queries()["kg_linkpred"])
     timed("events_anomalies", temporal.events_anomalies)
     timed("bloom_prefilter", curation.bloom_prefilter)
+    timed("skew_profile", _entry.queries()["skew_profile"])
+    timed("dataset_split", curation.dataset_split)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

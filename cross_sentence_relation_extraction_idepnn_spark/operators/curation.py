@@ -258,6 +258,46 @@ def duck_sample_stratified() -> str:
     """
 
 
+# train/val/test boundaries on H(doc_id||':split') % 100 — a salted key
+# (NOT the sample_stratified key) so split membership and sampling stay
+# statistically independent decisions on the same corpus
+SPLIT_BOUNDS = (90, 95)  # < 90 train, < 95 val, else test
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, split) — deterministic train/val/test assignment
+    by content-keyed hash threshold: ``H(doc_id || ':split') % 100`` →
+    ``train``/``val``/``test`` at 90/5/5.
+
+    The property a 100 TB pretraining corpus needs is that the split is
+    a PURE FUNCTION of the row key: stable under re-runs, repartitions,
+    cluster resizes, and incremental corpus growth (a new document
+    lands in a split without ever moving an old one — `randomSplit` has
+    none of these). Uniform hashing also makes the split stratified in
+    expectation within every source with zero extra machinery.
+
+    Plan: one narrow codegen projection over the scan — zero exchanges,
+    zero Python."""
+    h = spark_h15(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))) % 100
+    lo, hi = SPLIT_BOUNDS
+    split = (
+        F.when(h < lo, F.lit("train")).when(h < hi, F.lit("val")).otherwise("test")
+    )
+    return _docs(spark, sf_dir).select("doc_id", "source", split.alias("split"))
+
+
+def duck_dataset_split() -> str:
+    h = duck_h15("CAST(doc_id AS VARCHAR) || ':split'")
+    lo, hi = SPLIT_BOUNDS
+    return f"""
+        SELECT doc_id, source,
+               CASE WHEN {h} % 100 < {lo} THEN 'train'
+                    WHEN {h} % 100 < {hi} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
 H60_MAX = 1 << 60  # h15 range: uniform md5-derived 60-bit hash
 
 

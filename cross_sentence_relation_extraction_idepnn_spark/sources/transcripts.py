@@ -229,3 +229,65 @@ def duck_tool_transition() -> str:
             GROUP BY 1, 2
         )
     """
+
+
+# Turns per salted sub-key a key-grain stage targets. At this fixture's
+# TURN_WORDS=8 the corpus has conversations of 1..~15 turns so a target
+# of 4 exercises salt factors > 1; a production deployment tunes this to
+# rows-that-fit-one-task (order 10^4-10^5) — the arithmetic is identical.
+SALT_TARGET_TURNS = 4
+
+
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(turns_per_conv, n_convs, share_pct, salt_factor) — the exact
+    count-of-counts over conversation sizes, plus the integer salt
+    factor each size class needs to bound any salted sub-key at
+    ``SALT_TARGET_TURNS`` rows.
+
+    This is the operational input to the north rule's "skew from long
+    conversations" handling (J2/J3 salting, `operators/mentions.py`):
+    before committing a salting constant for a 10^12-turn corpus you
+    profile the key distribution, and this query IS that profile —
+    exact, not sketched, because the profile grain (distinct
+    conversation SIZES) is tiny regardless of corpus size.
+
+    Plan: one conversation-grain exchange (map-side-combined count),
+    one count-of-counts aggregation over the already-small conv grain,
+    and the share denominator is a global window over the ALREADY-TINY
+    profile (distinct conversation sizes) — the corpus is read exactly
+    once; a separate totals aggregate would re-scan it (the
+    ``tool_transition`` lesson)."""
+    from pyspark.sql import Window
+
+    prof = (
+        transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("turns_per_conv"))
+        .groupBy("turns_per_conv")
+        .agg(F.count("*").alias("n_convs"))
+    )
+    tot = F.sum("n_convs").over(Window.partitionBy())
+    return prof.select(
+        "turns_per_conv",
+        "n_convs",
+        F.round(F.col("n_convs") * 100.0 / tot, 6).alias("share_pct"),
+        F.expr(
+            f"(turns_per_conv + {SALT_TARGET_TURNS - 1}) div {SALT_TARGET_TURNS}"
+        ).alias("salt_factor"),
+    )
+
+
+def duck_skew_profile() -> str:
+    """Oracle (compose after a ``transcripts`` CTE): same profile via a
+    global window denominator and DuckDB's ``//`` integer division."""
+    t = SALT_TARGET_TURNS
+    return f"""
+        SELECT turns_per_conv, COUNT(*) AS n_convs,
+               ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 6) AS share_pct,
+               (turns_per_conv + {t - 1}) // {t} AS salt_factor
+        FROM (
+            SELECT conv_id, COUNT(*) AS turns_per_conv
+            FROM transcripts GROUP BY conv_id
+        )
+        GROUP BY turns_per_conv
+    """

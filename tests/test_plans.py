@@ -261,3 +261,29 @@ def test_bucketed_kg_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS kg_b")
         spark.sql("DROP TABLE IF EXISTS deg_b")
+
+
+def test_dataset_split_is_narrow_codegen(spark, sf_dir):
+    """Split assignment must be a pure projection over the scan: zero
+    exchanges, no Python — the split is a function of the row key."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators import curation
+
+    plan = plan_of(curation.dataset_split(spark, sf_dir))
+    assert count_op(plan, "Exchange") == 0, plan
+    assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_skew_profile_single_corpus_pass(spark, sf_dir):
+    """The skew profile reads the corpus once: the conv-grain count and
+    the count-of-counts each shuffle their (tiny) grain, the share
+    denominator is a global window over the already-tiny profile (a
+    separate totals aggregate would re-scan the corpus), and no Python
+    touches the row path."""
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        skew_profile,
+    )
+
+    plan = plan_of(skew_profile(spark, sf_dir))
+    assert count_op(plan, "Scan parquet") == 1, plan
+    assert count_op(plan, "Window") == 1, plan
+    assert "Python" not in plan and "Pandas" not in plan
