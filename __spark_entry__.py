@@ -634,7 +634,7 @@ _DRIVER_PRIORITY = [
     "bloom_prefilter",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window
-    "skew_profile", "dataset_split",
+    "skew_profile", "dataset_split", "canonicalize_delta",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -880,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": skew_profile,
         # deterministic hash-keyed train/val/test assignment
         "dataset_split": curation.dataset_split,
+        # label-stable incremental canonical-map extension
+        "canonicalize_delta": _canonicalize_delta,
         # weekly cohort retention grid over the events feed
         "events_cohorts": temporal.events_cohorts,
         # snapshot diff: half-corpus KG vs full rebuild (changelog scan)
@@ -917,6 +919,45 @@ from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation impo
 )
 
 _SENTS_CTE = duck_sentences_cte()
+
+
+def _canonicalize_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental entity resolution (the streaming KG's missing half):
+    the canonical map built from the conv-hash-even half of the corpus,
+    extended label-stably with the odd half's new mention surfaces via
+    ``canonicalize_incremental`` — existing components never change,
+    new surfaces adopt the min reachable existing component or found
+    new clusters."""
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import spark_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        canonicalize_incremental,
+    )
+
+    m = _mentions(spark, sf)
+    h = spark_h15(F.col("conv_id"))
+    old = canonicalize(m.filter(h % 2 == 0))
+    return canonicalize_incremental(old, m.filter(h % 2 == 1).select("surface"))
+
+
+def _duck_canonicalize_delta() -> str:
+    """Oracle: even-half canon chain, then recursive min-label
+    propagation over new-new edges with contracted '0:'+component seeds
+    (``linking.duck_canonicalize_incremental_ctes``)."""
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import duck_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_canonicalize_incremental_ctes,
+    )
+
+    h = duck_h15("conv_id")
+    return (
+        f"WITH RECURSIVE transcripts AS ({duck_transcripts_cte()}), "
+        f"sentences AS ({_SENTS_CTE}), "
+        f"mentions_all AS ({duck_mentions_cte()}), "
+        f"mentions AS (SELECT * FROM mentions_all WHERE ({h}) % 2 = 0)"
+        + duck_canonicalize_ctes()
+        + duck_canonicalize_incremental_ctes(f"({h}) % 2 = 1")
+        + " SELECT surface, component, is_new FROM inc_map"
+    )
 
 
 def _duck_canonicalize() -> str:
@@ -1265,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH transcripts AS ({duck_transcripts_cte()}) {duck_skew_profile()}"
         ),
         "dataset_split": curation.duck_dataset_split(),
+        "canonicalize_delta": _duck_canonicalize_delta(),
         "lang_id": textstats.duck_lang_id(),
         "pii_scrub": curation.duck_pii_scrub(plant=True),
         "repetition_score": curation.duck_repetition(),

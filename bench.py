@@ -378,6 +378,7 @@ def main() -> None:
     timed("bloom_prefilter", curation.bloom_prefilter)
     timed("skew_profile", _entry.queries()["skew_profile"])
     timed("dataset_split", curation.dataset_split)
+    timed("canonicalize_delta", _entry.queries()["canonicalize_delta"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

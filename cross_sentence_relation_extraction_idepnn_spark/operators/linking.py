@@ -351,6 +351,256 @@ def canonicalize(mentions: DataFrame) -> DataFrame:
     )
 
 
+def _py_incremental(
+    ex_map: dict[str, str], news: list[str], tau: float
+) -> list[tuple[str, str, int]]:
+    """Driver-side twin of :func:`canonicalize_incremental` for tiny
+    vocabularies (same HALF_UP round-to-6 Jaccard as
+    ``_py_similarity_edges``): one Spark job for the whole merge."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    bg = {s: _py_bigrams(s) for s in set(ex_map) | set(news)}
+
+    def _match(a: str, b: str) -> bool:
+        inter = len(bg[a] & bg[b])
+        if not inter:
+            return False
+        union = len(bg[a] | bg[b])
+        jac = float(Decimal(repr(inter / union)).quantize(q, rounding=ROUND_HALF_UP))
+        return jac >= tau
+
+    ns = sorted(set(news))
+    enc_nodes = ["1:" + x for x in ns]
+    enc_edges: list[tuple[str, str]] = []
+    for i, x in enumerate(ns):
+        for y in ns[i + 1 :]:
+            if _match(x, y):
+                enc_edges.append(("1:" + x, "1:" + y))
+        for y, comp in ex_map.items():
+            if _match(x, y):
+                enc_edges.append(("1:" + x, "0:" + comp))
+    comps = sorted({c for _, c in enc_edges if c.startswith("0:")})
+    resolved = dict(_uf_components(enc_nodes + comps, enc_edges))
+    out = [(s, c, 0) for s, c in sorted(ex_map.items())]
+    out += [(x, resolved["1:" + x][2:], 1) for x in ns]
+    return out
+
+
+def _incremental_edges(
+    all_nodes: DataFrame,
+    news: DataFrame,
+    tau: float = JACCARD_TAU,
+    n_all: int | None = None,
+    nlj_threshold: int = NLJ_MAX_NODES,
+) -> DataFrame:
+    """Similarity edges over ``all_nodes`` with AT LEAST ONE endpoint in
+    ``news`` — candidate generation never pairs two existing surfaces.
+    At 10^12-turn scale the accumulated vocabulary dominates the union
+    and existing↔existing pairs are exactly the O(V²) work incremental
+    maintenance exists to skip; this builder's candidate set is
+    O(|news| · bucket) instead. Same hybrid as
+    :func:`similarity_edges`: broadcast NLJ below ``nlj_threshold``
+    total nodes, lossless ppjoin prefix equi-join above it (the global
+    document-frequency order is computed over the UNION so the prefix
+    lemma holds for mixed pairs). Edges come back normalized
+    (src < dst), exact-Jaccard verified."""
+    if n_all is None:
+        n_all = all_nodes.count()
+    if n_all <= nlj_threshold:
+        a = news.select(
+            F.col("surface").alias("s"), _bigrams(F.col("surface")).alias("bg1")
+        )
+        b = all_nodes.select(
+            F.col("surface").alias("t"), _bigrams(F.col("surface")).alias("bg2")
+        )
+        pairs = a.join(F.broadcast(b), F.col("s") != F.col("t"))
+    else:
+        keys = _prefix_keys(all_nodes, tau)
+        kn = keys.join(news, "surface").select(
+            F.col("surface").alias("s"), F.col("bg").alias("bg1"), "k"
+        )
+        pairs = (
+            kn.join(
+                keys.select(
+                    F.col("surface").alias("t"), F.col("bg").alias("bg2"), "k"
+                ),
+                "k",
+            )
+            .filter(F.col("s") != F.col("t"))
+            .select("s", "t", "bg1", "bg2")
+            .dropDuplicates(["s", "t"])
+        )
+    inter = F.size(F.array_intersect("bg1", "bg2"))
+    union = F.size(F.array_union("bg1", "bg2"))
+    return (
+        pairs.withColumn(
+            "jaccard", F.round(inter.cast("double") / union.cast("double"), 6)
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select(
+            F.least("s", "t").alias("src"), F.greatest("s", "t").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def canonicalize_incremental(
+    existing: DataFrame,
+    new_surfaces: DataFrame,
+    tau: float = JACCARD_TAU,
+    driver_threshold: int = PY_EDGE_MAX_NODES,
+    nlj_threshold: int = NLJ_MAX_NODES,
+) -> DataFrame:
+    """existing(surface, component) canonical map + a batch of new
+    mention surfaces → (surface, component, is_new) extended map with
+    LABEL STABILITY: every existing surface keeps its component
+    verbatim, each genuinely-new surface adopts the MINIMUM existing
+    component reachable within bigram-Jaccard ``tau`` (reachability
+    through other new surfaces included), and new-only clusters are
+    founded under their min surface.
+
+    Stability is the semantic difference vs a full rebuild — and the
+    contract a materialized triple log requires: when a new surface
+    BRIDGES two existing clusters, a rebuild would merge them and
+    re-key every triple under the losing label (at 10^12 triples, a
+    rewrite of the whole table); the incremental policy keeps both
+    clusters and assigns the bridge to the min. This closes the
+    streaming KG's fixed-canonical-map limitation
+    (``streaming/triples.py:run_stream_kg``): each micro-batch can now
+    extend the map instead of freezing it.
+
+    Mechanics: existing clusters are CONTRACTED to their label before
+    clustering — endpoints encode as ``'0:'+component`` (existing,
+    fixed) vs ``'1:'+surface`` (new), so the min-label union-find
+    resolves priority for free ('0:' sorts before '1:'). In-core
+    single-job fast path below ``driver_threshold`` total surfaces
+    (same discipline as :func:`canonicalize`); above it, the
+    new-endpoint-only edge builder plus the driver/star
+    :func:`connected_components` — existing↔existing pairs are never
+    generated at any scale."""
+    spark = existing.sparkSession
+    ex = existing.select("surface", "component")
+    news = (
+        new_surfaces.select("surface")
+        .distinct()
+        .join(ex.select("surface"), "surface", "left_anti")
+    )
+    head = ex.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        nhead = news.limit(driver_threshold + 1 - len(head)).collect()
+        if len(head) + len(nhead) <= driver_threshold:
+            return spark.createDataFrame(
+                _py_incremental(
+                    {r[0]: r[1] for r in head}, [r[0] for r in nhead], tau
+                ),
+                schema="surface string, component string, is_new int",
+            )
+    # ------------------------------------------------- distributed path
+    all_nodes = ex.select("surface").unionByName(news)
+    edges = _incremental_edges(all_nodes, news, tau, nlj_threshold=nlj_threshold)
+    exs = ex.select(F.col("surface").alias("_s"), F.col("component").alias("_c"))
+
+    def _enc(side: str) -> F.Column:
+        return F.when(
+            F.col(f"{side}_c").isNotNull(),
+            F.concat(F.lit("0:"), F.col(f"{side}_c")),
+        ).otherwise(F.concat(F.lit("1:"), F.col(side)))
+
+    e = (
+        edges.join(
+            exs.select(F.col("_s").alias("src"), F.col("_c").alias("src_c")),
+            "src",
+            "left",
+        )
+        .join(
+            exs.select(F.col("_s").alias("dst"), F.col("_c").alias("dst_c")),
+            "dst",
+            "left",
+        )
+        .select(_enc("src").alias("src"), _enc("dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    news_enc = news.select(F.concat(F.lit("1:"), F.col("surface")).alias("surface"))
+    nodes_enc = (
+        news_enc.unionByName(e.select(F.col("src").alias("surface")))
+        .unionByName(e.select(F.col("dst").alias("surface")))
+        .distinct()
+    )
+    comp = connected_components(nodes_enc, e)
+    resolved = comp.filter(F.col("surface").startswith("1:")).select(
+        F.expr("substr(surface, 3)").alias("surface"),
+        F.expr("substr(component, 3)").alias("component"),
+    )
+    return ex.select("surface", "component", F.lit(0).alias("is_new")).unionByName(
+        resolved.select("surface", "component", F.lit(1).alias("is_new"))
+    )
+
+
+def duck_canonicalize_incremental_ctes(odd_pred: str, tau: float = JACCARD_TAU) -> str:
+    """Oracle CTE chain for :func:`canonicalize_incremental` (compose
+    after ``mentions_all`` and the even-half ``canonicalize`` chain —
+    i.e. after :func:`duck_canonicalize_ctes` run against a ``mentions``
+    CTE holding the even half). ``odd_pred`` selects the delta half of
+    ``mentions_all``. Ends in ``inc_map(surface, component, is_new)``:
+    min-label propagation restricted to new-new edges plus contracted
+    ``'0:'+component`` seeds from new-existing edges — the independent
+    recursive-CTE formulation of the encoded union-find."""
+    return f"""
+        , news AS (
+            SELECT DISTINCT surface FROM mentions_all
+            WHERE ({odd_pred})
+              AND surface NOT IN (SELECT surface FROM cc_nodes)
+        ),
+        bgn AS (
+            SELECT surface,
+                   list_distinct(
+                       CASE WHEN length(surface) >= 2
+                            THEN list_transform(range(1, length(surface)),
+                                                i -> substr(surface, CAST(i AS INT), 2))
+                            ELSE [surface] END) AS bgs
+            FROM news
+        ),
+        nn_edges AS (
+            SELECT a.surface AS src, b.surface AS dst
+            FROM bgn a JOIN bgn b ON a.surface < b.surface
+            WHERE ROUND(len(list_intersect(a.bgs, b.bgs)) * 1.0
+                        / len(list_distinct(list_concat(a.bgs, b.bgs))), 6)
+                  >= {tau}
+        ),
+        ne_lbls AS (
+            SELECT a.surface AS y, '0:' || c.component AS lbl
+            FROM bgn a
+            JOIN bg b
+              ON ROUND(len(list_intersect(a.bgs, b.bgs)) * 1.0
+                       / len(list_distinct(list_concat(a.bgs, b.bgs))), 6)
+                 >= {tau}
+            JOIN canon c ON c.surface = b.surface
+        ),
+        reach_new(src, dst) AS (
+            SELECT surface, surface FROM news
+            UNION
+            SELECT r.src, e.dst
+            FROM reach_new r
+            JOIN (SELECT src, dst FROM nn_edges
+                  UNION ALL
+                  SELECT dst, src FROM nn_edges) e ON e.src = r.dst
+        ),
+        inc_cand AS (
+            SELECT src AS surface, '1:' || dst AS lbl FROM reach_new
+            UNION ALL
+            SELECT r.src AS surface, nl.lbl
+            FROM reach_new r JOIN ne_lbls nl ON nl.y = r.dst
+        ),
+        inc_map AS (
+            SELECT surface, component, 0 AS is_new FROM canon
+            UNION ALL
+            SELECT surface, substr(MIN(lbl), 3) AS component, 1 AS is_new
+            FROM inc_cand GROUP BY surface
+        )
+    """
+
+
 def dedup_triples(triples: DataFrame) -> DataFrame:
     """A10: distinct-triple materialization at (subj, pred, obj) grain
     with support count and max score — the dedup shuffle. Partial

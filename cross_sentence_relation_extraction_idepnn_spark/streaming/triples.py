@@ -253,6 +253,8 @@ def run_stream_kg(
     canon=None,
     max_files_per_trigger: int | None = None,
     buffer_conversations: bool = False,
+    extend_canon: bool = False,
+    canon_dir: str | None = None,
 ) -> None:
     """Continuous KG maintenance: every micro-batch extracts its delta
     triples, canonicalizes against a FIXED canonical map (``canon`` —
@@ -266,6 +268,20 @@ def run_stream_kg(
     idempotent under foreachBatch's at-least-once replay, and the
     latest version always equals a from-scratch rebuild over
     everything ingested (tested).
+
+    ``extend_canon=True`` removes the fixed-map limitation: the
+    canonical map becomes versioned state in ``canon_dir`` (required),
+    and each batch extends the previous version with its own new
+    mention surfaces via the label-stable
+    ``canonicalize_incremental`` — existing components never change
+    (already-materialized KG versions stay validly keyed), new
+    surfaces adopt the min reachable existing component or found new
+    clusters. The map version is derived from the version BELOW the
+    batch id exactly like the KG state, so replays recompute the same
+    extension and overwrite their own version — the idempotence
+    argument is unchanged. ``canon`` (if given) seeds batch 0. Costs
+    one extra mention-detection pass over the micro-batch (not the
+    historical corpus).
 
     At 10^12 turns the per-batch cost is the delta extraction plus an
     aggregate over (existing KG + delta) — the historical corpus is
@@ -282,21 +298,51 @@ def run_stream_kg(
     upstream."""
     from pyspark.sql import functions as F
 
-    from ..operators.linking import dedup_triples, merge_kg_tables, rekey_canonical
+    from ..operators.linking import (
+        canonicalize_incremental,
+        dedup_triples,
+        merge_kg_tables,
+        rekey_canonical,
+    )
     from ..plans.pipeline import triples_from_transcripts
 
     KG_SCHEMA = (
         "subj string, pred string, obj string, support bigint, "
         "max_score double, min_k int"
     )
+    CANON_SCHEMA = "surface string, component string"
+    if extend_canon and not canon_dir:
+        raise ValueError("extend_canon=True requires canon_dir")
+
+    def _batch_canon(bdf: DataFrame, batch_id: int) -> DataFrame:
+        """Versioned label-stable map extension for this batch."""
+        from ..operators.mentions import detect_mentions
+        from ..operators.segmentation import segment
+
+        prev_v = _latest_kg_version(spark, canon_dir, below=int(batch_id))
+        if prev_v is not None:
+            prev = spark.read.schema(CANON_SCHEMA).parquet(f"{canon_dir}/v={prev_v}")
+        elif canon is not None:
+            prev = canon.select("surface", "component")
+        else:
+            prev = spark.createDataFrame([], CANON_SCHEMA)
+        surfaces = detect_mentions(spark, segment(bdf)).select("surface")
+        ext = canonicalize_incremental(prev, surfaces).select(
+            "surface", "component"
+        )
+        ext.write.mode("overwrite").parquet(f"{canon_dir}/v={int(batch_id)}")
+        return spark.read.schema(CANON_SCHEMA).parquet(
+            f"{canon_dir}/v={int(batch_id)}"
+        )
 
     def one_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch_map = _batch_canon(bdf, batch_id) if extend_canon else canon
         delta = dedup_triples(
             rekey_canonical(
                 triples_from_transcripts(
                     spark, bdf, threshold=threshold, max_k=max_k, weights=weights
                 ),
-                canon,
+                batch_map,
             )
         )
         prev = _latest_kg_version(spark, kg_dir, below=int(batch_id))

@@ -637,3 +637,73 @@ def test_repeated_operator_calls_leave_no_cached_blocks(spark, sf_dir):
         f"persistent RDDs accumulated: {n_persistent_rdds()} > {base_rdds}"
     )
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_canonicalize_incremental_stability_and_paths(spark):
+    """Label-stable incremental entity resolution
+    (``canonicalize_incremental``): (a) existing components NEVER
+    change, even when a new surface bridges two existing clusters —
+    the bridge adopts the min component while a full rebuild would
+    merge the clusters and re-key the triple log; (b) adoption
+    propagates through chains of new surfaces; (c) new-only clusters
+    found under their min surface; (d) already-known surfaces pass
+    through without an is_new row; (e) the in-core fast path and the
+    distributed NLJ / ppjoin paths emit identical maps."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        canonicalize_incremental,
+    )
+
+    existing = spark.createDataFrame(
+        [
+            ("alpha", "alpha"), ("alphas", "alpha"),   # cluster A
+            ("abcd", "abcd"), ("cdef", "cdef"),        # bridgeable pair
+            ("mnop", "mnop"),                          # chain target
+        ],
+        "surface string, component string",
+    )
+    news = spark.createDataFrame(
+        [
+            ("alphaz",),  # joins cluster A (J("alphas","alphaz")=4/6)
+            ("bcde",),    # bridges abcd & cdef (J=2/4 to both) -> min
+            ("nopq",),    # J("mnop","nopq")=2/4 -> mnop
+            ("opqr",),    # reaches mnop ONLY through nopq (J to mnop=1/5)
+            ("xyxy",), ("yxyx",),  # new-only twin cluster
+            ("qq",),      # isolated singleton
+            ("alpha",),   # already known: pass-through, no is_new row
+        ],
+        "surface string",
+    )
+    want = {
+        ("alpha", "alpha", 0), ("alphas", "alpha", 0),
+        ("abcd", "abcd", 0), ("cdef", "cdef", 0), ("mnop", "mnop", 0),
+        ("alphaz", "alpha", 1), ("bcde", "abcd", 1),
+        ("nopq", "mnop", 1), ("opqr", "mnop", 1),
+        ("xyxy", "xyxy", 1), ("yxyx", "xyxy", 1), ("qq", "qq", 1),
+    }
+    incore = {
+        tuple(r) for r in canonicalize_incremental(existing, news).collect()
+    }
+    assert incore == want
+    nlj = {
+        tuple(r)
+        for r in canonicalize_incremental(
+            existing, news, driver_threshold=0
+        ).collect()
+    }
+    ppj = {
+        tuple(r)
+        for r in canonicalize_incremental(
+            existing, news, driver_threshold=0, nlj_threshold=0
+        ).collect()
+    }
+    assert incore == nlj == ppj
+    # contrast: a full REBUILD over the union merges the bridged
+    # clusters — cdef loses its label (the re-keying incremental
+    # maintenance must avoid)
+    rebuilt = dict(
+        (r.surface, r.component)
+        for r in canonicalize(
+            existing.select("surface").union(news.select("surface"))
+        ).collect()
+    )
+    assert rebuilt["cdef"] == "abcd"

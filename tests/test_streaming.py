@@ -559,3 +559,107 @@ def test_windowed_cms_stream_equals_batch(spark, sf_dir):
         sub = got[got["win_start"] == w]
         grid = {(r, c): v for _, r, c, v in sub.itertuples(index=False)}
         assert cms_query(grid, str(uid)) >= n
+
+
+def test_stream_kg_extends_canonical_map_label_stably(spark, sf_dir, tmp_path):
+    """run_stream_kg(extend_canon=True): the canonical map is versioned
+    state extended per batch by ``canonicalize_incremental``. Pins the
+    three properties the evolving-map mode promises: (1) LABEL
+    STABILITY — every version's rows appear verbatim in every later
+    version; (2) per-step consistency — each version equals the batch
+    operator applied to (previous version, that batch's new surfaces);
+    (3) end-to-end keying — because labels never change, the streamed
+    KG equals a full-corpus rebuild rekeyed with the FINAL map. A
+    restart against the drained checkpoint adds no versions."""
+    import os
+
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        canonicalize_incremental,
+        dedup_triples,
+        rekey_canonical,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        triples_from_transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.streaming.triples import (
+        read_latest_kg,
+        run_stream_kg,
+    )
+
+    src = str(tmp_path / "turns")
+    kg_dir = str(tmp_path / "kg")
+    canon_dir = str(tmp_path / "canon")
+    ckpt = str(tmp_path / "ckpt")
+    tdf = transcripts(spark, sf_dir)
+    tdf.repartition(3, "conv_id").write.parquet(src)
+
+    run_stream_kg(
+        spark, src, kg_dir, ckpt,
+        max_files_per_trigger=1, extend_canon=True, canon_dir=canon_dir,
+    )
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(canon_dir) if d.startswith("v=")
+    )
+    assert len(versions) >= 2, "need multiple batches to exercise extension"
+
+    def _read_map(v: int) -> dict[str, str]:
+        return {
+            r.surface: r.component
+            for r in spark.read.parquet(f"{canon_dir}/v={v}").collect()
+        }
+
+    maps = {v: _read_map(v) for v in versions}
+    for a, b in zip(versions, versions[1:]):
+        # (1) stability: earlier rows verbatim in every later version
+        assert maps[a].items() <= maps[b].items()
+        # (2) per-step consistency vs the batch operator
+        news = sorted(set(maps[b]) - set(maps[a]))
+        prev_df = spark.createDataFrame(
+            sorted(maps[a].items()), "surface string, component string"
+        )
+        news_df = spark.createDataFrame([(s,) for s in news], "surface string")
+        redone = {
+            (r.surface, r.component)
+            for r in canonicalize_incremental(prev_df, news_df).collect()
+        }
+        assert redone == set(maps[b].items())
+    final = maps[versions[-1]]
+    all_surfaces = {
+        r.surface
+        for r in detect_mentions(spark, segment(tdf)).select("surface").distinct().collect()
+    }
+    assert set(final) == all_surfaces
+    # (3) streamed KG ≡ full rebuild rekeyed with the final map
+    final_df = spark.createDataFrame(
+        sorted(final.items()), "surface string, component string"
+    )
+    want = dedup_triples(
+        rekey_canonical(triples_from_transcripts(spark, tdf), final_df)
+    ).toPandas()
+    got = read_latest_kg(spark, kg_dir).toPandas()
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # restart: drained checkpoint → no new canon or kg versions
+    canon_before = sorted(os.listdir(canon_dir))
+    kg_before = sorted(os.listdir(kg_dir))
+    run_stream_kg(
+        spark, src, kg_dir, ckpt,
+        max_files_per_trigger=1, extend_canon=True, canon_dir=canon_dir,
+    )
+    assert sorted(os.listdir(canon_dir)) == canon_before
+    assert sorted(os.listdir(kg_dir)) == kg_before
