@@ -494,6 +494,16 @@ def _kg_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return kg_triangles(materialize_kg(spark, sf))
 
 
+def _kg_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Knowledge fusion: per (subj, pred) slot, the evidence-elected
+    winning object with conflict count and support share."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_resolve,
+    )
+
+    return kg_resolve(materialize_kg(spark, sf))
+
+
 def _hll_registers(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic HyperLogLog register table (per-source distinct-
     document sketch) — the integer sketch STATE is the parity surface;
@@ -635,6 +645,7 @@ _DRIVER_PRIORITY = [
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window
     "skew_profile", "dataset_split", "canonicalize_delta",
+    "kg_resolve", "dedup_delta",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -882,6 +893,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": curation.dataset_split,
         # label-stable incremental canonical-map extension
         "canonicalize_delta": _canonicalize_delta,
+        # knowledge fusion: per-(subj, pred) winner election + margin
+        "kg_resolve": _kg_resolve,
+        # incremental near-dup: new-batch bands probe the index, old-old
+        # pairs never generated
+        "dedup_delta": dedup.minhash_delta,
         # weekly cohort retention grid over the events feed
         "events_cohorts": temporal.events_cohorts,
         # snapshot diff: half-corpus KG vs full rebuild (changelog scan)
@@ -1099,6 +1115,14 @@ def _duck_transe_epochs() -> str:
     return duck_transe_epochs_over(_duck_kg())
 
 
+def _duck_kg_resolve() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_kg_resolve_over,
+    )
+
+    return duck_kg_resolve_over(_duck_kg())
+
+
 def _duck_kg_triangles() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
         duck_triangles_over,
@@ -1271,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
             f"{shingles_prefix} SELECT * FROM ({dedup.duck_minhash_cte()})"
         ),
         "minhash_pairs": f"{shingles_prefix} {dedup.duck_minhash_pairs()}",
+        "dedup_delta": f"{shingles_prefix} {dedup.duck_minhash_delta()}",
         "dedup_clusters": dedup.duck_dedup_clusters(),
         "simhash_docs": f"SELECT * FROM ({dedup.duck_simhash_cte()})",
         # duck_simhash_pairs starts with ", sim AS (...)" — prepend a
@@ -1342,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_lift": _duck_kg_edge_lift(),
         "kg_communities": _duck_kg_communities(),
         "kg_triangles": _duck_kg_triangles(),
+        "kg_resolve": _duck_kg_resolve(),
         "kg_components": _duck_kg_components(),
         "kg_node_sim": _duck_kg_node_sim(),
         "transe_step": _duck_transe_step(),

@@ -379,6 +379,8 @@ def main() -> None:
     timed("skew_profile", _entry.queries()["skew_profile"])
     timed("dataset_split", curation.dataset_split)
     timed("canonicalize_delta", _entry.queries()["canonicalize_delta"])
+    timed("kg_resolve", _entry.queries()["kg_resolve"])
+    timed("dedup_delta", dedup.minhash_delta)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

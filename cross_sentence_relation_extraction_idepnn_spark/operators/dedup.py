@@ -193,6 +193,23 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
     no document-grain aggregation anywhere. The old four-consumer
     shingle recompute (and its persist-vs-recompute tension) is moot:
     each consumer is now a narrow map over the scan."""
+    bands = _band_sigs(spark, sf_dir)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(spark, sf_dir, cand, tau)
+
+
+def _band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_sig): LSH band signatures as one map-only
+    pass over the corpus scan (per-row ``array_min`` folds + a single
+    literal-struct explode — zero exchanges)."""
     arrs = _shingle_arrays(spark, sf_dir).withColumn(
         "hs", F.transform("shs", lambda s: spark_h15(s) % MERSENNE_P)
     )
@@ -212,18 +229,17 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
             for b in range(n_bands)
         ]
     )
-    bands = arrs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+    return arrs.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", "bs.band", "bs.band_sig"
     )
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "band_sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+
+
+def _verify_jaccard(
+    spark: SparkSession, sf_dir: str, cand: DataFrame, tau: float
+) -> DataFrame:
+    """Exact-Jaccard verification of an LSH candidate pair set: two
+    doc-id equi-joins back to the per-document shingle arrays + native
+    ``array_intersect`` — no aggregation at any grain."""
     sets = _shingle_arrays(spark, sf_dir)
     joined = cand.join(
         sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),
@@ -242,6 +258,58 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
         )
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_delta(
+    spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard, n_new) — INCREMENTAL near-dup
+    maintenance: the continual-ingestion twin of :func:`minhash_pairs`
+    (same split convention as the harness' ``kg_incremental`` /
+    ``canonicalize_delta``: even ``doc_id`` = the already-indexed
+    corpus, odd = the new ingest batch). Emits exactly the verified
+    near-dup pairs with AT LEAST ONE new endpoint; ``n_new`` ∈ {1, 2}
+    says whether the pair is new-vs-index (1) or internal to the batch
+    (2).
+
+    The plan is what makes it incremental: only NEW documents' band
+    signatures enter the left side of the LSH bucket join, so
+    index↔index candidate pairs — the O(corpus²-ish) verification work
+    a from-scratch rerun would redo every day — are never generated.
+    Per-batch cost is the batch's band build + one bucket probe into
+    the index bands + verification of the surviving pairs; at 100 TB
+    the index side of the join is the precomputed signature table a
+    production deployment persists, not a corpus rescan. Provably
+    equal to ``minhash_pairs`` filtered to ≥ 1 new endpoint (the LSH
+    recall set is endpoint-independent; tested)."""
+    bands = _band_sigs(spark, sf_dir)
+    new_bands = bands.filter(F.col("doc_id") % 2 == 1)
+    cand = (
+        new_bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(spark, sf_dir, cand, tau).withColumn(
+        "n_new",
+        (F.col("doc_a") % 2 + F.col("doc_b") % 2).cast("int"),
+    )
+
+
+def duck_minhash_delta(tau: float = MINHASH_TAU) -> str:
+    """Oracle for :func:`minhash_delta`: the full pair derivation
+    restricted to ≥ 1 odd endpoint — independent of the incremental
+    candidate generation under test."""
+    ctes, final = _duck_minhash_pair_parts(tau)
+    return (
+        f"{ctes} SELECT doc_a, doc_b, jaccard,"
+        f" CAST(doc_a % 2 + doc_b % 2 AS INT) AS n_new FROM ({final})"
+        f" WHERE doc_a % 2 = 1 OR doc_b % 2 = 1"
     )
 
 

@@ -2229,3 +2229,77 @@ def kg_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         "subj", "pred", "obj", status.alias("status"),
         "old_support", "new_support",
     )
+
+
+def kg_resolve(kg: DataFrame) -> DataFrame:
+    """(subj, pred, obj, support, n_alts, total_support, share) —
+    knowledge fusion / truth discovery over the extracted KG: per
+    (subj, pred) assertion slot, elect the winning object by evidence
+    (support DESC, obj ASC — fully deterministic) and
+    report the margin. ``n_alts`` is the number of competing objects
+    (> 1 flags a functional-constraint conflict the extraction left
+    unresolved — the reference resolves nothing past dedup,
+    ``elman-bidirection.py`` emits every scored pair); ``share`` is the
+    winner's fraction of the slot's total support, the calibration
+    signal a downstream consumer thresholds on.
+
+    Plan: the KG is already at distinct (subj, pred, obj) grain
+    (``dedup_triples``), so the whole operator is ONE groupBy with
+    fully decomposable aggregates — the argmax rides as
+    ``min(struct(-support, obj))`` (map-side combine; negation turns
+    the DESC key into a native struct min), alongside
+    ``count(*)`` and ``sum(support)``. One exchange at (subj, pred)
+    grain over a dimension-sized table; no window, no second pass —
+    at 10^12 triples a per-slot window sort would shuffle the same
+    data and then sort inside every partition for an answer the
+    combiner already had."""
+    pick = F.min(
+        F.struct(
+            (-F.col("support")).alias("ns"),
+            F.col("obj").alias("obj"),
+        )
+    ).alias("w")
+    return (
+        kg.groupBy("subj", "pred")
+        .agg(
+            pick,
+            F.count(F.lit(1)).alias("n_alts"),
+            F.sum("support").alias("total_support"),
+        )
+        .select(
+            "subj",
+            "pred",
+            F.col("w.obj").alias("obj"),
+            (-F.col("w.ns")).alias("support"),
+            "n_alts",
+            "total_support",
+            F.round((-F.col("w.ns")) / F.col("total_support"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def duck_kg_resolve_over(kg_cte: str) -> str:
+    """Oracle for :func:`kg_resolve`: independent window-rank
+    formulation of the same election."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        g AS (
+            SELECT subj, pred, COUNT(*) AS n_alts,
+                   CAST(SUM(support) AS BIGINT) AS total_support
+            FROM kg GROUP BY subj, pred
+        ),
+        w AS (
+            SELECT subj, pred, obj, support,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY subj, pred
+                       ORDER BY support DESC, obj ASC
+                   ) AS rn
+            FROM kg
+        )
+        SELECT w.subj, w.pred, w.obj, w.support, g.n_alts,
+               g.total_support,
+               ROUND(w.support * 1.0 / g.total_support, 6) AS share
+        FROM w JOIN g USING (subj, pred) WHERE w.rn = 1
+    """

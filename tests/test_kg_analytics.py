@@ -706,3 +706,31 @@ def test_linkpred_eval_matches_python_twin(spark):
     assert got == expect
     assert expect, "hash slice empty — fixture must hold out something"
     assert all(1 <= r <= len(nodes) for r, _ in got.values())
+
+
+def test_kg_resolve_election_and_margin(spark):
+    """kg_resolve semantics pinned on a crafted KG: the winner per
+    (subj, pred) slot is elected by (support DESC, obj ASC) — the tie
+    at support 5 goes to the lexicographically smaller object —
+    ``n_alts`` counts competing objects, ``total_support`` sums the
+    slot, ``share`` is the winner's rounded fraction; singleton slots
+    resolve to themselves with share 1.0; predicates partition slots."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_resolve,
+    )
+
+    rows = [
+        ("A", "rel", "X", 5), ("A", "rel", "Y", 3), ("A", "rel", "Z", 5),
+        ("B", "rel", "W", 2),
+        ("C", "other", "X", 1), ("C", "rel", "X", 4), ("C", "rel", "Y", 4),
+    ]
+    got = {
+        (r.subj, r.pred): (r.obj, r.support, r.n_alts, r.total_support, r.share)
+        for r in kg_resolve(_kg_df(spark, rows)).collect()
+    }
+    assert got == {
+        ("A", "rel"): ("X", 5, 3, 13, round(5 / 13, 6)),
+        ("B", "rel"): ("W", 2, 1, 2, 1.0),
+        ("C", "other"): ("X", 1, 1, 1, 1.0),
+        ("C", "rel"): ("X", 4, 2, 8, 0.5),
+    }

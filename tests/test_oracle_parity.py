@@ -515,3 +515,28 @@ def test_bpe_token_counts_bounds_and_compression(spark, sf_dir):
     for d, (nw, nb) in full.items():
         assert nw <= nb <= chars[d], f"doc {d}: {nw} <= {nb} <= {chars[d]} violated"
     assert any(nb < chars[d] for d, (_, nb) in full.items()), "merges never fired"
+
+
+def test_dedup_delta_equals_filtered_full_pairs(spark, sf_dir):
+    """The incremental plan (new-batch bands probe the full band
+    table; index-index candidates never generated) must emit EXACTLY
+    the full ``minhash_pairs`` result restricted to >= 1 new endpoint.
+    Non-vacuity guards: the corpus must exercise all three pair
+    classes — excluded index-index pairs (the work the incremental
+    plan skips), new-vs-index (n_new=1), and batch-internal
+    (n_new=2)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        minhash_delta,
+        minhash_pairs,
+    )
+
+    full = minhash_pairs(spark, sf_dir).collect()
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard, int(r.doc_a % 2 + r.doc_b % 2))
+        for r in full
+        if r.doc_a % 2 == 1 or r.doc_b % 2 == 1
+    }
+    got = {tuple(r) for r in minhash_delta(spark, sf_dir).collect()}
+    assert got == want
+    assert len(want) < len(full), "no index-index pair to skip"
+    assert {n for *_, n in want} == {1, 2}, "missing an n_new class"
