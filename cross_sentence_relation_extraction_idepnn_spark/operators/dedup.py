@@ -106,7 +106,14 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     run without a single document-grain shuffle: signatures are
     ``array_min`` projections, set sizes are ``size``, and
     verification intersects two arrays natively."""
-    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    return _shingle_arrays_df(
+        read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    )
+
+
+def _shingle_arrays_df(docs: DataFrame) -> DataFrame:
+    """:func:`_shingle_arrays` over an explicit documents DataFrame —
+    the entry point a streaming micro-batch uses."""
     ws = F.col("ws")
     sh = F.array_distinct(
         F.when(
@@ -210,7 +217,13 @@ def _band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_sig): LSH band signatures as one map-only
     pass over the corpus scan (per-row ``array_min`` folds + a single
     literal-struct explode — zero exchanges)."""
-    arrs = _shingle_arrays(spark, sf_dir).withColumn(
+    return _band_sigs_df(_shingle_arrays(spark, sf_dir))
+
+
+def _band_sigs_df(sets: DataFrame) -> DataFrame:
+    """:func:`_band_sigs` over an explicit (doc_id, shs) shingle-set
+    DataFrame — the entry point a streaming micro-batch uses."""
+    arrs = sets.withColumn(
         "hs", F.transform("shs", lambda s: spark_h15(s) % MERSENNE_P)
     )
     n_bands = NUM_PERMS // BAND_ROWS
@@ -240,7 +253,14 @@ def _verify_jaccard(
     """Exact-Jaccard verification of an LSH candidate pair set: two
     doc-id equi-joins back to the per-document shingle arrays + native
     ``array_intersect`` — no aggregation at any grain."""
-    sets = _shingle_arrays(spark, sf_dir)
+    return _verify_jaccard_sets(cand, _shingle_arrays(spark, sf_dir), tau)
+
+
+def _verify_jaccard_sets(
+    cand: DataFrame, sets: DataFrame, tau: float
+) -> DataFrame:
+    """:func:`_verify_jaccard` against an explicit (doc_id, shs)
+    shingle-set store."""
     joined = cand.join(
         sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),
         "doc_a",

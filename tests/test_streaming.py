@@ -663,3 +663,65 @@ def test_stream_kg_extends_canonical_map_label_stably(spark, sf_dir, tmp_path):
     )
     assert sorted(os.listdir(canon_dir)) == canon_before
     assert sorted(os.listdir(kg_dir)) == kg_before
+
+
+def test_stream_neardup_equals_batch_pairs_and_restart_noop(spark, sf_dir, tmp_path):
+    """run_stream_neardup: the streaming incremental MinHash plan over
+    per-batch index state. Pins (1) completeness — the union of all
+    per-batch pair partitions EQUALS the batch ``minhash_pairs`` over
+    the full corpus (each pair surfaces exactly once, in
+    max(batch(a), batch(b))); (2) the index is append-only per batch
+    with both stores populated; (3) a restart against the drained
+    checkpoint adds no partitions and rewrites no pairs."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import minhash_pairs
+    from cross_sentence_relation_extraction_idepnn_spark.session import read_parquet_cached
+    from cross_sentence_relation_extraction_idepnn_spark.streaming.docs import (
+        read_stream_pairs,
+        run_stream_neardup,
+    )
+
+    src = str(tmp_path / "docs")
+    pairs_dir = str(tmp_path / "pairs")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    docs.repartition(3, "doc_id").write.parquet(src)
+
+    run_stream_neardup(
+        spark, src, pairs_dir, ckpt, index_dir, max_files_per_trigger=1
+    )
+    batches = sorted(
+        int(d.split("=")[1]) for d in os.listdir(pairs_dir) if d.startswith("b=")
+    )
+    assert len(batches) >= 2, "need multiple batches to exercise the index"
+    for sub in ("bands", "sets"):
+        got_b = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(f"{index_dir}/{sub}")
+            if d.startswith("b=")
+        )
+        assert got_b == batches
+    got = {tuple(r) for r in read_stream_pairs(spark, pairs_dir).collect()}
+    want = {tuple(r) for r in minhash_pairs(spark, sf_dir).collect()}
+    assert got == want and want, "streamed pairs must equal the batch run"
+    # per-batch pair partitions are disjoint (exactly-once surfacing)
+    n_rows = sum(
+        spark.read.parquet(f"{pairs_dir}/b={b}").count() for b in batches
+    )
+    assert n_rows == len(got)
+    # restart: drained checkpoint leaves every store untouched
+    def _listing():
+        return {
+            (root, d): sorted(os.listdir(f"{root}/{d}"))
+            for root in (pairs_dir, f"{index_dir}/bands", f"{index_dir}/sets")
+            for d in os.listdir(root)
+            if d.startswith("b=")
+        }
+
+    before = _listing()
+    run_stream_neardup(
+        spark, src, pairs_dir, ckpt, index_dir, max_files_per_trigger=1
+    )
+    assert _listing() == before
