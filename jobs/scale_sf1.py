@@ -199,6 +199,31 @@ def main() -> None:
     def _m(s, d):
         return detect_mentions(s, segment(transcripts(s, d)))
 
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import spark_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        dataset_split,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        minhash_delta,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        canonicalize_incremental,
+        kg_resolve,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        skew_profile,
+    )
+
+    def _canon_delta(s, d):
+        m = _m(s, d)
+        h = spark_h15(F.col("conv_id"))
+        return canonicalize_incremental(
+            canonicalize(m.filter(h % 2 == 0)),
+            m.filter(h % 2 == 1).select("surface"),
+        )
+
     queries = {
         "kg_pipeline": extract_triples,
         "kg_materialize": materialize_kg,
@@ -239,6 +264,11 @@ def main() -> None:
         "kg_linkpred": lambda s, d: linkpred_eval(materialize_kg(s, d)),
         "events_anomalies": temporal.events_anomalies,
         "bloom_prefilter": bloom_prefilter,
+        "skew_profile": skew_profile,
+        "dataset_split": dataset_split,
+        "canonicalize_delta": _canon_delta,
+        "kg_resolve": lambda s, d: kg_resolve(materialize_kg(s, d)),
+        "dedup_delta": minhash_delta,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():

@@ -287,3 +287,45 @@ def test_skew_profile_single_corpus_pass(spark, sf_dir):
     assert count_op(plan, "Scan parquet") == 1, plan
     assert count_op(plan, "Window") == 1, plan
     assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_kg_resolve_is_single_agg_exchange_no_window(spark):
+    """kg_resolve: the per-slot election is ONE groupBy whose argmax
+    rides as min(struct(-support, obj)) with partial aggregation
+    before the single exchange — no Window/Sort operator (the naive
+    ROW_NUMBER formulation would shuffle the same data and then sort
+    every partition)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_resolve,
+    )
+
+    kg = spark.createDataFrame(
+        [("a", "r", "x", 2), ("a", "r", "y", 1)],
+        "subj string, pred string, obj string, support long",
+    )
+    plan = plan_of(kg_resolve(kg))
+    assert count_op(plan, "Exchange") == 1, plan
+    assert count_op(plan, "Window") == 0, plan
+    assert (
+        count_op(plan, "HashAggregate") + count_op(plan, "ObjectHashAggregate")
+        + count_op(plan, "SortAggregate") == 2
+    ), plan  # partial + final (struct-min pins the SortAggregate impl,
+    # whose per-partition key sort is NOT a per-slot window sort)
+    assert "partial_min" in plan, plan  # map-side combine before the exchange
+
+
+def test_minhash_delta_probe_side_is_filtered(spark, sf_dir):
+    """The incremental dedup plan must probe the band table with the
+    NEW side only: the bucket join's left input carries the odd-doc_id
+    filter, and the plan keeps minhash_pairs' no-aggregation property
+    (verification is pure join + projection; the only aggregate is the
+    candidate dropDuplicates)."""
+    plan = plan_of(dedup.minhash_delta(spark, sf_dir))
+    assert "(doc_id#" in plan or "doc_id" in plan
+    assert count_op(plan, "Filter") >= 1, plan
+    # the odd-endpoint restriction appears as a pushed/applied filter
+    assert "% 2) = 1" in plan.replace("\n", " "), plan
+    # same shuffle discipline as minhash_pairs: band join + candidate
+    # distinct + the two verification joins; no extra aggregation
+    n_aggs = count_op(plan, "HashAggregate") + count_op(plan, "ObjectHashAggregate")
+    assert n_aggs <= 2, plan  # partial+final of the candidate distinct
