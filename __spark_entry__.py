@@ -643,7 +643,13 @@ _DRIVER_PRIORITY = [
     "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
     "bloom_prefilter",
     # round-4-final additions: PARITY_SELF-covered now; first in line
-    # (with the nine above) for the round-5 driver window
+    # (with the nine above) for the round-5 driver window.
+    # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
+    # exactly the still-never-driver-checked set into slots 1-50:
+    # events_cms, bpe_token_counts, events_hll, heavy_hitters,
+    # transe_epochs, span_coverage, kg_linkpred, events_anomalies,
+    # bloom_prefilter, skew_profile, dataset_split, canonicalize_delta,
+    # kg_resolve, dedup_delta (14 today; re-audit against the r04 json).
     "skew_profile", "dataset_split", "canonicalize_delta",
     "kg_resolve", "dedup_delta",
     # single-green-round queries (r3)
