@@ -494,6 +494,16 @@ def _kg_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return kg_triangles(materialize_kg(spark, sf))
 
 
+def _kg_neighbor_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """GraphSAGE-style neighbor aggregation: per (node, d), the exact
+    integer sum of neighbor init-embedding coordinates + degree."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        kg_neighbor_agg,
+    )
+
+    return kg_neighbor_agg(materialize_kg(spark, sf))
+
+
 def _kg_resolve(spark: SparkSession, sf: str) -> DataFrame:
     """Knowledge fusion: per (subj, pred) slot, the evidence-elected
     winning object with conflict count and support share."""
@@ -649,9 +659,10 @@ _DRIVER_PRIORITY = [
     # events_cms, bpe_token_counts, events_hll, heavy_hitters,
     # transe_epochs, span_coverage, kg_linkpred, events_anomalies,
     # bloom_prefilter, skew_profile, dataset_split, canonicalize_delta,
-    # kg_resolve, dedup_delta (14 today; re-audit against the r04 json).
+    # kg_resolve, dedup_delta, kg_neighbor_agg (15 today; re-audit
+    # against the r04 json).
     "skew_profile", "dataset_split", "canonicalize_delta",
-    "kg_resolve", "dedup_delta",
+    "kg_resolve", "dedup_delta", "kg_neighbor_agg",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -901,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_delta": _canonicalize_delta,
         # knowledge fusion: per-(subj, pred) winner election + margin
         "kg_resolve": _kg_resolve,
+        # GraphSAGE-style neighbor aggregation (GNN data prep)
+        "kg_neighbor_agg": _kg_neighbor_agg,
         # incremental near-dup: new-batch bands probe the index, old-old
         # pairs never generated
         "dedup_delta": dedup.minhash_delta,
@@ -1119,6 +1132,14 @@ def _duck_transe_epochs() -> str:
     )
 
     return duck_transe_epochs_over(_duck_kg())
+
+
+def _duck_kg_neighbor_agg() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        duck_neighbor_agg_over,
+    )
+
+    return duck_neighbor_agg_over(_duck_kg())
 
 
 def _duck_kg_resolve() -> str:
@@ -1374,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _duck_kg_communities(),
         "kg_triangles": _duck_kg_triangles(),
         "kg_resolve": _duck_kg_resolve(),
+        "kg_neighbor_agg": _duck_kg_neighbor_agg(),
         "kg_components": _duck_kg_components(),
         "kg_node_sim": _duck_kg_node_sim(),
         "transe_step": _duck_transe_step(),

@@ -381,6 +381,7 @@ def main() -> None:
     timed("canonicalize_delta", _entry.queries()["canonicalize_delta"])
     timed("kg_resolve", _entry.queries()["kg_resolve"])
     timed("dedup_delta", dedup.minhash_delta)
+    timed("kg_neighbor_agg", _entry.queries()["kg_neighbor_agg"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -529,3 +529,88 @@ def duck_linkpred_over(
         SELECT subj, pred, obj, rank, ROUND(1.0 / rank, 6) AS rr
         FROM ranked
     """
+
+
+def kg_neighbor_agg(
+    kg: DataFrame, dim: int = TRANSE_DIM, release: bool = True
+) -> DataFrame:
+    """(node, d, deg, nbr_sum) — one round of GraphSAGE-style neighbor
+    aggregation over the KG's distinct undirected edge set with the
+    deterministic init embeddings: for each node and coordinate ``d``,
+    the exact integer SUM of its neighbors' ``e_d`` plus the degree.
+    This is the GNN data-prep primitive the embedding family was
+    missing (negatives → step → epochs → eval → walks/skip-gram →
+    NEIGHBOR AGGREGATION); emitting (sum, count) instead of a float
+    mean keeps the aggregate decomposable (map-side combine, exact
+    incremental merge) and the DuckDB oracle exact — the consumer
+    divides.
+
+    Plan: the symmetrized edge list is dimension-sized (KG grain, not
+    corpus grain); the ``dim`` fan-out rides a broadcast range (no
+    shuffle grows by ``dim`` until the single (node, d) aggregation
+    exchange, which is map-side-combined). At billion-edge scale hub
+    nodes make (node, d) mildly skewed — AQE splits, and the aggregate
+    is decomposable so salting composes if needed."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import cache_scope, track_cache, track_checkpoint
+
+    def build() -> DataFrame:
+        und = track_cache(
+            kg.select(
+                F.least("subj", "obj").alias("u"),
+                F.greatest("subj", "obj").alias("v"),
+            )
+            .filter(F.col("u") < F.col("v"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sym = und.select(
+            F.col("u").alias("node"), F.col("v").alias("nbr")
+        ).unionByName(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        dm = (
+            kg.sparkSession.range(dim)
+            .select(F.col("id").cast("int").alias("d"))
+        )
+        return (
+            sym.join(F.broadcast(dm))
+            .groupBy("node", "d")
+            .agg(
+                F.count(F.lit(1)).alias("deg"),
+                F.sum(_emb(F.col("nbr"), F.col("d"))).alias("nbr_sum"),
+            )
+        )
+
+    if not release:
+        return build()
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
+
+
+def duck_neighbor_agg_over(kg_cte: str, dim: int = TRANSE_DIM) -> str:
+    """Oracle for :func:`kg_neighbor_agg`: the same symmetrized-edge ×
+    dimension aggregation in SQL with the hash init re-derived
+    byte-for-byte."""
+    emb = (
+        f"({duck_h15('s.nbr || ' + repr('#emb#') + ' || CAST(dm.d AS VARCHAR)')}"
+        f" % {EMB_MOD} - {EMB_OFF})"
+    )
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        und AS (
+            SELECT DISTINCT LEAST(subj, obj) AS u, GREATEST(subj, obj) AS v
+            FROM kg WHERE LEAST(subj, obj) < GREATEST(subj, obj)
+        ),
+        sym AS (
+            SELECT u AS node, v AS nbr FROM und
+            UNION ALL
+            SELECT v AS node, u AS nbr FROM und
+        ),
+        dm AS (SELECT UNNEST(range(0, {dim})) AS d)
+        SELECT s.node, CAST(dm.d AS INT) AS d,
+               COUNT(*) AS deg,
+               CAST(SUM({emb}) AS BIGINT) AS nbr_sum
+        FROM sym s CROSS JOIN dm
+        GROUP BY s.node, dm.d
+    """

@@ -734,3 +734,36 @@ def test_kg_resolve_election_and_margin(spark):
         ("C", "other"): ("X", 1, 1, 1, 1.0),
         ("C", "rel"): ("X", 4, 2, 8, 0.5),
     }
+
+
+def test_kg_neighbor_agg_matches_python_twin(spark):
+    """kg_neighbor_agg pinned on a crafted graph against an
+    independent pure-Python twin: undirected distinct edges (the
+    duplicate and reversed edge collapse, the self-loop is ignored),
+    deg counts distinct neighbors, nbr_sum is the exact integer sum of
+    the neighbors' init-embedding coordinates for every d."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        TRANSE_DIM,
+        kg_neighbor_agg,
+    )
+
+    rows = [
+        ("a", "r", "b", 1), ("b", "r", "a", 2),  # reversed duplicate
+        ("b", "r", "c", 1), ("c", "r", "c", 3),  # self-loop ignored
+        ("d", "r", "a", 1),
+    ]
+    got = {
+        (r.node, r.d): (r.deg, r.nbr_sum)
+        for r in kg_neighbor_agg(_kg_df(spark, rows)).collect()
+    }
+
+    def emb(name, d):
+        return py_h15(f"{name}#emb#{d}") % EMB_MOD - EMB_OFF
+
+    nbrs = {"a": ["b", "d"], "b": ["a", "c"], "c": ["b"], "d": ["a"]}
+    want = {
+        (n, d): (len(ns), sum(emb(x, d) for x in ns))
+        for n, ns in nbrs.items()
+        for d in range(TRANSE_DIM)
+    }
+    assert got == want
