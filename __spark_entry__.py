@@ -494,6 +494,16 @@ def _kg_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return kg_triangles(materialize_kg(spark, sf))
 
 
+def _kg_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficient per KG node (triangles + degree
+    over the undirected distinct edge set)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_clustering,
+    )
+
+    return kg_clustering(materialize_kg(spark, sf))
+
+
 def _kg_neighbor_agg(spark: SparkSession, sf: str) -> DataFrame:
     """GraphSAGE-style neighbor aggregation: per (node, d), the exact
     integer sum of neighbor init-embedding coordinates + degree."""
@@ -659,10 +669,10 @@ _DRIVER_PRIORITY = [
     # events_cms, bpe_token_counts, events_hll, heavy_hitters,
     # transe_epochs, span_coverage, kg_linkpred, events_anomalies,
     # bloom_prefilter, skew_profile, dataset_split, canonicalize_delta,
-    # kg_resolve, dedup_delta, kg_neighbor_agg (15 today; re-audit
-    # against the r04 json).
+    # kg_resolve, dedup_delta, kg_neighbor_agg, kg_clustering (16
+    # today; re-audit against the r04 json).
     "skew_profile", "dataset_split", "canonicalize_delta",
-    "kg_resolve", "dedup_delta", "kg_neighbor_agg",
+    "kg_resolve", "dedup_delta", "kg_neighbor_agg", "kg_clustering",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -914,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_resolve": _kg_resolve,
         # GraphSAGE-style neighbor aggregation (GNN data prep)
         "kg_neighbor_agg": _kg_neighbor_agg,
+        # local clustering coefficient (triangles + degree)
+        "kg_clustering": _kg_clustering,
         # incremental near-dup: new-batch bands probe the index, old-old
         # pairs never generated
         "dedup_delta": dedup.minhash_delta,
@@ -1132,6 +1144,14 @@ def _duck_transe_epochs() -> str:
     )
 
     return duck_transe_epochs_over(_duck_kg())
+
+
+def _duck_kg_clustering() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_clustering_over,
+    )
+
+    return duck_clustering_over(_duck_kg())
 
 
 def _duck_kg_neighbor_agg() -> str:
@@ -1396,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _duck_kg_triangles(),
         "kg_resolve": _duck_kg_resolve(),
         "kg_neighbor_agg": _duck_kg_neighbor_agg(),
+        "kg_clustering": _duck_kg_clustering(),
         "kg_components": _duck_kg_components(),
         "kg_node_sim": _duck_kg_node_sim(),
         "transe_step": _duck_transe_step(),

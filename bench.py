@@ -382,6 +382,7 @@ def main() -> None:
     timed("kg_resolve", _entry.queries()["kg_resolve"])
     timed("dedup_delta", dedup.minhash_delta)
     timed("kg_neighbor_agg", _entry.queries()["kg_neighbor_agg"])
+    timed("kg_clustering", _entry.queries()["kg_clustering"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

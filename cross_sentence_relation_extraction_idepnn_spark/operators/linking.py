@@ -2303,3 +2303,114 @@ def duck_kg_resolve_over(kg_cte: str) -> str:
                ROUND(w.support * 1.0 / g.total_support, 6) AS share
         FROM w JOIN g USING (subj, pred) WHERE w.rn = 1
     """
+
+
+def kg_clustering(kg: DataFrame, release: bool = True) -> DataFrame:
+    """(node, deg, n_tri, coeff) — local clustering coefficient over
+    the KG's undirected distinct edge set: the cohesion signal
+    :func:`kg_triangles` points at, completed with degrees —
+    ``coeff = 2·n_tri / (deg·(deg−1))`` (0.0 for deg < 2), rounded to
+    6 places so the oracle compares exactly.
+
+    Same plan discipline as :func:`kg_triangles` (one persisted
+    kg-subtree execution feeds edges, nodes, degrees and wedges; the
+    once-per-triangle id-oriented enumeration; KG-sized exchanges
+    only) — the degree aggregation shares the persisted edge table, so
+    the coefficient costs ONE extra dimension-sized groupBy + a
+    node-grain join over the triangle count."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import cache_scope, track_cache, track_checkpoint
+
+    def build() -> DataFrame:
+        und = track_cache(
+            kg.select(
+                F.least("subj", "obj").alias("u"),
+                F.greatest("subj", "obj").alias("v"),
+            )
+            .filter(F.col("u") < F.col("v"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionByName(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        wedges = (
+            und.alias("e1")
+            .join(und.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+            .select(
+                F.col("e1.u").alias("a"),
+                F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"),
+            )
+        )
+        tris = wedges.join(
+            und.select(F.col("u").alias("a"), F.col("v").alias("c")),
+            ["a", "c"],
+        )
+        per_node = (
+            tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("n_tri"))
+        )
+        joined = deg.join(per_node, "node", "left").select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
+        return joined.withColumn(
+            "coeff",
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.col("n_tri") / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+
+    if not release:
+        return build()
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
+
+
+def duck_clustering_over(kg_cte: str) -> str:
+    """Oracle for :func:`kg_clustering`: the same once-per-triangle
+    enumeration + degree in SQL."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(subj, obj) AS u, GREATEST(subj, obj) AS v
+            FROM kg WHERE LEAST(subj, obj) < GREATEST(subj, obj)
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v FROM und
+            ) GROUP BY node
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        pn AS (
+            SELECT node, COUNT(*) AS n_tri FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+               CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+               CASE WHEN deg.deg >= 2
+                    THEN ROUND(2.0 * COALESCE(pn.n_tri, 0)
+                               / (deg.deg * (deg.deg - 1)), 6)
+                    ELSE 0.0 END AS coeff
+        FROM deg LEFT JOIN pn USING (node)
+    """

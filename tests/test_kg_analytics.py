@@ -767,3 +767,30 @@ def test_kg_neighbor_agg_matches_python_twin(spark):
         for d in range(TRANSE_DIM)
     }
     assert got == want
+
+
+def test_kg_clustering_hand_computed(spark):
+    """kg_clustering on a triangle with a pendant: the triangle nodes
+    have coeff 2·1/(deg·(deg−1)); the hub (deg 3, 1 triangle among its
+    3 neighbor pairs) gets 1/3; the pendant (deg 1) gets 0.0; self-loops
+    and reversed duplicates are ignored."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_clustering,
+    )
+
+    rows = [
+        ("a", "r", "b", 1), ("b", "r", "c", 1), ("c", "r", "a", 1),
+        ("b", "r", "a", 2),  # reversed duplicate
+        ("a", "r", "d", 1),  # pendant off the triangle
+        ("d", "r", "d", 1),  # self-loop ignored
+    ]
+    got = {
+        r.node: (r.deg, r.n_tri, r.coeff)
+        for r in kg_clustering(_kg_df(spark, rows)).collect()
+    }
+    assert got == {
+        "a": (3, 1, round(2 * 1 / (3 * 2), 6)),
+        "b": (2, 1, 1.0),
+        "c": (2, 1, 1.0),
+        "d": (1, 0, 0.0),
+    }
