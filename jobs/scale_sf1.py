@@ -208,8 +208,12 @@ def main() -> None:
     from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
         minhash_delta,
     )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
+        kg_neighbor_agg,
+    )
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
         canonicalize_incremental,
+        kg_clustering,
         kg_resolve,
     )
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
@@ -269,6 +273,8 @@ def main() -> None:
         "canonicalize_delta": _canon_delta,
         "kg_resolve": lambda s, d: kg_resolve(materialize_kg(s, d)),
         "dedup_delta": minhash_delta,
+        "kg_neighbor_agg": lambda s, d: kg_neighbor_agg(materialize_kg(s, d)),
+        "kg_clustering": lambda s, d: kg_clustering(materialize_kg(s, d)),
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():
