@@ -669,10 +669,11 @@ _DRIVER_PRIORITY = [
     # events_cms, bpe_token_counts, events_hll, heavy_hitters,
     # transe_epochs, span_coverage, kg_linkpred, events_anomalies,
     # bloom_prefilter, skew_profile, dataset_split, canonicalize_delta,
-    # kg_resolve, dedup_delta, kg_neighbor_agg, kg_clustering (16
-    # today; re-audit against the r04 json).
+    # kg_resolve, dedup_delta, kg_neighbor_agg, kg_clustering,
+    # dedup_clusters_delta (17 today; re-audit against the r04 json).
     "skew_profile", "dataset_split", "canonicalize_delta",
     "kg_resolve", "dedup_delta", "kg_neighbor_agg", "kg_clustering",
+    "dedup_clusters_delta",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -929,6 +930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental near-dup: new-batch bands probe the index, old-old
         # pairs never generated
         "dedup_delta": dedup.minhash_delta,
+        # label-stable incremental cluster maintenance (keep/drop table
+        # stays validly keyed)
+        "dedup_clusters_delta": dedup.dedup_clusters_delta,
         # weekly cohort retention grid over the events feed
         "events_cohorts": temporal.events_cohorts,
         # snapshot diff: half-corpus KG vs full rebuild (changelog scan)
@@ -1343,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_pairs": f"{shingles_prefix} {dedup.duck_minhash_pairs()}",
         "dedup_delta": f"{shingles_prefix} {dedup.duck_minhash_delta()}",
+        "dedup_clusters_delta": dedup.duck_dedup_clusters_delta(),
         "dedup_clusters": dedup.duck_dedup_clusters(),
         "simhash_docs": f"SELECT * FROM ({dedup.duck_simhash_cte()})",
         # duck_simhash_pairs starts with ", sim AS (...)" — prepend a

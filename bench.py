@@ -383,6 +383,7 @@ def main() -> None:
     timed("dedup_delta", dedup.minhash_delta)
     timed("kg_neighbor_agg", _entry.queries()["kg_neighbor_agg"])
     timed("kg_clustering", _entry.queries()["kg_clustering"])
+    timed("dedup_clusters_delta", dedup.dedup_clusters_delta)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -885,3 +885,197 @@ def duck_span_coverage(k: int = SPAN_K) -> str:
         FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
     """
     )
+
+
+def dedup_clusters_delta(
+    spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical, is_new) — label-stable
+    INCREMENTAL near-dup cluster maintenance, the third leg of the
+    incremental family (canonical map → ``canonicalize_incremental``,
+    pair set → ``minhash_delta``, clusters → here). Even ``doc_id`` =
+    the indexed corpus whose clusters are already materialized, odd =
+    the new ingest batch.
+
+    Contract (the same one a materialized keep/drop table requires):
+    every existing document keeps its ``cluster_id`` VERBATIM — a new
+    document that bridges two existing clusters adopts the minimum
+    one and the clusters stay distinct (a rebuild would merge them and
+    re-key the drop table) — each new document adopts the minimum
+    existing cluster reachable through delta pairs (chains through
+    other new documents included), and new-only groups found a cluster
+    under their minimum member; ``is_canonical`` stays the keep-min-id
+    rule (``cluster_id == doc_id``) on both halves.
+
+    Mechanics mirror ``canonicalize_incremental``: existing clusters
+    CONTRACT to ``'0:'+cluster`` encoded nodes, new documents ride as
+    ``'1:'+doc`` (zero-padded so string min == numeric min), and the
+    min-label components resolve the cluster-beats-new-doc priority
+    structurally — existing↔existing resolution work is never redone.
+    The pair derivation here reuses the full ``minhash_pairs`` scan
+    split even/odd (one pass feeds both halves); a production
+    deployment feeds the materialized cluster table and
+    ``minhash_delta``'s incremental pair output instead — the
+    resolution plan is identical."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import cache_scope, track_cache, track_checkpoint
+    from .linking import connected_components
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 15, "0")
+
+    def build() -> DataFrame:
+        pairs = track_cache(
+            minhash_pairs(spark, sf_dir, tau).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet").select(
+            "doc_id"
+        )
+        # ---- existing half: clusters over both-even pairs (equal to a
+        # dedup_clusters run on the even sub-corpus: LSH candidate
+        # generation and verification are pairwise)
+        ep = pairs.filter((F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0))
+        eedges = ep.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+        enodes = (
+            eedges.select(F.col("src").alias("surface"))
+            .union(eedges.select(F.col("dst").alias("surface")))
+            .distinct()
+        )
+        ecomp = connected_components(enodes, eedges).select(
+            F.col("surface").cast("bigint").alias("doc_id"),
+            F.col("component").cast("bigint").alias("comp_id"),
+        )
+        canon = track_cache(
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .join(ecomp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("comp_id", "doc_id").alias("cluster_id"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # ---- delta resolution: >=1-odd pairs, even endpoints contracted
+        dp = pairs.filter((F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1))
+        cl = canon.select(
+            F.col("doc_id").alias("_d"), F.col("cluster_id").alias("_c")
+        )
+        enc = dp.join(
+            cl.select(F.col("_d").alias("doc_a"), F.col("_c").alias("ca")),
+            "doc_a",
+            "left",
+        ).join(
+            cl.select(F.col("_d").alias("doc_b"), F.col("_c").alias("cb")),
+            "doc_b",
+            "left",
+        )
+
+        def node(side: str, cluster: str) -> F.Column:
+            return F.when(
+                F.col(cluster).isNotNull(),
+                F.concat(
+                    F.lit("0:"),
+                    F.lpad(F.col(cluster).cast("string"), 15, "0"),
+                ),
+            ).otherwise(F.concat(F.lit("1:"), pad(side)))
+
+        dedges = enc.select(
+            node("doc_a", "ca").alias("src"), node("doc_b", "cb").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        news = docs.filter(F.col("doc_id") % 2 == 1).select(
+            F.concat(F.lit("1:"), pad("doc_id")).alias("surface")
+        )
+        dnodes = (
+            news.union(dedges.select(F.col("src").alias("surface")))
+            .union(dedges.select(F.col("dst").alias("surface")))
+            .distinct()
+        )
+        resolved = (
+            connected_components(dnodes, dedges)
+            .filter(F.col("surface").startswith("1:"))
+            .select(
+                F.expr("substring(surface, 3)").cast("bigint").alias("doc_id"),
+                F.expr("substring(component, 3)").cast("bigint").alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        out_cols = [
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+        ]
+        return canon.select(
+            *out_cols, F.lit(0).cast("int").alias("is_new")
+        ).unionByName(
+            resolved.select(*out_cols, F.lit(1).cast("int").alias("is_new"))
+        )
+
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
+
+
+def duck_dedup_clusters_delta(tau: float = MINHASH_TAU) -> str:
+    """Oracle: even-half min-label clusters, then recursive min-label
+    propagation over odd-odd edges with contracted ``'0:'+cluster``
+    seeds from odd-even edges — independent of the contracted
+    union-find under test."""
+    ctes, final = _duck_minhash_pair_parts(tau)
+    return f"""
+        WITH RECURSIVE shingles AS ({duck_shingles_cte()})
+        {ctes}
+        , pairs AS ({final})
+        , eund AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+            WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+        )
+        , ereach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 0
+            UNION
+            SELECT e.dst, r.lbl FROM ereach r JOIN eund e ON e.src = r.id
+        )
+        , canon AS (
+            SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM ereach GROUP BY id
+        )
+        , news AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1)
+        , nn AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            WHERE doc_a % 2 = 1 AND doc_b % 2 = 1
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+            WHERE doc_a % 2 = 1 AND doc_b % 2 = 1
+        )
+        , ne AS (
+            SELECT CASE WHEN p.doc_a % 2 = 1 THEN p.doc_a ELSE p.doc_b END AS y,
+                   '0:' || lpad(CAST(c.cluster_id AS VARCHAR), 15, '0') AS lbl
+            FROM pairs p
+            JOIN canon c
+              ON c.doc_id = CASE WHEN p.doc_a % 2 = 0 THEN p.doc_a ELSE p.doc_b END
+            WHERE (p.doc_a % 2) + (p.doc_b % 2) = 1
+        )
+        , reach_new(src, dst) AS (
+            SELECT doc_id, doc_id FROM news
+            UNION
+            SELECT r.src, e.dst FROM reach_new r JOIN nn e ON e.src = r.dst
+        )
+        , ncand AS (
+            SELECT src AS doc_id,
+                   '1:' || lpad(CAST(dst AS VARCHAR), 15, '0') AS lbl
+            FROM reach_new
+            UNION ALL
+            SELECT r.src, ne.lbl FROM reach_new r JOIN ne ON ne.y = r.dst
+        )
+        , resolved AS (SELECT doc_id, MIN(lbl) AS lbl FROM ncand GROUP BY doc_id)
+        SELECT doc_id, cluster_id, (cluster_id = doc_id) AS is_canonical,
+               0 AS is_new
+        FROM canon
+        UNION ALL
+        SELECT doc_id, CAST(substr(lbl, 3) AS BIGINT) AS cluster_id,
+               (CAST(substr(lbl, 3) AS BIGINT) = doc_id) AS is_canonical,
+               1 AS is_new
+        FROM resolved
+    """

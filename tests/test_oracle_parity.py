@@ -540,3 +540,75 @@ def test_dedup_delta_equals_filtered_full_pairs(spark, sf_dir):
     assert got == want
     assert len(want) < len(full), "no index-index pair to skip"
     assert {n for *_, n in want} == {1, 2}, "missing an n_new class"
+
+
+def test_dedup_clusters_delta_matches_python_twin(spark, sf_dir):
+    """Label-stable incremental cluster maintenance pinned against an
+    independent pure-Python twin over the collected pair set: existing
+    (even-half) cluster assignments equal a union-find over both-even
+    pairs with keep-min-id labels; every new (odd) document adopts the
+    minimum existing cluster reachable through >=1-odd pairs (BFS
+    through chains of new docs, existing clusters contracted), else
+    founds a new cluster under its minimum reachable new doc; the
+    is_canonical rule stays cluster_id == doc_id. Non-vacuity: at
+    least one new document must adopt an existing cluster and at least
+    one must found a multi-member new cluster or singleton."""
+    from collections import defaultdict
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        dedup_clusters_delta,
+        minhash_pairs,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import read_parquet_cached
+
+    docs = [
+        r.doc_id
+        for r in read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    pairs = [(r.doc_a, r.doc_b) for r in minhash_pairs(spark, sf_dir).collect()]
+    evens = sorted(d for d in docs if d % 2 == 0)
+    odds = sorted(d for d in docs if d % 2 == 1)
+
+    # even-half union-find (keep-min-id)
+    parent = {d: d for d in evens}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a % 2 == 0 and b % 2 == 0:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    canon = {d: find(d) for d in evens}
+
+    # odd-side BFS adoption with contracted existing clusters
+    nn = defaultdict(set)
+    seeds = defaultdict(set)  # odd doc -> reachable existing cluster ids
+    for a, b in pairs:
+        if a % 2 == 1 and b % 2 == 1:
+            nn[a].add(b)
+            nn[b].add(a)
+        elif a % 2 != b % 2:
+            y, e = (a, b) if a % 2 == 1 else (b, a)
+            seeds[y].add(canon[e])
+    want = {(d, canon[d], canon[d] == d, 0) for d in evens}
+    for d in odds:
+        frontier, seen = {d}, {d}
+        while frontier:
+            frontier = {z for y in frontier for z in nn[y]} - seen
+            seen |= frontier
+        ex = {c for y in seen for c in seeds[y]}
+        cl = min(ex) if ex else min(seen)
+        want.add((d, cl, cl == d, 1))
+    got = {tuple(r) for r in dedup_clusters_delta(spark, sf_dir).collect()}
+    assert got == want
+    adopted = sum(1 for _, cl, _, n in want if n == 1 and cl % 2 == 0)
+    assert adopted > 0, "no new doc adopts an existing cluster — fixture vacuous"
+    assert any(n == 1 and cl % 2 == 1 for _, cl, _, n in want)
