@@ -661,7 +661,7 @@ _DRIVER_PRIORITY = [
     "featurized_sdp", "adp_degree", "position_bounds",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
-    "bloom_prefilter",
+    "bloom_prefilter", "containment_pairs",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -803,6 +803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": dedup.simhash_docs,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_pairs": dedup.ngram_jaccard_pairs,
+        # directed near-containment (excerpt/quote dedup): inverted-index
+        # bottom-k probe + df-capped postings + exact set verification
+        "containment_pairs": dedup.containment_pairs,
         "dup_spans": dedup.dup_spans,
         "span_coverage": dedup.span_coverage,
         # similarity search
@@ -1354,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         # throwaway CTE so it composes into a standalone WITH chain.
         "simhash_pairs": f"WITH _one AS (SELECT 1) {dedup.duck_simhash_pairs()}",
         "ngram_pairs": f"{shingles_prefix} {dedup.duck_ngram_pairs()}",
+        "containment_pairs": f"{shingles_prefix} {dedup.duck_containment_pairs()}",
         "dup_spans": dedup.duck_dup_spans(),
         "span_coverage": dedup.duck_span_coverage(),
         "cosine_topk": similarity.duck_cosine_topk(),

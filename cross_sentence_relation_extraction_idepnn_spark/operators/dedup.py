@@ -1079,3 +1079,135 @@ def duck_dedup_clusters_delta(tau: float = MINHASH_TAU) -> str:
                1 AS is_new
         FROM resolved
     """
+
+
+# ------------------------------------------------------- containment pairs
+
+CONTAIN_TAU = 0.8  # |S_a ∩ S_b| / |S_a| threshold (a near-contained in b)
+CONTAIN_PROBES = 3  # bottom-k shingle hashes probed per candidate doc
+CONTAIN_MAX_POST = 64  # df cap: shingles hotter than this are boilerplate
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = CONTAIN_TAU,
+    probes: int = CONTAIN_PROBES,
+    max_post: int = CONTAIN_MAX_POST,
+) -> DataFrame:
+    """Directed near-containment pairs (doc_a, doc_b, containment):
+    ``C(a→b) = |S_a ∩ S_b| / |S_a| ≥ tau`` over word 3-gram shingle
+    sets — the EXCERPT/QUOTE detector the symmetric Jaccard family
+    (minhash/simhash/ngram) structurally misses: when ``|S_b| ≫
+    |S_a|``, Jaccard ≈ |S_a|/|S_b| → 0 even at full containment, so a
+    short doc quoted verbatim inside a long one never surfaces as a
+    near-dup. Training-data pipelines need this direction explicitly
+    (drop the contained copy, keep the superset).
+
+    Candidate generation is an INVERTED-INDEX probe, not LSH: if
+    ``C(a→b) ≥ tau`` then at least one of a's bottom-``probes``
+    shingle hashes lies in the intersection with probability
+    ``1-(1-tau)^probes`` (exactly 1 at full containment, ≥ 0.992 at
+    tau=0.8/probes=3 under the uniform-hash order), so probing a's
+    bottom-3 hashes against the corpus posting list finds b. Shapes:
+
+    - postings = explode(distinct shingle hashes)  — linear, the same
+      size as a search index over the corpus;
+    - boilerplate guard: hashes with document frequency >
+      ``max_post`` are dropped from BOTH sides (the hot set is tiny
+      by definition — rides back as a broadcast anti-join, the
+      ``line_dedup`` discipline), bounding per-probe fan-out at
+      ``max_post`` so no quadratic block can form at 100 TB;
+    - probes join postings on the hash (equi-join, AQE-splittable),
+      then exact verification intersects the two shingle ARRAYS
+      natively (no shingle-grain pair join).
+
+    Deterministic end-to-end; the DuckDB oracle mirrors every step
+    including the df cap and bottom-k probe choice."""
+    from pyspark.storagelevel import StorageLevel
+
+    per_doc = (
+        _shingle_arrays(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(F.transform("shs", lambda s: spark_h15(s)))
+            ).alias("hs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_cache(per_doc)
+    post = per_doc.select("doc_id", F.explode("hs").alias("h"))
+    hot = post.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") > max_post
+    )
+    elig = post.join(F.broadcast(hot), "h", "left_anti")
+    probe = per_doc.select(
+        "doc_id", F.explode(F.slice("hs", 1, probes)).alias("h")
+    ).join(F.broadcast(hot), "h", "left_anti")
+    cand = (
+        probe.alias("a")
+        .join(elig.alias("b"), "h")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = _shingle_arrays(spark, sf_dir)
+    joined = cand.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")),
+        "doc_b",
+    )
+    containment = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a"), 6
+    )
+    return (
+        joined.withColumn("containment", containment)
+        .filter(F.col("containment") >= tau)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def duck_containment_pairs(
+    tau: float = CONTAIN_TAU,
+    probes: int = CONTAIN_PROBES,
+    max_post: int = CONTAIN_MAX_POST,
+) -> str:
+    """Oracle over the shared ``shingles`` CTE: identical df cap,
+    bottom-k probe choice, and set-exact verification."""
+    return f"""
+        , post AS (
+            SELECT DISTINCT doc_id, {duck_h15("shingle")} AS h FROM shingles
+        )
+        , hot AS (SELECT h FROM post GROUP BY h HAVING COUNT(*) > {max_post})
+        , elig AS (SELECT * FROM post WHERE h NOT IN (SELECT h FROM hot))
+        , probe AS (
+            SELECT doc_id, h FROM (
+                SELECT doc_id, h,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+                FROM post
+            ) WHERE rn <= {probes} AND h NOT IN (SELECT h FROM hot)
+        )
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM probe a JOIN elig b ON a.h = b.h AND a.doc_id <> b.doc_id
+        )
+        , szs AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+        , inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN shingles s1 ON s1.doc_id = c.doc_a
+            JOIN shingles s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               ROUND(i.n_inter * 1.0 / s.n, 6) AS containment
+        FROM cand c
+        JOIN szs s ON s.doc_id = c.doc_a
+        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        WHERE i.n_inter * 1.0 / s.n >= {tau}
+    """

@@ -707,3 +707,60 @@ def test_canonicalize_incremental_stability_and_paths(spark):
         ).collect()
     )
     assert rebuilt["cdef"] == "abcd"
+
+
+def test_containment_pairs_directed_semantics_and_hot_cap(spark, tmp_path):
+    """Directed near-containment: an excerpt quoted verbatim inside a
+    much longer doc must surface as (excerpt → superset, 1.0) even
+    though its Jaccard is far below every symmetric-family threshold;
+    the reverse direction must NOT surface; docs that share only an
+    over-cap boilerplate shingle must pair nothing; and the DuckDB
+    oracle (same df cap + bottom-k probe) agrees frame-exactly."""
+    import duckdb
+
+    from compare_util import assert_frames_match
+
+    a_words = " ".join(f"a{i}" for i in range(1, 13))  # 12 words, 10 shingles
+    rows = [
+        ("exA", a_words),
+        # superset: A's words contiguous inside 40 words of padding
+        (
+            "supB",
+            " ".join(f"x{i}" for i in range(20))
+            + f" {a_words} "
+            + " ".join(f"z{i}" for i in range(20)),
+        ),
+        # near-contained: 8 of 9 shingles shared with A (and with B)
+        ("nearC", " ".join(f"a{i}" for i in range(1, 11)) + " c1"),
+        # boilerplate: 70 single-shingle copies, df=70 > max_post=64
+        *[(f"hot{i:03d}", "h1 h2 h3") for i in range(70)],
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    out = dedup.containment_pairs(spark, sf)
+    pdf = out.toPandas()
+    got = {(r.doc_a, r.doc_b): r.containment for _, r in pdf.iterrows()}
+
+    # the excerpt is found inside the superset at full containment ...
+    assert got[("exA", "supB")] == 1.0
+    # ... but its Jaccard (10 / (10+48-10) ≈ 0.21) is below even the
+    # loosest symmetric threshold — the directed operator is the only
+    # family member that can see this pair
+    assert ("supB", "exA") not in got, "superset is not contained in the excerpt"
+    # near-containment: C has 9 shingles, 8 shared with A and with B
+    assert got[("nearC", "exA")] == round(8 / 9, 6)
+    assert got[("nearC", "supB")] == round(8 / 9, 6)
+    # boilerplate guard: the hot shingle's df (70) exceeds the cap, so
+    # the 70 identical docs generate ZERO candidates instead of 70²
+    assert not any(k[0].startswith("hot") or k[1].startswith("hot") for k in got)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    sql = (
+        f"WITH shingles AS ({dedup.duck_shingles_cte()}) "
+        f"{dedup.duck_containment_pairs()}"
+    )
+    assert_frames_match(out, con, sql)
