@@ -315,6 +315,18 @@ def _kg_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return kg_pagerank(materialize_kg(spark, sf))
 
 
+def _kg_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from the KG's top-out-degree hub seeds
+    (integer fixed-point — exact cross-engine; restart mass returns
+    only to the seed set, measuring proximity-to-core rather than
+    global centrality)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_ppr,
+    )
+
+    return kg_ppr(materialize_kg(spark, sf))
+
+
 def _kg_paths(spark: SparkSession, sf: str) -> DataFrame:
     """BFS shortest-path layers from the KG hub entity (frontier-only
     expansion with per-layer lineage truncation)."""
@@ -661,7 +673,7 @@ _DRIVER_PRIORITY = [
     "featurized_sdp", "adp_degree", "position_bounds",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
-    "bloom_prefilter", "containment_pairs",
+    "bloom_prefilter", "containment_pairs", "kg_ppr",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -701,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg": _kg,
         "kg_incremental": _kg_incremental,
         "kg_pagerank": _kg_pagerank,
+        "kg_ppr": _kg_ppr,
         # join-based KG analytics: degrees + distinct 2-hop reach
         "kg_neighbors": _kg_neighbors,
         # temporal KG: observation window + conv support per triple
@@ -1057,6 +1070,14 @@ def _duck_kg_pagerank() -> str:
     )
 
     return duck_pagerank_over(_duck_kg())
+
+
+def _duck_kg_ppr() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_ppr_over,
+    )
+
+    return duck_ppr_over(_duck_kg())
 
 
 def _duck_kg_paths() -> str:
@@ -1417,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         "kg": _duck_kg(),
         "kg_incremental": _duck_kg(),  # delta merge ≡ full rebuild
         "kg_pagerank": _duck_kg_pagerank(),
+        "kg_ppr": _duck_kg_ppr(),
         "kg_neighbors": _duck_kg_neighbors(),
         "kg_temporal": _duck_kg_temporal(),
         "kg_negatives": _duck_kg_negatives(),

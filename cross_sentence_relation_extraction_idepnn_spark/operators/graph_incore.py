@@ -182,3 +182,45 @@ def walks(
                 node = nbrs[py_h15(f"{start}|{w}|{t}|{node}") % len(nbrs)]
                 out.append((start, w, t, node))
     return out
+
+
+def ppr_seeds(edges: Sequence[tuple[str, str]], n_seeds: int) -> list[str]:
+    """Deterministic seed choice shared by both engines: the
+    ``n_seeds`` nodes with the highest OUT-degree over the distinct
+    edge set, ties broken by node ascending — the KG's hub entities,
+    the natural personalization set for 'what is close to the core of
+    this graph'."""
+    outdeg = Counter(s for s, _ in edges)
+    return [
+        v for v, _ in sorted(outdeg.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:n_seeds]
+
+
+def ppr(
+    edges: Sequence[tuple[str, str]], iters: int, scale: int, n_seeds: int
+) -> list[tuple[str, int]]:
+    """(node, ppr) after ``iters`` integer fixed-point personalized-
+    PageRank iterations — twin of :func:`linking.kg_ppr`'s loop. The
+    restart mass returns ONLY to the seed set (uniformly), so scores
+    measure proximity to the seeds instead of global centrality. Same
+    integer discipline as :func:`pagerank`: floor division everywhere,
+    damping 17/20, restart 15/100 — summation order cannot matter."""
+    edges = list(edges)
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    if not nodes:
+        return []
+    seeds = set(ppr_seeds(edges, n_seeds))
+    # divisor is the REQUESTED seed count (mirrors the distributed
+    # path's literal and the oracle) even if the graph has fewer hubs
+    base = (scale * 15) // (100 * n_seeds)
+    outdeg = Counter(s for s, _ in edges)
+    pr = {v: (scale // n_seeds if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        contrib: dict[str, int] = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += pr[s] // outdeg[s]
+        pr = {
+            v: (base if v in seeds else 0) + (17 * contrib.get(v, 0)) // 20
+            for v in nodes
+        }
+    return [(v, pr[v]) for v in sorted(nodes)]

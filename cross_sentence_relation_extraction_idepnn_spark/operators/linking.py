@@ -2414,3 +2414,172 @@ def duck_clustering_over(kg_cte: str) -> str:
                     ELSE 0.0 END AS coeff
         FROM deg LEFT JOIN pn USING (node)
     """
+
+
+# ------------------------------------------------- personalized PageRank
+
+PPR_N_SEEDS = 3
+PPR_ITERS = 10
+
+
+def kg_ppr(
+    kg: DataFrame,
+    iters: int = PPR_ITERS,
+    n_seeds: int = PPR_N_SEEDS,
+    release: bool = True,
+    incore_max_edges: int | None = None,
+) -> DataFrame:
+    """(node, ppr) — deterministic fixed-point PERSONALIZED PageRank
+    over the KG's distinct (subj → obj) edges: restart mass returns
+    only to the seed set (the ``n_seeds`` highest-out-degree hubs,
+    ties to the lexicographically smallest node — deterministic in
+    both engines), so scores measure proximity to the KG's core
+    entities rather than global centrality. This is the entity-
+    recommendation / related-entity primitive (`what is near the
+    hubs`) that global ``kg_pagerank`` cannot express — at 100 TB the
+    seed set is a user query, and the per-iteration shape is identical:
+    one join on src, one aggregation keyed on dst.
+
+    Same integer fixed-point discipline as ``kg_pagerank`` (micro-unit
+    scale, damping 17/20, floor division — no float summation order to
+    drift between engines), same hybrid plan (ONE collect + the
+    bit-identical in-core twin below ``INCORE_MAX_EDGES`` distinct
+    edges, per-iteration ``localCheckpoint`` lineage truncation above),
+    same eager-release cache discipline."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import (
+        cache_scope,
+        track_cache,
+        track_checkpoint,
+        unpersist_checkpoint,
+    )
+
+    def loop() -> DataFrame:
+        edges = track_cache(
+            kg.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        thr = (
+            graph_incore.INCORE_MAX_EDGES
+            if incore_max_edges is None
+            else incore_max_edges
+        )
+        if edges.count() <= thr:
+            rows = graph_incore.ppr(
+                [(r.src, r.dst) for r in edges.collect()],
+                iters,
+                PAGERANK_SCALE,
+                n_seeds,
+            )
+            return kg.sparkSession.createDataFrame(
+                rows, "node string, ppr bigint"
+            )
+        outdeg = track_cache(
+            edges.groupBy("src").agg(F.count("*").alias("deg"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # seed set: dimension-tiny (n_seeds rows) — rides every
+        # iteration as a broadcast flag on the node table
+        seeds = (
+            outdeg.orderBy(F.col("deg").desc(), F.col("src").asc())
+            .limit(n_seeds)
+            .select(F.col("src").alias("node"))
+        )
+        nodes = track_cache(
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .join(
+                F.broadcast(seeds.withColumn("is_seed", F.lit(1))),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        k = n_seeds
+        base = (PAGERANK_SCALE * 15) // (100 * k)
+        pr = nodes.select(
+            "node",
+            (F.col("is_seed") * F.lit(PAGERANK_SCALE // k)).cast("long").alias(
+                "ppr"
+            ),
+        )
+        prev = None
+        for _i in range(iters):
+            contrib = (
+                edges.join(pr.withColumnRenamed("node", "src"), "src")
+                .join(outdeg, "src")
+                .select("dst", F.floor(F.col("ppr") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            pr = (
+                nodes.join(
+                    contrib.withColumnRenamed("dst", "node"), "node", "left"
+                )
+                .select(
+                    "node",
+                    (
+                        F.col("is_seed") * F.lit(base)
+                        + F.floor(
+                            F.lit(17)
+                            * F.coalesce(F.col("s"), F.lit(0))
+                            / F.lit(20)
+                        )
+                    ).cast("long").alias("ppr"),
+                )
+                .localCheckpoint(eager=release)
+            )
+            if release:
+                if prev is not None:
+                    unpersist_checkpoint(prev)
+                prev = pr
+        return pr
+
+    if not release:
+        return loop()
+    with cache_scope():
+        out = loop()
+    return _track_result(out)
+
+
+def duck_ppr_over(
+    kg_cte: str, iters: int = PPR_ITERS, n_seeds: int = PPR_N_SEEDS
+) -> str:
+    """Oracle: the personalized recurrence unrolled as chained CTEs
+    (same portable form as :func:`duck_pagerank_over`), seed choice
+    mirrored as the top-``n_seeds`` (deg DESC, src ASC) rows."""
+    s = PAGERANK_SCALE
+    ctes = [
+        f"kg AS MATERIALIZED ({kg_cte})",
+        "pe AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM kg)",
+        "pn0 AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM pe UNION ALL SELECT dst AS node FROM pe))",
+        "pd AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM pe GROUP BY src)",
+        f"ps AS MATERIALIZED (SELECT src AS node FROM pd ORDER BY deg DESC, src ASC LIMIT {n_seeds})",
+        "pn AS MATERIALIZED (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed FROM pn0 n LEFT JOIN ps s ON s.node = n.node)",
+        f"pr0 AS (SELECT node, is_seed * ({s} // {n_seeds}) AS ppr FROM pn)",
+    ]
+    base = (s * 15) // (100 * n_seeds)
+    for i in range(iters):
+        ctes.append(f"""
+        pr{i + 1} AS (
+            SELECT pn.node,
+                   pn.is_seed * {base}
+                   + (17 * COALESCE(c.s, 0)) // 20 AS ppr
+            FROM pn
+            LEFT JOIN (
+                SELECT e.dst, SUM(p.ppr // d.deg) AS s
+                FROM pe e
+                JOIN pr{i} p ON p.node = e.src
+                JOIN pd d ON d.src = e.src
+                GROUP BY e.dst
+            ) c ON c.dst = pn.node
+        )""")
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + f" SELECT node, CAST(ppr AS BIGINT) AS ppr FROM pr{iters}"
+    )

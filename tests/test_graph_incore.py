@@ -48,6 +48,7 @@ def crafted_kg(spark):
 
 OPS = [
     ("kg_pagerank", lambda kg, **kw: linking.kg_pagerank(kg, **kw)),
+    ("kg_ppr", lambda kg, **kw: linking.kg_ppr(kg, **kw)),
     ("kg_communities", lambda kg, **kw: linking.kg_communities(kg, **kw)),
     ("kg_kcore", lambda kg, **kw: linking.kg_kcore(kg, **kw)),
     ("kg_paths", lambda kg, **kw: linking.kg_paths(kg, **kw)),
@@ -97,3 +98,34 @@ def test_walk_pairs_rides_the_fast_path(kg):
         .agg(F.count("*").alias("cnt"))
     )
     assert _rows(fast) == _rows(slow)
+
+
+def test_kg_ppr_localizes_mass_to_seed_component(spark):
+    """Personalization semantics: restart mass returns only to the
+    seed set, so nodes unreachable from every seed score EXACTLY 0
+    (integer arithmetic — no epsilon), while global kg_pagerank gives
+    every node its base share. Seeds are the top-out-degree hubs."""
+    # hub h -> {a,b,c,d} (out-deg 4, the clear single top-3 anchor),
+    # chain a->b->c, plus an island i1->i2, i2->i1 disconnected from h
+    rows = [
+        ("h", "p", "a"), ("h", "p", "b"), ("h", "p", "c"), ("h", "p", "d"),
+        ("a", "p", "b"), ("b", "p", "c"),
+        ("i1", "p", "i2"), ("i2", "p", "i1"),
+    ]
+    kg = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {r.node: r.ppr for r in linking.kg_ppr(kg).collect()}
+    # seeds by (deg desc, node asc): h (deg 4), then a and b win the
+    # lexicographic tie among the deg-1 sources {a, b, i1, i2}
+    from cross_sentence_relation_extraction_idepnn_spark.operators.graph_incore import (
+        ppr_seeds,
+    )
+
+    edges = [(s, o) for s, _, o in rows]
+    assert ppr_seeds(edges, 3) == ["h", "a", "b"]
+    # the island is unreachable from every seed: exactly zero
+    assert got["i1"] == 0 and got["i2"] == 0
+    # seed-adjacent mass is strictly positive
+    assert got["h"] > 0 and got["c"] > 0 and got["d"] > 0
+    # global pagerank, by contrast, funds the island via its base share
+    pr = {r.node: r.pr for r in linking.kg_pagerank(kg).collect()}
+    assert pr["i1"] > 0 and pr["i2"] > 0
