@@ -476,6 +476,23 @@ def _entity_pmi(spark: SparkSession, sf: str) -> DataFrame:
     return entity_pmi(m, canonicalize(m))
 
 
+def _cooc_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    """k-truss (edge-cohesion peel) over the conversation-grain
+    canonical-entity CO-OCCURRENCE graph — per-conversation entity
+    sets form cliques, so the truss isolates entity clusters that are
+    interlinked through triangles, not merely hub-adjacent. (The typed
+    KG itself is bipartite-ish e1→e2 and triangle-free at these
+    scales; co-occurrence is the natural triangle-bearing graph.)"""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_ktruss,
+    )
+
+    pmi = _entity_pmi(spark, sf)
+    return kg_ktruss(
+        pmi.select(F.col("e1").alias("subj"), F.col("e2").alias("obj"))
+    )
+
+
 def _ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@k of the sign-LSH ANN vs the exact cosine top-k — the
     measured quality side of the ANN speed/quality trade."""
@@ -673,7 +690,8 @@ _DRIVER_PRIORITY = [
     "featurized_sdp", "adp_degree", "position_bounds",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
-    "bloom_prefilter", "containment_pairs", "kg_ppr",
+    "bloom_prefilter", "containment_pairs", "kg_ppr", "tfidf_keywords",
+    "cooc_ktruss",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -927,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_pairs": _walk_pairs,
         # conversation-grain canonical-entity PMI (relation discovery)
         "entity_pmi": _entity_pmi,
+        "cooc_ktruss": _cooc_ktruss,
         # measured recall@k of the LSH ANN vs exact top-k
         "ann_recall": _ann_recall,
         # first-order Markov tool-transition stats over conversations
@@ -955,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": _kg_diff,
         # Dunning G2 keyness: top-k distinctive tokens per source
         "source_keywords": textstats.source_keywords,
+        # per-doc salient terms (tf-idf, rounded-score ranking)
+        "tfidf_keywords": textstats.tfidf_keywords,
         # link-prediction eval: exact rank/RR of true tails (TransE)
         "kg_linkpred": _kg_linkpred,
         # integer-exact per-user daily activity outliers (z>3)
@@ -1290,6 +1311,16 @@ def _duck_entity_pmi() -> str:
     """
 
 
+def _duck_cooc_ktruss() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_entity_pmi_tail,
+        duck_ktruss_over,
+    )
+
+    pmi = f"{duck_sdp_prefix()}{duck_canonicalize_ctes()}{duck_entity_pmi_tail()}"
+    return duck_ktruss_over(f"SELECT e1 AS subj, e2 AS obj FROM ({pmi})")
+
+
 def _duck_transe_step() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.kgembed import (
         duck_transe_over,
@@ -1475,12 +1506,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks": _duck_kg_walks(),
         "walk_pairs": _duck_walk_pairs(),
         "entity_pmi": _duck_entity_pmi(),
+        "cooc_ktruss": _duck_cooc_ktruss(),
         "ann_recall": similarity.duck_ann_recall(),
         "tool_transition": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {duck_tool_transition()}",
         "events_cohorts": temporal.duck_events_cohorts(),
         "kg_diff": _duck_kg_diff(),
         "source_keywords": textstats.duck_source_keywords(),
+        "tfidf_keywords": textstats.duck_tfidf_keywords(),
         "kg_linkpred": _duck_kg_linkpred(),
         "events_anomalies": temporal.duck_events_anomalies(),
         "bloom_prefilter": curation.duck_bloom_prefilter(),

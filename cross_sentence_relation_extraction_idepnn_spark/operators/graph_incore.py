@@ -224,3 +224,28 @@ def ppr(
             for v in nodes
         }
     return [(v, pr[v]) for v in sorted(nodes)]
+
+
+def ktruss(
+    kg_pairs: Sequence[tuple[str, str]], k: int, rounds: int
+) -> list[tuple[str, str, int]]:
+    """(u, v, support) after ``rounds`` synchronous k-truss peel rounds
+    — twin of :func:`linking.kg_ktruss`'s loop. Each round removes
+    every undirected edge whose triangle support inside the current
+    subgraph is < k-2; the final support is re-measured on the
+    surviving subgraph (so it may be below k-2 where a partner edge
+    was peeled in the last round — the synchronous-state contract)."""
+    und = {(min(s, d), max(s, d)) for s, d in kg_pairs if s != d}
+
+    def supports(es: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
+        nbrs: dict[str, set[str]] = defaultdict(set)
+        for u, v in es:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+        return {(u, v): len(nbrs[u] & nbrs[v]) for (u, v) in es}
+
+    for _ in range(rounds):
+        sup = supports(und)
+        und = {e for e in und if sup[e] >= k - 2}
+    sup = supports(und)
+    return sorted((u, v, sup[(u, v)]) for (u, v) in und)

@@ -2583,3 +2583,174 @@ def duck_ppr_over(
         + ", ".join(ctes)
         + f" SELECT node, CAST(ppr AS BIGINT) AS ppr FROM pr{iters}"
     )
+
+
+# ------------------------------------------------------------- k-truss
+
+TRUSS_K = 3
+TRUSS_ROUNDS = 5
+
+
+def kg_ktruss(
+    kg: DataFrame,
+    k: int = TRUSS_K,
+    rounds: int = TRUSS_ROUNDS,
+    release: bool = True,
+    incore_max_edges: int | None = None,
+) -> DataFrame:
+    """(u, v, support) — the undirected KG edges surviving ``rounds``
+    synchronous k-truss peel rounds (Cohen 2008), with their triangle
+    support re-measured inside the surviving subgraph. The truss is the
+    EDGE-cohesion complement of ``kg_kcore``'s node census: an edge
+    survives only while it closes ≥ k-2 triangles, so pendant chains
+    and star spokes peel away even when their endpoints are high-degree
+    — the signal that separates genuinely interlinked entity clusters
+    from hub-dominated trivia. ``k`` must be ≥ 3 (at k-2 ≥ 1 the
+    per-round inner triangle join IS the filter).
+
+    Fixed ``rounds`` (not convergence detection) keeps the state
+    portable to SQL — the ``kg_kcore``/``kg_communities`` contract.
+
+    Plan: per round ONE triangle-support aggregation — the current
+    (shrinking) undirected edge set joins its symmetric closure twice
+    (x: wedges at u, y: closing edges at v), groupBy edge; this is the
+    standard distributed triangle join, shuffle-keyed on the wedge
+    endpoint, AQE-splittable. Lineage truncated per round with the
+    eager ``localCheckpoint`` + previous-round release discipline;
+    below ``INCORE_MAX_EDGES`` distinct edges the identical peel runs
+    in-core (:func:`graph_incore.ktruss`, bit-equal by construction)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import (
+        cache_scope,
+        track_cache,
+        track_checkpoint,
+        unpersist_checkpoint,
+    )
+
+    def sym(und: DataFrame) -> DataFrame:
+        return und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+
+    def supports(und: DataFrame) -> DataFrame:
+        # support(u,v) = |N(u) ∩ N(v)| = wedges u—w closed by v—w
+        return (
+            und.join(sym(und).alias("x"), F.col("x.a") == F.col("u"))
+            .join(
+                sym(und).alias("y"),
+                (F.col("y.a") == F.col("v")) & (F.col("y.b") == F.col("x.b")),
+            )
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("support"))
+        )
+
+    def loop() -> DataFrame:
+        und = track_cache(
+            kg.filter(F.col("subj") != F.col("obj"))
+            .select(
+                F.least("subj", "obj").alias("u"),
+                F.greatest("subj", "obj").alias("v"),
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        thr = (
+            graph_incore.INCORE_MAX_EDGES
+            if incore_max_edges is None
+            else incore_max_edges
+        )
+        if und.count() <= thr:
+            rows = graph_incore.ktruss(
+                [(r.u, r.v) for r in und.collect()], k, rounds
+            )
+            return kg.sparkSession.createDataFrame(
+                rows,
+                T.StructType(
+                    [
+                        T.StructField("u", T.StringType(), True),
+                        T.StructField("v", T.StringType(), True),
+                        T.StructField("support", T.LongType(), False),
+                    ]
+                ),
+            )
+        prev = None
+        cur = und
+        for _i in range(rounds):
+            cur = (
+                supports(cur)
+                .filter(F.col("support") >= k - 2)
+                .select("u", "v")
+                .localCheckpoint(eager=release)
+            )
+            if release:
+                if prev is not None:
+                    unpersist_checkpoint(prev)
+                prev = cur
+        # final support re-measured on the survivors; edges whose last
+        # triangle partner peeled in the final round keep support 0.
+        # Materialized as an eager checkpoint (the _track_result
+        # contract) so the last round's checkpoint can be freed here.
+        final = (
+            cur.join(supports(cur).withColumnRenamed("support", "s"), ["u", "v"], "left")
+            .select("u", "v", F.coalesce("s", F.lit(0)).cast("long").alias("support"))
+            .localCheckpoint(eager=release)
+        )
+        if release and prev is not None:
+            unpersist_checkpoint(prev)
+        return final
+
+    if not release:
+        return loop()
+    with cache_scope():
+        out = loop()
+    return _track_result(out)
+
+
+def duck_ktruss_over(
+    kg_cte: str, k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS
+) -> str:
+    """Oracle: the same peel unrolled as chained CTEs — per round the
+    symmetric closure + wedge-closing triangle join + HAVING filter."""
+    ctes = [
+        f"kg AS MATERIALIZED ({kg_cte})",
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(subj, obj) AS u, GREATEST(subj, obj) AS v
+            FROM kg WHERE subj <> obj
+        )""",
+    ]
+    for i in range(rounds):
+        ctes.append(f"""
+        s{i} AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e{i}
+            UNION ALL SELECT v AS a, u AS b FROM e{i}
+        )""")
+        ctes.append(f"""
+        e{i + 1} AS MATERIALIZED (
+            SELECT e.u, e.v
+            FROM e{i} e
+            JOIN s{i} x ON x.a = e.u
+            JOIN s{i} y ON y.a = e.v AND y.b = x.b
+            GROUP BY e.u, e.v
+            HAVING COUNT(*) >= {k - 2}
+        )""")
+    n = rounds
+    ctes.append(f"""
+        sf AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e{n}
+            UNION ALL SELECT v AS a, u AS b FROM e{n}
+        )""")
+    ctes.append(f"""
+        sup AS (
+            SELECT e.u, e.v, COUNT(*) AS s
+            FROM e{n} e
+            JOIN sf x ON x.a = e.u
+            JOIN sf y ON y.a = e.v AND y.b = x.b
+            GROUP BY e.u, e.v
+        )""")
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""" SELECT e.u, e.v, CAST(COALESCE(p.s, 0) AS BIGINT) AS support
+          FROM e{n} e LEFT JOIN sup p ON p.u = e.u AND p.v = e.v"""
+    )

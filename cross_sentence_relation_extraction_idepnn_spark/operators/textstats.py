@@ -589,3 +589,85 @@ def duck_source_keywords(k: int = KEYNESS_TOP_K) -> str:
         )
         WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------ tf-idf keywords
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_keywords(
+    spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K
+) -> DataFrame:
+    """(doc_id, token, tf, score, rank) — each document's ``k`` most
+    salient tokens by classic TF-IDF (``tf · ln(N/df)``): the per-
+    document metadata/tagging primitive complementing
+    ``source_keywords`` (which is per-SOURCE keyness, G²) and
+    ``bm25_topk`` (which scores docs against a QUERY, not terms
+    against their doc).
+
+    Scale shape: ONE corpus-grain exchange (the tokenize → (doc,
+    token) tf groupBy); the document-frequency table derived from it
+    is VOCABULARY-sized, so the tf ⋈ df join and the scalar N ride as
+    dimension work, and the final per-doc top-k is a doc-grain window
+    over ≤ |doc| rows. Ranking orders by the ROUNDED score (ties then
+    by token) — the ``source_keywords`` discipline, no float-ulp
+    ordering hazard between engines."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
+    tf = track_cache(
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = _docs(spark, sf_dir).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("token"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "score", "rank")
+    )
+
+
+def duck_tfidf_keywords(k: int = TFIDF_TOP_K) -> str:
+    """Oracle: identical tf/df/N derivation and rounded-score ranking."""
+    return f"""
+        WITH tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ) WHERE token <> '' GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   ROUND(tf.tf * LN(n.n_docs * 1.0 / dfreq.df), 6) AS score
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, tf, score,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, token
+            ) AS rank FROM scored
+        ) WHERE rank <= {k}
+    """

@@ -51,6 +51,7 @@ OPS = [
     ("kg_ppr", lambda kg, **kw: linking.kg_ppr(kg, **kw)),
     ("kg_communities", lambda kg, **kw: linking.kg_communities(kg, **kw)),
     ("kg_kcore", lambda kg, **kw: linking.kg_kcore(kg, **kw)),
+    ("kg_ktruss", lambda kg, **kw: linking.kg_ktruss(kg, **kw)),
     ("kg_paths", lambda kg, **kw: linking.kg_paths(kg, **kw)),
     ("kg_walks", lambda kg, **kw: linking.kg_walks(kg, **kw)),
 ]
@@ -129,3 +130,17 @@ def test_kg_ppr_localizes_mass_to_seed_component(spark):
     # global pagerank, by contrast, funds the island via its base share
     pr = {r.node: r.pr for r in linking.kg_pagerank(kg).collect()}
     assert pr["i1"] > 0 and pr["i2"] > 0
+
+
+def test_kg_ktruss_peels_triangle_free_edges(spark, crafted_kg):
+    """Truss semantics on the crafted graph: at k=3 the triangle-
+    supported cycle+star survives (and is at fixpoint) while the
+    2-clique island x<->y — which no triangle touches — peels in round
+    one; at k=4 the peel CASCADES to empty (round 1 keeps only the
+    star spokes, which then have no triangles left)."""
+    got3 = {(r.u, r.v): r.support for r in linking.kg_ktruss(crafted_kg).collect()}
+    assert ("x", "y") not in got3
+    assert got3[("a", "h")] == 2  # common neighbours of a and h: {b, d}
+    assert got3[("a", "b")] == 1  # single triangle a-b-h
+    assert len(got3) == 8  # cycle (4) + star (4)
+    assert linking.kg_ktruss(crafted_kg, k=4).count() == 0
