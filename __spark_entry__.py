@@ -513,6 +513,17 @@ def _kg_node_sim(spark: SparkSession, sf: str) -> DataFrame:
     return kg_node_sim(materialize_kg(spark, sf))
 
 
+def _kg_condense(spark: SparkSession, sf: str) -> DataFrame:
+    """Community-contracted supergraph: KG edges re-keyed through LPA
+    community labels and counted at community grain (intra-community
+    rows measure density; the rest are the coarsened backbone)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_condense,
+    )
+
+    return kg_condense(materialize_kg(spark, sf))
+
+
 def _kg_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle participation over the KG's undirected edges
     (cohesion / clustering-coefficient numerator)."""
@@ -691,7 +702,7 @@ _DRIVER_PRIORITY = [
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
     "bloom_prefilter", "containment_pairs", "kg_ppr", "tfidf_keywords",
-    "cooc_ktruss",
+    "cooc_ktruss", "kg_condense", "split_leakage",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -740,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _kg_negatives,
         "kg_edge_lift": _kg_edge_lift,
         "kg_communities": _kg_communities,
+        "kg_condense": _kg_condense,
         "kg_triangles": _kg_triangles,
         "kg_components": _kg_components,
         "kg_node_sim": _kg_node_sim,
@@ -954,6 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": skew_profile,
         # deterministic hash-keyed train/val/test assignment
         "dataset_split": curation.dataset_split,
+        # near-dup pairs straddling train/val/test: eval-contamination audit
+        "split_leakage": curation.split_leakage,
         # label-stable incremental canonical-map extension
         "canonicalize_delta": _canonicalize_delta,
         # knowledge fusion: per-(subj, pred) winner election + margin
@@ -1219,6 +1233,14 @@ def _duck_kg_resolve() -> str:
     return duck_kg_resolve_over(_duck_kg())
 
 
+def _duck_kg_condense() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_condense_over,
+    )
+
+    return duck_condense_over(_duck_kg())
+
+
 def _duck_kg_triangles() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
         duck_triangles_over,
@@ -1401,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
             f"{shingles_prefix} SELECT * FROM ({dedup.duck_minhash_cte()})"
         ),
         "minhash_pairs": f"{shingles_prefix} {dedup.duck_minhash_pairs()}",
+        "split_leakage": f"{shingles_prefix} {curation.duck_split_leakage()}",
         "dedup_delta": f"{shingles_prefix} {dedup.duck_minhash_delta()}",
         "dedup_clusters_delta": dedup.duck_dedup_clusters_delta(),
         "dedup_clusters": dedup.duck_dedup_clusters(),
@@ -1475,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negatives": _duck_kg_negatives(),
         "kg_edge_lift": _duck_kg_edge_lift(),
         "kg_communities": _duck_kg_communities(),
+        "kg_condense": _duck_kg_condense(),
         "kg_triangles": _duck_kg_triangles(),
         "kg_resolve": _duck_kg_resolve(),
         "kg_neighbor_agg": _duck_kg_neighbor_agg(),

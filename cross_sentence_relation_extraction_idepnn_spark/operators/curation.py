@@ -278,12 +278,9 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one narrow codegen projection over the scan — zero exchanges,
     zero Python."""
-    h = spark_h15(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))) % 100
-    lo, hi = SPLIT_BOUNDS
-    split = (
-        F.when(h < lo, F.lit("train")).when(h < hi, F.lit("val")).otherwise("test")
+    return _docs(spark, sf_dir).select(
+        "doc_id", "source", _split_case("doc_id").alias("split")
     )
-    return _docs(spark, sf_dir).select("doc_id", "source", split.alias("split"))
 
 
 def duck_dataset_split() -> str:
@@ -893,4 +890,66 @@ def duck_bloom_prefilter(
                SUM(CASE WHEN cand THEN 1 ELSE 0 END)
                    - SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS n_fp
         FROM per_gram GROUP BY 1
+    """
+
+
+# ------------------------------------------------------- split leakage
+
+def _split_case(doc_col: str):
+    """The dataset_split assignment as a pure Column function of a
+    document-id column — shared by :func:`dataset_split` and the
+    leakage audit so the two can never drift."""
+    h = spark_h15(F.concat(F.col(doc_col).cast("string"), F.lit(":split"))) % 100
+    lo, hi = SPLIT_BOUNDS
+    return (
+        F.when(h < lo, F.lit("train")).when(h < hi, F.lit("val")).otherwise("test")
+    )
+
+
+def _duck_split_case(doc_col: str) -> str:
+    h = duck_h15(f"CAST({doc_col} AS VARCHAR) || ':split'")
+    lo, hi = SPLIT_BOUNDS
+    return (
+        f"CASE WHEN {h} % 100 < {lo} THEN 'train' "
+        f"WHEN {h} % 100 < {hi} THEN 'val' ELSE 'test' END"
+    )
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard, split_a, split_b) — verified MinHash
+    near-dup pairs whose members were assigned to DIFFERENT
+    train/val/test splits: the eval-contamination audit every
+    pretraining pipeline must run AFTER splitting (a near-duplicate of
+    a test document sitting in train silently inflates eval scores —
+    the within-corpus twin of ``decontaminate``'s external-benchmark
+    check). An empty result is the pass condition; non-empty rows are
+    the work-list for quarantining or re-assigning the contained side.
+
+    Plan: the split is a PURE FUNCTION of each pair endpoint
+    (``H(doc_id||':split') % 100`` — the ``dataset_split`` contract),
+    so the audit adds ZERO joins and zero extra corpus scans on top of
+    ``minhash_pairs``: two codegen hash projections and a filter over
+    the (tiny) verified-pair table."""
+    from .dedup import minhash_pairs
+
+    return (
+        minhash_pairs(spark, sf_dir)
+        .withColumn("split_a", _split_case("doc_a"))
+        .withColumn("split_b", _split_case("doc_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
+
+
+def duck_split_leakage() -> str:
+    """Oracle: the minhash pair derivation with both endpoints' split
+    CASEs applied — composes after the shared ``shingles`` CTE."""
+    from .dedup import MINHASH_TAU, _duck_minhash_pair_parts
+
+    ctes, final = _duck_minhash_pair_parts(tau=MINHASH_TAU)
+    ca, cb = _duck_split_case("doc_a"), _duck_split_case("doc_b")
+    return f"""
+        {ctes}
+        SELECT doc_a, doc_b, jaccard, {ca} AS split_a, {cb} AS split_b
+        FROM ({final}) WHERE {ca} <> {cb}
     """

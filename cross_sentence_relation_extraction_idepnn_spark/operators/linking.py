@@ -2754,3 +2754,70 @@ def duck_ktruss_over(
         + f""" SELECT e.u, e.v, CAST(COALESCE(p.s, 0) AS BIGINT) AS support
           FROM e{n} e LEFT JOIN sup p ON p.u = e.u AND p.v = e.v"""
     )
+
+
+def kg_condense(
+    kg: DataFrame,
+    iters: int = COMM_ITERS,
+    release: bool = True,
+    incore_max_edges: int | None = None,
+) -> DataFrame:
+    """(c_src, c_dst, n_edges) — the community-contracted SUPERGRAPH:
+    every KG edge re-keyed through its endpoints' ``kg_communities``
+    labels and counted at community grain. Rows with ``c_src ==
+    c_dst`` measure intra-community density; the rest are the
+    inter-community backbone — the coarsened KG a consumer renders or
+    rolls up when the entity-grain graph is too large to look at
+    (10^8 entities condense to the community dimension).
+
+    Plan: the label table is node-DIMENSION-sized, so the two re-key
+    joins broadcast, and the contraction itself is ONE map-side-
+    combinable groupBy over the distinct edge set. The LPA rounds
+    inside ``kg_communities`` dominate; condensing adds no
+    corpus-grain work."""
+    comm = kg_communities(
+        kg, iters, release=release, incore_max_edges=incore_max_edges
+    )
+    edges = (
+        kg.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    return (
+        edges.join(
+            F.broadcast(
+                comm.select(
+                    F.col("node").alias("src"), F.col("community").alias("c_src")
+                )
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                comm.select(
+                    F.col("node").alias("dst"), F.col("community").alias("c_dst")
+                )
+            ),
+            "dst",
+        )
+        .groupBy("c_src", "c_dst")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+def duck_condense_over(kg_cte: str, iters: int = COMM_ITERS) -> str:
+    """Oracle: distinct edges re-keyed through the unrolled-LPA
+    community labels (``duck_communities_over``), counted at community
+    grain. The kg subtree is embedded twice (edges + labels) — oracle
+    clarity over oracle speed."""
+    return f"""
+        WITH eds AS MATERIALIZED (
+            SELECT DISTINCT subj AS src, obj AS dst FROM ({kg_cte})
+        ),
+        comm AS MATERIALIZED ({duck_communities_over(kg_cte, iters)})
+        SELECT cs.community AS c_src, cd.community AS c_dst,
+               COUNT(*) AS n_edges
+        FROM eds e
+        JOIN comm cs ON cs.node = e.src
+        JOIN comm cd ON cd.node = e.dst
+        GROUP BY 1, 2
+    """

@@ -144,3 +144,28 @@ def test_kg_ktruss_peels_triangle_free_edges(spark, crafted_kg):
     assert got3[("a", "b")] == 1  # single triangle a-b-h
     assert len(got3) == 8  # cycle (4) + star (4)
     assert linking.kg_ktruss(crafted_kg, k=4).count() == 0
+
+
+def test_kg_condense_contracts_cliques_and_keeps_backbone(spark):
+    """Two disconnected 3-cliques condense to one intra-community row
+    each; a lone p→q edge (whose synchronous-LPA labels oscillate with
+    period 2, so after the even round count p and q keep their OWN
+    labels) condenses to an inter-community backbone row; and every
+    distinct edge is accounted for exactly once. (A single bridge edge
+    between cliques would NOT separate them — the min-tie-break floods
+    the lexicographically smallest label across any short bridge, which
+    is exactly why the corpus KG condenses to one supernode.)"""
+    tri1 = [("a1", "p", "a2"), ("a2", "p", "a3"), ("a3", "p", "a1")]
+    tri2 = [("b1", "p", "b2"), ("b2", "p", "b3"), ("b3", "p", "b1")]
+    lone = [("p", "p", "q")]
+    kg = spark.createDataFrame(
+        tri1 + tri2 + lone, "subj string, pred string, obj string"
+    )
+    got = linking.kg_condense(kg).collect()
+    comm = {r.node: r.community for r in linking.kg_communities(kg).collect()}
+    assert comm["a1"] == comm["a2"] == comm["a3"] == "a1"
+    assert comm["b1"] == comm["b2"] == comm["b3"] == "b1"
+    assert comm["p"] == "p" and comm["q"] == "q"
+    assert sum(r.n_edges for r in got) == 7  # 3 + 3 + 1 distinct edges
+    as_map = {(r.c_src, r.c_dst): r.n_edges for r in got}
+    assert as_map == {("a1", "a1"): 3, ("b1", "b1"): 3, ("p", "q"): 1}

@@ -764,3 +764,55 @@ def test_containment_pairs_directed_semantics_and_hot_cap(spark, tmp_path):
         f"{dedup.duck_containment_pairs()}"
     )
     assert_frames_match(out, con, sql)
+
+
+def test_split_leakage_agrees_with_dataset_split_and_excludes_same_split(
+    spark, tmp_path
+):
+    """The leakage audit's split columns must be the SAME pure hash
+    function dataset_split applies (no drift possible — shared
+    expression), same-split near-dup pairs must be excluded, and with
+    enough identical-doc pairs the straddle set is non-empty (the
+    audit actually fires). Oracle agrees frame-exactly."""
+    import duckdb
+
+    from compare_util import assert_frames_match
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import py_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators import curation
+
+    # 40 identical docs -> C(40,2) jaccard-1.0 pairs; ~18.5% of pairs
+    # straddle splits under the 90/5/5 hash assignment
+    rows = [(f"d{i:02d}", "w1 w2 w3 w4 w5") for i in range(40)]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def split_of(doc_id):
+        h = py_h15(f"{doc_id}:split") % 100
+        return "train" if h < 90 else ("val" if h < 95 else "test")
+
+    out = curation.split_leakage(spark, sf).toPandas()
+    assert len(out) > 0, "identical docs across splits must fire the audit"
+    for _, r in out.iterrows():
+        assert r.split_a == split_of(r.doc_a)
+        assert r.split_b == split_of(r.doc_b)
+        assert r.split_a != r.split_b
+    # completeness: every straddling identical pair is reported
+    n_expected = sum(
+        1
+        for i in range(40)
+        for j in range(i + 1, 40)
+        if split_of(f"d{i:02d}") != split_of(f"d{j:02d}")
+    )
+    assert len(out) == n_expected
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators import dedup
+
+    sql = (
+        f"WITH shingles AS ({dedup.duck_shingles_cte()}) "
+        f"{curation.duck_split_leakage()}"
+    )
+    assert_frames_match(curation.split_leakage(spark, sf), con, sql)
