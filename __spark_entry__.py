@@ -702,7 +702,8 @@ _DRIVER_PRIORITY = [
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
     "bloom_prefilter", "containment_pairs", "kg_ppr", "tfidf_keywords",
-    "cooc_ktruss", "kg_condense", "split_leakage",
+    "cooc_ktruss", "kg_condense", "split_leakage", "ivf_recall",
+    "minhash_error",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -960,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_ktruss": _cooc_ktruss,
         # measured recall@k of the LSH ANN vs exact top-k
         "ann_recall": _ann_recall,
+        "ivf_recall": similarity.ivf_recall,
         # first-order Markov tool-transition stats over conversations
         "tool_transition": tool_transition,
         # exact conv-size count-of-counts + salting advisor
@@ -968,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": curation.dataset_split,
         # near-dup pairs straddling train/val/test: eval-contamination audit
         "split_leakage": curation.split_leakage,
+        # minhash estimate vs exact jaccard: sketch-quality QA
+        "minhash_error": dedup.minhash_error,
         # label-stable incremental canonical-map extension
         "canonicalize_delta": _canonicalize_delta,
         # knowledge fusion: per-(subj, pred) winner election + margin
@@ -1424,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_pairs": f"{shingles_prefix} {dedup.duck_minhash_pairs()}",
         "split_leakage": f"{shingles_prefix} {curation.duck_split_leakage()}",
+        "minhash_error": f"{shingles_prefix} {dedup.duck_minhash_error()}",
         "dedup_delta": f"{shingles_prefix} {dedup.duck_minhash_delta()}",
         "dedup_clusters_delta": dedup.duck_dedup_clusters_delta(),
         "dedup_clusters": dedup.duck_dedup_clusters(),
@@ -1532,6 +1537,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_pmi": _duck_entity_pmi(),
         "cooc_ktruss": _duck_cooc_ktruss(),
         "ann_recall": similarity.duck_ann_recall(),
+        "ivf_recall": similarity.duck_ivf_recall(),
         "tool_transition": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {duck_tool_transition()}",
         "events_cohorts": temporal.duck_events_cohorts(),

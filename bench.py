@@ -384,6 +384,14 @@ def main() -> None:
     timed("kg_neighbor_agg", _entry.queries()["kg_neighbor_agg"])
     timed("kg_clustering", _entry.queries()["kg_clustering"])
     timed("dedup_clusters_delta", dedup.dedup_clusters_delta)
+    timed("kg_ppr", lambda s, d: linking.kg_ppr(materialize_kg(s, d)))
+    timed("kg_condense", lambda s, d: linking.kg_condense(materialize_kg(s, d)))
+    timed("cooc_ktruss", _entry.queries()["cooc_ktruss"])
+    timed("containment_pairs", dedup.containment_pairs)
+    timed("tfidf_keywords", textstats.tfidf_keywords)
+    timed("split_leakage", curation.split_leakage)
+    timed("ivf_recall", similarity.ivf_recall)
+    timed("minhash_error", dedup.minhash_error)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -1211,3 +1211,83 @@ def duck_containment_pairs(
         JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
         WHERE i.n_inter * 1.0 / s.n >= {tau}
     """
+
+
+# ------------------------------------------------------- sketch error
+
+def minhash_error(
+    spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard, est_jaccard, abs_err) — for every
+    VERIFIED near-dup pair, the MinHash signature ESTIMATE of its
+    Jaccard (fraction of agreeing permutations) next to the exact
+    value: the measured answer to "is NUM_PERMS=8 enough?". A
+    production index change (more permutations, different band shape)
+    lands with this table — the dedup twin of ``ann_recall``'s
+    measure-don't-guess discipline.
+
+    Plan: signatures are per-doc array folds over the shingle arrays
+    (zero exchanges — the ``minhash_signatures`` derivation kept in
+    pre-explode form), the pair table is the verified ``minhash_pairs``
+    output (tiny), and the estimate is one ``zip_with`` equality fold
+    per pair after two doc-keyed joins. Estimate and error are exact
+    rationals over NUM_PERMS — rounded once, no float hazard."""
+    sigs = (
+        _shingle_arrays(spark, sf_dir)
+        .withColumn(
+            "hs", F.transform("shs", lambda s: spark_h15(s) % MERSENNE_P)
+        )
+        .select(
+            "doc_id",
+            F.array(
+                *[_minv_expr(F.col("hs"), p) for p in range(NUM_PERMS)]
+            ).alias("sig"),
+        )
+    )
+    pairs = minhash_pairs(spark, sf_dir, tau)
+    est = F.round(
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(NUM_PERMS),
+        6,
+    )
+    return (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .withColumn("est_jaccard", est)
+        .withColumn("abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6))
+        .select("doc_a", "doc_b", "jaccard", "est_jaccard", "abs_err")
+    )
+
+
+def duck_minhash_error(tau: float = MINHASH_TAU) -> str:
+    """Oracle: agreeing-permutation count from the shared ``sig`` CTE
+    over the same verified pair derivation."""
+    ctes, final = _duck_minhash_pair_parts(tau)
+    return f"""
+        {ctes}
+        , pf AS MATERIALIZED ({final})
+        , est AS (
+            SELECT p.doc_a, p.doc_b,
+                   SUM(CASE WHEN sa.minv = sb.minv THEN 1 ELSE 0 END) AS n_eq
+            FROM pf p
+            JOIN sig sa ON sa.doc_id = p.doc_a
+            JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm_id = sa.perm_id
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               ROUND(e.n_eq * 1.0 / {NUM_PERMS}, 6) AS est_jaccard,
+               ROUND(ABS(ROUND(e.n_eq * 1.0 / {NUM_PERMS}, 6) - p.jaccard), 6)
+                   AS abs_err
+        FROM pf p
+        JOIN est e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+    """

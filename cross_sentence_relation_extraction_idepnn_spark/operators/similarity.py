@@ -780,3 +780,51 @@ def duck_ann_recall(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
           ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
         GROUP BY 1
     """
+
+
+def ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """(query_id, k_exact, hits, recall) — recall@k of the IVF cell-
+    probe ANN (:func:`ivf_ann_topk`) against the exact cosine top-k:
+    completes the ANN QA matrix (``ann_recall`` measures the sign-LSH
+    index; this measures the quantizer). Single-cell probe means
+    recall loss concentrates on queries whose true neighbours straddle
+    a cell boundary — exactly what a production nprobe/cells decision
+    needs measured, not guessed. Same metadata-grain comparison shape
+    as ``ann_recall``: the cost is the two scans."""
+    exact = cosine_topk(spark, sf_dir, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        ivf_ann_topk(spark, sf_dir, k=k, n_queries=n_queries)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+        )
+        .withColumn("recall", F.round(F.col("hits") / F.col("k_exact"), 6))
+    )
+
+
+def duck_ivf_recall(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    """Oracle: per-query rollup over the two independent ranking
+    oracles (the ``duck_ann_recall`` shape with the IVF side)."""
+    return f"""
+        SELECT ex.query_id, COUNT(*) AS k_exact,
+               SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+               ROUND(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS recall
+        FROM ({duck_cosine_topk(k=k, n_queries=n_queries)}) ex
+        LEFT JOIN ({duck_ivf_ann_topk(k=k, n_queries=n_queries)}) ap
+          ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+        GROUP BY 1
+    """

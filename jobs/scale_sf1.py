@@ -228,6 +228,28 @@ def main() -> None:
             m.filter(h % 2 == 1).select("surface"),
         )
 
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        split_leakage,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        containment_pairs,
+        minhash_error,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_condense,
+        kg_ktruss,
+        kg_ppr,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        tfidf_keywords,
+    )
+
+    def _cooc_truss(s, d):
+        pmi = entity_pmi(_m(s, d), canonicalize(_m(s, d)))
+        return kg_ktruss(
+            pmi.select(F.col("e1").alias("subj"), F.col("e2").alias("obj"))
+        )
+
     queries = {
         "kg_pipeline": extract_triples,
         "kg_materialize": materialize_kg,
@@ -275,6 +297,14 @@ def main() -> None:
         "dedup_delta": minhash_delta,
         "kg_neighbor_agg": lambda s, d: kg_neighbor_agg(materialize_kg(s, d)),
         "kg_clustering": lambda s, d: kg_clustering(materialize_kg(s, d)),
+        "kg_ppr": lambda s, d: kg_ppr(materialize_kg(s, d)),
+        "kg_condense": lambda s, d: kg_condense(materialize_kg(s, d)),
+        "cooc_ktruss": _cooc_truss,
+        "containment_pairs": containment_pairs,
+        "tfidf_keywords": tfidf_keywords,
+        "split_leakage": split_leakage,
+        "ivf_recall": similarity.ivf_recall,
+        "minhash_error": minhash_error,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():

@@ -816,3 +816,51 @@ def test_split_leakage_agrees_with_dataset_split_and_excludes_same_split(
         f"{curation.duck_split_leakage()}"
     )
     assert_frames_match(curation.split_leakage(spark, sf), con, sql)
+
+
+def test_minhash_error_estimates_identical_docs_exactly(spark, tmp_path):
+    """Sketch-QA semantics: identical documents share every permutation
+    minimum, so est_jaccard = 1.0 = jaccard with abs_err exactly 0;
+    and on any pair the estimate is a multiple of 1/NUM_PERMS inside
+    [0, 1]. Oracle agrees frame-exactly."""
+    import duckdb
+
+    from compare_util import assert_frames_match
+
+    rows = [(f"t{i}", "u1 u2 u3 u4 u5 u6") for i in range(3)]
+    rows += [("x1", "v1 v2 v3 v4 v5 v6"), ("x2", "v1 v2 v3 v4 v9 v8")]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = dedup.minhash_error(spark, sf).toPandas()
+    assert len(out) >= 3  # the identical triple alone gives C(3,2)
+    ident = out[(out.doc_a.str.startswith("t")) & (out.doc_b.str.startswith("t"))]
+    assert len(ident) == 3
+    assert (ident.est_jaccard == 1.0).all() and (ident.abs_err == 0.0).all()
+    steps = (out.est_jaccard * dedup.NUM_PERMS).round(4) % 1
+    assert (steps == 0).all(), "estimate must be a multiple of 1/NUM_PERMS"
+    assert out.est_jaccard.between(0, 1).all()
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    sql = (
+        f"WITH shingles AS ({dedup.duck_shingles_cte()}) "
+        f"{dedup.duck_minhash_error()}"
+    )
+    assert_frames_match(dedup.minhash_error(spark, sf), con, sql)
+
+
+def test_ivf_recall_bounds_and_panel_size(spark, sf_dir):
+    """ivf_recall rows are one per query-panel member with k_exact ==
+    TOP_K, hits ≤ k_exact, and recall the exact ratio — and at least
+    one query must achieve recall 1.0 (a query inside a well-populated
+    cell finds its whole exact top-k there)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators import similarity
+
+    out = similarity.ivf_recall(spark, sf_dir).toPandas()
+    assert len(out) == similarity.N_QUERIES
+    assert (out.k_exact == similarity.TOP_K).all()
+    assert (out.hits <= out.k_exact).all()
+    assert (out.recall == (out.hits / out.k_exact).round(6)).all()
+    assert (out.recall == 1.0).any()
