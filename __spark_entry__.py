@@ -703,7 +703,7 @@ _DRIVER_PRIORITY = [
     "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
     "bloom_prefilter", "containment_pairs", "kg_ppr", "tfidf_keywords",
     "cooc_ktruss", "kg_condense", "split_leakage", "ivf_recall",
-    "minhash_error",
+    "minhash_error", "props_profile",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -972,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": curation.split_leakage,
         # minhash estimate vs exact jaccard: sketch-quality QA
         "minhash_error": dedup.minhash_error,
+        # schema/value profile of the semi-structured props JSON column
+        "props_profile": temporal.props_profile,
         # label-stable incremental canonical-map extension
         "canonicalize_delta": _canonicalize_delta,
         # knowledge fusion: per-(subj, pred) winner election + margin
@@ -1429,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": f"{shingles_prefix} {dedup.duck_minhash_pairs()}",
         "split_leakage": f"{shingles_prefix} {curation.duck_split_leakage()}",
         "minhash_error": f"{shingles_prefix} {dedup.duck_minhash_error()}",
+        "props_profile": temporal.duck_props_profile(),
         "dedup_delta": f"{shingles_prefix} {dedup.duck_minhash_delta()}",
         "dedup_clusters_delta": dedup.duck_dedup_clusters_delta(),
         "dedup_clusters": dedup.duck_dedup_clusters(),

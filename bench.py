@@ -392,6 +392,7 @@ def main() -> None:
     timed("split_leakage", curation.split_leakage)
     timed("ivf_recall", similarity.ivf_recall)
     timed("minhash_error", dedup.minhash_error)
+    timed("props_profile", temporal.props_profile)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -732,3 +732,62 @@ def duck_events_anomalies(
         FROM daily d JOIN st USING (user_id)
         WHERE st.n_days >= {min_days}
     """
+
+
+# ------------------------------------------------------- props profiling
+
+def props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, key, n, n_null, n_distinct, min_num, max_num) —
+    schema/value profile of the semi-structured ``props`` JSON column,
+    per event type and DISCOVERED key: occurrence count, null count,
+    distinct-value count, and numeric min/max under ``try_cast`` (NULL
+    for non-numeric keys). This is the data-quality/schema-drift
+    census (the Deequ/profiling shape) an event pipeline runs before
+    trusting ``props`` downstream: a key that suddenly appears, drops,
+    goes null-heavy, or changes numeric range shows up as a row diff
+    between two runs of this table.
+
+    Plan: ``from_json`` to ``map<string,string>`` + one explode (keys
+    are DISCOVERED per row, not hardcoded) → ONE map-side-combinable
+    groupBy at (event_type, key) grain — the output is
+    schema-dimension-sized no matter the corpus. All aggregates are
+    exact integers; no sampling, no sketches."""
+    ev = events_batch(spark, sf_dir)
+    kv = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "key", "value"
+        ),
+    )
+    num = F.expr("try_cast(value AS BIGINT)")
+    return kv.groupBy("event_type", "key").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min(num).alias("min_num"),
+        F.max(num).alias("max_num"),
+    )
+
+
+def duck_props_profile() -> str:
+    """Oracle: ``json_keys`` discovery + dynamic-path extraction,
+    identical aggregate grain."""
+    return """
+        WITH kv AS (
+            SELECT event_type,
+                   UNNEST(json_keys(props)) AS key,
+                   props
+            FROM events
+        ),
+        ext AS (
+            SELECT event_type, key,
+                   json_extract_string(props, '$.' || key) AS value
+            FROM kv
+        )
+        SELECT event_type, key, COUNT(*) AS n,
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+               COUNT(DISTINCT value) AS n_distinct,
+               MIN(TRY_CAST(value AS BIGINT)) AS min_num,
+               MAX(TRY_CAST(value AS BIGINT)) AS max_num
+        FROM ext GROUP BY 1, 2
+    """

@@ -305,6 +305,7 @@ def main() -> None:
         "split_leakage": split_leakage,
         "ivf_recall": similarity.ivf_recall,
         "minhash_error": minhash_error,
+        "props_profile": temporal.props_profile,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():

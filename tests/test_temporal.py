@@ -408,3 +408,55 @@ def test_activity_anomalies_integer_exact_twin(spark):
     spike = [v for v in got.values() if v[0] == 30]
     assert spike and spike[0][2] is True
     assert all(v[2] is False for v in got.values() if v[0] == 2)
+
+
+def test_props_profile_discovers_keys_and_profiles_types(spark, tmp_path):
+    """Profiling semantics on crafted heterogeneous JSON: keys are
+    DISCOVERED per row (no hardcoded schema) — a key present in only
+    some rows counts only those; JSON null values count as n_null;
+    non-numeric keys get NULL min/max under try_cast; numeric ranges
+    are exact. DuckDB oracle (json_keys + dynamic-path extraction)
+    agrees frame-exactly."""
+    import duckdb
+    from datetime import datetime
+
+    from compare_util import assert_frames_match
+    from cross_sentence_relation_extraction_idepnn_spark.operators import temporal
+
+    ts = datetime(2026, 1, 1)
+    rows = [
+        (1, ts, 10, "click", 1.0, '{"k": 5, "tag": "a"}'),
+        (2, ts, 10, "click", 1.0, '{"k": 9}'),
+        (3, ts, 11, "click", 1.0, '{"k": -3, "tag": "b", "extra": null}'),
+        (4, ts, 11, "view", 1.0, '{"tag": "a"}'),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        (r.event_type, r.key): r
+        for r in temporal.props_profile(spark, str(tmp_path)).collect()
+    }
+    k = out[("click", "k")]
+    assert (k.n, k.n_null, k.n_distinct, k.min_num, k.max_num) == (3, 0, 3, -3, 9)
+    tag = out[("click", "tag")]
+    assert (tag.n, tag.n_distinct) == (2, 2)
+    assert tag.min_num is None and tag.max_num is None  # non-numeric
+    extra = out[("click", "extra")]
+    assert (extra.n, extra.n_null, extra.n_distinct) == (1, 1, 0)
+    assert ("view", "k") not in out  # discovery is per-row, not global
+    assert out[("view", "tag")].n == 1
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    assert_frames_match(
+        temporal.props_profile(spark, str(tmp_path)),
+        con,
+        temporal.duck_props_profile(),
+    )
