@@ -703,7 +703,8 @@ _DRIVER_PRIORITY = [
     "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
     "bloom_prefilter", "containment_pairs", "kg_ppr", "tfidf_keywords",
     "cooc_ktruss", "kg_condense", "split_leakage", "ivf_recall",
-    "minhash_error", "props_profile",
+    "minhash_error", "props_profile", "dedup_keep_best",
+    "embedding_quantize",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -974,6 +975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_error": dedup.minhash_error,
         # schema/value profile of the semi-structured props JSON column
         "props_profile": temporal.props_profile,
+        # quality-aware survivor selection over near-dup clusters
+        "dedup_keep_best": curation.dedup_keep_best,
+        # int8 min-max quantization audit (integer-exact residuals)
+        "embedding_quantize": linalg.embedding_quantize,
         # label-stable incremental canonical-map extension
         "canonicalize_delta": _canonicalize_delta,
         # knowledge fusion: per-(subj, pred) winner election + margin
@@ -1432,6 +1437,8 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": f"{shingles_prefix} {curation.duck_split_leakage()}",
         "minhash_error": f"{shingles_prefix} {dedup.duck_minhash_error()}",
         "props_profile": temporal.duck_props_profile(),
+        "dedup_keep_best": curation.duck_dedup_keep_best(),
+        "embedding_quantize": linalg.duck_embedding_quantize(),
         "dedup_delta": f"{shingles_prefix} {dedup.duck_minhash_delta()}",
         "dedup_clusters_delta": dedup.duck_dedup_clusters_delta(),
         "dedup_clusters": dedup.duck_dedup_clusters(),

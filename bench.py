@@ -393,6 +393,8 @@ def main() -> None:
     timed("ivf_recall", similarity.ivf_recall)
     timed("minhash_error", dedup.minhash_error)
     timed("props_profile", temporal.props_profile)
+    timed("dedup_keep_best", curation.dedup_keep_best)
+    timed("embedding_quantize", linalg.embedding_quantize)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

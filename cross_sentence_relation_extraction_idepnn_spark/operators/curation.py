@@ -953,3 +953,63 @@ def duck_split_leakage() -> str:
         SELECT doc_a, doc_b, jaccard, {ca} AS split_a, {cb} AS split_b
         FROM ({final}) WHERE {ca} <> {cb}
     """
+
+
+# ---------------------------------------------------- keep-best survivor
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, quality, rank, action) — QUALITY-aware
+    survivor selection over the near-dup clusters: within each
+    ``dedup_clusters`` component the highest-``quality_score`` member
+    is kept (ties to the smallest doc_id) and the rest are dropped.
+    This is the policy step a production dedup pipeline actually
+    ships — keep-min-id (``dedup_clusters``' built-in survivor) is
+    reproducible but quality-blind; training pipelines keep the BEST
+    copy of duplicated content, not the first-crawled one.
+
+    Plan: clusters are pair-bounded and quality is a narrow per-doc
+    projection, so the compose is one doc-keyed join plus ONE
+    doc-grain window partitioned by cluster_id (singleton clusters
+    dominate the partition count; near-dup groups are tiny — no skew
+    hazard, AQE handles the residue)."""
+    from .dedup import dedup_clusters
+    from .textstats import quality_score
+
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "action",
+            F.when(F.col("rank") == 1, F.lit("keep")).otherwise(F.lit("drop")),
+        )
+        .select("doc_id", "cluster_id", "quality", "rank", "action")
+    )
+
+
+def duck_dedup_keep_best() -> str:
+    """Oracle: the self-contained clusters oracle joined to the quality
+    oracle, same rounded-quality ranking with doc_id tie-break."""
+    from .dedup import duck_dedup_clusters
+    from .textstats import duck_quality
+
+    return f"""
+        WITH cl AS ({duck_dedup_clusters()}),
+        q AS ({duck_quality()})
+        SELECT cl.doc_id, cl.cluster_id, q.quality,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cl.cluster_id
+                   ORDER BY q.quality DESC, cl.doc_id
+               ) AS INTEGER) AS rank,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY cl.cluster_id
+                   ORDER BY q.quality DESC, cl.doc_id
+               ) = 1 THEN 'keep' ELSE 'drop' END AS action
+        FROM cl JOIN q ON q.doc_id = cl.doc_id
+    """

@@ -137,3 +137,85 @@ def power_iteration(m, iters: int = 200):
     if v[int(np.argmax(np.abs(v)))] < 0:
         v = -v
     return v, lam
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vmin, vmax, n_dims, q_sum, sse) — per-vector int8
+    min-max quantization audit: the storage decision every
+    billion-vector ANN index makes (float32 → uint8 is a 4× index
+    shrink) shipped WITH its measured reconstruction error instead of
+    a hope. ``q_i = round(255·(x_i−min)/(max−min))``; ``q_sum`` is the
+    codebook checksum and ``sse`` the exact squared reconstruction
+    residual ``Σ((x_i−min)·255 − q_i·(max−min))²`` in (milli·255)²
+    units — divide by ``n_dims·255²·10⁶`` for MSE in input units.
+
+    Exactness discipline (the ``embedding_gram`` convention): values
+    are first quantized to integer millis (float32→double widening +
+    half-away rounding, proven cross-engine), then EVERYTHING —
+    min/max, the rounded q via ``(2·diff·255 + rng) // (2·rng)``, the
+    residuals — is int64 arithmetic: no float enters the parity
+    surface at all. Plan: one narrow codegen scan, zero exchanges;
+    constant vectors (rng = 0) quantize to all-zeros with sse 0."""
+    emb = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT))"
+        ).alias("v"),
+    ).select(
+        "vec_id",
+        F.expr("array_min(v)").alias("vmin"),
+        F.expr("array_max(v)").alias("vmax"),
+        F.expr("CAST(size(v) AS BIGINT)").alias("n_dims"),
+        F.expr(
+            """aggregate(v, CAST(0 AS BIGINT), (acc, x) ->
+                 acc + CASE WHEN array_max(v) = array_min(v) THEN CAST(0 AS BIGINT)
+                 ELSE ((x - array_min(v)) * 510 + (array_max(v) - array_min(v)))
+                      div (2 * (array_max(v) - array_min(v))) END)"""
+        ).alias("q_sum"),
+        F.expr(
+            """aggregate(v, CAST(0 AS BIGINT), (acc, x) ->
+                 acc + CASE WHEN array_max(v) = array_min(v) THEN CAST(0 AS BIGINT)
+                 ELSE
+                   ((x - array_min(v)) * 255
+                    - (((x - array_min(v)) * 510 + (array_max(v) - array_min(v)))
+                       div (2 * (array_max(v) - array_min(v))))
+                      * (array_max(v) - array_min(v)))
+                   * ((x - array_min(v)) * 255
+                    - (((x - array_min(v)) * 510 + (array_max(v) - array_min(v)))
+                       div (2 * (array_max(v) - array_min(v))))
+                      * (array_max(v) - array_min(v))) END)"""
+        ).alias("sse"),
+    )
+
+
+def duck_embedding_quantize() -> str:
+    """Oracle: identical integer pipeline (millis quantization, the
+    same ``(2·diff·255 + rng) // (2·rng)`` rounding, integer SSE)."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(ROUND(x * {Q_SCALE}) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        m AS (
+            SELECT vec_id, v,
+                   list_min(v) AS vmin, list_max(v) AS vmax,
+                   list_max(v) - list_min(v) AS rng
+            FROM e
+        )
+        SELECT vec_id, vmin, vmax, CAST(len(v) AS BIGINT) AS n_dims,
+               CAST(COALESCE(list_sum(list_transform(v, x ->
+                   CASE WHEN rng = 0 THEN 0
+                        ELSE ((x - vmin) * 510 + rng) // (2 * rng) END)), 0)
+                   AS BIGINT) AS q_sum,
+               CAST(COALESCE(list_sum(list_transform(v, x ->
+                   CASE WHEN rng = 0 THEN 0
+                        ELSE ((x - vmin) * 255
+                              - (((x - vmin) * 510 + rng) // (2 * rng)) * rng)
+                           * ((x - vmin) * 255
+                              - (((x - vmin) * 510 + rng) // (2 * rng)) * rng)
+                   END)), 0) AS BIGINT) AS sse
+        FROM m
+    """

@@ -179,6 +179,7 @@ def main() -> None:
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.linalg import (
         embedding_gram,
+        embedding_quantize,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
         value_histogram,
@@ -229,6 +230,7 @@ def main() -> None:
         )
 
     from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        dedup_keep_best,
         split_leakage,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
@@ -306,6 +308,8 @@ def main() -> None:
         "ivf_recall": similarity.ivf_recall,
         "minhash_error": minhash_error,
         "props_profile": temporal.props_profile,
+        "dedup_keep_best": dedup_keep_best,
+        "embedding_quantize": embedding_quantize,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():

@@ -89,3 +89,43 @@ def test_gram_plan_is_one_exchange_no_join(spark, sf_dir):
     )
     assert n_exchange == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_embedding_quantize_exact_values_and_constant_vector(spark, tmp_path):
+    """Hand-checked int8 quantization: [0.0, 1.0, 0.5] → millis
+    (0, 1000, 500), rng 1000, q = (0, 255, 128) [500/1000 rounds UP at
+    the exact midpoint], q_sum 383, sse = (500·255 − 128·1000)² =
+    250000; a constant vector quantizes to all-zeros with sse 0. The
+    DuckDB oracle agrees frame-exactly on the same fixture."""
+    import duckdb
+
+    from compare_util import assert_frames_match
+    from cross_sentence_relation_extraction_idepnn_spark.operators import linalg
+
+    rows = [(1, [0.0, 1.0, 0.5], "a"), (2, [0.25, 0.25, 0.25], "b")]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {
+        r.vec_id: r
+        for r in linalg.embedding_quantize(spark, str(tmp_path)).collect()
+    }
+    r1 = out[1]
+    assert (r1.vmin, r1.vmax, r1.n_dims) == (0, 1000, 3)
+    assert r1.q_sum == 0 + 255 + 128
+    assert r1.sse == (500 * 255 - 128 * 1000) ** 2
+    r2 = out[2]
+    assert (r2.vmin, r2.vmax, r2.q_sum, r2.sse) == (250, 250, 0, 0)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    assert_frames_match(
+        linalg.embedding_quantize(spark, str(tmp_path)),
+        con,
+        linalg.duck_embedding_quantize(),
+    )
