@@ -513,6 +513,17 @@ def _kg_node_sim(spark: SparkSession, sf: str) -> DataFrame:
     return kg_node_sim(materialize_kg(spark, sf))
 
 
+def _surface_editsim(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance leg of entity resolution: distinct mention-surface
+    pairs within Levenshtein ≤ 2 via shared-bigram blocking (character-
+    level typos the bigram-Jaccard leg underweights)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        surface_editsim,
+    )
+
+    return surface_editsim(_mentions(spark, sf).select("surface"))
+
+
 def _kg_condense(spark: SparkSession, sf: str) -> DataFrame:
     """Community-contracted supergraph: KG edges re-keyed through LPA
     community labels and counted at community grain (intra-community
@@ -704,7 +715,7 @@ _DRIVER_PRIORITY = [
     "bloom_prefilter", "containment_pairs", "kg_ppr", "tfidf_keywords",
     "cooc_ktruss", "kg_condense", "split_leakage", "ivf_recall",
     "minhash_error", "props_profile", "dedup_keep_best",
-    "embedding_quantize",
+    "embedding_quantize", "surface_editsim", "disorder_profile",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -713,7 +724,10 @@ _DRIVER_PRIORITY = [
     # transe_epochs, span_coverage, kg_linkpred, events_anomalies,
     # bloom_prefilter, skew_profile, dataset_split, canonicalize_delta,
     # kg_resolve, dedup_delta, kg_neighbor_agg, kg_clustering,
-    # dedup_clusters_delta (17 today; re-audit against the r04 json).
+    # dedup_clusters_delta, plus the session-5 wave: containment_pairs,
+    # kg_ppr, tfidf_keywords, cooc_ktruss, kg_condense, split_leakage,
+    # ivf_recall, minhash_error, props_profile, dedup_keep_best,
+    # embedding_quantize (28 today; re-audit against the r04 json).
     "skew_profile", "dataset_split", "canonicalize_delta",
     "kg_resolve", "dedup_delta", "kg_neighbor_agg", "kg_clustering",
     "dedup_clusters_delta",
@@ -979,6 +993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": curation.dedup_keep_best,
         # int8 min-max quantization audit (integer-exact residuals)
         "embedding_quantize": linalg.embedding_quantize,
+        "surface_editsim": _surface_editsim,
+        # out-of-orderness census: watermark-delay decision input
+        "disorder_profile": temporal.disorder_profile,
         # label-stable incremental canonical-map extension
         "canonicalize_delta": _canonicalize_delta,
         # knowledge fusion: per-(subj, pred) winner election + margin
@@ -1244,6 +1261,16 @@ def _duck_kg_resolve() -> str:
     return duck_kg_resolve_over(_duck_kg())
 
 
+def _duck_surface_editsim() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_surface_editsim,
+    )
+
+    return duck_surface_editsim(
+        f"{duck_with_prefix()} SELECT surface FROM ({duck_mentions_cte()})"
+    )
+
+
 def _duck_kg_condense() -> str:
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
         duck_condense_over,
@@ -1439,6 +1466,8 @@ def oracle_sql() -> dict[str, str]:
         "props_profile": temporal.duck_props_profile(),
         "dedup_keep_best": curation.duck_dedup_keep_best(),
         "embedding_quantize": linalg.duck_embedding_quantize(),
+        "surface_editsim": _duck_surface_editsim(),
+        "disorder_profile": temporal.duck_disorder_profile(),
         "dedup_delta": f"{shingles_prefix} {dedup.duck_minhash_delta()}",
         "dedup_clusters_delta": dedup.duck_dedup_clusters_delta(),
         "dedup_clusters": dedup.duck_dedup_clusters(),

@@ -395,6 +395,8 @@ def main() -> None:
     timed("props_profile", temporal.props_profile)
     timed("dedup_keep_best", curation.dedup_keep_best)
     timed("embedding_quantize", linalg.embedding_quantize)
+    timed("surface_editsim", _entry.queries()["surface_editsim"])
+    timed("disorder_profile", temporal.disorder_profile)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -2821,3 +2821,92 @@ def duck_condense_over(kg_cte: str, iters: int = COMM_ITERS) -> str:
         JOIN comm cd ON cd.node = e.dst
         GROUP BY 1, 2
     """
+
+
+# ------------------------------------------------------- edit-distance ER
+
+EDITSIM_MAX_DIST = 2
+EDITSIM_MAX_POST = 200  # df cap on blocking bigrams (boilerplate guard)
+
+
+def surface_editsim(
+    surfaces: DataFrame,
+    max_dist: int = EDITSIM_MAX_DIST,
+    max_post: int = EDITSIM_MAX_POST,
+) -> DataFrame:
+    """(a, b, dist) — DISTINCT surface pairs within Levenshtein
+    distance ``max_dist`` (typo/variant detection): the EDIT-distance
+    leg of entity resolution next to ``similarity_edges``' bigram-
+    Jaccard leg — Jaccard catches word-level variants, edit distance
+    catches character-level typos Jaccard's set view underweights.
+
+    Candidates come from a shared-bigram equi-join over the DISTINCT
+    surface dimension (for length ≥ 6, two edits destroy at most four
+    of the ≥ 5 bigrams, so a shared bigram is GUARANTEED; shorter
+    strings may need an extra short-string block in a deployment —
+    documented recall caveat, same class as the MinHash banding
+    trade). Bigrams hotter than ``max_post`` surfaces are dropped from
+    blocking (broadcast anti-join — the boilerplate guard every
+    blocked join here carries). Verification is native
+    ``levenshtein`` — JVM-side, identical unit-cost definition in
+    DuckDB."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
+    surf = track_cache(
+        surfaces.select(F.col("surface").cast("string"))
+        .filter(F.length("surface") >= 2)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bg = surf.select("surface", F.explode(_bigrams(F.col("surface"))).alias("bg"))
+    hot = bg.groupBy("bg").agg(F.count("*").alias("df")).filter(
+        F.col("df") > max_post
+    )
+    elig = bg.join(F.broadcast(hot), "bg", "left_anti")
+    cand = (
+        elig.alias("x")
+        .join(elig.alias("y"), "bg")
+        .filter(F.col("x.surface") < F.col("y.surface"))
+        .select(
+            F.col("x.surface").alias("a"), F.col("y.surface").alias("b")
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("a", "b").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("a", "b", "dist")
+    )
+
+
+def duck_surface_editsim(
+    surfaces_cte: str,
+    max_dist: int = EDITSIM_MAX_DIST,
+    max_post: int = EDITSIM_MAX_POST,
+) -> str:
+    """Oracle over a CTE producing (surface): identical bigram
+    blocking, df cap, and native levenshtein verification."""
+    return f"""
+        WITH surf AS MATERIALIZED (
+            SELECT DISTINCT CAST(surface AS VARCHAR) AS surface
+            FROM ({surfaces_cte}) WHERE LENGTH(surface) >= 2
+        ),
+        bg AS (
+            SELECT surface, UNNEST(list_distinct(
+                CASE WHEN LENGTH(lower(surface)) >= 2
+                     THEN list_transform(range(1, LENGTH(lower(surface))),
+                                         i -> substr(lower(surface), i, 2))
+                     ELSE [lower(surface)] END)) AS bg
+            FROM surf
+        ),
+        hot AS (SELECT bg FROM bg GROUP BY bg HAVING COUNT(*) > {max_post}),
+        elig AS (SELECT * FROM bg WHERE bg NOT IN (SELECT bg FROM hot)),
+        cand AS (
+            SELECT DISTINCT x.surface AS a, y.surface AS b
+            FROM elig x JOIN elig y ON x.bg = y.bg AND x.surface < y.surface
+        )
+        SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS dist
+        FROM cand WHERE levenshtein(a, b) <= {max_dist}
+    """

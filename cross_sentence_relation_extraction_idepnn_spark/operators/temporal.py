@@ -791,3 +791,59 @@ def duck_props_profile() -> str:
                MAX(TRY_CAST(value AS BIGINT)) AS max_num
         FROM ext GROUP BY 1, 2
     """
+
+
+# -------------------------------------------------- disorder profiling
+
+def disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, n_inversions, max_late_s) — out-of-
+    orderness census per user over the event stream in ARRIVAL order
+    (event_id): adjacent-pair timestamp inversions and the maximum
+    late gap (running-max ts minus current ts, seconds). This table
+    IS the watermark-delay decision input for the streaming side: the
+    corpus-wide max of ``max_late_s`` bounds the
+    ``withWatermark`` delay that loses no events, and per-user rows
+    localize pathological producers.
+
+    Plan: ONE user-keyed exchange feeding two frame-bounded window
+    functions (lag + running max) and a groupBy — arithmetic is exact
+    integer epoch-microseconds (the ``_epoch_us`` convention), so
+    the oracle matches bit-for-bit."""
+    ev = events_batch(spark, sf_dir).select(
+        "user_id", "event_id", _epoch_us("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    step = ev.select(
+        "user_id",
+        F.when(F.lag("tus").over(w) > F.col("tus"), 1).otherwise(0).alias("inv"),
+        (F.max("tus").over(wrun) - F.col("tus")).alias("late_us"),
+    )
+    return step.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("inv").alias("n_inversions"),
+        F.floor(F.max("late_us") / 1_000_000).cast("long").alias("max_late_s"),
+    )
+
+
+def duck_disorder_profile() -> str:
+    """Oracle: identical lag/running-max windows over epoch-us."""
+    return """
+        WITH ev AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+        ),
+        step AS (
+            SELECT user_id,
+                   CASE WHEN LAG(tus) OVER w > tus THEN 1 ELSE 0 END AS inv,
+                   MAX(tus) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - tus AS late_us
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               SUM(inv) AS n_inversions,
+               CAST(FLOOR(MAX(late_us) / 1000000) AS BIGINT) AS max_late_s
+        FROM step GROUP BY user_id
+    """

@@ -241,6 +241,7 @@ def main() -> None:
         kg_condense,
         kg_ktruss,
         kg_ppr,
+        surface_editsim,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
         tfidf_keywords,
@@ -310,6 +311,10 @@ def main() -> None:
         "props_profile": temporal.props_profile,
         "dedup_keep_best": dedup_keep_best,
         "embedding_quantize": embedding_quantize,
+        "surface_editsim": lambda s, d: surface_editsim(
+            _m(s, d).select("surface")
+        ),
+        "disorder_profile": temporal.disorder_profile,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():

@@ -794,3 +794,47 @@ def test_kg_clustering_hand_computed(spark):
         "c": (2, 1, 1.0),
         "d": (1, 0, 0.0),
     }
+
+
+def test_surface_editsim_typo_pairs_cap_and_recall_caveat(spark):
+    """Edit-distance ER semantics on crafted surfaces: a dist-1 typo
+    pair and a dist-2 pair are found, a dist-3 pair is excluded, and a
+    dist-2 pair sharing NO bigram ("ab"/"cd") is absent — the
+    documented short-string recall caveat of bigram blocking. The
+    hot-bigram cap drops pairs whose ONLY shared bigram exceeds the
+    df cap (boilerplate guard), and restoring the cap restores them."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        surface_editsim,
+    )
+
+    surfaces = [
+        "hamilton", "hamiltan",          # dist 1, share many bigrams
+        "database", "databse",           # dist 1
+        "kitten", "sitting",             # dist 3 -> excluded
+        "ab", "cd",                      # dist 2 but zero shared bigrams
+        "xxa", "xxb", "xxc", "xxd",      # only shared bigram is "xx"
+    ]
+    df = spark.createDataFrame([(s,) for s in surfaces], "surface string")
+
+    got = {
+        (r.a, r.b): r.dist
+        for r in surface_editsim(df, max_dist=2, max_post=3).collect()
+    }
+    assert got.get(("hamiltan", "hamilton")) == 1
+    assert got.get(("database", "databse")) == 1
+    assert ("kitten", "sitting") not in got          # dist 3
+    assert ("ab", "cd") not in got                   # blocking caveat
+    assert not any("xx" in a for (a, b) in got)      # "xx" df=4 > cap 3
+
+    # with the cap relaxed the xx-family pairs (all dist 1) come back
+    relaxed = {
+        (r.a, r.b): r.dist
+        for r in surface_editsim(df, max_dist=2, max_post=200).collect()
+    }
+    xx = {p for p in relaxed if p[0].startswith("xx")}
+    assert xx == {
+        ("xxa", "xxb"), ("xxa", "xxc"), ("xxa", "xxd"),
+        ("xxb", "xxc"), ("xxb", "xxd"), ("xxc", "xxd"),
+    }
+    assert all(relaxed[p] == 1 for p in xx)
+    release_caches()

@@ -460,3 +460,36 @@ def test_props_profile_discovers_keys_and_profiles_types(spark, tmp_path):
         con,
         temporal.duck_props_profile(),
     )
+
+
+def test_disorder_profile_hand_computed_inversions_and_late(spark, tmp_path):
+    """Crafted arrival sequences with hand-counted inversions and max
+    lateness. User 1 arrives [t=100, 95, 110, 90] (event_id order):
+    two adjacent inversions (100→95, 110→90), max late = running-max
+    110 − 90 = 20 s. User 2 is perfectly ordered: zero inversions,
+    zero lateness. Sub-second skew (user 3: 0.4 s late) floors to 0 —
+    the census is second-granular by contract."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1)
+    rows = [
+        (1, base + timedelta(seconds=100), 1),
+        (2, base + timedelta(seconds=95), 1),
+        (3, base + timedelta(seconds=110), 1),
+        (4, base + timedelta(seconds=90), 1),
+        (5, base + timedelta(seconds=10), 2),
+        (6, base + timedelta(seconds=20), 2),
+        (7, base + timedelta(seconds=5), 3),
+        (8, base + timedelta(seconds=4, microseconds=600_000), 3),
+    ]
+    spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for (i, ts, u) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.user_id: (r.n_events, r.n_inversions, r.max_late_s)
+        for r in temporal.disorder_profile(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (4, 2, 20), 2: (2, 0, 0), 3: (2, 1, 0)}
