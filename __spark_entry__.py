@@ -305,6 +305,16 @@ def _kg(spark: SparkSession, sf: str) -> DataFrame:
     return materialize_kg(spark, sf).drop("max_score")
 
 
+def _kg_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Provenance audit of the KG: distinct-conversation evidence count
+    and first/last supporting conv_id per canonical triple."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_provenance,
+    )
+
+    return kg_provenance(extract_triples(spark, sf), _canonicalize(spark, sf))
+
+
 def _kg_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Graph analytics over the materialized KG: deterministic
     fixed-point PageRank (integer arithmetic — exact cross-engine)."""
@@ -716,6 +726,7 @@ _DRIVER_PRIORITY = [
     "cooc_ktruss", "kg_condense", "split_leakage", "ivf_recall",
     "minhash_error", "props_profile", "dedup_keep_best",
     "embedding_quantize", "surface_editsim", "disorder_profile",
+    "watermark_sim", "kg_provenance",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -758,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg": _kg,
         "kg_incremental": _kg_incremental,
         "kg_pagerank": _kg_pagerank,
+        # provenance audit: distinct-conversation evidence per triple
+        "kg_provenance": _kg_provenance,
         "kg_ppr": _kg_ppr,
         # join-based KG analytics: degrees + distinct 2-hop reach
         "kg_neighbors": _kg_neighbors,
@@ -994,8 +1007,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # int8 min-max quantization audit (integer-exact residuals)
         "embedding_quantize": linalg.embedding_quantize,
         "surface_editsim": _surface_editsim,
-        # out-of-orderness census: watermark-delay decision input
-        "disorder_profile": temporal.disorder_profile,
+        # out-of-orderness census: watermark-delay decision input.
+        # jitter: deterministic replay-skew harness — the synthetic
+        # feed is TOTALLY ordered, so the physical arrival order would
+        # make this row vacuous (same pattern as embedding_neardup's
+        # plant=True).
+        "disorder_profile": lambda s, d: temporal.disorder_profile(
+            s, d, jitter=temporal.DISORDER_JITTER
+        ),
+        # what-if event loss per candidate withWatermark delay
+        "watermark_sim": lambda s, d: temporal.watermark_sim(
+            s, d, jitter=temporal.DISORDER_JITTER
+        ),
         # label-stable incremental canonical-map extension
         "canonicalize_delta": _canonicalize_delta,
         # knowledge fusion: per-(subj, pred) winner election + margin
@@ -1120,6 +1143,32 @@ def _duck_kg() -> str:
         SELECT UPPER(COALESCE(cs.component, subj)) AS subj, pred,
                UPPER(COALESCE(co.component, obj)) AS obj,
                COUNT(*) AS support, MIN(k) AS min_k
+        FROM gold t
+        LEFT JOIN canon cs ON cs.surface = t.subj_surface
+        LEFT JOIN canon co ON co.surface = t.obj_surface
+        GROUP BY 1, 2, 3
+    """
+
+
+def _duck_kg_provenance() -> str:
+    """Provenance oracle: the gold-rule triple set (``duck_triples``)
+    keeps conv_id, rekeys through the canonical map, and aggregates
+    distinct-conversation evidence at triple grain."""
+    from cross_sentence_relation_extraction_idepnn_spark.config import PREDICATE
+    from cross_sentence_relation_extraction_idepnn_spark.training import GOLD_MAX_HOPS
+
+    return f"""
+        {duck_sdp_prefix()}{duck_canonicalize_ctes()},
+        gold AS (
+            SELECT conv_id, e1_id AS subj, '{PREDICATE}' AS pred,
+                   e2_id AS obj, e1_surface AS subj_surface,
+                   e2_surface AS obj_surface
+            FROM sdp WHERE ok AND sdp_dist <= {GOLD_MAX_HOPS}
+        )
+        SELECT UPPER(COALESCE(cs.component, subj)) AS subj, pred,
+               UPPER(COALESCE(co.component, obj)) AS obj,
+               COUNT(DISTINCT conv_id) AS n_convs,
+               MIN(conv_id) AS first_conv, MAX(conv_id) AS last_conv
         FROM gold t
         LEFT JOIN canon cs ON cs.surface = t.subj_surface
         LEFT JOIN canon co ON co.surface = t.obj_surface
@@ -1467,7 +1516,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": curation.duck_dedup_keep_best(),
         "embedding_quantize": linalg.duck_embedding_quantize(),
         "surface_editsim": _duck_surface_editsim(),
-        "disorder_profile": temporal.duck_disorder_profile(),
+        "disorder_profile": temporal.duck_disorder_profile(
+            jitter=temporal.DISORDER_JITTER
+        ),
+        "watermark_sim": temporal.duck_watermark_sim(
+            jitter=temporal.DISORDER_JITTER
+        ),
         "dedup_delta": f"{shingles_prefix} {dedup.duck_minhash_delta()}",
         "dedup_clusters_delta": dedup.duck_dedup_clusters_delta(),
         "dedup_clusters": dedup.duck_dedup_clusters(),
@@ -1535,6 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         "triples": _duck_triples_sql(),
         "kg": _duck_kg(),
         "kg_incremental": _duck_kg(),  # delta merge ≡ full rebuild
+        "kg_provenance": _duck_kg_provenance(),
         "kg_pagerank": _duck_kg_pagerank(),
         "kg_ppr": _duck_kg_ppr(),
         "kg_neighbors": _duck_kg_neighbors(),

@@ -396,7 +396,9 @@ def main() -> None:
     timed("dedup_keep_best", curation.dedup_keep_best)
     timed("embedding_quantize", linalg.embedding_quantize)
     timed("surface_editsim", _entry.queries()["surface_editsim"])
-    timed("disorder_profile", temporal.disorder_profile)
+    timed("disorder_profile", _entry.queries()["disorder_profile"])
+    timed("watermark_sim", _entry.queries()["watermark_sim"])
+    timed("kg_provenance", _entry.queries()["kg_provenance"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -2910,3 +2910,26 @@ def duck_surface_editsim(
         SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS dist
         FROM cand WHERE levenshtein(a, b) <= {max_dist}
     """
+
+
+# ---------------------------------------------------------- provenance
+
+def kg_provenance(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """(subj, pred, obj, n_convs, first_conv, last_conv) — provenance
+    audit of the materialized KG: how many DISTINCT conversations
+    support each canonical triple and the lexicographic first/last
+    supporting conv_id. ``kg``'s ``support`` counts candidate
+    mentions; a triple backed by 50 mentions inside ONE conversation
+    and one backed by 50 conversations are very different evidence —
+    this is the column a KG consumer audits before trusting an edge,
+    and the drill-back key (conv ids) for human review.
+
+    Plan: the same broadcast canonical rekey as ``materialize_kg``
+    (``rekey_canonical``) and ONE groupBy at triple grain; countDistinct
+    over conv_id is exact (no sketch) because the dedup happens inside
+    the aggregate's own shuffle — no extra exchange vs ``kg``."""
+    return rekey_canonical(triples, canon).groupBy("subj", "pred", "obj").agg(
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.min("conv_id").alias("first_conv"),
+        F.max("conv_id").alias("last_conv"),
+    )

@@ -795,7 +795,34 @@ def duck_props_profile() -> str:
 
 # -------------------------------------------------- disorder profiling
 
-def disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+DISORDER_JITTER = 32  # replay-skew span (ids) for the driver harness
+
+
+def _arr_spark(jitter: int):
+    """Arrival key: ``event_id`` plus a deterministic hash jitter —
+    the replay-skew harness for the driver tables, whose synthetic
+    feed is TOTALLY ordered (a disorder census over it would be
+    vacuous). ``jitter=0`` is the physical arrival order."""
+    from ..hashing import spark_h15
+
+    if jitter <= 0:
+        return F.col("event_id")
+    return F.col("event_id") + spark_h15(
+        F.col("event_id").cast("string")
+    ) % jitter
+
+
+def _arr_duck(jitter: int) -> str:
+    from ..hashing import duck_h15
+
+    if jitter <= 0:
+        return "event_id"
+    return f"event_id + ({duck_h15('CAST(event_id AS VARCHAR)')}) % {jitter}"
+
+
+def disorder_profile(
+    spark: SparkSession, sf_dir: str, jitter: int = 0
+) -> DataFrame:
     """(user_id, n_events, n_inversions, max_late_s) — out-of-
     orderness census per user over the event stream in ARRIVAL order
     (event_id): adjacent-pair timestamp inversions and the maximum
@@ -810,9 +837,12 @@ def disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer epoch-microseconds (the ``_epoch_us`` convention), so
     the oracle matches bit-for-bit."""
     ev = events_batch(spark, sf_dir).select(
-        "user_id", "event_id", _epoch_us("ts").alias("tus")
+        "user_id",
+        "event_id",
+        _arr_spark(jitter).alias("arr"),
+        _epoch_us("ts").alias("tus"),
     )
-    w = Window.partitionBy("user_id").orderBy("event_id")
+    w = Window.partitionBy("user_id").orderBy("arr", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     step = ev.select(
         "user_id",
@@ -826,24 +856,138 @@ def disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def duck_disorder_profile() -> str:
-    """Oracle: identical lag/running-max windows over epoch-us."""
-    return """
+def duck_disorder_profile(jitter: int = 0) -> str:
+    """Oracle: identical arrival key and lag/running-max windows."""
+    return f"""
         WITH ev AS (
-            SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+            SELECT user_id, event_id, {_arr_duck(jitter)} AS arr,
+                   epoch_us(ts) AS tus
+            FROM events
         ),
         step AS (
             SELECT user_id,
                    CASE WHEN LAG(tus) OVER w > tus THEN 1 ELSE 0 END AS inv,
                    MAX(tus) OVER (
-                       PARTITION BY user_id ORDER BY event_id
+                       PARTITION BY user_id ORDER BY arr, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) - tus AS late_us
             FROM ev
-            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            WINDOW w AS (PARTITION BY user_id ORDER BY arr, event_id)
         )
         SELECT user_id, COUNT(*) AS n_events,
                SUM(inv) AS n_inversions,
                CAST(FLOOR(MAX(late_us) / 1000000) AS BIGINT) AS max_late_s
         FROM step GROUP BY user_id
+    """
+
+
+# ------------------------------------------------ watermark what-if sim
+
+WM_DELAYS_S = (0, 60, 600, 1800, 3600, 7200, 14400)
+WM_BLOCK = 1000  # arrival micro-batch size (event_id blocks)
+
+
+def watermark_sim(
+    spark: SparkSession,
+    sf_dir: str,
+    delays: tuple[int, ...] = WM_DELAYS_S,
+    block: int = WM_BLOCK,
+    jitter: int = 0,
+) -> DataFrame:
+    """(delay_s, n_dropped, drop_permille) — what-if event loss for a
+    family of candidate ``withWatermark`` delays: the decision table
+    ``disorder_profile`` feeds (pick the smallest delay whose loss is
+    acceptable instead of guessing). Semantics follow Structured
+    Streaming's actual micro-batch watermark: events arrive in
+    ``event_id`` order in blocks of ``block``; the watermark in force
+    for block b is the max event time over blocks BEFORE b minus the
+    delay (the watermark only advances at batch boundaries); an event
+    is dropped iff its event time is STRICTLY below that watermark.
+
+    Plan: per-block max (map-side combinable), a running max over the
+    BLOCK DIMENSION (n_events/block rows — the only unpartitioned
+    window, tiny by construction), broadcast back, then ONE narrow
+    conditional-sum aggregate with one counter per candidate delay —
+    no row multiplication, one corpus scan; the final unpivot is a
+    union over the single aggregate row. ``drop_permille`` is integer
+    floor division, so the oracle matches bit-for-bit."""
+    ev = events_batch(spark, sf_dir).select(
+        (_arr_spark(jitter) - (_arr_spark(jitter) % block)).alias("blk"),
+        _epoch_us("ts").alias("tus"),
+    )
+    wblk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        ev.groupBy("blk")
+        .agg(F.max("tus").alias("bmax"))
+        .select("blk", F.max("bmax").over(wblk).alias("wm_us"))
+    )
+    late = ev.join(F.broadcast(prefix), "blk").select(
+        F.greatest(
+            F.coalesce(F.col("wm_us") - F.col("tus"), F.lit(0)), F.lit(0)
+        ).alias("late_us")
+    )
+    one = late.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("late_us") > d * 1_000_000, 1).otherwise(0)
+            ).alias(f"d{d}")
+            for d in delays
+        ],
+    )
+    arms = [
+        one.select(
+            F.lit(int(d)).alias("delay_s"),
+            F.col(f"d{d}").cast("long").alias("n_dropped"),
+            F.expr(f"(1000 * d{d}) div n").cast("long").alias("drop_permille"),
+        )
+        for d in delays
+    ]
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out
+
+
+def duck_watermark_sim(
+    delays: tuple[int, ...] = WM_DELAYS_S,
+    block: int = WM_BLOCK,
+    jitter: int = 0,
+) -> str:
+    """Oracle: identical block prefix-max, strict-drop rule, and
+    union-shaped unpivot of the single counter row."""
+    counters = ",\n               ".join(
+        f"SUM(CASE WHEN late_us > {d * 1_000_000} THEN 1 ELSE 0 END) AS d{d}"
+        for d in delays
+    )
+    arms = "\n        UNION ALL ".join(
+        f"SELECT CAST({d} AS INTEGER) AS delay_s,"
+        f" CAST(d{d} AS BIGINT) AS n_dropped,"
+        f" CAST((1000 * d{d}) // n AS BIGINT) AS drop_permille FROM one"
+        for d in delays
+    )
+    return f"""
+        WITH ev AS (
+            SELECT arr0 - (arr0 % {block}) AS blk, tus FROM (
+                SELECT {_arr_duck(jitter)} AS arr0, epoch_us(ts) AS tus
+                FROM events
+            )
+        ),
+        prefix AS (
+            SELECT blk, MAX(bmax) OVER (
+                ORDER BY blk ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING
+            ) AS wm_us
+            FROM (SELECT blk, MAX(tus) AS bmax FROM ev GROUP BY blk)
+        ),
+        late AS (
+            SELECT GREATEST(COALESCE(p.wm_us - e.tus, 0), 0) AS late_us
+            FROM ev e JOIN prefix p USING (blk)
+        ),
+        one AS (
+            SELECT COUNT(*) AS n,
+               {counters}
+            FROM late
+        )
+        {arms}
     """

@@ -241,6 +241,7 @@ def main() -> None:
         kg_condense,
         kg_ktruss,
         kg_ppr,
+        kg_provenance,
         surface_editsim,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
@@ -314,7 +315,15 @@ def main() -> None:
         "surface_editsim": lambda s, d: surface_editsim(
             _m(s, d).select("surface")
         ),
-        "disorder_profile": temporal.disorder_profile,
+        "disorder_profile": lambda s, d: temporal.disorder_profile(
+            s, d, jitter=temporal.DISORDER_JITTER
+        ),
+        "watermark_sim": lambda s, d: temporal.watermark_sim(
+            s, d, jitter=temporal.DISORDER_JITTER
+        ),
+        "kg_provenance": lambda s, d: kg_provenance(
+            extract_triples(s, d), canonicalize(_m(s, d))
+        ),
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():

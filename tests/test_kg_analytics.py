@@ -838,3 +838,40 @@ def test_surface_editsim_typo_pairs_cap_and_recall_caveat(spark):
     }
     assert all(relaxed[p] == 1 for p in xx)
     release_caches()
+
+
+def test_kg_provenance_distinct_conversation_evidence(spark):
+    """Provenance semantics on crafted triples: a triple mentioned
+    TWICE in one conversation counts n_convs=1 (mention support != 
+    conversation evidence); spread over two conversations counts 2
+    with lexicographic first/last; the canonical rekey merges alias
+    surfaces into ONE provenance row (upper-cased canonical id)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_provenance,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            # conv-a mentions (x acts_on y) twice; conv-b once
+            ("conv-a", "x", "acts_on", "y", "x corp", "y inc"),
+            ("conv-a", "x", "acts_on", "y", "x corp", "y inc"),
+            ("conv-b", "x", "acts_on", "y", "x corp", "y inc"),
+            # alias surface "x co" canonicalizes into the same subject
+            ("conv-c", "xco", "acts_on", "y", "x co", "y inc"),
+            # un-canonicalized singleton
+            ("conv-b", "z", "acts_on", "w", "z ltd", "w gmbh"),
+        ],
+        "conv_id string, subj string, pred string, obj string,"
+        " subj_surface string, obj_surface string",
+    )
+    canon = spark.createDataFrame(
+        [("x corp", "x"), ("x co", "x")], "surface string, component string"
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.n_convs, r.first_conv, r.last_conv)
+        for r in kg_provenance(triples, canon).collect()
+    }
+    assert got == {
+        ("X", "acts_on", "Y"): (3, "conv-a", "conv-c"),
+        ("Z", "acts_on", "W"): (1, "conv-b", "conv-b"),
+    }

@@ -493,3 +493,66 @@ def test_disorder_profile_hand_computed_inversions_and_late(spark, tmp_path):
         for r in temporal.disorder_profile(spark, str(tmp_path)).collect()
     }
     assert got == {1: (4, 2, 20), 2: (2, 0, 0), 3: (2, 1, 0)}
+
+
+def test_watermark_sim_block_boundary_and_strict_drop(spark, tmp_path):
+    """Micro-batch watermark semantics on a crafted feed (block=4):
+    the first block never drops (no prior watermark); an event 5 s
+    late vs the PRIOR block's max is dropped at delays < 5 and KEPT at
+    delay 5 exactly (strict inequality — Spark keeps ts == watermark);
+    lateness within a block is invisible (the watermark only advances
+    at batch boundaries)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1)
+    t = lambda s: base + timedelta(seconds=s)
+    rows = [
+        # block 0 (ids 0-3): max ts = 100; id 2 is late WITHIN block -> kept
+        (0, t(90)), (1, t(100)), (2, t(10)), (3, t(95)),
+        # block 1 (ids 4-7): watermark = 100 - delay
+        (4, t(95)),   # 5 s late: dropped at delay<5, kept at delay>=5
+        (5, t(120)),  # on time
+        (6, t(98)),   # 2 s late: dropped at delay<2
+        (7, t(130)),
+    ]
+    spark.createDataFrame(
+        [(i, ts, 1, "view", 1.0, "{}") for (i, ts) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.delay_s: (r.n_dropped, r.drop_permille)
+        for r in temporal.watermark_sim(
+            spark, str(tmp_path), delays=(0, 1, 2, 4, 5, 60), block=4
+        ).collect()
+    }
+    assert got == {
+        0: (2, 250),   # ids 4 and 6
+        1: (2, 250),
+        2: (1, 125),   # id 6 kept (late 2 not > 2), id 4 still dropped
+        4: (1, 125),
+        5: (0, 0),     # id 4 kept at exactly its lateness
+        60: (0, 0),
+    }
+
+
+def test_disorder_and_watermark_driver_rows_nonvacuous(spark, sf_dir):
+    """The driver-facing jittered variants must exercise real disorder
+    on the (totally ordered) synthetic feed: some user has an
+    inversion and some candidate delay drops events while the widest
+    delay drops none — the decision curve actually decides."""
+    from pyspark.sql import functions as F
+
+    dp = temporal.disorder_profile(
+        spark, sf_dir, jitter=temporal.DISORDER_JITTER
+    )
+    assert dp.agg(F.sum("n_inversions")).collect()[0][0] > 0
+    drops = {
+        r.delay_s: r.n_dropped
+        for r in temporal.watermark_sim(
+            spark, sf_dir, jitter=temporal.DISORDER_JITTER
+        ).collect()
+    }
+    assert drops[0] > 0
+    assert drops[max(drops)] < drops[0]
