@@ -726,7 +726,7 @@ _DRIVER_PRIORITY = [
     "cooc_ktruss", "kg_condense", "split_leakage", "ivf_recall",
     "minhash_error", "props_profile", "dedup_keep_best",
     "embedding_quantize", "surface_editsim", "disorder_profile",
-    "watermark_sim", "kg_provenance",
+    "watermark_sim", "kg_provenance", "zonemap_prune",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -972,6 +972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table a z-clustered write would produce — data-skipping proof
         # lives in tests/test_layout.py (operators/layout.py)
         "zorder_files": layout.zorder_files,
+        # data-skipping effectiveness: files/rows touched per probe
+        # predicate under zorder vs arrival-time layout
+        "zonemap_prune": layout.zonemap_prune,
         # table-maintenance twin of the layout story: bin-packing
         # compaction plan over the z-clustered file statistics
         "compaction_plan": layout.compaction_plan,
@@ -1623,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_bands": textstats.duck_quality_bands(),
         "kg_paths": _duck_kg_paths(),
         "zorder_files": layout.duck_zorder_files(),
+        "zonemap_prune": layout.duck_zonemap_prune(),
         "compaction_plan": layout.duck_compaction_plan(),
         "embedding_gram": linalg.duck_embedding_gram(),
         "kg_kcore": _duck_kg_kcore(),

@@ -399,6 +399,7 @@ def main() -> None:
     timed("disorder_profile", _entry.queries()["disorder_profile"])
     timed("watermark_sim", _entry.queries()["watermark_sim"])
     timed("kg_provenance", _entry.queries()["kg_provenance"])
+    timed("zonemap_prune", layout.zonemap_prune)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -242,3 +242,122 @@ def duck_compaction_plan(target_rows: int = COMPACT_TARGET_ROWS) -> str:
                MIN(min_user) AS min_user, MAX(max_user) AS max_user
         FROM c GROUP BY 1
     """
+
+
+# ------------------------------------------------- zone-map prune audit
+
+# deterministic probe grid: point-user × 24-hour-window predicates
+PRUNE_PROBES = tuple(
+    (u, h, h + 23) for u in (1, 5, 9, 13) for h in (0, 64, 128, 192)
+)
+
+
+def _timeorder_stats_sql(rel: str, epoch_s: str, idiv: str) -> str:
+    """Zone-map stats of the BASELINE layout (equal-width time buckets —
+    what a plain append-by-arrival writer produces), engine-portable
+    like ``_stats_over``."""
+    mask = (1 << DIM_BITS) - 1
+    return f"""
+        SELECT zfile, COUNT(*) AS n_rows,
+               MIN(udim) AS min_user, MAX(udim) AS max_user,
+               MIN(tdim) AS min_hour, MAX(tdim) AS max_hour
+        FROM (
+            SELECT (tdim % 256) AS zfile, udim, tdim
+            FROM (
+                SELECT (user_id & {mask}) AS udim,
+                       ((({epoch_s}) {idiv} 3600) - {EPOCH_2024_HOURS})
+                           & {mask} AS tdim
+                FROM {rel}
+            )
+        )
+        GROUP BY zfile
+    """
+
+
+def zonemap_prune(
+    spark: SparkSession,
+    sf_dir: str,
+    probes: tuple[tuple[int, int, int], ...] = PRUNE_PROBES,
+) -> DataFrame:
+    """(pred_user, hour_lo, hour_hi, files_z, rows_z, files_t, rows_t)
+    — data-skipping effectiveness audit: for each probe predicate
+    (point user × 24-hour window), how many files — and an upper bound
+    on rows — a zone-map-consulting reader must touch under the
+    Z-ordered layout (``zorder_files``) vs the arrival-time baseline
+    (``timeorder_files``). This is the table that justifies paying for
+    the clustering write: at 100 TB the stats tables stay
+    file-dimension-sized (even 10^6 files is a dimension), the probe
+    grid is a literal, and every join below broadcasts — the audit
+    never touches the corpus beyond the two stats scans.
+
+    A file is touched iff the predicate intersects its [min, max] box
+    on BOTH dimensions; probes with zero matching files keep their row
+    (conditional sum over the cross join, not a filter+group)."""
+    zs = zorder_files(spark, sf_dir)
+    ts = timeorder_files(spark, sf_dir)
+    pdf = spark.createDataFrame(
+        [tuple(int(x) for x in p) for p in probes],
+        "pred_user int, hour_lo int, hour_hi int",
+    )
+
+    def audit(stats: DataFrame, fcol: str, rcol: str) -> DataFrame:
+        hit = (
+            (F.col("max_user") >= F.col("pred_user"))
+            & (F.col("min_user") <= F.col("pred_user"))
+            & (F.col("max_hour") >= F.col("hour_lo"))
+            & (F.col("min_hour") <= F.col("hour_hi"))
+        )
+        return (
+            F.broadcast(pdf)
+            .crossJoin(stats)
+            .groupBy("pred_user", "hour_lo", "hour_hi")
+            .agg(
+                F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(fcol),
+                F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+                .cast("long")
+                .alias(rcol),
+            )
+        )
+
+    return audit(zs, "files_z", "rows_z").join(
+        audit(ts, "files_t", "rows_t"),
+        ["pred_user", "hour_lo", "hour_hi"],
+    )
+
+
+def duck_zonemap_prune(
+    probes: tuple[tuple[int, int, int], ...] = PRUNE_PROBES,
+) -> str:
+    """Oracle: identical stats bodies, probe VALUES grid, intersection
+    rule, and conditional-sum audit."""
+    values = ", ".join(f"({u}, {lo}, {hi})" for u, lo, hi in probes)
+    audit = """
+            SELECT pred_user, hour_lo, hour_hi,
+                   SUM(CASE WHEN max_user >= pred_user
+                             AND min_user <= pred_user
+                             AND max_hour >= hour_lo
+                             AND min_hour <= hour_hi THEN 1 ELSE 0 END
+                   ) AS files_{tag},
+                   SUM(CASE WHEN max_user >= pred_user
+                             AND min_user <= pred_user
+                             AND max_hour >= hour_lo
+                             AND min_hour <= hour_hi THEN n_rows
+                            ELSE 0 END) AS rows_{tag}
+            FROM probes, {stats}
+            GROUP BY 1, 2, 3
+    """
+    return f"""
+        WITH probes(pred_user, hour_lo, hour_hi) AS (VALUES {values}),
+        zstats AS ({duck_zorder_files()}),
+        tstats AS (
+            {_timeorder_stats_sql("events", "epoch_us(ts) // 1000000", "//")}
+        ),
+        za AS ({audit.format(tag="z", stats="zstats")}),
+        ta AS ({audit.format(tag="t", stats="tstats")})
+        SELECT za.pred_user, za.hour_lo, za.hour_hi,
+               CAST(files_z AS BIGINT) AS files_z,
+               CAST(rows_z AS BIGINT) AS rows_z,
+               CAST(files_t AS BIGINT) AS files_t,
+               CAST(rows_t AS BIGINT) AS rows_t
+        FROM za JOIN ta USING (pred_user, hour_lo, hour_hi)
+    """

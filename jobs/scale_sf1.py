@@ -167,6 +167,7 @@ def main() -> None:
     from cross_sentence_relation_extraction_idepnn_spark.operators import temporal
     from cross_sentence_relation_extraction_idepnn_spark.operators.layout import (
         compaction_plan,
+        zonemap_prune,
         zorder_files,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
@@ -324,6 +325,7 @@ def main() -> None:
         "kg_provenance": lambda s, d: kg_provenance(
             extract_triples(s, d), canonicalize(_m(s, d))
         ),
+        "zonemap_prune": zonemap_prune,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():

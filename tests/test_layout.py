@@ -131,3 +131,46 @@ def test_compaction_plan_hand_computed_bins(spark):
         assert got[b]["total_rows"] == sum(f["n_rows"] for f in files)
         assert got[b]["first_file"] == files[0]["zfile"]
         assert got[b]["last_file"] == files[-1]["zfile"]
+
+
+def test_zonemap_prune_audit_invariants_and_zero_hit_row(spark):
+    """The prune audit must (a) keep a row for EVERY probe — including
+    a probe whose user dimension can never match (udim ≤ 255), with
+    zero files/rows; (b) bound touched files by the layout's file
+    count and touched rows by the table size; (c) agree with an
+    independent python replay of the intersection rule over the
+    collected stats tables; (d) show Z-order strictly beating the
+    arrival-time baseline in total files touched on the point-user
+    probe grid (the reason the operator exists)."""
+    probes = layout.PRUNE_PROBES + ((300, 0, 23),)
+    df = layout.zonemap_prune(spark, SF, probes=probes)
+    got = {
+        (r.pred_user, r.hour_lo, r.hour_hi): (
+            r.files_z, r.rows_z, r.files_t, r.rows_t
+        )
+        for r in df.collect()
+    }
+    assert len(got) == len(probes)
+    assert got[(300, 0, 23)] == (0, 0, 0, 0)
+
+    zstats = [r.asDict() for r in layout.zorder_files(spark, SF).collect()]
+    tstats = [r.asDict() for r in layout.timeorder_files(spark, SF).collect()]
+    n_rows_total = sum(f["n_rows"] for f in zstats)
+    assert n_rows_total == sum(f["n_rows"] for f in tstats)
+
+    def replay(stats, u, lo, hi):
+        hit = [
+            f for f in stats
+            if f["max_user"] >= u >= f["min_user"]
+            and f["max_hour"] >= lo and f["min_hour"] <= hi
+        ]
+        return len(hit), sum(f["n_rows"] for f in hit)
+
+    for (u, lo, hi), (fz, rz, ft, rt) in got.items():
+        assert (fz, rz) == replay(zstats, u, lo, hi)
+        assert (ft, rt) == replay(tstats, u, lo, hi)
+        assert fz <= len(zstats) and rz <= n_rows_total
+        assert ft <= len(tstats) and rt <= n_rows_total
+    total_z = sum(v[0] for v in got.values())
+    total_t = sum(v[2] for v in got.values())
+    assert total_z < total_t, (total_z, total_t)
