@@ -727,6 +727,7 @@ _DRIVER_PRIORITY = [
     "minhash_error", "props_profile", "dedup_keep_best",
     "embedding_quantize", "surface_editsim", "disorder_profile",
     "watermark_sim", "kg_provenance", "zonemap_prune",
+    "events_quantiles",
     # round-4-final additions: PARITY_SELF-covered now; first in line
     # (with the nine above) for the round-5 driver window.
     # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
@@ -1022,6 +1023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_sim": lambda s, d: temporal.watermark_sim(
             s, d, jitter=temporal.DISORDER_JITTER
         ),
+        # exact discrete order statistics (the quantile family's
+        # correctness baseline; value_histogram is the scale path)
+        "events_quantiles": temporal.events_quantiles,
         # label-stable incremental canonical-map extension
         "canonicalize_delta": _canonicalize_delta,
         # knowledge fusion: per-(subj, pred) winner election + margin
@@ -1525,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "watermark_sim": temporal.duck_watermark_sim(
             jitter=temporal.DISORDER_JITTER
         ),
+        "events_quantiles": temporal.duck_events_quantiles(),
         "dedup_delta": f"{shingles_prefix} {dedup.duck_minhash_delta()}",
         "dedup_clusters_delta": dedup.duck_dedup_clusters_delta(),
         "dedup_clusters": dedup.duck_dedup_clusters(),

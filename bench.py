@@ -400,6 +400,7 @@ def main() -> None:
     timed("watermark_sim", _entry.queries()["watermark_sim"])
     timed("kg_provenance", _entry.queries()["kg_provenance"])
     timed("zonemap_prune", layout.zonemap_prune)
+    timed("events_quantiles", temporal.events_quantiles)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

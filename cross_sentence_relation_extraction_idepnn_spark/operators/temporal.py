@@ -991,3 +991,67 @@ def duck_watermark_sim(
         )
         {arms}
     """
+
+
+# ----------------------------------------------- exact order statistics
+
+QUANT_PCTS = (50, 90, 99)
+
+
+def events_quantiles(
+    spark: SparkSession,
+    sf_dir: str,
+    pcts: tuple[int, ...] = QUANT_PCTS,
+) -> DataFrame:
+    """(event_type, n, p50, p90, p99) — EXACT discrete (lower) order
+    statistics of ``value`` per event type: rank(q) =
+    ``(q·(n−1)) div 100 + 1`` in (value, event_id) order, so the
+    answer is an actual data value and ties are deterministic — no
+    interpolation, no float arithmetic in the selection (the output
+    doubles pass through unchanged from the parquet scan, identical
+    bits in both engines).
+
+    This is the exactness BASELINE of the quantile family (the role
+    ``cosine_topk`` plays for ANN): it needs a per-type sort window,
+    which at 100 TB is the expensive-but-correct path you run on
+    samples or small dimensions. The scale paths are
+    ``value_histogram`` (constant-size mergeable state, error ≤ one
+    bin) and Spark's ``approx_percentile`` — this operator is what
+    you validate them against."""
+    ev = events_batch(spark, sf_dir).select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    j = r.join(F.broadcast(n), "event_type")
+    arms = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({q} * (n - 1)) div 100 + 1"),
+                F.col("value"),
+            )
+        ).alias(f"p{q}")
+        for q in pcts
+    ]
+    return j.groupBy("event_type").agg(F.max("n").alias("n"), *arms)
+
+
+def duck_events_quantiles(pcts: tuple[int, ...] = QUANT_PCTS) -> str:
+    """Oracle: identical rank formula, ordering, and tie-break."""
+    arms = ",\n               ".join(
+        f"MAX(CASE WHEN rn = ({q} * (n - 1)) // 100 + 1"
+        f" THEN value END) AS p{q}"
+        for q in pcts
+    )
+    return f"""
+        WITH r AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type, MAX(n) AS n,
+               {arms}
+        FROM r GROUP BY event_type
+    """

@@ -326,6 +326,7 @@ def main() -> None:
             extract_triples(s, d), canonicalize(_m(s, d))
         ),
         "zonemap_prune": zonemap_prune,
+        "events_quantiles": temporal.events_quantiles,
     }
     out: dict[str, dict] = {}
     for name, fn in queries.items():

@@ -556,3 +556,43 @@ def test_disorder_and_watermark_driver_rows_nonvacuous(spark, sf_dir):
     }
     assert drops[0] > 0
     assert drops[max(drops)] < drops[0]
+
+
+def test_events_quantiles_matches_numpy_lower_method(spark, tmp_path):
+    """The rank formula ((q·(n−1)) div 100 + 1, 1-based) IS numpy's
+    method='lower' discrete quantile; verified on crafted types
+    covering n=1, duplicate-heavy ties, and a clean ramp — plus the
+    tie-break determinism (value then event_id) that makes the window
+    reproducible across partitionings."""
+    import numpy as np
+    from datetime import datetime
+
+    ts = datetime(2026, 1, 1)
+    vals = {
+        "ramp": [10.0, 20.0, 30.0, 40.0, 50.0],
+        "single": [7.0],
+        "dupes": [5.0, 5.0, 5.0, 9.0],
+    }
+    rows, eid = [], 0
+    for t, vs in vals.items():
+        for v in vs:
+            eid += 1
+            rows.append((eid, ts, 1, t, v, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.event_type: (r.n, r.p50, r.p90, r.p99)
+        for r in temporal.events_quantiles(spark, str(tmp_path)).collect()
+    }
+    for t, vs in vals.items():
+        want = tuple(
+            float(np.percentile(vs, q, method="lower")) for q in (50, 90, 99)
+        )
+        assert got[t] == (len(vs),) + want, t
+    assert got["ramp"] == (5, 30.0, 40.0, 40.0)
+    assert got["dupes"] == (4, 5.0, 5.0, 5.0)
+    assert got["single"] == (1, 7.0, 7.0, 7.0)
