@@ -35,6 +35,7 @@ from cross_sentence_relation_extraction_idepnn_spark.functions.text import (
     normalize_chain,
 )
 from cross_sentence_relation_extraction_idepnn_spark.operators import (
+    audit,
     bpe,
     curation,
     dedup,
@@ -739,10 +740,17 @@ _DRIVER_PRIORITY = [
     # dedup_clusters_delta, plus the session-5 wave: containment_pairs,
     # kg_ppr, tfidf_keywords, cooc_ktruss, kg_condense, split_leakage,
     # ivf_recall, minhash_error, props_profile, dedup_keep_best,
-    # embedding_quantize (28 today; re-audit against the r04 json).
+    # embedding_quantize, plus the session-6 wave: snm_pairs,
+    # retrieval_eval, kmv_sketch, cdc_snapshot, vocab_growth, dq_audit
+    # (34 today; re-audit against the r04 json).
     "skew_profile", "dataset_split", "canonicalize_delta",
     "kg_resolve", "dedup_delta", "kg_neighbor_agg", "kg_clustering",
     "dedup_clusters_delta",
+    # session-6 wave: sorted-neighborhood dedup, retrieval eval, KMV
+    # bottom-k sketch, CDC latest-wins snapshot, Heaps'-law vocab
+    # growth, cross-table DQ expectation suite
+    "snm_pairs", "retrieval_eval", "kmv_sketch", "cdc_snapshot",
+    "vocab_growth", "dq_audit",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1060,6 +1068,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable fixed-bin histogram of event values (quantile
         # estimator pytest-verified vs exact numpy quantiles)
         "value_histogram": sketch.value_histogram,
+        # sorted-neighborhood dedup: rank-band candidates, exactly W·n
+        # pairs — the blocker family's no-hot-bucket member
+        "snm_pairs": dedup.snm_pairs,
+        # BM25 ranking quality vs conjunctive exact-match gold:
+        # integer-micro-unit MRR / P@k / R@k per query
+        "retrieval_eval": search.retrieval_eval,
+        # bottom-k (KMV/Theta) distinct sketch per source scope —
+        # the set-operation-capable member of the sketch family
+        "kmv_sketch": sketch.kmv_sketch,
+        # latest-wins CDC upsert snapshot (MERGE INTO kernel) with
+        # tombstone semantics
+        "cdc_snapshot": temporal.cdc_snapshot,
+        # Heaps'-law vocabulary-growth curve at power-of-two prefixes
+        "vocab_growth": textstats.vocab_growth,
+        # cross-table data-quality expectation suite (Deequ pattern)
+        "dq_audit": audit.dq_audit,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1652,6 +1676,12 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prefilter": curation.duck_bloom_prefilter(),
         "event_funnel": temporal.duck_event_funnel(),
         "value_histogram": sketch.duck_value_histogram(),
+        "snm_pairs": dedup.duck_snm_pairs(),
+        "retrieval_eval": search.duck_retrieval_eval(),
+        "kmv_sketch": sketch.duck_kmv_sketch(),
+        "cdc_snapshot": temporal.duck_cdc_snapshot(),
+        "vocab_growth": textstats.duck_vocab_growth(),
+        "dq_audit": audit.duck_dq_audit(),
     }
 
 

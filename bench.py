@@ -401,6 +401,14 @@ def main() -> None:
     timed("kg_provenance", _entry.queries()["kg_provenance"])
     timed("zonemap_prune", layout.zonemap_prune)
     timed("events_quantiles", temporal.events_quantiles)
+    from cross_sentence_relation_extraction_idepnn_spark.operators import audit
+
+    timed("snm_pairs", dedup.snm_pairs)
+    timed("retrieval_eval", search.retrieval_eval)
+    timed("kmv_sketch", sketch.kmv_sketch)
+    timed("cdc_snapshot", temporal.cdc_snapshot)
+    timed("vocab_growth", textstats.vocab_growth)
+    timed("dq_audit", audit.dq_audit)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -1291,3 +1291,129 @@ def duck_minhash_error(tau: float = MINHASH_TAU) -> str:
         FROM pf p
         JOIN est e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
     """
+
+
+# ------------------------------------------------- sorted neighborhood
+
+SNM_WINDOW = 4  # compare each record with its next W sort neighbors
+SNM_KEY_LEN = 24  # blocking key: first chars of the normalized text
+
+
+def _snm_key(text_col):
+    return F.substring(
+        F.regexp_replace(F.lower(text_col), "[^a-z0-9]", ""), 1, SNM_KEY_LEN
+    )
+
+
+def snm_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = SNM_WINDOW,
+    tau: float = NGRAM_TAU,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — sorted-neighborhood dedup blocking
+    (Hernández & Stolfo 1995): sort the corpus by a normalized prefix
+    key, pair each record with its next ``window`` sort neighbors, and
+    verify candidates with exact shingle Jaccard ≥ ``tau``.
+
+    Complements the hash-family blockers (MinHash bands, SimHash
+    blocks, n-gram blocks): SNM catches prefix-preserving near-dups
+    whose edits fall in bucketing boundaries, and its candidate count
+    is EXACTLY ``W·n`` — no hot-bucket blowup to cap, ever.
+
+    100 TB shape: the global sort rank uses the A9 ``vocabulary``
+    two-phase numbering (range-partition by key → in-range
+    row_number + driver-side prefix offsets over ≤ ``n_ranges``
+    counts) — no single-task sort; the neighbor join is a rank
+    equi-join (rank_b = rank_a + d, d ≤ W) whose build side is the
+    corpus itself range-partitioned the same way, so AQE plans it as
+    a co-partitioned join; verification is the shared
+    :func:`_verify_jaccard_sets` array-intersect (no aggregation)."""
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    keyed = docs.select("doc_id", _snm_key(F.col("text")).alias("snm_key"))
+    from pyspark.storagelevel import StorageLevel
+
+    ranged = (
+        keyed.repartitionByRange(n_ranges, "snm_key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_cache(ranged)
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets += [F.lit(p), F.lit(acc)]
+        acc += counts[p]
+    off_map = F.create_map(*offsets) if offsets else F.create_map()
+    w = Window.partitionBy("pid").orderBy("snm_key", "doc_id")
+    ranked = ranged.withColumn(
+        "rnk",
+        (F.row_number().over(w) + F.coalesce(off_map[F.col("pid")], F.lit(0)))
+        .cast("long"),
+    ).select("doc_id", "rnk")
+    probe = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("rnk"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, window + 1)])
+        ).alias("d"),
+    ).select("id_a", (F.col("rnk") + F.col("d")).alias("rnk_b"))
+    cand = probe.join(
+        ranked.select(
+            F.col("doc_id").alias("id_b"), F.col("rnk").alias("rnk_b")
+        ),
+        "rnk_b",
+    ).select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+    )
+    return _verify_jaccard_sets(cand, _shingle_arrays(spark, sf_dir), tau)
+
+
+def duck_snm_pairs(
+    window: int = SNM_WINDOW, tau: float = NGRAM_TAU
+) -> str:
+    """Oracle: single global ROW_NUMBER (independent formulation of
+    the engine's two-phase numbering) + rank band join + the shared
+    shingle-Jaccard verification SQL."""
+    return f"""
+        WITH shingles AS ({duck_shingles_cte()}),
+        keyed AS (
+            SELECT doc_id,
+                   substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                          1, {SNM_KEY_LEN}) AS snm_key
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY snm_key, doc_id) AS rnk
+            FROM keyed
+        ),
+        cand AS (
+            SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
+                   GREATEST(x.doc_id, y.doc_id) AS doc_b
+            FROM r x JOIN r y
+              ON y.rnk > x.rnk AND y.rnk <= x.rnk + {window}
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+            FROM cand c
+            JOIN shingles s1 ON s1.doc_id = c.doc_a
+            JOIN shingles s2 ON s2.doc_id = c.doc_b AND s1.shingle = s2.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               ROUND(COALESCE(i.n_inter, 0) * 1.0
+                     / (ca.n + cb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN counts ca ON ca.doc_id = c.doc_a
+        JOIN counts cb ON cb.doc_id = c.doc_b
+        WHERE COALESCE(i.n_inter, 0) * 1.0
+              / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= {tau}
+    """

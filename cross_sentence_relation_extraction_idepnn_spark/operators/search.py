@@ -75,12 +75,22 @@ def _qterms(base: DataFrame) -> DataFrame:
 def _postings(base: DataFrame, qterms: DataFrame) -> DataFrame:
     """(doc_id, term, dl, tf) — the ONE corpus pass both rankers need:
     exploded tokens semi-joined against the broadcast query-term set,
-    then tf-aggregated. (doc, term)-unique by construction."""
-    return (
+    then tf-aggregated. (doc, term)-unique by construction.
+
+    Persisted (query-matched postings only — KB-sized, never the
+    corpus): df derivation, BM25 weighting, and the conjunctive gold
+    of :func:`retrieval_eval` all reuse this subtree, and without the
+    persist each consumer would re-explode the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
+    return track_cache(
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("doc_id", "term", "dl")
         .agg(F.count("*").cast("long").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -147,9 +157,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def duck_bm25() -> str:
     """Same BIGINT algebra; `//` is floor which equals half-up round
     here because every numerator/denominator is positive."""
+    ctes, final = _duck_bm25_parts()
+    return f"WITH {ctes}\n{final}"
+
+
+def _duck_bm25_parts() -> tuple[str, str]:
+    """(CTE chain, final SELECT) — split so :func:`duck_retrieval_eval`
+    can reuse the ranking as a named CTE."""
     pos = ", ".join(f"toks[{p + 1}]" for p in QUERY_TOKEN_POS0)  # 1-based
-    return f"""
-        WITH base AS (
+    ctes = f"""base AS (
             SELECT doc_id, string_split(text, ' ') AS toks,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
             FROM documents
@@ -191,7 +207,8 @@ def duck_bm25() -> str:
             SELECT query_id, doc_id,
                    (SUM(idf6 * tf6) + 500000) // 1000000 AS score_e6
             FROM w GROUP BY query_id, doc_id
-        )
+        )"""
+    final = f"""
         SELECT query_id, rnk, doc_id, score_e6
         FROM (
             SELECT query_id, doc_id, score_e6,
@@ -203,6 +220,7 @@ def duck_bm25() -> str:
         )
         WHERE rnk <= {TOP_K}
     """
+    return ctes, final
 
 
 def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,4 +534,134 @@ def duck_collocations() -> str:
         FROM ranked
         ORDER BY lift_e6 DESC, w1, w2
         LIMIT {COLL_TOP}
+    """
+
+
+# ------------------------------------------------------ retrieval eval
+
+MRR_E6 = 1_000_000
+
+
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_rel, hits, first_rank, mrr_e6, p_at_k_e6,
+    r_at_k_e6) — ranking-quality evaluation of the BM25 top-k against
+    a corpus-derived boolean gold: a document is RELEVANT to a query
+    iff it contains ALL the query's terms (conjunctive relevance — the
+    exact-match labels a retrieval harness derives when no human
+    judgments exist).
+
+    Exact-integer metric surface (the ``ann_recall``/``ivf_recall``
+    precedent extended to graded ranking): reciprocal rank, P@k and
+    R@k are emitted in integer micro-units via BIGINT floor division
+    — IEEE log-free, so the oracle hash-matches. nDCG is deliberately
+    NOT emitted: its log2 discount is not exact-rational, and MRR +
+    P@k + R@k dominate it for conjunctive (binary) gold.
+
+    100 TB shape: gold reuses the SAME posting pass BM25 ranks with
+    (one corpus scan total — the semi-joined postings table feeds
+    both), per-query term counts and the gold set ride as broadcasts,
+    and everything after the postings groupBy is query-grain
+    (#queries × k rows)."""
+    base = _base(spark, sf_dir)
+    qterms = _qterms(base)
+    posts = _postings(base, qterms)
+    nq = qterms.groupBy("query_id").agg(
+        F.count_distinct("term").alias("n_terms")
+    )
+    gold = (
+        posts.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("n_match"))
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("n_match") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    topk = _bm25_rank(base, qterms, posts)
+    scored = topk.join(
+        gold.withColumn("rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("rel"), F.lit(0))).cast("long").alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("_fr"),
+    )
+    nrel = gold.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_rel")
+    )
+    return (
+        per_q.join(nrel, "query_id", "left")
+        .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0)).cast("long"))
+        .withColumn(
+            "first_rank", F.coalesce(F.col("_fr"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "mrr_e6",
+            F.expr(
+                f"CASE WHEN first_rank > 0 THEN {MRR_E6} div first_rank"
+                " ELSE 0 END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "p_at_k_e6", F.expr(f"hits * {MRR_E6} div {TOP_K}").cast("long")
+        )
+        .withColumn(
+            "r_at_k_e6",
+            F.expr(
+                f"CASE WHEN n_rel > 0 THEN hits * {MRR_E6} div n_rel"
+                " ELSE 0 END"
+            ).cast("long"),
+        )
+        .select(
+            "query_id", "n_rel", "hits", "first_rank",
+            "mrr_e6", "p_at_k_e6", "r_at_k_e6",
+        )
+    )
+
+
+def duck_retrieval_eval() -> str:
+    """Oracle: the shared BM25 CTE chain + the same conjunctive gold
+    and integer metric algebra."""
+    ctes, final = _duck_bm25_parts()
+    return f"""
+        WITH {ctes},
+        topk AS ({final}),
+        nq AS (
+            SELECT query_id, COUNT(DISTINCT term) AS n_terms
+            FROM qt GROUP BY query_id
+        ),
+        gold AS (
+            SELECT m.query_id, m.doc_id
+            FROM (
+                SELECT q.query_id, p.doc_id,
+                       COUNT(DISTINCT p.term) AS n_match
+                FROM posts p JOIN qt q USING (term)
+                GROUP BY q.query_id, p.doc_id
+            ) m
+            JOIN nq USING (query_id)
+            WHERE m.n_match = nq.n_terms
+        ),
+        per_q AS (
+            SELECT t.query_id,
+                   CAST(SUM(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits,
+                   MIN(CASE WHEN g.doc_id IS NOT NULL THEN t.rnk END) AS _fr
+            FROM topk t
+            LEFT JOIN gold g
+              ON g.query_id = t.query_id AND g.doc_id = t.doc_id
+            GROUP BY t.query_id
+        ),
+        nrel AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+            FROM gold GROUP BY query_id
+        )
+        SELECT p.query_id,
+               CAST(COALESCE(r.n_rel, 0) AS BIGINT) AS n_rel,
+               p.hits,
+               CAST(COALESCE(p._fr, 0) AS BIGINT) AS first_rank,
+               CAST(CASE WHEN p._fr IS NOT NULL THEN {MRR_E6} // p._fr
+                         ELSE 0 END AS BIGINT) AS mrr_e6,
+               CAST(p.hits * {MRR_E6} // {TOP_K} AS BIGINT) AS p_at_k_e6,
+               CAST(CASE WHEN COALESCE(r.n_rel, 0) > 0
+                         THEN p.hits * {MRR_E6} // r.n_rel
+                         ELSE 0 END AS BIGINT) AS r_at_k_e6
+        FROM per_q p LEFT JOIN nrel r USING (query_id)
     """

@@ -286,3 +286,103 @@ def histogram_quantile(bins: dict[int, int], q: float) -> float:
             return (b + frac) * HIST_BIN_WIDTH
         run += c
     return HIST_BINS * HIST_BIN_WIDTH
+
+
+# ----------------------------------------------------------------- KMV
+
+KMV_K = 32
+KMV_SCOPE_ALL = "__all__"
+H_SPACE = 1 << 60  # H() is a 60-bit value
+
+
+def kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(scope, k_rank, hval) — K-minimum-values (bottom-k) distinct
+    sketch (Bar-Yossef et al. 2002 / the Theta-sketch family) over
+    ``H(text)``, one scope per document source plus a ``__all__``
+    union scope.
+
+    What HLL can't do and KMV can: SET OPERATIONS. Two KMV sketches
+    intersect/union by merging their value lists (union = k smallest
+    of the merged minima; intersection estimated from the overlap
+    inside the union's k-th-value prefix), so cross-shard overlap
+    questions ("how many docs do crawl A and crawl B share?") stay
+    sketch-sized. Merge law ``kmv(A ∪ B) = merge(kmv(A), kmv(B))``
+    is pytest-verified (:mod:`tests.test_sketch`).
+
+    Parity surface is the integer value list itself (the HLL/CMS
+    precedent): the float estimator ``(k-1)·2^60 / h_k`` lives in
+    :func:`kmv_estimate` and is pytest-checked against exact distinct
+    counts. At 100 TB the exact bottom-k is a decomposable aggregate
+    (per-partition k minima, then k minima of the ≤ k·P merged
+    candidates); this expression uses the distinct + per-scope window
+    form, which AQE executes as partial-distinct → one exchange on
+    scope — the window sorts only distinct hashes, never the corpus."""
+    return kmv_from_docs(
+        read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    )
+
+
+def kmv_from_docs(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = spark_h15(F.col("text")).alias("hval")
+    per = docs.select(F.col("source").alias("scope"), h)
+    both = per.unionByName(
+        docs.select(F.lit(KMV_SCOPE_ALL).alias("scope"), h)
+    ).distinct()
+    win = Window.partitionBy("scope").orderBy("hval")
+    return (
+        both.withColumn("k_rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("k_rank") <= KMV_K)
+        .select("scope", "k_rank", "hval")
+    )
+
+
+def duck_kmv_sketch() -> str:
+    h = duck_h15("text")
+    return f"""
+        WITH hv AS (
+            SELECT source AS scope, {h} AS hval FROM documents
+            UNION ALL
+            SELECT '{KMV_SCOPE_ALL}' AS scope, {h} AS hval FROM documents
+        ),
+        d AS (SELECT DISTINCT scope, hval FROM hv),
+        r AS (
+            SELECT scope, hval,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY scope ORDER BY hval
+                   ) AS BIGINT) AS k_rank
+            FROM d
+        )
+        SELECT scope, k_rank, hval FROM r WHERE k_rank <= {KMV_K}
+    """
+
+
+def kmv_merge(sketches: list[list[int]], k: int = KMV_K) -> list[int]:
+    """Merge per-shard KMV value lists: k smallest of the distinct
+    union — exact Python bigints (the pytest oracle for the merge
+    law and the estimator)."""
+    return sorted(set().union(*map(set, sketches)))[:k]
+
+
+def kmv_estimate(values: list[int], k: int = KMV_K) -> float:
+    """(k-1) · 2^60 / h_k when the sketch is full, else the exact
+    count (the sketch saw every distinct value)."""
+    if len(values) < k:
+        return float(len(values))
+    return (k - 1) * H_SPACE / values[k - 1]
+
+
+def kmv_intersection_estimate(
+    a: list[int], b: list[int], k: int = KMV_K
+) -> float:
+    """|A ∩ B| estimate: Jaccard from the overlap inside the k-th
+    smallest value of the MERGED sketch, scaled by the union
+    estimate (the standard bottom-k set-operation rule)."""
+    merged = kmv_merge([a, b], k)
+    if not merged:
+        return 0.0
+    kk = min(k, len(merged))
+    prefix = set(merged[:kk])
+    inter = len(prefix & set(a) & set(b))
+    return inter / kk * kmv_estimate(merged, k)

@@ -1055,3 +1055,59 @@ def duck_events_quantiles(pcts: tuple[int, ...] = QUANT_PCTS) -> str:
                {arms}
         FROM r GROUP BY event_type
     """
+
+
+# ---------------------------------------------------------- CDC upsert
+
+CDC_TOMBSTONE = "error"  # change-type that deletes the key
+
+
+def cdc_state(events: DataFrame) -> DataFrame:
+    """Latest-wins CDC state per ``user_id``: the single newest change
+    row by ``(ts, event_id)`` — INCLUDING tombstones, because merge
+    state must remember deletions (a tombstone dropped from state
+    would let an older buffered change resurrect the key).
+
+    This is the MERGE INTO / upsert kernel: one hash exchange on the
+    key, row_number, keep rn = 1. Latest-wins is associative —
+    ``state(A ∪ B) = latest(state(A) ∪ state(B))`` — so daily change
+    batches fold into the snapshot without re-reading history
+    (pytest-verified merge law, :mod:`tests.test_temporal`)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+def cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, last_event_id, last_ts, last_type, last_value) — the
+    queryable CDC snapshot: :func:`cdc_state` minus keys whose newest
+    change is a tombstone (``event_type = 'error'``)."""
+    return cdc_state(events_batch(spark, sf_dir)).filter(
+        F.col("last_type") != CDC_TOMBSTONE
+    )
+
+
+def duck_cdc_snapshot() -> str:
+    return f"""
+        WITH r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        )
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               event_type AS last_type, value AS last_value
+        FROM r
+        WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'
+    """

@@ -671,3 +671,127 @@ def duck_tfidf_keywords(k: int = TFIDF_TOP_K) -> str:
             ) AS rank FROM scored
         ) WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------- vocab growth
+
+VG_CHECKPOINTS = tuple(1 << k for k in range(8, 23))  # 256 … 4,194,304
+
+
+def vocab_growth(
+    spark: SparkSession, sf_dir: str, n_ranges: int = 32
+) -> DataFrame:
+    """(n_tokens, n_distinct) — the vocabulary-growth (Heaps' law)
+    curve: number of DISTINCT terms seen within the first ``c`` tokens
+    of the corpus in stable (doc_id, position) order, sampled at
+    power-of-two checkpoints ≤ the corpus token count.
+
+    Why a pipeline wants it: the V(n) ≈ K·n^β fit predicts vocabulary
+    (and tokenizer/embedding-table) size at 100× the crawl BEFORE
+    committing to a vocab budget, and a β break between crawl slices
+    is a fast drift alarm (template/boilerplate floods bend the curve
+    down, encoding bugs bend it up).
+
+    Shape: per-doc token offsets come from the A9 two-phase numbering
+    (range-partition by doc_id → windowed in-range cumsum + ≤
+    ``n_ranges`` driver-side prefix offsets — never a single-task
+    global sort); first-occurrence index is one groupBy(term) MIN; the
+    checkpoint counts are ONE conditional aggregation over the
+    term-grain table (vocab-sized, not corpus-sized), unpivoted with
+    ``stack``."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import track_cache
+
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    sized = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+    )
+    ranged = (
+        sized.repartitionByRange(n_ranges, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_cache(ranged)
+    sums = {
+        r["pid"]: r["s"]
+        for r in ranged.groupBy("pid").agg(F.sum("dl").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(sums):
+        offsets += [F.lit(p), F.lit(int(sums[p] is not None and acc))]
+        acc += int(sums[p] or 0)
+    total = acc
+    off_map = F.create_map(*offsets) if offsets else F.create_map()
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("dl").over(w), F.lit(0)) + F.coalesce(
+        off_map[F.col("pid")], F.lit(0)
+    )
+    toks = (
+        ranged.withColumn("off", off)
+        .select("off", F.posexplode("ws").alias("pos", "word"))
+        .select(
+            "word", (F.col("off") + F.col("pos") + 1).alias("gidx")
+        )
+    )
+    first = toks.groupBy("word").agg(F.min("gidx").alias("fi"))
+    cps = [c for c in VG_CHECKPOINTS if c <= total]
+    if not cps:
+        cps = [max(total, 1)]
+    agg = first.agg(
+        *[
+            F.sum((F.col("fi") <= c).cast("long")).alias(f"c{c}")
+            for c in cps
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({c} AS BIGINT), c{c}" for c in cps
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(cps)}, {stack_args}) AS (n_tokens, n_distinct)"
+        )
+    )
+
+
+def duck_vocab_growth() -> str:
+    """Oracle: global ordered window for the offsets (independent of
+    the engine's two-phase cumsum) + one UNION ALL branch per
+    checkpoint, each self-gated by ``HAVING total >= c`` so the
+    emitted checkpoint set matches at every scale factor."""
+    branches = "\n        UNION ALL\n".join(
+        f"""
+        SELECT CAST({c} AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN fi <= {c} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_distinct
+        FROM first
+        HAVING (SELECT SUM(dl) FROM sized) >= {c}"""
+        for c in VG_CHECKPOINTS
+    )
+    return f"""
+        WITH sized AS (
+            SELECT doc_id, string_split(text, ' ') AS ws,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        offs AS (
+            SELECT doc_id, ws,
+                   COALESCE(SUM(dl) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS off
+            FROM sized
+        ),
+        toks AS (
+            SELECT ws[i + 1] AS word, off + i + 1 AS gidx
+            FROM (SELECT ws, off, UNNEST(range(len(ws))) AS i FROM offs)
+        ),
+        first AS (SELECT word, MIN(gidx) AS fi FROM toks GROUP BY word)
+        {branches}
+    """

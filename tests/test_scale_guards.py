@@ -864,3 +864,45 @@ def test_ivf_recall_bounds_and_panel_size(spark, sf_dir):
     assert (out.hits <= out.k_exact).all()
     assert (out.recall == (out.hits / out.k_exact).round(6)).all()
     assert (out.recall == 1.0).any()
+
+
+def test_snm_identical_hot_group_candidates_stay_linear(spark, tmp_path):
+    """90 docs with IDENTICAL text — the hot case that explodes every
+    hash blocker into C(90,2)=4005 candidates before its cap fires —
+    must yield exactly Σ_{d=1..W}(90-d) SNM pairs (window-banded, all
+    jaccard 1.0), the disjoint prefix-twin group must still pair, and
+    the DuckDB oracle agrees bit-for-bit."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from compare_util import assert_frames_match
+
+    from cross_sentence_relation_extraction_idepnn_spark.session import release_caches
+
+    rows = [(f"hot{i:03d}", "w1 w2 w3 w4 w5 w6 w7") for i in range(90)]
+    # prefix twins: same normalized 24-char prefix key, one token edit
+    rows += [
+        ("twina", "zz aa bb cc dd ee ff gg hh ii jj kk"),
+        ("twinb", "zz aa bb cc dd ee ff gg hh ii jj XX"),
+    ]
+    rows += [(f"lone{i}", f"q{i}a q{i}b q{i}c q{i}d q{i}e") for i in range(20)]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    w = dedup.SNM_WINDOW
+    out = dedup.snm_pairs(spark, sf, window=w, tau=0.5)
+    pdf = out.toPandas()
+    hot = pdf[pdf.doc_a.str.startswith("hot") & pdf.doc_b.str.startswith("hot")]
+    assert len(hot) == sum(90 - d for d in range(1, w + 1))
+    assert (hot.jaccard == 1.0).all()
+    twins = pdf[pdf.doc_a.str.startswith("twin")]
+    assert len(twins) == 1 and twins.iloc[0].jaccard < 1.0
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    assert_frames_match(out, con, dedup.duck_snm_pairs(window=w, tau=0.5))
+    release_caches()

@@ -132,3 +132,61 @@ def test_hybrid_rrf_recomputes_from_component_rankers(spark, sf_dir):
     # non-degenerate: at least one query has a doc boosted by BOTH lists
     both = {k for k, v in want.items() if v > 1_000_000 // (RRF_K + 1)}
     assert both or len(bm) == 0  # corpus-derived queries overlap heavily
+
+
+def test_retrieval_eval_metric_algebra_and_nonvacuity(spark, sf_dir):
+    """Every metric must be internally consistent with the BM25 top-k
+    and the conjunctive gold it is scored against: hits ≤ min(k,
+    n_rel), MRR = ⌊1e6/first_rank⌋, P@k = ⌊hits·1e6/k⌋, R@k =
+    ⌊hits·1e6/n_rel⌋ — and the fixture must exercise the non-trivial
+    region (some query with 0 < hits)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.search import (
+        MRR_E6,
+        TOP_K,
+        retrieval_eval,
+    )
+
+    rows = retrieval_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hits <= min(TOP_K, r.n_rel)
+        if r.first_rank:
+            assert 1 <= r.first_rank <= TOP_K
+            assert r.mrr_e6 == MRR_E6 // r.first_rank
+        else:
+            assert r.hits == 0 and r.mrr_e6 == 0
+        assert r.p_at_k_e6 == r.hits * MRR_E6 // TOP_K
+        if r.n_rel:
+            assert r.r_at_k_e6 == r.hits * MRR_E6 // r.n_rel
+    assert any(r.hits > 0 for r in rows), "gold never intersects top-k"
+
+
+def test_retrieval_eval_hand_computed_gold(spark, tmp_path):
+    """Crafted corpus where the conjunctive gold and the ranking are
+    both derivable by hand: docs containing ALL query terms are gold;
+    a doc with only one term is retrieved but not relevant."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.search import (
+        retrieval_eval,
+    )
+
+    # queries are derived from doc 0's tokens at QUERY_TOKEN_POS0 —
+    # craft doc 0 so every query position holds a known term pair
+    base = ["qa", "qb"] * 40
+    rows = [(0, " ".join(base))]
+    rows += [(i, "qa qb filler" + str(i)) for i in range(1, 4)]  # gold
+    rows += [(i, "qa only" + str(i)) for i in range(4, 7)]  # partial
+    rows += [(i, f"x{i} y{i}") for i in range(7, 10)]  # noise
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.query_id: r for r in retrieval_eval(spark, sf).collect()}
+    assert set(out) == set(range(8))
+    # q0 and q4-6 sample only 'qa' at the query positions: gold = the 7
+    # docs containing qa, of which TOP_K=5 fill the whole result list
+    for qid in (0, 4, 5, 6):
+        assert out[qid].n_rel == 7 and out[qid].hits == 5
+        assert out[qid].first_rank == 1
+    # q1-3 = {qa, fillerN}: conjunctive gold is exactly doc N
+    for qid in (1, 2, 3):
+        assert out[qid].n_rel == 1 and out[qid].hits == 1
+    # q7 = {x7}: only doc 7 matches anything
+    assert out[7].n_rel == 1 and out[7].hits == 1
+    assert out[7].first_rank == 1

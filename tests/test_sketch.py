@@ -240,3 +240,76 @@ def test_histogram_quantile_within_one_bin_width(spark, sf_dir):
         est = histogram_quantile(bins, q)
         exact = float(np.quantile(vals, q))
         assert abs(est - exact) <= HIST_BIN_WIDTH, (q, est, exact)
+
+
+# ------------------------------------------------------------- KMV
+
+
+def test_kmv_merge_law_scopes_roll_up_to_all(spark, sf_dir):
+    """kmv(A ∪ B ∪ …) = merge(kmv(A), kmv(B), …): the __all__ scope's
+    value list must equal the Python bigint merge of the per-source
+    bottom-k lists — per-shard sketches roll up without re-reading."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        KMV_K,
+        KMV_SCOPE_ALL,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = kmv_sketch(spark, sf_dir).collect()
+    by_scope: dict = {}
+    for r in rows:
+        by_scope.setdefault(r.scope, []).append((r.k_rank, r.hval))
+    got_all = [h for _, h in sorted(by_scope.pop(KMV_SCOPE_ALL))]
+    merged = kmv_merge(
+        [[h for _, h in sorted(v)] for v in by_scope.values()], KMV_K
+    )
+    assert got_all == merged
+    release_caches()
+
+
+def test_kmv_estimator_tracks_exact_distinct(spark, sf_dir):
+    """Full sketch: (k-1)·2^60/h_k within the bottom-k error envelope
+    of the exact distinct count; undersized sketch: exact."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        KMV_K,
+        KMV_SCOPE_ALL,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    vals = [
+        r.hval
+        for r in kmv_sketch(spark, sf_dir)
+        .filter(F.col("scope") == KMV_SCOPE_ALL)
+        .orderBy("k_rank")
+        .collect()
+    ]
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT text) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    est = kmv_estimate(vals, KMV_K)
+    if len(vals) < KMV_K:
+        assert est == float(exact)
+    else:
+        # bottom-k relative std error ≈ 1/sqrt(k-1) ≈ 18% at k=32;
+        # 3-sigma envelope
+        assert abs(est - exact) / exact < 0.55, (est, exact)
+    release_caches()
+
+
+def test_kmv_intersection_estimate_exact_regimes():
+    """Crafted sketches where the estimator's answer is derivable by
+    hand: identical sets → the union estimate; disjoint sets → 0."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_intersection_estimate,
+        kmv_merge,
+    )
+
+    k = 8
+    a = [10, 20, 30, 40, 50, 60, 70, 80]
+    assert kmv_intersection_estimate(a, list(a), k) == kmv_estimate(a, k)
+    b = [15, 25, 35, 45, 55, 65, 75, 85]
+    assert kmv_intersection_estimate(a, b, k) == 0.0
+    assert kmv_merge([a, b], k) == [10, 15, 20, 25, 30, 35, 40, 45]

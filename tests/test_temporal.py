@@ -596,3 +596,68 @@ def test_events_quantiles_matches_numpy_lower_method(spark, tmp_path):
     assert got["ramp"] == (5, 30.0, 40.0, 40.0)
     assert got["dupes"] == (4, 5.0, 5.0, 5.0)
     assert got["single"] == (1, 7.0, 7.0, 7.0)
+
+
+# ------------------------------------------------------------- CDC
+
+
+def test_cdc_state_merge_law_and_tie_break(spark):
+    """state(A ∪ B) = latest(state(A) ∪ state(B)) — daily change
+    batches fold into the snapshot without re-reading history — and
+    equal-ts changes resolve by event_id (write order)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click"),
+        (2, "2024-01-03 00:00:00", 1, "view"),
+        (3, "2024-01-02 00:00:00", 1, "purchase"),
+        (4, "2024-01-03 00:00:00", 1, "signup"),  # ts tie with #2
+        (5, "2024-01-01 00:00:00", 2, "click"),
+        (6, "2024-01-05 00:00:00", 2, "error"),  # tombstone newest
+        (7, "2024-01-04 00:00:00", 2, "view"),
+        (8, "2024-01-02 00:00:00", 3, "view"),
+    ]
+    ev = _events(spark, rows)
+    full = {r.user_id: r for r in temporal.cdc_state(ev).collect()}
+    # tie at 2024-01-03 broken by event_id: 4 beats 2
+    assert full[1].last_event_id == 4 and full[1].last_type == "signup"
+    # state REMEMBERS the tombstone (resurrection guard)
+    assert full[2].last_type == "error"
+    # merge law: state over union == state over union of per-batch states
+    a = temporal.cdc_state(ev.filter(F.col("event_id") % 2 == 0))
+    b = temporal.cdc_state(ev.filter(F.col("event_id") % 2 == 1))
+    refold = temporal.cdc_state(
+        a.unionByName(b).select(
+            F.col("last_event_id").alias("event_id"),
+            F.col("last_ts").alias("ts"),
+            "user_id",
+            F.col("last_type").alias("event_type"),
+            F.col("last_value").alias("value"),
+        )
+    )
+    assert {tuple(r) for r in refold.collect()} == {
+        tuple(r) for r in full.values()
+    }
+
+
+def test_cdc_snapshot_drops_tombstoned_keys_only(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click"),
+        (2, "2024-01-02 00:00:00", 2, "error"),   # newest = tombstone
+        (3, "2024-01-03 00:00:00", 3, "error"),
+        (4, "2024-01-04 00:00:00", 3, "view"),    # resurrected after
+    ]
+    snap = {
+        r.user_id: r
+        for r in temporal.cdc_state(_events(spark, rows))
+        .filter(F.col("last_type") != temporal.CDC_TOMBSTONE)
+        .collect()
+    }
+    assert set(snap) == {1, 3}
+    assert snap[3].last_event_id == 4
+
+
+def test_cdc_state_plan_is_single_exchange(spark, sf_dir):
+    """MERGE kernel shape: one hash exchange on the key, no join."""
+    df = temporal.cdc_state(temporal.events_batch(spark, sf_dir))
+    plan = _plan(df)
+    assert _count_op(plan, "Exchange") == 1, plan
+    assert "Join" not in plan

@@ -65,3 +65,49 @@ def test_source_keywords_matches_python_twin(spark, sf_dir):
 
     release_caches()
     assert got == expect
+
+
+def test_vocab_growth_matches_python_scan_and_is_monotone(spark, sf_dir):
+    """Independent Python twin: stream tokens in (doc_id, position)
+    order, record |vocab| at each power-of-two checkpoint — every
+    (n_tokens, n_distinct) row must match, the curve must be
+    non-decreasing, and the last checkpoint ≤ the corpus vocabulary."""
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        VG_CHECKPOINTS,
+        vocab_growth,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import (
+        release_caches,
+    )
+
+    got = {
+        r.n_tokens: r.n_distinct
+        for r in vocab_growth(spark, sf_dir).collect()
+    }
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "text"]
+    ].sort_values("doc_id")
+    seen: set = set()
+    n = 0
+    expect: dict = {}
+    cps = iter(sorted(VG_CHECKPOINTS))
+    cp = next(cps)
+    for text in df["text"]:
+        for tok in str(text).split(" "):
+            n += 1
+            seen.add(tok)
+            if n == cp:
+                expect[cp] = len(seen)
+                try:
+                    cp = next(cps)
+                except StopIteration:
+                    cp = None
+                    break
+        if cp is None:
+            break
+    assert got == expect
+    counts = [got[k] for k in sorted(got)]
+    assert counts == sorted(counts)
+    release_caches()
