@@ -751,6 +751,10 @@ _DRIVER_PRIORITY = [
     # growth, cross-table DQ expectation suite
     "snm_pairs", "retrieval_eval", "kmv_sketch", "cdc_snapshot",
     "vocab_growth", "dq_audit",
+    # session-6 wave 2: measured blocker QA, cube incremental
+    # maintenance, exact-k stratified panels, ANALYZE-stats surface
+    "blocking_quality", "rollup_delta", "reservoir_sample",
+    "table_stats",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1084,6 +1088,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": textstats.vocab_growth,
         # cross-table data-quality expectation suite (Deequ pattern)
         "dq_audit": audit.dq_audit,
+        # measured pair-completeness/reduction of the dedup blockers
+        # vs exact sample truth
+        "blocking_quality": dedup.blocking_quality,
+        # cube merge law: per-batch partial cubes fold to the full cube
+        "rollup_delta": temporal.rollup_delta,
+        # exact-k-per-stratum deterministic panel (two-phase bottom-k)
+        "reservoir_sample": curation.reservoir_sample,
+        # ANALYZE-stats surface: per-column ndv/nulls/min/max
+        "table_stats": audit.table_stats,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1682,6 +1695,10 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot": temporal.duck_cdc_snapshot(),
         "vocab_growth": textstats.duck_vocab_growth(),
         "dq_audit": audit.duck_dq_audit(),
+        "blocking_quality": dedup.duck_blocking_quality(),
+        "rollup_delta": temporal.duck_events_rollup(),  # merge ≡ full cube
+        "reservoir_sample": curation.duck_reservoir_sample(),
+        "table_stats": audit.duck_table_stats(),
     }
 
 

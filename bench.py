@@ -409,6 +409,10 @@ def main() -> None:
     timed("cdc_snapshot", temporal.cdc_snapshot)
     timed("vocab_growth", textstats.vocab_growth)
     timed("dq_audit", audit.dq_audit)
+    timed("blocking_quality", dedup.blocking_quality)
+    timed("rollup_delta", temporal.rollup_delta)
+    timed("reservoir_sample", curation.reservoir_sample)
+    timed("table_stats", audit.table_stats)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

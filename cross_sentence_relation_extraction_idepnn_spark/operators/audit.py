@@ -205,3 +205,126 @@ def duck_dq_audit() -> str:
                CAST(COUNT(*) AS BIGINT)
         FROM documents
     """
+
+
+# -------------------------------------------------------- table stats
+
+# (column, kind): kind selects the exact-integer min/max encoding —
+# 'int' as-is, 'cents' = round(value·100) (the events_rollup cents
+# convention), 'us' = epoch microseconds, 'str' = lengths only.
+STATS_COLS = {
+    "documents": [
+        ("doc_id", "int"),
+        ("text", "str"),
+        ("lang", "str"),
+        ("source", "str"),
+        ("n_chars", "int"),
+    ],
+    "events": [
+        ("event_id", "int"),
+        ("ts", "us"),
+        ("user_id", "int"),
+        ("event_type", "str"),
+        ("value", "cents"),
+        ("props", "str"),
+    ],
+}
+
+
+def _stat_expr(col: str, kind: str):
+    if kind == "int":
+        return F.col(col).cast("long")
+    if kind == "cents":
+        return F.round(F.col(col) * 100).cast("long")
+    if kind == "us":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        ).cast("long")
+    return None
+
+
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tbl, col, n_rows, n_null, n_distinct, min_i, max_i, max_len) —
+    the optimizer/monitoring statistics surface (ANALYZE TABLE): per
+    column, row count, null count, EXACT distinct count, integer-coded
+    min/max (ids as-is, money in cents, timestamps in epoch µs;
+    NULL for strings), and max string length (NULL for non-strings).
+
+    One conditional-aggregation pass per table (one scan → one wide
+    row → ``stack`` to column grain). Exact ``count_distinct`` is the
+    correctness baseline and is the expensive part at 100 TB (Spark
+    expands the multi-distinct aggregate); the engine's scale path for
+    NDV is the mergeable ``hll_registers``/``kmv_sketch`` pair — this
+    operator is what you VALIDATE those sketches against on samples.
+    Output is O(#columns) rows."""
+    out = None
+    for tbl, specs in STATS_COLS.items():
+        df = read_parquet_cached(spark, f"{sf_dir}/{tbl}.parquet")
+        aggs = [F.count("*").cast("long").alias("n_rows")]
+        for c, kind in specs:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn")
+            )
+            aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"))
+            e = _stat_expr(c, kind)
+            if e is not None:
+                aggs.append(F.min(e).alias(f"{c}__mn"))
+                aggs.append(F.max(e).alias(f"{c}__mx"))
+                aggs.append(F.lit(None).cast("long").alias(f"{c}__ml"))
+            else:
+                aggs.append(F.lit(None).cast("long").alias(f"{c}__mn"))
+                aggs.append(F.lit(None).cast("long").alias(f"{c}__mx"))
+                aggs.append(
+                    F.max(F.length(c)).cast("long").alias(f"{c}__ml")
+                )
+        one = df.agg(*aggs)
+        args = ", ".join(
+            f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`, `{c}__ml`"
+            for c, _ in specs
+        )
+        part = one.select(
+            F.lit(tbl).alias("tbl"),
+            F.expr(
+                f"stack({len(specs)}, {args})"
+                " AS (col, n_null, n_distinct, min_i, max_i, max_len)"
+            ),
+            "n_rows",
+        ).select(
+            "tbl", "col", "n_rows", "n_null", "n_distinct",
+            "min_i", "max_i", "max_len",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def duck_table_stats() -> str:
+    """Oracle: one UNION ALL branch per (table, column) with the same
+    integer encodings."""
+    branches = []
+    for tbl, specs in STATS_COLS.items():
+        for c, kind in specs:
+            if kind == "int":
+                mn, mx = f"MIN(CAST({c} AS BIGINT))", f"MAX(CAST({c} AS BIGINT))"
+                ml = "NULL"
+            elif kind == "cents":
+                mn = f"MIN(CAST(ROUND({c} * 100) AS BIGINT))"
+                mx = f"MAX(CAST(ROUND({c} * 100) AS BIGINT))"
+                ml = "NULL"
+            elif kind == "us":
+                mn, mx = f"MIN(epoch_us({c}))", f"MAX(epoch_us({c}))"
+                ml = "NULL"
+            else:
+                mn = mx = "NULL"
+                ml = f"MAX(length({c}))"
+            branches.append(f"""
+        SELECT '{tbl}' AS tbl, '{c}' AS col,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST({mn} AS BIGINT) AS min_i,
+               CAST({mx} AS BIGINT) AS max_i,
+               CAST({ml} AS BIGINT) AS max_len
+        FROM {tbl}""")
+    return "\n        UNION ALL\n".join(branches)

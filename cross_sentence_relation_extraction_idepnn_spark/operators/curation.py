@@ -1013,3 +1013,63 @@ def duck_dedup_keep_best() -> str:
                ) = 1 THEN 'keep' ELSE 'drop' END AS action
         FROM cl JOIN q ON q.doc_id = cl.doc_id
     """
+
+
+# ---------------------------------------------------- reservoir sample
+
+RESERVOIR_K = 25  # exact sample size per stratum
+RESERVOIR_SALTS = 64  # phase-1 fan-out guard for hot strata
+
+
+def reservoir_sample(
+    spark: SparkSession, sf_dir: str, k: int = RESERVOIR_K
+) -> DataFrame:
+    """(source, rnk, doc_id) — EXACT-``k``-per-stratum deterministic
+    sample: the ``k`` documents with the smallest uniform hash
+    ``h15(doc_id)`` within each source (distributed reservoir
+    sampling, Vitter/Efraimidis-Spirakis with the random key replaced
+    by the engine-portable hash — rerunnable, audit-stable).
+
+    Complements :func:`sample_stratified` (hash-threshold Bernoulli:
+    EXPECTED rate, variable size) when the contract is a fixed-size
+    panel per stratum (eval sets, human-review batches).
+
+    100 TB shape: strata are FEW (sources), so a naive per-source
+    window is a hot-partition sort; phase 1 ranks within
+    (source, hash-salt) groups — ``RESERVOIR_SALTS`` of them — and
+    keeps ≤ k per group, so the phase-2 per-source window sorts at
+    most k·SALTS rows per stratum regardless of corpus size (bottom-k
+    is decomposable: the global k-smallest survive every per-salt
+    k-smallest cut)."""
+    from pyspark.sql import Window
+
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    hkey = spark_h15(F.col("doc_id").cast("string"))
+    keyed = docs.select("source", "doc_id", hkey.alias("hkey")).withColumn(
+        "salt", F.col("hkey") % RESERVOIR_SALTS
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("hkey", "doc_id")
+    pre = keyed.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= k
+    )
+    w2 = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return (
+        pre.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("source", "rnk", "doc_id")
+    )
+
+
+def duck_reservoir_sample(k: int = RESERVOIR_K) -> str:
+    """Oracle: single global per-source ROW_NUMBER over the same hash
+    order (independent of the engine's two-phase bottom-k)."""
+    h = duck_h15("CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT source, rnk, doc_id FROM (
+            SELECT source, doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY {h}, doc_id
+                   ) AS BIGINT) AS rnk
+            FROM documents
+        ) WHERE rnk <= {k}
+    """

@@ -66,7 +66,7 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def duck_shingles_cte() -> str:
+def duck_shingles_cte(src: str = "documents") -> str:
     n = SHINGLE_N
     return f"""
         SELECT doc_id, UNNEST(list_distinct(
@@ -74,7 +74,7 @@ def duck_shingles_cte() -> str:
                  THEN list_transform(range(1, len(ws) - {n - 2}),
                                      i -> array_to_string(ws[i : i + {n - 1}], ' '))
                  ELSE [array_to_string(ws, ' ')] END)) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src})
     """
 
 
@@ -344,9 +344,9 @@ def _duck_minhash_pair_parts(tau: float) -> tuple[str, str]:
     ctes = f"""
         , sig AS ({duck_minhash_cte()})
         , bands AS (
-            SELECT doc_id, CAST(perm_id / {BAND_ROWS} AS INT) AS band,
+            SELECT doc_id, CAST(perm_id // {BAND_ROWS} AS INT) AS band,
                    array_to_string(list(CAST(minv AS VARCHAR) ORDER BY perm_id), '-') AS band_sig
-            FROM sig GROUP BY doc_id, CAST(perm_id / {BAND_ROWS} AS INT)
+            FROM sig GROUP BY doc_id, CAST(perm_id // {BAND_ROWS} AS INT)
         )
         , cand AS (
             SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1331,9 +1331,17 @@ def snm_pairs(
     a co-partitioned join; verification is the shared
     :func:`_verify_jaccard_sets` array-intersect (no aggregation)."""
     docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
-    keyed = docs.select("doc_id", _snm_key(F.col("text")).alias("snm_key"))
+    cand = _snm_candidates(_snm_ranked(docs, n_ranges), window)
+    return _verify_jaccard_sets(cand, _shingle_arrays_df(docs), tau)
+
+
+def _snm_ranked(docs: DataFrame, n_ranges: int = 32) -> DataFrame:
+    """(doc_id, rnk) — dense global rank in (snm_key, doc_id) order via
+    the A9 two-phase numbering (range partition → in-range row_number
+    + ≤ ``n_ranges`` driver-side prefix offsets)."""
     from pyspark.storagelevel import StorageLevel
 
+    keyed = docs.select("doc_id", _snm_key(F.col("text")).alias("snm_key"))
     ranged = (
         keyed.repartitionByRange(n_ranges, "snm_key", "doc_id")
         .withColumn("pid", F.spark_partition_id())
@@ -1350,11 +1358,16 @@ def snm_pairs(
         acc += counts[p]
     off_map = F.create_map(*offsets) if offsets else F.create_map()
     w = Window.partitionBy("pid").orderBy("snm_key", "doc_id")
-    ranked = ranged.withColumn(
+    return ranged.withColumn(
         "rnk",
         (F.row_number().over(w) + F.coalesce(off_map[F.col("pid")], F.lit(0)))
         .cast("long"),
     ).select("doc_id", "rnk")
+
+
+def _snm_candidates(ranked: DataFrame, window: int = SNM_WINDOW) -> DataFrame:
+    """(doc_a, doc_b) — each record paired with its next ``window``
+    sort neighbors (rank equi-join); exactly W·n candidate rows."""
     probe = ranked.select(
         F.col("doc_id").alias("id_a"),
         F.col("rnk"),
@@ -1362,7 +1375,7 @@ def snm_pairs(
             F.array(*[F.lit(i) for i in range(1, window + 1)])
         ).alias("d"),
     ).select("id_a", (F.col("rnk") + F.col("d")).alias("rnk_b"))
-    cand = probe.join(
+    return probe.join(
         ranked.select(
             F.col("doc_id").alias("id_b"), F.col("rnk").alias("rnk_b")
         ),
@@ -1371,7 +1384,6 @@ def snm_pairs(
         F.least("id_a", "id_b").alias("doc_a"),
         F.greatest("id_a", "id_b").alias("doc_b"),
     )
-    return _verify_jaccard_sets(cand, _shingle_arrays(spark, sf_dir), tau)
 
 
 def duck_snm_pairs(
@@ -1416,4 +1428,223 @@ def duck_snm_pairs(
         JOIN counts cb ON cb.doc_id = c.doc_b
         WHERE COALESCE(i.n_inter, 0) * 1.0
               / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= {tau}
+    """
+
+
+# ------------------------------------------------- blocking quality QA
+
+BQ_MOD = 4  # deterministic hash-sample: keep doc iff h15(doc_id) % MOD = 0
+BQ_TAU = MINHASH_TAU
+
+
+def blocking_quality(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = BQ_TAU,
+    mod: int = BQ_MOD,
+) -> DataFrame:
+    """(method, n_truth, n_cand, n_found, recall_e6, reduction_e6) —
+    measured candidate-generation quality of the dedup blockers on a
+    deterministic hash sample of the corpus, against EXACT ground
+    truth (the ``ann_recall``/``minhash_error`` "measure, don't guess"
+    pattern applied to blocking):
+
+    - ``n_truth``  pairs in the sample with exact shingle Jaccard
+      ≥ ``tau`` (complete by construction: any pair with J > 0 shares
+      a shingle, so the uncapped shingle join generates it),
+    - ``n_cand``   candidate pairs the blocker generates (the cost),
+    - ``n_found``  candidates that verify at ≥ ``tau`` (the benefit),
+    - ``recall_e6``     = n_found·1e6 div n_truth (pair completeness),
+    - ``reduction_e6``  = (allpairs − n_cand)·1e6 div allpairs
+      (reduction ratio vs brute force).
+
+    Methods: ``ngram`` (uncapped shared-shingle join — recall is
+    exactly 1e6, the sanity row), ``minhash`` (banded LSH), ``snm``
+    (sorted neighborhood). SNM ranks are sample-internal (its
+    neighborhoods differ from the full-corpus run — documented QA
+    semantics, the sample is the population under test).
+
+    100 TB shape: the sample is a narrow hash filter at the scan
+    (size corpus/``mod`` — run at a mod that makes the sample fit the
+    QA budget); every candidate generator is the production operator's
+    own bounded join on the sampled subset; truth is the uncapped
+    shingle join, safe at sample scale by construction. Outputs are
+    3 rows."""
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet").filter(
+        spark_h15(F.col("doc_id").cast("string")) % mod == 0
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    sets = track_cache(
+        _shingle_arrays_df(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = sets.select("doc_id", F.explode("shs").alias("shingle"))
+    cand_ngram = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    bands = _band_sigs_df(sets)
+    cand_minhash = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand_snm = _snm_candidates(_snm_ranked(docs), SNM_WINDOW)
+    truth = track_cache(
+        _verify_jaccard_sets(cand_ngram, sets, tau)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_truth_df = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    n_docs_df = sets.agg(F.count("*").cast("long").alias("n_docs"))
+    parts = []
+    for method, cand in [
+        ("ngram", cand_ngram),
+        ("minhash", cand_minhash),
+        ("snm", cand_snm),
+    ]:
+        found = _verify_jaccard_sets(cand, sets, tau)
+        parts.append(
+            cand.agg(F.count("*").cast("long").alias("n_cand")).crossJoin(
+                found.agg(F.count("*").cast("long").alias("n_found"))
+            ).select(F.lit(method).alias("method"), "n_cand", "n_found")
+        )
+    per = parts[0]
+    for p in parts[1:]:
+        per = per.unionByName(p)
+    return (
+        per.crossJoin(n_truth_df)
+        .crossJoin(n_docs_df)
+        .withColumn("n_allpairs", F.expr("n_docs * (n_docs - 1) div 2"))
+        .withColumn(
+            "recall_e6",
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN n_found * 1000000 div n_truth"
+                " ELSE 1000000 END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "reduction_e6",
+            F.expr(
+                "CASE WHEN n_allpairs > 0 THEN"
+                " (n_allpairs - n_cand) * 1000000 div n_allpairs"
+                " ELSE 0 END"
+            ).cast("long"),
+        )
+        .select(
+            "method", "n_truth", "n_cand", "n_found",
+            "recall_e6", "reduction_e6",
+        )
+    )
+
+
+def duck_blocking_quality(tau: float = BQ_TAU, mod: int = BQ_MOD) -> str:
+    """Oracle: the same sample, truth (uncapped shingle join with the
+    engine's ROUND(j, 6) ≥ tau rule), and three candidate generators
+    as plain SQL."""
+    h = duck_h15("CAST(doc_id AS VARCHAR)")
+    perm_rows = ", ".join(
+        f"({i}, {perm_coeffs(i)[0]}, {perm_coeffs(i)[1]})"
+        for i in range(NUM_PERMS)
+    )
+    return f"""
+        WITH docs AS (
+            SELECT * FROM documents WHERE ({h}) % {mod} = 0
+        ),
+        shingles AS ({duck_shingles_cte('docs')}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        pair_inter AS (
+            SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b,
+                   COUNT(*) AS n_inter
+            FROM shingles s1
+            JOIN shingles s2
+              ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT p.doc_a, p.doc_b
+            FROM pair_inter p
+            JOIN counts ca ON ca.doc_id = p.doc_a
+            JOIN counts cb ON cb.doc_id = p.doc_b
+            WHERE ROUND(p.n_inter * 1.0 / (ca.n + cb.n - p.n_inter), 6)
+                  >= {tau}
+        ),
+        sig AS (
+            SELECT doc_id, perm_id, MIN((hs * a + b) % {MERSENNE_P}) AS minv
+            FROM (SELECT doc_id, {duck_h15("shingle")} % {MERSENNE_P} AS hs
+                  FROM shingles)
+            CROSS JOIN (VALUES {perm_rows}) AS perms(perm_id, a, b)
+            GROUP BY doc_id, perm_id
+        ),
+        bands AS (
+            SELECT doc_id, CAST(perm_id // {BAND_ROWS} AS INT) AS band,
+                   array_to_string(
+                       list(CAST(minv AS VARCHAR) ORDER BY perm_id), '-'
+                   ) AS band_sig
+            FROM sig GROUP BY doc_id, CAST(perm_id // {BAND_ROWS} AS INT)
+        ),
+        cand_minhash AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.band_sig = y.band_sig
+             AND x.doc_id < y.doc_id
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                          1, {SNM_KEY_LEN}) AS snm_key
+            FROM docs
+        ),
+        r AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY snm_key, doc_id) AS rnk
+            FROM keyed
+        ),
+        cand_snm AS (
+            SELECT LEAST(x.doc_id, y.doc_id) AS doc_a,
+                   GREATEST(x.doc_id, y.doc_id) AS doc_b
+            FROM r x JOIN r y
+              ON y.rnk > x.rnk AND y.rnk <= x.rnk + {SNM_WINDOW}
+        ),
+        per AS (
+            SELECT 'ngram' AS method,
+                   (SELECT COUNT(*) FROM pair_inter) AS n_cand,
+                   (SELECT COUNT(*) FROM truth) AS n_found
+            UNION ALL
+            SELECT 'minhash',
+                   (SELECT COUNT(*) FROM cand_minhash),
+                   (SELECT COUNT(*) FROM cand_minhash c
+                    JOIN truth t
+                      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+            UNION ALL
+            SELECT 'snm',
+                   (SELECT COUNT(*) FROM cand_snm),
+                   (SELECT COUNT(*) FROM cand_snm c
+                    JOIN truth t
+                      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+        ),
+        tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs)
+        SELECT method,
+               tr.n_truth,
+               CAST(per.n_cand AS BIGINT) AS n_cand,
+               CAST(per.n_found AS BIGINT) AS n_found,
+               CAST(CASE WHEN tr.n_truth > 0
+                         THEN per.n_found * 1000000 // tr.n_truth
+                         ELSE 1000000 END AS BIGINT) AS recall_e6,
+               CAST(CASE WHEN nd.n_docs * (nd.n_docs - 1) // 2 > 0
+                         THEN (nd.n_docs * (nd.n_docs - 1) // 2 - per.n_cand)
+                              * 1000000
+                              // (nd.n_docs * (nd.n_docs - 1) // 2)
+                         ELSE 0 END AS BIGINT) AS reduction_e6
+        FROM per, tr, nd
     """

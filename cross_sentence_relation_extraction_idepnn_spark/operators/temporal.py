@@ -323,7 +323,11 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, hour-of-day): all four grouping sets in
     one pass — counts plus integer-cent value sums (exact; a float SUM
     would be order-sensitive across engines)."""
-    ev = events_batch(spark, sf_dir).select(
+    return _rollup_cube(events_batch(spark, sf_dir))
+
+
+def _rollup_cube(events: DataFrame) -> DataFrame:
+    ev = events.select(
         "event_type",
         F.hour("ts").cast("int").alias("hh"),
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
@@ -333,6 +337,41 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("cents").alias("cents_sum"),
     )
+
+
+def rollup_merge(parts: list[DataFrame]) -> DataFrame:
+    """Fold per-batch CUBE states into the full cube: COUNT and the
+    integer-cent SUM are decomposable, so daily partial cubes merge
+    with one groupBy on the (dimensions + gid) key — history is never
+    re-read. ``gid`` rides along as a grouping key (it is functionally
+    determined by the null pattern, so this adds no grain) to keep the
+    "rolled up" vs "organically null" distinction intact through the
+    merge."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("event_type", "hh", "gid").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("cents_sum").cast("long").alias("cents_sum"),
+    ).select("event_type", "hh", "gid", "n_events", "cents_sum")
+
+
+def rollup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse cube's incremental-maintenance proof, same
+    convention as ``kg_incremental``/``dedup_delta``: the events feed
+    is split into two batches by event_id parity, each batch cubes
+    independently, and :func:`rollup_merge` folds the partial states —
+    the result must equal (and is driver-checked against) the
+    single-pass cube of the full feed.
+
+    100 TB shape: each batch cube is one map-side-combinable exchange
+    over that batch only; the merge exchanges CUBE-GRAIN states
+    (|types|×24-sized), never events."""
+    ev = events_batch(spark, sf_dir)
+    halves = [
+        _rollup_cube(ev.filter(F.col("event_id") % 2 == i)) for i in (0, 1)
+    ]
+    return rollup_merge(halves)
 
 
 def duck_events_rollup() -> str:

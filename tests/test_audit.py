@@ -83,3 +83,56 @@ def test_dq_audit_result_is_check_grain(spark, sf_dir):
     assert by[("customer", "negative_acctbal")] > 0
     assert by[("orders", "fk_custkey")] == 0
     assert by[("lineitem", "fk_orderkey")] == 0
+
+
+def test_table_stats_crafted_exact_values(spark, tmp_path):
+    """Hand-computed statistics: ndv counts ignore NULLs, money is
+    exact cents, timestamps are epoch µs, strings report max_len with
+    NULL min_i/max_i."""
+    sf = str(tmp_path)
+    _write(
+        spark, sf, "documents",
+        [
+            (1, "hello world", "en", "web", 11),
+            (2, None, "en", "web", None),
+            (3, "abc", None, "chat", 3),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    ev = [
+        (10, "2024-01-01 00:00:00", 7, "click", 1.25, "{}"),
+        (11, "2024-01-02 00:00:01", 7, "view", -0.5, None),
+        (12, "2024-01-01 12:00:00", 8, "click", 1.25, "{}"),
+    ]
+    _write(
+        spark, sf, "events", ev,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    # table_stats expects a real timestamp column
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(os.path.join(sf, "events.parquet")).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).write.mode("overwrite").parquet(os.path.join(sf, "events2.parquet"))
+    os.system(f"rm -rf {sf}/events.parquet && mv {sf}/events2.parquet {sf}/events.parquet")
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.audit import table_stats
+
+    got = {(r.tbl, r.col): r for r in table_stats(spark, sf).collect()}
+    t = got[("documents", "text")]
+    assert (t.n_rows, t.n_null, t.n_distinct, t.max_len) == (3, 1, 2, 11)
+    assert t.min_i is None and t.max_i is None
+    n = got[("documents", "n_chars")]
+    assert (n.n_null, n.n_distinct, n.min_i, n.max_i) == (1, 2, 3, 11)
+    v = got[("events", "value")]
+    assert (v.n_distinct, v.min_i, v.max_i) == (2, -50, 125)
+    ts = got[("events", "ts")]
+    day_us = 86_400_000_000
+    epoch_0101 = 19723 * day_us  # 2024-01-01 in days since 1970-01-01
+    assert ts.min_i == epoch_0101
+    assert ts.max_i == epoch_0101 + day_us + 1_000_000
+    assert got[("events", "user_id")].n_distinct == 2

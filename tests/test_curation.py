@@ -31,3 +31,42 @@ def test_bloom_prefilter_lossless_and_consistent_with_decontaminate(
     total_fp = sum(r["n_fp"] for r in rows)
     assert total_fp > 0, "FP measurement vacuous at this m"
     assert total_c < total_g * 0.5, "pre-filter screened out too little"
+
+
+def test_reservoir_sample_exact_k_and_two_phase_equals_naive(spark, sf_dir):
+    """Exactly min(k, |stratum|) rows per source, ranks dense from 1,
+    and the salted two-phase bottom-k returns the SAME panel as a
+    naive single per-source window (the decomposability law the scale
+    guard relies on)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import spark_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        RESERVOIR_K,
+        reservoir_sample,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import (
+        read_parquet_cached,
+    )
+
+    got = reservoir_sample(spark, sf_dir).collect()
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    sizes = {r.source: r.cnt for r in docs.groupBy("source").agg(
+        F.count("*").alias("cnt")).collect()}
+    per = {}
+    for r in got:
+        per.setdefault(r.source, []).append((r.rnk, r.doc_id))
+    for src, rows in per.items():
+        assert len(rows) == min(RESERVOIR_K, sizes[src])
+        assert sorted(rnk for rnk, _ in rows) == list(range(1, len(rows) + 1))
+    w = Window.partitionBy("source").orderBy(
+        spark_h15(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = (
+        docs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= RESERVOIR_K)
+        .select("source", "rnk", "doc_id")
+        .collect()
+    )
+    assert {tuple(r) for r in got} == {tuple(r) for r in naive}

@@ -906,3 +906,34 @@ def test_snm_identical_hot_group_candidates_stay_linear(spark, tmp_path):
     )
     assert_frames_match(out, con, dedup.duck_snm_pairs(window=w, tau=0.5))
     release_caches()
+
+
+def test_blocking_quality_invariants_and_snm_exact_cost(spark, sf_dir):
+    """The QA table's own algebra: the uncapped shingle join is the
+    truth generator so ngram recall is EXACTLY 1e6; every blocker's
+    verified hits are bounded by its candidates and by the truth; SNM's
+    candidate count is exactly Σ_{d=1..W}(n−d) — the no-hot-bucket
+    cost guarantee measured, not asserted in prose."""
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import spark_h15
+    from cross_sentence_relation_extraction_idepnn_spark.session import (
+        read_parquet_cached,
+        release_caches,
+    )
+
+    rows = {r.method: r for r in dedup.blocking_quality(spark, sf_dir).collect()}
+    assert set(rows) == {"ngram", "minhash", "snm"}
+    n = (
+        read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+        .filter(spark_h15(F.col("doc_id").cast("string")) % dedup.BQ_MOD == 0)
+        .count()
+    )
+    for r in rows.values():
+        assert r.n_found <= r.n_cand and r.n_found <= r.n_truth
+        assert 0 <= r.reduction_e6 <= 1_000_000
+    assert rows["ngram"].recall_e6 == 1_000_000
+    assert rows["ngram"].n_found == rows["ngram"].n_truth
+    w = dedup.SNM_WINDOW
+    assert rows["snm"].n_cand == sum(n - d for d in range(1, w + 1))
+    # the measurement must be non-vacuous: truth exists on the fixture
+    assert rows["ngram"].n_truth > 0
+    release_caches()

@@ -661,3 +661,23 @@ def test_cdc_state_plan_is_single_exchange(spark, sf_dir):
     plan = _plan(df)
     assert _count_op(plan, "Exchange") == 1, plan
     assert "Join" not in plan
+
+
+def test_rollup_merge_is_associative_across_batch_counts(spark, sf_dir):
+    """merge(cube(A), cube(B), cube(C)) == cube(A ∪ B ∪ C) for a
+    3-way split (the driver row proves the 2-way split) — daily
+    partials fold regardless of batch boundaries."""
+    ev = stream_events.events_batch(spark, sf_dir)
+    full = {
+        (r.event_type, r.hh, r.gid): (r.n_events, r.cents_sum)
+        for r in temporal._rollup_cube(ev).collect()
+    }
+    parts = [
+        temporal._rollup_cube(ev.filter(F.col("event_id") % 3 == i))
+        for i in range(3)
+    ]
+    merged = {
+        (r.event_type, r.hh, r.gid): (r.n_events, r.cents_sum)
+        for r in temporal.rollup_merge(parts).collect()
+    }
+    assert merged == full
