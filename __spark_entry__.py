@@ -224,6 +224,21 @@ def _macro_f1(spark: SparkSession, sf: str) -> DataFrame:
     return macro_f1(pairs)
 
 
+def _annotator_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between the two deterministic candidate
+    labelings the A7 metrics already score (pred = k <= 1,
+    gold = k = 0): chance-corrected agreement in exact micro-units."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.metrics import (
+        annotator_agreement,
+    )
+
+    pairs = _candidates(spark, sf).select(
+        (F.col("k") <= 1).cast("int").alias("pred"),
+        (F.col("k") == 0).cast("int").alias("gold"),
+    )
+    return annotator_agreement(pairs)
+
+
 def _macro_f1_3class(spark: SparkSession, sf: str) -> DataFrame:
     """A7 3-class variant (getMacroFScore_muc6.py semantics)."""
     pairs = _candidates(spark, sf).select(
@@ -755,6 +770,8 @@ _DRIVER_PRIORITY = [
     # maintenance, exact-k stratified panels, ANALYZE-stats surface
     "blocking_quality", "rollup_delta", "reservoir_sample",
     "table_stats",
+    # session-6 wave 3: chance-corrected label agreement, phrase index
+    "annotator_agreement", "phrase_search",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1097,6 +1114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": curation.reservoir_sample,
         # ANALYZE-stats surface: per-column ndv/nulls/min/max
         "table_stats": audit.table_stats,
+        # Cohen's kappa over the two deterministic candidate labelings
+        "annotator_agreement": _annotator_agreement,
+        # consecutive-token phrase retrieval via trigram postings
+        "phrase_search": search.phrase_search,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1699,7 +1720,20 @@ def oracle_sql() -> dict[str, str]:
         "rollup_delta": temporal.duck_events_rollup(),  # merge ≡ full cube
         "reservoir_sample": curation.duck_reservoir_sample(),
         "table_stats": audit.duck_table_stats(),
+        "annotator_agreement": _duck_annotator_agreement(),
+        "phrase_search": search.duck_phrase_search(),
     }
+
+
+def _duck_annotator_agreement() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.metrics import (
+        duck_annotator_agreement,
+    )
+
+    return duck_full_prefix() + duck_annotator_agreement(
+        "SELECT CAST(k <= 1 AS INT) AS pred, CAST(k = 0 AS INT) AS gold"
+        " FROM candidates"
+    )
 
 
 def _duck_triples_sql() -> str:

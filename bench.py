@@ -413,6 +413,8 @@ def main() -> None:
     timed("rollup_delta", temporal.rollup_delta)
     timed("reservoir_sample", curation.reservoir_sample)
     timed("table_stats", audit.table_stats)
+    timed("phrase_search", search.phrase_search)
+    timed("annotator_agreement", _entry.queries()["annotator_agreement"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

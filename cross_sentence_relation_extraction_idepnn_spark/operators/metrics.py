@@ -165,3 +165,69 @@ def duck_macro_f1(pairs_cte: str, classes: list[int] | None = None) -> str:
                ROUND(({" + ".join(terms_f)}) / {n}, 6) AS macro_f1
         FROM f1agg
     """
+
+
+# ------------------------------------------------- annotator agreement
+
+KAPPA_E6 = 1_000_000
+
+
+def annotator_agreement(pairs: DataFrame) -> DataFrame:
+    """(n, agree, a1, b1, po_e6, pe_e6, kappa_e6) — Cohen's kappa
+    between two binary labelings of the same items (label-noise /
+    inter-annotator QA over a (pred, gold) pair table — the A7 metric
+    family extended from accuracy to chance-corrected agreement).
+
+    Exact BIGINT algebra (the macro_f1-via-integers discipline):
+    po = agree/n, pe = (a1·b1 + a0·b0)/n², and
+    kappa = (agree·n − pe_num) / (n² − pe_num) emitted in micro-units
+    with truncation TOWARD ZERO on the signed value (Spark ``div``
+    truncates; the oracle mirrors with an explicit sign split so
+    DuckDB's flooring ``//`` can never disagree on negatives).
+    One exchange (the single aggregate); one output row. n² stays
+    well inside BIGINT for any per-task eval set (quadrillions)."""
+    g = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("pred") == F.col("gold")).cast("long")).alias("agree"),
+        F.sum(F.col("pred").cast("long")).alias("a1"),
+        F.sum(F.col("gold").cast("long")).alias("b1"),
+    )
+    pe_num = "(a1*b1 + (n-a1)*(n-b1))"
+    den = f"(n*n - {pe_num})"
+    return g.select(
+        "n", "agree", "a1", "b1",
+        F.expr(f"agree * {KAPPA_E6} div n").cast("long").alias("po_e6"),
+        F.expr(f"{pe_num} * {KAPPA_E6} div (n*n)").cast("long").alias("pe_e6"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN 0"
+            f" WHEN agree*n >= {pe_num}"
+            f" THEN (agree*n - {pe_num}) * {KAPPA_E6} div {den}"
+            f" ELSE -(({pe_num} - agree*n) * {KAPPA_E6} div {den}) END"
+        ).cast("long").alias("kappa_e6"),
+    )
+
+
+def duck_annotator_agreement(pred_gold_sql: str) -> str:
+    """Oracle: same integer algebra over a (pred, gold) SELECT."""
+    pe_num = "(a1*b1 + (n-a1)*(n-b1))"
+    den = f"(n*n - {pe_num})"
+    return f"""
+        , pairs AS ({pred_gold_sql}),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END)
+                        AS BIGINT) AS agree,
+                   CAST(SUM(pred) AS BIGINT) AS a1,
+                   CAST(SUM(gold) AS BIGINT) AS b1
+            FROM pairs
+        )
+        SELECT n, agree, a1, b1,
+               CAST(agree * {KAPPA_E6} // n AS BIGINT) AS po_e6,
+               CAST({pe_num} * {KAPPA_E6} // (n*n) AS BIGINT) AS pe_e6,
+               CAST(CASE WHEN {den} = 0 THEN 0
+                         WHEN agree*n >= {pe_num}
+                         THEN (agree*n - {pe_num}) * {KAPPA_E6} // {den}
+                         ELSE -(({pe_num} - agree*n) * {KAPPA_E6} // {den})
+                    END AS BIGINT) AS kappa_e6
+        FROM g
+    """

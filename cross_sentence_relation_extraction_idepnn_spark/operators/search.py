@@ -665,3 +665,82 @@ def duck_retrieval_eval() -> str:
                          ELSE 0 END AS BIGINT) AS r_at_k_e6
         FROM per_q p LEFT JOIN nrel r USING (query_id)
     """
+
+
+# ------------------------------------------------------- phrase search
+
+PHRASE_LEN = 3  # reuses the dedup family's 3-gram convention
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, n_hits) — exact phrase retrieval: documents
+    containing the query phrase as a CONSECUTIVE token run, with the
+    occurrence count. Complements :func:`bm25_topk` (bag-of-words):
+    phrase match is the query class a term-frequency index cannot
+    answer.
+
+    Queries are corpus-derived (the bm25 convention): each of the
+    ``N_QUERY_DOCS`` smallest doc_ids poses its own first
+    ``PHRASE_LEN`` tokens as the phrase.
+
+    Index shape, not scan shape: the corpus is mapped ONCE to
+    positional trigram postings (per-row ``transform`` over the token
+    array — the dedup shingle pass WITH multiplicity), semi-joined
+    against the broadcast phrase set, and counted per (query, doc).
+    At 100 TB the trigram postings ARE the phrase index a search tier
+    materializes; the per-query cost after the one corpus pass is a
+    broadcast equi-join, never a re-scan. A substring LIKE scan gives
+    the same answer semantics at full-scan cost — pinned equivalent in
+    tests."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= PHRASE_LEN,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (PHRASE_LEN - 1)),
+            lambda i: F.array_join(F.slice(toks, i, PHRASE_LEN), " "),
+        ),
+    ).otherwise(F.array())
+    docs = _docs(spark, sf_dir)
+    phrases = (
+        docs.filter(
+            (F.col("doc_id") < N_QUERY_DOCS)
+            & (F.size(toks) >= PHRASE_LEN)
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, PHRASE_LEN), " ").alias("gram"),
+        )
+    )
+    postings = docs.select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        postings.join(F.broadcast(phrases), "gram")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def duck_phrase_search() -> str:
+    n = PHRASE_LEN
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   UNNEST(CASE WHEN len(ws) >= {n}
+                        THEN list_transform(range(1, len(ws) - {n - 2}),
+                             i -> array_to_string(ws[i : i + {n - 1}], ' '))
+                        ELSE [] END) AS gram
+            FROM toks
+        ),
+        phrases AS (
+            SELECT doc_id AS query_id,
+                   array_to_string(ws[1 : {n}], ' ') AS gram
+            FROM toks
+            WHERE doc_id < {N_QUERY_DOCS} AND len(ws) >= {n}
+        )
+        SELECT p.query_id, g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM grams g JOIN phrases p USING (gram)
+        GROUP BY p.query_id, g.doc_id
+    """

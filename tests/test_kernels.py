@@ -365,3 +365,31 @@ def test_closed_form_tree_distance_matches_bfs_randomized():
         for words in sent_words:
             for i in range(len(words)):
                 assert depth_closed(words, i) == len(path_to_root(words, i)) - 1
+
+
+def test_annotator_agreement_hand_computed_kappa(spark):
+    """Classic kappa worked example: confusion [[20, 5], [10, 15]]
+    (n=50, agree=35, a1=25, b1=30): po=0.7, pe=0.5, kappa=0.4 — plus
+    the perfect (1e6), chance-only (0), and negative (sign-split
+    truncation) regimes."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.metrics import (
+        annotator_agreement,
+    )
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "pred int, gold int")
+
+    rows = (
+        [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+    )
+    r = annotator_agreement(pairs(rows)).first()
+    assert (r.n, r.agree, r.a1, r.b1) == (50, 35, 25, 30)
+    assert (r.po_e6, r.pe_e6, r.kappa_e6) == (700000, 500000, 400000)
+    perfect = annotator_agreement(pairs([(1, 1)] * 3 + [(0, 0)] * 7)).first()
+    assert perfect.kappa_e6 == 1_000_000
+    # total systematic disagreement: kappa = -1
+    neg = annotator_agreement(pairs([(1, 0)] * 5 + [(0, 1)] * 5)).first()
+    assert neg.kappa_e6 == -1_000_000
+    # degenerate: both annotators constant -> pe = 1, defined as 0
+    const = annotator_agreement(pairs([(1, 1)] * 4)).first()
+    assert const.kappa_e6 == 0

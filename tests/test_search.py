@@ -190,3 +190,69 @@ def test_retrieval_eval_hand_computed_gold(spark, tmp_path):
     # q7 = {x7}: only doc 7 matches anything
     assert out[7].n_rel == 1 and out[7].hits == 1
     assert out[7].first_rank == 1
+
+
+def test_phrase_search_hand_computed_occurrences(spark, tmp_path):
+    """Crafted corpus: occurrence counts (with multiplicity and
+    overlap), self-hit for every query doc, and no row for docs
+    without the consecutive run even when they contain all tokens."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.search import (
+        phrase_search,
+    )
+
+    rows = [
+        (0, "a b c x y z"),          # query phrase: 'a b c'
+        (1, "p q r s"),              # query phrase: 'p q r'
+        (2, "m a b c n a b c"),      # two occurrences of 'a b c'
+        (3, "a a b c"),              # one occurrence (overlap-safe)
+        (4, "c b a"),                # all tokens, wrong order: no hit
+        (5, "a b"),                  # too short
+        (6, "x p q r p q r p q r"),  # three occurrences of 'p q r'
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r.query_id, r.doc_id): r.n_hits
+        for r in phrase_search(spark, sf).collect()
+    }
+    # every doc with doc_id < N_QUERY_DOCS and >= 3 tokens poses its
+    # own first trigram, so docs 2/3/4/6 contribute self-hits too
+    assert got == {
+        (0, 0): 1, (0, 2): 2, (0, 3): 1,
+        (1, 1): 1, (1, 6): 3,
+        (2, 2): 1, (3, 3): 1, (4, 4): 1, (6, 6): 1,
+    }
+
+
+def test_phrase_search_agrees_with_python_scan(spark, sf_dir):
+    """The trigram-postings index path must equal a brute-force python
+    token scan of the corpus (the LIKE-scan twin), and the fixture
+    must be non-vacuous beyond self-hits."""
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.search import (
+        N_QUERY_DOCS,
+        PHRASE_LEN,
+        phrase_search,
+    )
+
+    got = {
+        (r.query_id, r.doc_id): r.n_hits
+        for r in phrase_search(spark, sf_dir).collect()
+    }
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    toks = {int(r.doc_id): str(r.text).split(" ") for r in df.itertuples()}
+    expect = {}
+    for qid in sorted(toks):
+        if qid >= N_QUERY_DOCS or len(toks[qid]) < PHRASE_LEN:
+            continue
+        phrase = toks[qid][:PHRASE_LEN]
+        for did, ws in toks.items():
+            n = sum(
+                1
+                for i in range(len(ws) - PHRASE_LEN + 1)
+                if ws[i : i + PHRASE_LEN] == phrase
+            )
+            if n:
+                expect[(qid, did)] = n
+    assert got == expect
+    assert len(got) > N_QUERY_DOCS, "no hits beyond self-matches"
