@@ -37,6 +37,9 @@ SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("SPARK_GRAFT_SF1_COPIES", "10"))
 SCRATCH = os.path.join(ROOT, ".scratch", "sf1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# comma-list to run a SUBSET of the query dict (new-operator increments
+# merge into the existing SCALE_SF1.json instead of re-running all)
+ONLY = {q for q in os.environ.get("SPARK_GRAFT_SF1_ONLY", "").split(",") if q}
 
 
 def build_scaled_documents(spark) -> str:
@@ -249,6 +252,30 @@ def main() -> None:
         tfidf_keywords,
     )
 
+    from cross_sentence_relation_extraction_idepnn_spark.operators import (
+        audit as audit_mod,
+        curation as curation_mod,
+        dedup as dedup_mod,
+        search as search_mod,
+        sketch as sketch_mod,
+        textstats as textstats_mod,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import (
+        candidate_pairs,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.metrics import (
+        annotator_agreement as _kappa,
+    )
+
+    def _agreement(s, d):
+        cands = candidate_pairs(_m(s, d))
+        return _kappa(
+            cands.select(
+                (F.col("k") <= 1).cast("int").alias("pred"),
+                (F.col("k") == 0).cast("int").alias("gold"),
+            )
+        )
+
     def _cooc_truss(s, d):
         pmi = entity_pmi(_m(s, d), canonicalize(_m(s, d)))
         return kg_ktruss(
@@ -327,7 +354,27 @@ def main() -> None:
         ),
         "zonemap_prune": zonemap_prune,
         "events_quantiles": temporal.events_quantiles,
+        # session-6 additions
+        "snm_pairs": dedup_mod.snm_pairs,
+        "retrieval_eval": search_mod.retrieval_eval,
+        "phrase_search": search_mod.phrase_search,
+        "kmv_sketch": sketch_mod.kmv_sketch,
+        "cdc_snapshot": temporal.cdc_snapshot,
+        "vocab_growth": textstats_mod.vocab_growth,
+        "dq_audit": audit_mod.dq_audit,
+        # sample QA at a QA-sized budget: mod=40 keeps the truth join's
+        # sample at ~12.5k docs on the 500k-doc sf1 corpus (the operator
+        # contract: raise mod with corpus size)
+        "blocking_quality": lambda s, d: dedup_mod.blocking_quality(
+            s, d, mod=40
+        ),
+        "rollup_delta": temporal.rollup_delta,
+        "reservoir_sample": curation_mod.reservoir_sample,
+        "table_stats": audit_mod.table_stats,
+        "annotator_agreement": _agreement,
     }
+    if ONLY:
+        queries = {k: v for k, v in queries.items() if k in ONLY}
     out: dict[str, dict] = {}
     for name, fn in queries.items():
         release_caches()
@@ -358,6 +405,7 @@ def main() -> None:
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import transcripts
 
     n_turns = transcripts(spark, sf1).count()
+    path = os.path.join(ROOT, "SCALE_SF1.json")
     result = {
         "sf_equivalent": 1.0,
         "source_sf_dir": SRC_SF,
@@ -367,7 +415,11 @@ def main() -> None:
         "cpus": CPUS,
         "queries": out,
     }
-    with open(os.path.join(ROOT, "SCALE_SF1.json"), "w") as f:
+    if ONLY and os.path.exists(path):
+        prior = json.load(open(path))
+        prior["queries"].update(out)
+        result = prior
+    with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     spark.stop()
