@@ -65,7 +65,33 @@ def build_scaled_documents(spark) -> str:
     out.write.mode("overwrite").parquet(f"{SCRATCH}/documents.parquet")
     build_scaled_events(spark)
     build_scaled_embeddings(spark)
+    build_scaled_tpch(spark)
     return SCRATCH
+
+
+def build_scaled_tpch(spark) -> None:
+    """10x customer/orders/lineitem with key spaces scaled in LOCKSTEP
+    (every key k -> k*COPIES+copy) so FK integrity — the property
+    dq_audit checks — is preserved exactly."""
+    from pyspark.sql import functions as F
+
+    copies = spark.range(COPIES).select(F.col("id").cast("long").alias("copy"))
+
+    def scaled(name: str, keys: list[str]):
+        df = spark.read.parquet(f"{SRC_SF}/{name}.parquet")
+        out = df.crossJoin(F.broadcast(copies)).select(
+            *[
+                (F.col(c) * COPIES + F.col("copy")).alias(c)
+                if c in keys
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        out.write.mode("overwrite").parquet(f"{SCRATCH}/{name}.parquet")
+
+    scaled("customer", ["c_custkey"])
+    scaled("orders", ["o_orderkey", "o_custkey"])
+    scaled("lineitem", ["l_orderkey"])
 
 
 def build_scaled_events(spark) -> None:
