@@ -755,9 +755,12 @@ _DRIVER_PRIORITY = [
     # dedup_clusters_delta, plus the session-5 wave: containment_pairs,
     # kg_ppr, tfidf_keywords, cooc_ktruss, kg_condense, split_leakage,
     # ivf_recall, minhash_error, props_profile, dedup_keep_best,
-    # embedding_quantize, plus the session-6 wave: snm_pairs,
-    # retrieval_eval, kmv_sketch, cdc_snapshot, vocab_growth, dq_audit
-    # (34 today; re-audit against the r04 json).
+    # embedding_quantize, plus the session-6 waves: snm_pairs,
+    # retrieval_eval, kmv_sketch, cdc_snapshot, vocab_growth, dq_audit,
+    # blocking_quality, rollup_delta, reservoir_sample, table_stats,
+    # annotator_agreement, phrase_search (40 today; more than one
+    # 50-slot window — rotate by driver-row age, re-audit vs the r04
+    # json; PARITY_SELF.json covers every query at sf0.01 regardless).
     "skew_profile", "dataset_split", "canonicalize_delta",
     "kg_resolve", "dedup_delta", "kg_neighbor_agg", "kg_clustering",
     "dedup_clusters_delta",
