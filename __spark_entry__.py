@@ -775,6 +775,8 @@ _DRIVER_PRIORITY = [
     "table_stats",
     # session-6 wave 3: chance-corrected label agreement, phrase index
     "annotator_agreement", "phrase_search",
+    # session-6 wave 4: cross-snapshot novelty, composition diversity
+    "novelty_score", "source_diversity",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1121,6 +1123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotator_agreement": _annotator_agreement,
         # consecutive-token phrase retrieval via trigram postings
         "phrase_search": search.phrase_search,
+        # graded cross-snapshot novelty (memorization/re-crawl dial)
+        "novelty_score": curation.novelty_score,
+        # exact-rational Simpson diversity of source composition
+        "source_diversity": textstats.source_diversity,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1725,6 +1731,8 @@ def oracle_sql() -> dict[str, str]:
         "table_stats": audit.duck_table_stats(),
         "annotator_agreement": _duck_annotator_agreement(),
         "phrase_search": search.duck_phrase_search(),
+        "novelty_score": curation.duck_novelty_score(),
+        "source_diversity": textstats.duck_source_diversity(),
     }
 
 

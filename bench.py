@@ -415,6 +415,8 @@ def main() -> None:
     timed("table_stats", audit.table_stats)
     timed("phrase_search", search.phrase_search)
     timed("annotator_agreement", _entry.queries()["annotator_agreement"])
+    timed("novelty_score", curation.novelty_score)
+    timed("source_diversity", textstats.source_diversity)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

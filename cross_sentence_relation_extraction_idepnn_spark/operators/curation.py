@@ -1073,3 +1073,85 @@ def duck_reservoir_sample(k: int = RESERVOIR_K) -> str:
             FROM documents
         ) WHERE rnk <= {k}
     """
+
+
+# ------------------------------------------------------- novelty score
+
+NOVELTY_E6 = 1_000_000
+
+
+def novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_known, novelty_e6) — per-document
+    NOVELTY against a reference corpus: the fraction of the document's
+    distinct 3-gram shingles NOT present in the reference (here: the
+    doc-hash-even half, the ``kg_incremental`` split convention; in
+    production: the previous crawl snapshot or the training set).
+
+    The memorization/contamination dial between two existing
+    operators: ``decontaminate`` answers the BOOLEAN "does this doc
+    leak an eval item", ``span_coverage`` measures WITHIN-corpus
+    duplication — this measures graded cross-snapshot novelty, the
+    signal used to price a re-crawl (mostly-known shards are not worth
+    training on again) and to audit eval novelty.
+
+    100 TB shape: one left semi-ish join of the doc-shingle stream
+    against the DISTINCT reference shingle set keyed by shingle (the
+    decontaminate join shape — AQE broadcasts when the reference set
+    fits, hash-shuffles otherwise), then one doc-grain count
+    aggregate. Integer micro-units; no floats anywhere."""
+    from pyspark.sql import DataFrame as _DF
+
+    from ..operators.dedup import _shingle_arrays_df
+
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    h = spark_h15(F.col("doc_id").cast("string"))
+    sh = _shingle_arrays_df(docs).select(
+        "doc_id", F.explode("shs").alias("shingle")
+    )
+    ref = (
+        _shingle_arrays_df(docs.filter(h % 2 == 0))
+        .select(F.explode("shs").alias("shingle"))
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    return (
+        sh.join(ref, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("known"), F.lit(0)))
+            .cast("long")
+            .alias("n_known"),
+        )
+        .withColumn(
+            "novelty_e6",
+            F.expr(
+                f"(n_shingles - n_known) * {NOVELTY_E6} div n_shingles"
+            ).cast("long"),
+        )
+    )
+
+
+def duck_novelty_score() -> str:
+    from ..operators.dedup import duck_shingles_cte
+
+    h = duck_h15("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH shingles AS ({duck_shingles_cte()}),
+        ref AS (
+            SELECT DISTINCT s.shingle
+            FROM shingles s
+            JOIN documents d ON d.doc_id = s.doc_id
+            WHERE ({duck_h15("CAST(d.doc_id AS VARCHAR)")}) % 2 = 0
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_known,
+               CAST((COUNT(*) - SUM(CASE WHEN r.shingle IS NOT NULL
+                                         THEN 1 ELSE 0 END))
+                    * {NOVELTY_E6} // COUNT(*) AS BIGINT) AS novelty_e6
+        FROM shingles s
+        LEFT JOIN ref r ON r.shingle = s.shingle
+        GROUP BY s.doc_id
+    """

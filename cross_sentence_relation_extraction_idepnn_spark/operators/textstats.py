@@ -795,3 +795,75 @@ def duck_vocab_growth() -> str:
         first AS (SELECT word, MIN(gidx) AS fi FROM toks GROUP BY word)
         {branches}
     """
+
+
+# ------------------------------------------------- composition indexes
+
+DIV_E6 = 1_000_000
+DIV_SCOPE_ALL = "__all__"
+
+
+def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(scope, n_docs, n_groups, simpson_e6, dominance_e6) — exact
+    Simpson diversity of each source's LANGUAGE composition plus an
+    ``__all__`` corpus row: simpson = 1 − Σ(nᵢ/N)², the probability
+    two random docs differ in language; dominance = max nᵢ/N.
+
+    The corpus-composition monitor a mixture pipeline reads next to
+    ``domain_mixture``: a collapsing diversity (or rising dominance)
+    in a crawl slice is the template-flood alarm, and unlike Shannon
+    entropy the Simpson index is an exact RATIONAL — Σnᵢ² and N are
+    BIGINTs, so micro-unit emission is log-free and the oracle
+    hash-matches.
+
+    One groupBy(scope, lang) over the scan (map-side combinable),
+    then a scope-grain aggregate — group-dimension-sized all the way
+    after the first exchange."""
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    per = docs.select("source", "lang").unionByName(
+        docs.select(F.lit(DIV_SCOPE_ALL).alias("source"), "lang")
+    )
+    counts = per.groupBy(F.col("source").alias("scope"), "lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        counts.groupBy("scope")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("_sq"),
+            F.max("n").cast("long").alias("_mx"),
+        )
+        .withColumn(
+            "simpson_e6",
+            F.expr(
+                f"(n_docs * n_docs - _sq) * {DIV_E6} div (n_docs * n_docs)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "dominance_e6",
+            F.expr(f"_mx * {DIV_E6} div n_docs").cast("long"),
+        )
+        .select("scope", "n_docs", "n_groups", "simpson_e6", "dominance_e6")
+    )
+
+
+def duck_source_diversity() -> str:
+    return f"""
+        WITH per AS (
+            SELECT source AS scope, lang FROM documents
+            UNION ALL
+            SELECT '{DIV_SCOPE_ALL}' AS scope, lang FROM documents
+        ),
+        counts AS (
+            SELECT scope, lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM per GROUP BY scope, lang
+        )
+        SELECT scope,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST((SUM(n) * SUM(n) - SUM(n * n)) * {DIV_E6}
+                    // (SUM(n) * SUM(n)) AS BIGINT) AS simpson_e6,
+               CAST(MAX(n) * {DIV_E6} // SUM(n) AS BIGINT) AS dominance_e6
+        FROM counts GROUP BY scope
+    """

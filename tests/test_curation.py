@@ -70,3 +70,40 @@ def test_reservoir_sample_exact_k_and_two_phase_equals_naive(spark, sf_dir):
         .collect()
     )
     assert {tuple(r) for r in got} == {tuple(r) for r in naive}
+
+
+def test_novelty_score_crafted_regimes(spark, tmp_path):
+    """Reference docs (hash-even half) score novelty 0 by definition;
+    an unseen doc that copies a reference doc scores 0; a fully unique
+    unseen doc scores 1e6; a half-known doc lands at the hand-computed
+    fraction."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import py_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        novelty_score,
+    )
+
+    ref_text = "r1 r2 r3 r4 r5 r6"          # shingles: r1r2r3..r4r5r6 (4)
+    half_text = "r1 r2 r3 u1 u2 u3"         # 1 known shingle of 4
+    uniq_text = "u4 u5 u6 u7"
+    # pick ids on each side of the hash split
+    evens = [i for i in range(200) if py_h15(str(i)) % 2 == 0]
+    odds = [i for i in range(200) if py_h15(str(i)) % 2 == 1]
+    rows = [
+        (evens[0], ref_text),
+        (odds[0], ref_text),   # copy of a reference doc
+        (odds[1], half_text),
+        (odds[2], uniq_text),
+    ]
+    path = str(tmp_path / "docs")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {r.doc_id: r for r in novelty_score(spark, path).collect()}
+    assert got[evens[0]].novelty_e6 == 0
+    assert got[odds[0]].novelty_e6 == 0
+    assert (got[odds[1]].n_shingles, got[odds[1]].n_known) == (4, 1)
+    assert got[odds[1]].novelty_e6 == 750_000
+    assert got[odds[2]].novelty_e6 == 1_000_000

@@ -111,3 +111,38 @@ def test_vocab_growth_matches_python_scan_and_is_monotone(spark, sf_dir):
     counts = [got[k] for k in sorted(got)]
     assert counts == sorted(counts)
     release_caches()
+
+
+def test_source_diversity_hand_computed_simpson(spark, tmp_path):
+    """Source A = [en, en, en, fr]: simpson = 1 − (9+1)/16 = 0.375,
+    dominance 0.75; source B monolingual: simpson 0, dominance 1;
+    __all__ over all 6 docs: 1 − (16+1+1+4+... ) hand-checked."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        DIV_SCOPE_ALL,
+        source_diversity,
+    )
+
+    rows = [
+        (1, "t", "en", "A"), (2, "t", "en", "A"),
+        (3, "t", "en", "A"), (4, "t", "fr", "A"),
+        (5, "t", "en", "B"), (6, "t", "en", "B"),
+    ]
+    path = str(tmp_path / "docs")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    got = {r.scope: r for r in source_diversity(spark, path).collect()}
+    assert (got["A"].n_docs, got["A"].n_groups) == (4, 2)
+    assert got["A"].simpson_e6 == 375_000
+    assert got["A"].dominance_e6 == 750_000
+    assert got["B"].simpson_e6 == 0 and got["B"].dominance_e6 == 1_000_000
+    # __all__: en×5, fr×1 over 6 docs → 1 − (25+1)/36 = 10/36
+    a = got[DIV_SCOPE_ALL]
+    assert (a.n_docs, a.n_groups) == (6, 2)
+    assert a.simpson_e6 == 10 * 1_000_000 * 36 // (36 * 36)  # = 277777
+    assert a.dominance_e6 == 833_333
