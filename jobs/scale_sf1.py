@@ -398,6 +398,8 @@ def main() -> None:
         "reservoir_sample": curation_mod.reservoir_sample,
         "table_stats": audit_mod.table_stats,
         "annotator_agreement": _agreement,
+        "novelty_score": curation_mod.novelty_score,
+        "source_diversity": textstats_mod.source_diversity,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}
