@@ -412,3 +412,91 @@ def interval_join_stream(purchases: DataFrame, errors: DataFrame) -> DataFrame:
         purchases.withWatermark("ts", WATERMARK),
         errors.withWatermark("ts", WATERMARK),
     )
+
+
+# ---------------------------------------------------------- CDC stream
+
+CDC_STATE_SCHEMA = (
+    "user_id bigint, last_event_id bigint, last_ts timestamp, "
+    "last_type string, last_value double"
+)
+
+
+def _state_as_events(state: DataFrame) -> DataFrame:
+    """Rename a CDC snapshot back to change-event shape so it can be
+    refolded through ``cdc_state`` (the associative-merge trick)."""
+    return state.select(
+        F.col("last_event_id").alias("event_id"),
+        F.col("last_ts").alias("ts"),
+        "user_id",
+        F.col("last_type").alias("event_type"),
+        F.col("last_value").alias("value"),
+    )
+
+
+def run_stream_cdc(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous MERGE INTO: every micro-batch of change events folds
+    into the latest-wins snapshot via the ASSOCIATIVE ``cdc_state``
+    merge law (state(A ∪ B) = state(state(A) ∪ state(B)) —
+    pytest-pinned in test_temporal), so history is never re-read: the
+    per-batch cost is one key exchange over (existing state + batch).
+
+    Durability follows the ``run_stream_kg`` versioned-overwrite
+    contract: each batch writes the full merged state to
+    ``v=<batch_id>`` and merges against the highest version BELOW its
+    own id, so foreachBatch's at-least-once replay recomputes the
+    identical merge and overwrites its own version — idempotent, and
+    the latest version always equals a from-scratch ``cdc_state`` over
+    everything ingested (tested). Tombstones stay IN the state
+    (resurrection guard); ``cdc_snapshot`` semantics (drop tombstoned
+    keys) apply at read time."""
+    from ..operators.temporal import cdc_state
+    from .triples import _latest_kg_version
+
+    def one_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch_state = cdc_state(bdf)
+        prev_v = _latest_kg_version(spark, state_dir, below=int(batch_id))
+        if prev_v is None:
+            merged = batch_state
+        else:
+            prev = spark.read.schema(CDC_STATE_SCHEMA).parquet(
+                f"{state_dir}/v={prev_v}"
+            )
+            merged = cdc_state(
+                _state_as_events(prev).unionByName(
+                    _state_as_events(batch_state)
+                )
+            )
+        merged.select(
+            "user_id",
+            F.col("last_event_id").cast("bigint").alias("last_event_id"),
+            F.col("last_ts").cast("timestamp").alias("last_ts"),
+            "last_type",
+            F.col("last_value").cast("double").alias("last_value"),
+        ).write.mode("overwrite").parquet(f"{state_dir}/v={int(batch_id)}")
+
+    src = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        src.parquet(src_dir)
+        .writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_latest_cdc(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The current CDC state: the highest committed version."""
+    from .triples import _latest_kg_version
+
+    v = _latest_kg_version(spark, state_dir, below=1 << 62)
+    return spark.read.schema(CDC_STATE_SCHEMA).parquet(f"{state_dir}/v={v}")

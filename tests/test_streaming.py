@@ -725,3 +725,45 @@ def test_stream_neardup_equals_batch_pairs_and_restart_noop(spark, sf_dir, tmp_p
         spark, src, pairs_dir, ckpt, index_dir, max_files_per_trigger=1
     )
     assert _listing() == before
+
+
+def test_stream_cdc_equals_batch_and_replay_idempotent(spark, sf_dir, tmp_path):
+    """The streaming MERGE INTO must converge to cdc_state over
+    everything ingested, regardless of micro-batch boundaries (the
+    associative merge law driving it), and a full replay from a fresh
+    checkpoint must overwrite to the identical state."""
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.temporal import cdc_state
+    from cross_sentence_relation_extraction_idepnn_spark.streaming.events import (
+        events_batch,
+        read_latest_cdc,
+        run_stream_cdc,
+    )
+
+    ev = events_batch(spark, sf_dir)
+    # 3 physical shards → 3 micro-batches with maxFilesPerTrigger=1
+    src = str(tmp_path / "cdc_src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    state_dir = str(tmp_path / "cdc_state")
+    run_stream_cdc(
+        spark, src, state_dir,
+        str(tmp_path / "ckpt1"), max_files_per_trigger=1,
+    )
+    want = {tuple(r) for r in cdc_state(ev).collect()}
+    got = {tuple(r) for r in read_latest_cdc(spark, state_dir).collect()}
+    assert got == want and len(got) > 0
+    # tombstones retained in state (resurrection guard)
+    assert any(r[3] == "error" for r in got) or all(
+        r[3] != "error" for r in want
+    )
+    # replay: fresh checkpoint forces reprocessing into the same dirs
+    run_stream_cdc(
+        spark, src, state_dir,
+        str(tmp_path / "ckpt2"), max_files_per_trigger=1,
+    )
+    again = {tuple(r) for r in read_latest_cdc(spark, state_dir).collect()}
+    assert again == want
