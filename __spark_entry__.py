@@ -777,6 +777,8 @@ _DRIVER_PRIORITY = [
     "annotator_agreement", "phrase_search",
     # session-6 wave 4: cross-snapshot novelty, composition diversity
     "novelty_score", "source_diversity",
+    # session-6 wave 5: CBO join-size estimation audit, weighted panel
+    "join_size_est", "weighted_sample",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1127,6 +1129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_score": curation.novelty_score,
         # exact-rational Simpson diversity of source composition
         "source_diversity": textstats.source_diversity,
+        # equi-join cardinality: exact vs AMS/CMS inner product
+        "join_size_est": sketch.join_size_est,
+        # A-ES-style weighted fixed-size panel (integer keys)
+        "weighted_sample": curation.weighted_sample,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1733,6 +1739,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": search.duck_phrase_search(),
         "novelty_score": curation.duck_novelty_score(),
         "source_diversity": textstats.duck_source_diversity(),
+        "join_size_est": sketch.duck_join_size_est(),
+        "weighted_sample": curation.duck_weighted_sample(),
     }
 
 

@@ -417,6 +417,8 @@ def main() -> None:
     timed("annotator_agreement", _entry.queries()["annotator_agreement"])
     timed("novelty_score", curation.novelty_score)
     timed("source_diversity", textstats.source_diversity)
+    timed("join_size_est", sketch.join_size_est)
+    timed("weighted_sample", curation.weighted_sample)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -1155,3 +1155,67 @@ def duck_novelty_score() -> str:
         LEFT JOIN ref r ON r.shingle = s.shingle
         GROUP BY s.doc_id
     """
+
+
+# ------------------------------------------------------ weighted sample
+
+WEIGHTED_K = 25
+
+
+def weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = WEIGHTED_K
+) -> DataFrame:
+    """(source, rnk, doc_id, weight) — deterministic WEIGHTED
+    fixed-size sample per stratum: the ``k`` docs with the smallest
+    ``h15(doc_id) div weight`` key, weight = max(n_chars, 1) — the
+    integer-algebra analogue of Efraimidis-Spirakis A-ES keys
+    (u^(1/w) replaced by hash/w so the oracle is exact; heavier docs
+    get proportionally smaller keys, i.e. proportionally higher
+    selection odds — importance sampling for curation panels where a
+    long document should count by its mass).
+
+    Same salted two-phase bottom-k scale shape as
+    :func:`reservoir_sample` (few hot strata never sort corpus-sized
+    partitions); deterministic and rerunnable like every sampler in
+    the family."""
+    from pyspark.sql import Window
+
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    w_col = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+    keyed = (
+        docs.select(
+            "source",
+            "doc_id",
+            w_col.alias("weight"),
+            spark_h15(F.col("doc_id").cast("string")).alias("hval"),
+        )
+        # exact integer division: the 60-bit hash over a long `/`
+        # would round-trip through DOUBLE and lose bits past 2^53
+        .withColumn("wkey", F.expr("hval div weight").cast("long"))
+        .withColumn("salt", F.col("wkey") % RESERVOIR_SALTS)
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("wkey", "doc_id")
+    pre = keyed.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= k
+    )
+    w2 = Window.partitionBy("source").orderBy("wkey", "doc_id")
+    return (
+        pre.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("source", "rnk", "doc_id", "weight")
+    )
+
+
+def duck_weighted_sample(k: int = WEIGHTED_K) -> str:
+    h = duck_h15("CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT source, rnk, doc_id, weight FROM (
+            SELECT source, doc_id,
+                   CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ({h}) // GREATEST(n_chars, 1), doc_id
+                   ) AS BIGINT) AS rnk
+            FROM documents
+        ) WHERE rnk <= {k}
+    """

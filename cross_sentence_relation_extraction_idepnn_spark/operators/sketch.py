@@ -386,3 +386,137 @@ def kmv_intersection_estimate(
     prefix = set(merged[:kk])
     inter = len(prefix & set(a) & set(b))
     return inter / kk * kmv_estimate(merged, k)
+
+
+# ------------------------------------------------- join size estimation
+
+JSE_E6 = 1_000_000
+
+
+def _cms_key_cells(keys: DataFrame, col: str, alias: str) -> DataFrame:
+    """(r, c, <alias>) — CMS grid of a key column under the shared
+    pairwise-independent hash family (the cms_sketch machinery applied
+    to join keys instead of tokens)."""
+    import functools
+
+    hk = keys.select(spark_h15(F.col(col).cast("string")).alias("h"))
+    rows = [
+        hk.select(
+            F.lit(r).alias("r"),
+            (spark_minhash_term(F.col("h"), r) % CMS_WIDTH)
+            .cast("int")
+            .alias("c"),
+        )
+        for r in range(CMS_DEPTH)
+    ]
+    return (
+        functools.reduce(lambda a, b: a.unionByName(b), rows)
+        .groupBy("r", "c")
+        .agg(F.count("*").cast("long").alias(alias))
+    )
+
+
+def join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_a, n_b, exact_join, cms_estimate, overest_e6) — equi-join
+    CARDINALITY estimation, the cost-based-optimizer input: exact
+    |A ⋈ B on user_id| = Σ_k aₖ·bₖ for the two event-id-parity halves
+    of the events feed, against the AMS/CMS inner-product estimate
+    min_d Σ_w A_d[w]·B_d[w] (Alon-Matias-Szegedy via the CMS grids).
+
+    Why an engine wants it: Σ aₖ·bₖ is what decides shuffle-vs-
+    broadcast and detects join blowups BEFORE running the join, and
+    the CMS form needs only two 4×128 grids — mergeable, maintainable
+    as table statistics — while the exact form scans both sides. The
+    estimate NEVER under-counts (collisions only add mass), so it is
+    a safe upper bound for planning; ``overest_e6`` measures the
+    looseness on this feed (the minhash_error / ann_recall
+    "measure the sketch" discipline).
+
+    Plan: per-key count aggregates (map-side combinable) + key-grain
+    join for the exact side; two CMS grids (≤ 512 cells each) + a
+    cell equi-join for the estimate. All BIGINT."""
+    ev = read_parquet_cached(spark, f"{sf_dir}/events.parquet")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    ak = a.groupBy("user_id").agg(F.count("*").cast("long").alias("an"))
+    bk = b.groupBy("user_id").agg(F.count("*").cast("long").alias("bn"))
+    exact = ak.join(bk, "user_id").agg(
+        F.coalesce(F.sum(F.col("an") * F.col("bn")), F.lit(0))
+        .cast("long")
+        .alias("exact_join")
+    )
+    ca = _cms_key_cells(a, "user_id", "an")
+    cb = _cms_key_cells(b, "user_id", "bn")
+    est = (
+        ca.join(cb, ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("an") * F.col("bn")).cast("long").alias("dot"))
+        .agg(
+            F.coalesce(F.min("dot"), F.lit(0))
+            .cast("long")
+            .alias("cms_estimate")
+        )
+    )
+    na = a.agg(F.count("*").cast("long").alias("n_a"))
+    nb = b.agg(F.count("*").cast("long").alias("n_b"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(exact)
+        .crossJoin(est)
+        .withColumn(
+            "overest_e6",
+            F.expr(
+                "CASE WHEN exact_join > 0 THEN"
+                f" (cms_estimate - exact_join) * {JSE_E6} div exact_join"
+                " ELSE 0 END"
+            ).cast("long"),
+        )
+    )
+
+
+def duck_join_size_est() -> str:
+    h = duck_h15("CAST(user_id AS VARCHAR)")
+    grids = []
+    for side, par in (("a", 0), ("b", 1)):
+        branches = " UNION ALL ".join(
+            f"SELECT {r} AS r,"
+            f" CAST(({duck_minhash_term(f'({h})', r)}) % {CMS_WIDTH} AS INT)"
+            f" AS c FROM events WHERE event_id % 2 = {par}"
+            for r in range(CMS_DEPTH)
+        )
+        grids.append(
+            f"cms_{side} AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n"
+            f" FROM ({branches}) GROUP BY r, c)"
+        )
+    return f"""
+        WITH ak AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS an
+            FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+        ),
+        bk AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS bn
+            FROM events WHERE event_id % 2 = 1 GROUP BY user_id
+        ),
+        ex AS (
+            SELECT CAST(COALESCE(SUM(an * bn), 0) AS BIGINT) AS exact_join
+            FROM ak JOIN bk USING (user_id)
+        ),
+        {grids[0]},
+        {grids[1]},
+        dots AS (
+            SELECT a.r, CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+            FROM cms_a a JOIN cms_b b ON a.r = b.r AND a.c = b.c
+            GROUP BY a.r
+        ),
+        est AS (SELECT CAST(COALESCE(MIN(dot), 0) AS BIGINT)
+                AS cms_estimate FROM dots),
+        na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM events
+               WHERE event_id % 2 = 0),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM events
+               WHERE event_id % 2 = 1)
+        SELECT n_a, n_b, exact_join, cms_estimate,
+               CAST(CASE WHEN exact_join > 0 THEN
+                    (cms_estimate - exact_join) * {JSE_E6} // exact_join
+                    ELSE 0 END AS BIGINT) AS overest_e6
+        FROM na, nb, ex, est
+    """

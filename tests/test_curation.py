@@ -107,3 +107,76 @@ def test_novelty_score_crafted_regimes(spark, tmp_path):
     assert (got[odds[1]].n_shingles, got[odds[1]].n_known) == (4, 1)
     assert got[odds[1]].novelty_e6 == 750_000
     assert got[odds[2]].novelty_e6 == 1_000_000
+
+
+def test_weighted_sample_favors_heavy_docs_and_matches_naive(spark, sf_dir):
+    """The integer A-ES key must (a) reproduce the naive single-window
+    selection exactly (two-phase decomposability), (b) produce a panel
+    whose mean weight exceeds the corpus mean (heavier docs get
+    smaller keys — the importance-sampling property), and (c) emit
+    exactly min(k, |stratum|) dense-ranked rows per source."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import spark_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        WEIGHTED_K,
+        weighted_sample,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import (
+        read_parquet_cached,
+    )
+
+    got = weighted_sample(spark, sf_dir).collect()
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    per: dict = {}
+    for r in got:
+        per.setdefault(r.source, []).append(r)
+    sizes = {r.source: r.cnt for r in docs.groupBy("source").agg(
+        F.count("*").alias("cnt")).collect()}
+    for src, rows in per.items():
+        assert len(rows) == min(WEIGHTED_K, sizes[src])
+        assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+    w = Window.partitionBy("source").orderBy(
+        F.expr("hval div weight"), "doc_id"
+    )
+    naive = (
+        docs.select(
+            "source", "doc_id",
+            F.greatest(F.col("n_chars").cast("long"), F.lit(1)).alias("weight"),
+            spark_h15(F.col("doc_id").cast("string")).alias("hval"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= WEIGHTED_K)
+        .select("source", "rnk", "doc_id", "weight")
+        .collect()
+    )
+    assert {tuple(r) for r in got} == {tuple(r) for r in naive}
+
+
+def test_weighted_sample_importance_property_crafted(spark, tmp_path):
+    """One source, 50 docs at weight 10000 and 50 at weight 10
+    (1000× mass ratio): the k=10 panel must be dominated by heavy
+    docs — deterministic given the fixed hash keys."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [
+        (i, "t", "en", "A", 10000 if i % 2 == 0 else 10) for i in range(100)
+    ]
+    path = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    got = weighted_sample(spark, path, k=10).collect()
+    assert len(got) == 10
+    heavy = sum(1 for r in got if r.weight == 10000)
+    assert heavy >= 8, heavy

