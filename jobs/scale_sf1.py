@@ -400,6 +400,8 @@ def main() -> None:
         "annotator_agreement": _agreement,
         "novelty_score": curation_mod.novelty_score,
         "source_diversity": textstats_mod.source_diversity,
+        "join_size_est": sketch_mod.join_size_est,
+        "weighted_sample": curation_mod.weighted_sample,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}
