@@ -329,3 +329,89 @@ def test_minhash_delta_probe_side_is_filtered(spark, sf_dir):
     # distinct + the two verification joins; no extra aggregation
     n_aggs = count_op(plan, "HashAggregate") + count_op(plan, "ObjectHashAggregate")
     assert n_aggs <= 2, plan  # partial+final of the candidate distinct
+
+
+# ----------------------------------------- session-6 operator plan pins
+
+
+def test_phrase_search_broadcasts_phrases_single_agg_exchange(spark, sf_dir):
+    """The corpus-side trigram pass must stay narrow (no exchange
+    before the join), the phrase set must broadcast, and the only wide
+    exchange is the (query, doc) count aggregate."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.search import (
+        phrase_search,
+    )
+
+    plan = plan_of(phrase_search(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert count_op(plan, "Exchange") == 1, plan
+
+
+def test_source_diversity_is_two_agg_exchanges(spark, sf_dir):
+    """groupBy(scope, lang) then groupBy(scope): dimension-grain after
+    the first exchange; no joins anywhere."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        source_diversity,
+    )
+
+    plan = plan_of(source_diversity(spark, sf_dir))
+    assert count_op(plan, "Exchange") == 2, plan
+    assert "Join" not in plan
+
+
+def test_reservoir_and_weighted_sample_never_global_sort(spark, sf_dir):
+    """Both samplers must contain NO global Sort-without-partitioning
+    (the hot-stratum guard): every Sort in the plan is a window
+    partition sort, and the pre-filter keeps the second window's input
+    bounded."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        reservoir_sample,
+        weighted_sample,
+    )
+
+    for fn in (reservoir_sample, weighted_sample):
+        df = fn(spark, sf_dir)
+        plan = plan_of(df)
+        # rangepartitioning = global sort; both plans must avoid it
+        assert "rangepartitioning" not in plan.lower(), plan
+        assert count_op(plan, "Exchange") == 2, plan  # salt-grain + stratum-grain
+
+
+def test_kmv_sketch_window_sorts_only_distinct_hashes(spark, sf_dir):
+    """The bottom-k window must sit above the distinct aggregate —
+    never above the raw corpus rows."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        kmv_sketch,
+    )
+
+    plan = plan_of(kmv_sketch(spark, sf_dir))
+    assert count_op(plan, "Window") == 1
+    assert "HashAggregate" in plan  # the distinct below the window
+
+
+def test_novelty_score_single_doc_grain_aggregate(spark, sf_dir):
+    """One shingle-keyed join + one doc-grain aggregate; the reference
+    side must aggregate to DISTINCT shingles before the join."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        novelty_score,
+    )
+
+    plan = plan_of(novelty_score(spark, sf_dir))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 1, plan
+
+
+def test_dq_audit_and_table_stats_fk_joins_are_dimension_joins(spark, sf_dir):
+    """dq_audit's customer FK check must broadcast the dimension;
+    neither audit may contain a cartesian product."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.audit import (
+        dq_audit,
+        table_stats,
+    )
+
+    plan = plan_of(dq_audit(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan2 = plan_of(table_stats(spark, sf_dir))
+    assert "Join" not in plan2  # pure conditional aggregation
