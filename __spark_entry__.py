@@ -779,6 +779,8 @@ _DRIVER_PRIORITY = [
     "novelty_score", "source_diversity",
     # session-6 wave 5: CBO join-size estimation audit, weighted panel
     "join_size_est", "weighted_sample",
+    # session-6 wave 6: conversation-grain near-dup (KG input hygiene)
+    "conv_neardup",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1133,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_est": sketch.join_size_est,
         # A-ES-style weighted fixed-size panel (integer keys)
         "weighted_sample": curation.weighted_sample,
+        # near-duplicate conversations (triple-support contamination)
+        "conv_neardup": dedup.conv_neardup,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1741,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "source_diversity": textstats.duck_source_diversity(),
         "join_size_est": sketch.duck_join_size_est(),
         "weighted_sample": curation.duck_weighted_sample(),
+        "conv_neardup": dedup.duck_conv_neardup(),
     }
 
 

@@ -419,6 +419,7 @@ def main() -> None:
     timed("source_diversity", textstats.source_diversity)
     timed("join_size_est", sketch.join_size_est)
     timed("weighted_sample", curation.weighted_sample)
+    timed("conv_neardup", dedup.conv_neardup)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

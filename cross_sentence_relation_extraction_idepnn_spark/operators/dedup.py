@@ -1648,3 +1648,79 @@ def duck_blocking_quality(tau: float = BQ_TAU, mod: int = BQ_MOD) -> str:
                          ELSE 0 END AS BIGINT) AS reduction_e6
         FROM per, tr, nd
     """
+
+
+# ------------------------------------------------ conversation dedup
+
+
+def conv_neardup(
+    spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU
+) -> DataFrame:
+    """(conv_a, conv_b, jaccard) — near-duplicate CONVERSATIONS: the
+    MinHash family applied at the KG pipeline's own input grain.
+    Duplicate conversations are the one contamination the document
+    dedup family cannot see that directly corrupts the flagship
+    product — each duplicate inflates every triple support it
+    contributes — so the curation step a KG deployment runs FIRST is
+    this one.
+
+    Conversation text = turns concatenated in turn order (one groupBy,
+    sort_array over collected (turn_idx, text) structs — no window);
+    after that it is exactly the proven band/verify machinery over the
+    conversation grain. 100 TB shape identical to ``minhash_pairs``:
+    banded equi self-join, never all-pairs; conversation count ≪ turn
+    count, so this is CHEAPER than any turn-grain alternative."""
+    from ..sources.transcripts import transcripts
+
+    convs = (
+        transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(F.col("conv_id").alias("doc_id"), "text")
+    )
+    sets = _shingle_arrays_df(convs)
+    bands = _band_sigs_df(sets)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard_sets(cand, sets, tau).select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "jaccard",
+    )
+
+
+def duck_conv_neardup(tau: float = MINHASH_TAU) -> str:
+    from ..sources.transcripts import duck_transcripts_cte
+
+    ctes, final = _duck_minhash_pair_parts(tau)
+    final = final.replace(
+        "SELECT c.doc_a, c.doc_b,",
+        "SELECT c.doc_a AS conv_a, c.doc_b AS conv_b,",
+    )
+    return (
+        f"WITH transcripts AS ({duck_transcripts_cte()}), "
+        "docs AS ("
+        "  SELECT conv_id AS doc_id,"
+        "         string_agg(text, ' ' ORDER BY turn_idx) AS text"
+        "  FROM transcripts GROUP BY conv_id"
+        "), "
+        f"shingles AS ({duck_shingles_cte('docs')})"
+        f"{ctes}{final}"
+    )

@@ -402,6 +402,7 @@ def main() -> None:
         "source_diversity": textstats_mod.source_diversity,
         "join_size_est": sketch_mod.join_size_est,
         "weighted_sample": curation_mod.weighted_sample,
+        "conv_neardup": dedup_mod.conv_neardup,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}
