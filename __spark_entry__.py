@@ -116,13 +116,17 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
 from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
     documents,
     duck_skew_profile,
+    duck_tool_ngrams,
     duck_tool_transition,
     duck_tool_usage,
     duck_transcripts_cte,
+    duck_turn_latency,
     skew_profile,
+    tool_ngrams,
     tool_transition,
     tool_usage,
     transcripts,
+    turn_latency,
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -489,6 +493,64 @@ def _duck_kg_linkpred() -> str:
     return duck_linkpred_over(_duck_kg())
 
 
+def _kg_bridges(spark: SparkSession, sf: str) -> DataFrame:
+    """Edge-grain embeddedness census + local-bridge (weak-tie) flags
+    over the materialized KG — the edge-audit complement of
+    ``kg_triangles`` (node grain) and ``kg_node_sim`` (pair grain)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_bridges,
+    )
+
+    return kg_bridges(materialize_kg(spark, sf))
+
+
+def _duck_kg_bridges() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_bridges_over,
+    )
+
+    return duck_bridges_over(_duck_kg())
+
+
+def _kg_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-graph mixing summary: exact-integer degree assortativity
+    (Newman 2002, square-root-free symmetric form) + directed-edge
+    reciprocity of the materialized KG."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_assortativity,
+    )
+
+    return kg_assortativity(materialize_kg(spark, sf))
+
+
+def _duck_kg_assortativity() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_assortativity_over,
+    )
+
+    return duck_assortativity_over(_duck_kg())
+
+
+def _kg_hyperanf(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperANF neighbourhood-function sketch (Boldi et al. 2011):
+    per-node HLL registers of the distance-≤d ball, advanced by
+    per-round neighbour max-merge; integer register state is the
+    parity surface (the float estimate sits on top in pytest)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_hyperanf,
+    )
+
+    return kg_hyperanf(materialize_kg(spark, sf))
+
+
+def _duck_kg_hyperanf() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_hyperanf_over,
+    )
+
+    return duck_hyperanf_over(_duck_kg())
+
+
 def _entity_pmi(spark: SparkSession, sf: str) -> DataFrame:
     """Conversation-grain canonical-entity co-occurrence PMI — the
     relation-discovery / distant-supervision signal next to the KG's
@@ -781,6 +843,13 @@ _DRIVER_PRIORITY = [
     "join_size_est", "weighted_sample",
     # session-6 wave 6: conversation-grain near-dup (KG input hygiene)
     "conv_neardup",
+    # session-7 wave: edge embeddedness / weak ties, exact-integer
+    # assortativity+reciprocity, HyperANF distance sketch, MOSS
+    # winnowing fingerprints, tool-trigram mining, turn-latency census
+    "kg_bridges", "kg_assortativity", "kg_hyperanf",
+    "winnow_fingerprints", "tool_ngrams", "turn_latency",
+    # session-7 wave 2: DSIR importance resampling, tool×PII audit
+    "dsir_weights", "tool_pii_exposure",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1137,6 +1206,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": curation.weighted_sample,
         # near-duplicate conversations (triple-support contamination)
         "conv_neardup": dedup.conv_neardup,
+        "kg_bridges": _kg_bridges,
+        "kg_assortativity": _kg_assortativity,
+        "kg_hyperanf": _kg_hyperanf,
+        "winnow_fingerprints": textstats.winnow_fingerprints,
+        "tool_ngrams": tool_ngrams,
+        "turn_latency": turn_latency,
+        "dsir_weights": curation.dsir_weights,
+        "tool_pii_exposure": curation.tool_pii_exposure,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1746,6 +1823,17 @@ def oracle_sql() -> dict[str, str]:
         "join_size_est": sketch.duck_join_size_est(),
         "weighted_sample": curation.duck_weighted_sample(),
         "conv_neardup": dedup.duck_conv_neardup(),
+        "kg_bridges": _duck_kg_bridges(),
+        "kg_assortativity": _duck_kg_assortativity(),
+        "kg_hyperanf": _duck_kg_hyperanf(),
+        "winnow_fingerprints": textstats.duck_winnow(),
+        "tool_ngrams": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_tool_ngrams()}",
+        "turn_latency": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_turn_latency()}",
+        "dsir_weights": curation.duck_dsir_weights(),
+        "tool_pii_exposure": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {curation.duck_tool_pii_exposure()}",
     }
 
 

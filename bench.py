@@ -420,6 +420,14 @@ def main() -> None:
     timed("join_size_est", sketch.join_size_est)
     timed("weighted_sample", curation.weighted_sample)
     timed("conv_neardup", dedup.conv_neardup)
+    timed("kg_bridges", _entry.queries()["kg_bridges"])
+    timed("kg_assortativity", _entry.queries()["kg_assortativity"])
+    timed("kg_hyperanf", _entry.queries()["kg_hyperanf"])
+    timed("winnow_fingerprints", textstats.winnow_fingerprints)
+    timed("tool_ngrams", _entry.queries()["tool_ngrams"])
+    timed("turn_latency", _entry.queries()["turn_latency"])
+    timed("dsir_weights", curation.dsir_weights)
+    timed("tool_pii_exposure", curation.tool_pii_exposure)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -19,7 +19,7 @@ All three are the shapes a 100 TB curation pass needs:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Java-regex / RE2 common subset only (no lookarounds, no \b).
@@ -1218,4 +1218,206 @@ def duck_weighted_sample(k: int = WEIGHTED_K) -> str:
                    ) AS BIGINT) AS rnk
             FROM documents
         ) WHERE rnk <= {k}
+    """
+
+
+# ------------------------------------------------------------- DSIR
+
+DSIR_BUCKETS = 128
+DSIR_TARGET_SOURCES = ("src0", "src1")  # the "target domain" slice
+
+
+def dsir_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    targets: tuple[str, ...] = DSIR_TARGET_SOURCES,
+) -> DataFrame:
+    """(doc_id, n_toks, dsir_e6) — Data Selection via Importance
+    Resampling (Xie et al., NeurIPS 2023): per-document importance
+    log-weight ``Σ_tokens [ln p̂_target(bucket) − ln p̂_raw(bucket)]``
+    over ``DSIR_BUCKETS`` hashed unigram features with Laplace
+    smoothing — the standard "make the pretraining mix look like the
+    target domain" resampling score. The target distribution is
+    estimated from the ``targets`` sources; raw from the whole corpus.
+
+    Cross-engine exactness: the ONLY float step is one ``ln`` per
+    bucket on a 128-row table, immediately fixed to integers via
+    ``floor(x·1e6 + 0.5)`` (identical half-up semantics in both
+    engines — no ROUND-mode dependence); per-doc scores are then pure
+    BIGINT sums of those integers, so token order and partitioning
+    cannot drift the result.
+
+    Plan: ONE corpus scan persisted at (doc, bucket) grain; the
+    128-row histogram re-aggregates from it (map-side combined) and
+    rides BACK as a broadcast; one doc-grain sum. At 100 TB the
+    histogram is a table statistic you maintain incrementally — the
+    scoring pass is then scan + broadcast-join + doc-grain aggregate,
+    embarrassingly parallel."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..hashing import spark_h15
+    from ..session import cache_scope, track_cache, track_checkpoint
+
+    B = DSIR_BUCKETS
+    tgt = F.array(*[F.lit(t) for t in targets])
+
+    def build() -> DataFrame:
+        toks = (
+            _docs(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.array_contains(tgt, F.col("source")).alias("is_t"),
+                F.explode(F.split(F.col("text"), " ")).alias("tok"),
+            )
+            .filter(F.col("tok") != "")
+        )
+        db = track_cache(
+            toks.groupBy(
+                "doc_id", "is_t", (spark_h15(F.col("tok")) % B).alias("bucket")
+            )
+            .agg(F.count("*").alias("cnt"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        hist = db.groupBy("bucket").agg(
+            F.sum("cnt").alias("cnt_all"),
+            F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0)).alias(
+                "cnt_t"
+            ),
+        )
+        w = Window.partitionBy()
+        ratio = hist.select(
+            "bucket",
+            F.floor(
+                (
+                    F.log((F.col("cnt_t") + 1) / (F.sum("cnt_t").over(w) + B))
+                    - F.log(
+                        (F.col("cnt_all") + 1) / (F.sum("cnt_all").over(w) + B)
+                    )
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w_e6"),
+        )
+        return (
+            db.join(F.broadcast(ratio), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").cast("long").alias("n_toks"),
+                F.sum(F.col("cnt") * F.col("w_e6")).cast("long").alias(
+                    "dsir_e6"
+                ),
+            )
+        )
+
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
+
+
+def duck_dsir_weights(targets: tuple[str, ...] = DSIR_TARGET_SOURCES) -> str:
+    """Oracle: the same hashed-feature histogram / smoothed log-ratio /
+    integer fixing in SQL (window totals over the 128-row grid)."""
+    from ..hashing import duck_h15
+
+    B = DSIR_BUCKETS
+    tlist = ", ".join(f"'{t}'" for t in targets)
+    h = duck_h15("tok")
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, source IN ({tlist}) AS is_t,
+                   UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        db AS MATERIALIZED (
+            SELECT doc_id, is_t, ({h}) % {B} AS bucket, COUNT(*) AS cnt
+            FROM toks WHERE tok <> '' GROUP BY 1, 2, 3
+        ),
+        hist AS (
+            SELECT bucket, SUM(cnt) AS cnt_all,
+                   SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS cnt_t
+            FROM db GROUP BY bucket
+        ),
+        ratio AS (
+            SELECT bucket,
+                   CAST(FLOOR((ln((cnt_t + 1) / (SUM(cnt_t) OVER () + {B}))
+                             - ln((cnt_all + 1) / (SUM(cnt_all) OVER () + {B})))
+                        * 1000000 + 0.5) AS BIGINT) AS w_e6
+            FROM hist
+        )
+        SELECT db.doc_id, CAST(SUM(db.cnt) AS BIGINT) AS n_toks,
+               CAST(SUM(db.cnt * ratio.w_e6) AS BIGINT) AS dsir_e6
+        FROM db JOIN ratio USING (bucket)
+        GROUP BY db.doc_id
+    """
+
+
+# ----------------------------------------- tool × PII exposure audit
+
+PII_TURN_PLANT_MOD = 7  # plant a PII span on turn_idx % 7 == 3
+
+
+def tool_pii_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tool, n_turns, n_pii_turns, n_spans) — the agent-transcript
+    security audit: which tool contexts see PII, how often, and how
+    many spans. Runs the SAME progressive masking chain as
+    ``pii_scrub`` (span counted once even when patterns overlap) at
+    TURN grain, then aggregates per tool state ('chat' for non-tool
+    turns). The synthetic corpus carries no organic PII, so every
+    ``turn_idx % 7 == 3`` turn deterministically plants one email +
+    one SSN-like span (mirrored in the oracle) — the masking path is
+    non-vacuous and the expected exposure profile is derivable.
+
+    Plan: narrow regexp chain per turn (zero Python), ONE map-side-
+    combinable aggregation onto the |tools|-sized grid — at 100 TB
+    this is scan-speed, the same shape as ``pii_scrub`` itself."""
+    from ..sources.transcripts import transcripts
+
+    t = transcripts(spark, sf_dir)
+    planted = F.when(
+        F.col("turn_idx") % PII_TURN_PLANT_MOD == 3,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact agent"),
+            F.col("turn_idx").cast("string"),
+            F.lit("@example.com id 123-45-6789"),
+        ),
+    ).otherwise(F.col("text"))
+    _, n_pii = pii_exprs(planted)
+    return (
+        t.select(
+            F.coalesce("tool", F.lit("chat")).alias("tool"),
+            n_pii.cast("int").alias("n_pii"),
+        )
+        .groupBy("tool")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum((F.col("n_pii") > 0).cast("long")).alias("n_pii_turns"),
+            F.sum("n_pii").cast("long").alias("n_spans"),
+        )
+    )
+
+
+def duck_tool_pii_exposure() -> str:
+    """Oracle (compose after a ``transcripts`` CTE): identical plant +
+    progressive-chain span counts per turn, grouped by tool state."""
+    planted = (
+        f"CASE WHEN turn_idx % {PII_TURN_PLANT_MOD} = 3 THEN text"
+        " || ' contact agent' || CAST(turn_idx AS VARCHAR)"
+        " || '@example.com id 123-45-6789' ELSE text END"
+    )
+    clean = planted
+    npii = []
+    for pat, repl in PII_PATTERNS:
+        npii.append(f"(len(string_split_regex({clean}, '{pat}')) - 1)")
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+        SELECT COALESCE(tool, 'chat') AS tool,
+               COUNT(*) AS n_turns,
+               CAST(SUM(CASE WHEN {' + '.join(npii)} > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pii_turns,
+               CAST(SUM({' + '.join(npii)}) AS BIGINT) AS n_spans
+        FROM transcripts
+        GROUP BY 1
     """

@@ -2933,3 +2933,365 @@ def kg_provenance(triples: DataFrame, canon: DataFrame) -> DataFrame:
         F.min("conv_id").alias("first_conv"),
         F.max("conv_id").alias("last_conv"),
     )
+
+
+# ------------------------------------- edge embeddedness / weak ties
+
+def kg_bridges(kg: DataFrame, release: bool = True) -> DataFrame:
+    """(u, v, n_common, is_bridge) — per-EDGE embeddedness census over
+    the KG's undirected entity graph: for every edge, the number of
+    common neighbours of its endpoints. Edges with zero common
+    neighbours are LOCAL BRIDGES (Granovetter's weak ties) — the only
+    routes between otherwise-separate knowledge neighbourhoods, i.e.
+    exactly the edges whose loss disconnects context and whose presence
+    a KG curator audits hardest. Complements ``kg_triangles`` (node
+    grain) and ``kg_node_sim`` (candidate-pair grain) at EDGE grain.
+
+    Plan: the id-oriented wedge join (identical shape and skew notes as
+    ``kg_triangles``: at billion-edge scale orient by degree; AQE
+    skew-split covers the residual hub) generates common-neighbour
+    pairs, which immediately semi-restrict to the edge set BEFORE the
+    count aggregation — never pair-grain beyond the wedge fan-out. One
+    final broadcast-free left join puts zero counts on bridge edges."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import cache_scope, track_cache, track_checkpoint
+
+    def build() -> DataFrame:
+        base = track_cache(
+            kg.select("subj", "obj").persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        und = track_cache(
+            base.select(
+                F.least("subj", "obj").alias("u"),
+                F.greatest("subj", "obj").alias("v"),
+            )
+            .filter(F.col("u") < F.col("v"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        adj = und.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionByName(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        # common neighbours x of (a, b): (a, x) and (b, x) both edges
+        wedges = (
+            adj.alias("x")
+            .join(adj.alias("y"), F.col("x.dst") == F.col("y.dst"))
+            .filter(F.col("x.src") < F.col("y.src"))
+            .select(F.col("x.src").alias("u"), F.col("y.src").alias("v"))
+        )
+        common = (
+            wedges.join(und, ["u", "v"])  # edge restriction pre-agg
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("n_common"))
+        )
+        return und.join(common, ["u", "v"], "left").select(
+            "u",
+            "v",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            (F.coalesce("n_common", F.lit(0)) == 0).alias("is_bridge"),
+        )
+
+    if not release:
+        return build()
+    with cache_scope():
+        out = build().localCheckpoint(eager=True)
+    return track_checkpoint(out)
+
+
+def duck_bridges_over(kg_cte: str) -> str:
+    """Oracle: the same edge-restricted common-neighbour count in SQL."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(subj, obj) AS u, GREATEST(subj, obj) AS v
+            FROM kg WHERE LEAST(subj, obj) < GREATEST(subj, obj)
+        ),
+        adj AS (
+            SELECT u AS src, v AS dst FROM und
+            UNION ALL SELECT v, u FROM und
+        ),
+        common AS (
+            SELECT x.src AS u, y.src AS v, COUNT(*) AS n_common
+            FROM adj x
+            JOIN adj y ON y.dst = x.dst AND x.src < y.src
+            JOIN und e ON e.u = x.src AND e.v = y.src
+            GROUP BY x.src, y.src
+        )
+        SELECT und.u, und.v,
+               CAST(COALESCE(common.n_common, 0) AS BIGINT) AS n_common,
+               COALESCE(common.n_common, 0) = 0 AS is_bridge
+        FROM und LEFT JOIN common USING (u, v)
+    """
+
+
+# ----------------------------------- degree assortativity/reciprocity
+
+def kg_assortativity(kg: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, assort_e6, recip_e6) — whole-graph
+    mixing summary of the materialized KG. ``assort_e6`` is the degree
+    assortativity coefficient (Newman 2002): the Pearson correlation
+    between endpoint degrees over the undirected edge set, each edge
+    contributing both orientations. Because both marginals are then
+    identical, r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) EXACTLY — no
+    square root — so the whole statistic is integer arithmetic and the
+    e6 fixed-point is bit-stable cross-engine. ``recip_e6`` is the
+    share of DIRECTED kg edges whose reverse edge also exists
+    (extraction-symmetry audit). Hub-dominated KGs are disassortative
+    (r < 0); a sudden assortativity shift between snapshots flags an
+    extraction regression.
+
+    Plan: degree table (node grain) broadcasts back onto the directed
+    pair list; all five sufficient statistics ride ONE global
+    aggregation — map-side combined, one row out, no corpus-sized
+    shuffle. Reciprocity is a self-equi-join on the (tiny) distinct
+    directed edge set. At 10^12-edge scale the int64 headroom of
+    m·Σx² forces the sums into DECIMAL(38,0) — a type swap, not a plan
+    change (noted per SURVEY §6 overflow policy)."""
+    base = kg.select("subj", "obj")
+    directed = base.filter(F.col("subj") != F.col("obj")).distinct()
+    und = (
+        base.select(
+            F.least("subj", "obj").alias("u"),
+            F.greatest("subj", "obj").alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    pairs = adj.join(
+        F.broadcast(deg.select(F.col("node").alias("src"), F.col("deg").alias("dx"))),
+        "src",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dy"))),
+        "dst",
+    )
+    stats = pairs.agg(
+        F.count("*").alias("m2"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    recip = (
+        directed.alias("a")
+        .join(
+            directed.select(
+                F.col("obj").alias("subj"), F.col("subj").alias("obj")
+            ).alias("b"),
+            ["subj", "obj"],
+        )
+        .agg(F.count("*").alias("n_recip"))
+    )
+    n_dir = directed.agg(F.count("*").alias("n_dir"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    # pure integer arithmetic end-to-end: Spark `div` and DuckDB `//`
+    # both truncate toward zero, so the e6 fixed-point (which can be
+    # NEGATIVE for disassortative graphs) is bit-identical cross-engine
+    return (
+        stats.crossJoin(recip)
+        .crossJoin(n_dir)
+        .crossJoin(n_nodes)
+        .crossJoin(n_edges)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.expr(
+                "CASE WHEN m2 * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE ((m2 * sxy - sx * sx) * 1000000)"
+                "      div (m2 * sxx - sx * sx) END"
+            )
+            .cast("long")
+            .alias("assort_e6"),
+            F.expr("(n_recip * 1000000) div n_dir").cast("long").alias("recip_e6"),
+        )
+    )
+
+
+def duck_assortativity_over(kg_cte: str) -> str:
+    """Oracle: identical integer sufficient statistics in SQL."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(subj, obj) AS u, GREATEST(subj, obj) AS v
+            FROM kg WHERE LEAST(subj, obj) < GREATEST(subj, obj)
+        ),
+        adj AS (
+            SELECT u AS src, v AS dst FROM und
+            UNION ALL SELECT v, u FROM und
+        ),
+        deg AS (SELECT src AS node, COUNT(*) AS deg FROM adj GROUP BY src),
+        st AS (
+            SELECT COUNT(*) AS m2, SUM(a.deg) AS sx,
+                   SUM(a.deg * a.deg) AS sxx, SUM(a.deg * b.deg) AS sxy
+            FROM adj
+            JOIN deg a ON a.node = adj.src
+            JOIN deg b ON b.node = adj.dst
+        ),
+        dir AS (SELECT DISTINCT subj, obj FROM kg WHERE subj <> obj),
+        rc AS (
+            SELECT COUNT(*) AS n_recip
+            FROM dir a JOIN dir b ON b.subj = a.obj AND b.obj = a.subj
+        )
+        SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+               (SELECT COUNT(*) FROM und)::BIGINT AS n_edges,
+               CAST(CASE WHEN m2 * sxx - sx * sx = 0 THEN 0
+                    ELSE ((m2 * sxy - sx * sx) * 1000000)
+                         // (m2 * sxx - sx * sx)
+               END AS BIGINT) AS assort_e6,
+               CAST(rc.n_recip * 1000000 // (SELECT COUNT(*) FROM dir)
+                    AS BIGINT) AS recip_e6
+        FROM st, rc
+    """
+
+
+# --------------------------------------------- HyperANF distance sketch
+
+HYPERANF_ROUNDS = 3
+
+
+def kg_hyperanf(kg: DataFrame, rounds: int = HYPERANF_ROUNDS) -> DataFrame:
+    """(node, d, n_regs, sum_rank) — HyperANF (Boldi, Rosa & Vigna,
+    WWW 2011) over the KG's undirected entity graph: every node keeps a
+    sparse HyperLogLog register set describing its distance-≤d ball;
+    one round of max-merging each node's registers with its
+    neighbours' advances d by 1. After D rounds each node's register
+    set estimates |ball(v, D)| — the neighbourhood function, i.e. how
+    fast knowledge "spreads" from each entity, and (aggregated) the
+    graph's effective diameter, at O(E·D) work instead of
+    all-pairs-BFS O(V·E).
+
+    The driver-checked parity surface is the INTEGER register state
+    itself per (node, d): register count and rank sum — the float
+    Flajolet estimate (``sketch.hll_estimate``) sits on top in pytest,
+    exactly the split ``hll_registers``/``events_hll`` pins. Hash/
+    bucket/rank definitions are shared with the corpus HLL
+    (``hashing.spark_h15``; p=6, 54 rest bits).
+
+    Plan: per round ONE (node,bucket)-grain shuffle — the adjacency
+    equi-join fans each register to its neighbours and the groupBy
+    max-merges; state stays ≤ V·min(64, |ball|) rows. Edge list and
+    per-round state persist once; ``localCheckpoint`` truncates the
+    iterative lineage (same shape as ``kg_pagerank``). At 10^12 turns
+    HyperANF is THE way to get distance statistics — exact BFS from
+    every node is quadratic and dead."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..hashing import spark_h15
+    from ..session import cache_scope, track_cache, track_checkpoint
+    from .sketch import HLL_BUCKETS, HLL_REST_BITS
+
+    def build() -> DataFrame:
+        base = track_cache(
+            kg.select("subj", "obj").persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        und = base.select(
+            F.least("subj", "obj").alias("u"),
+            F.greatest("subj", "obj").alias("v"),
+        ).filter(F.col("u") < F.col("v")).distinct()
+        adj = track_cache(
+            und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .unionByName(
+                und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        nodes = base.select(F.col("subj").alias("node")).unionByName(
+            base.select(F.col("obj").alias("node"))
+        ).distinct()
+        h = spark_h15(F.col("node"))
+        rest = F.shiftright(h, 6)
+        rank = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+            F.lit(HLL_REST_BITS + 1) - F.length(F.bin(rest))
+        )
+        state = nodes.select(
+            "node",
+            (h % HLL_BUCKETS).cast("int").alias("bucket"),
+            rank.cast("int").alias("rank"),
+        ).localCheckpoint(eager=True)
+
+        def summarize(st: DataFrame, d: int) -> DataFrame:
+            return st.groupBy("node").agg(
+                F.lit(d).cast("int").alias("d"),
+                F.count("*").cast("long").alias("n_regs"),
+                F.sum("rank").cast("long").alias("sum_rank"),
+            )
+
+        out = summarize(state, 0)
+        for d in range(1, rounds + 1):
+            fanned = adj.join(
+                state.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "bucket", "rank")
+            state = (
+                state.unionByName(fanned)
+                .groupBy("node", "bucket")
+                .agg(F.max("rank").alias("rank"))
+                .localCheckpoint(eager=True)
+            )
+            out = out.unionByName(summarize(state, d))
+        return out.select("node", "d", "n_regs", "sum_rank")
+
+    with cache_scope():
+        result = build().localCheckpoint(eager=True)
+    return track_checkpoint(result)
+
+
+def duck_hyperanf_over(kg_cte: str, rounds: int = HYPERANF_ROUNDS) -> str:
+    """Oracle: the same register fixpoint with the rounds UNROLLED as
+    plain CTEs (r0..rD) — an independent relational formulation of the
+    engine's iterative max-merge."""
+    from ..hashing import duck_h15
+    from .sketch import HLL_BUCKETS, HLL_REST_BITS
+
+    h = duck_h15("node")
+    ctes = [
+        f"kg AS MATERIALIZED ({kg_cte})",
+        """und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(subj, obj) AS u, GREATEST(subj, obj) AS v
+            FROM kg WHERE LEAST(subj, obj) < GREATEST(subj, obj)
+        )""",
+        """adj AS (
+            SELECT u AS src, v AS dst FROM und
+            UNION ALL SELECT v, u FROM und
+        )""",
+        """nd AS (SELECT DISTINCT node FROM (
+            SELECT subj AS node FROM kg UNION ALL SELECT obj FROM kg
+        ))""",
+        f"""r0 AS (
+            SELECT node,
+                   CAST(({h}) % {HLL_BUCKETS} AS INT) AS bucket,
+                   CAST(CASE WHEN ({h}) // {HLL_BUCKETS} = 0
+                             THEN {HLL_REST_BITS + 1}
+                             ELSE {HLL_REST_BITS + 1}
+                                  - length(bin(({h}) // {HLL_BUCKETS}))
+                        END AS INT) AS rnk
+            FROM nd
+        )""",
+    ]
+    for t in range(rounds):
+        ctes.append(f"""r{t + 1} AS (
+            SELECT node, bucket, MAX(rnk) AS rnk FROM (
+                SELECT node, bucket, rnk FROM r{t}
+                UNION ALL
+                SELECT a.src AS node, r.bucket, r.rnk
+                FROM adj a JOIN r{t} r ON r.node = a.dst
+            ) GROUP BY node, bucket
+        )""")
+    sels = [
+        f"""SELECT node, CAST({d} AS INT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_regs,
+                   CAST(SUM(rnk) AS BIGINT) AS sum_rank
+            FROM r{d} GROUP BY node"""
+        for d in range(rounds + 1)
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + " "
+        + " UNION ALL ".join(sels)
+    )

@@ -867,3 +867,91 @@ def duck_source_diversity() -> str:
                CAST(MAX(n) * {DIV_E6} // SUM(n) AS BIGINT) AS dominance_e6
         FROM counts GROUP BY scope
     """
+
+
+# ------------------------------------------------- MOSS winnowing
+
+WINNOW_W = 4  # k-gram hashes per winnowing window
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, fp) — winnowing fingerprints (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003 — the MOSS algorithm): over the rolling
+    ``FP_WIN``-char k-gram hashes of each document, every window of
+    ``WINNOW_W`` consecutive hashes selects its minimum (RIGHTMOST
+    occurrence on ties), and the distinct selected (position, hash)
+    pairs are the document's fingerprint set. Winnowing guarantees any
+    shared substring of length ≥ FP_WIN + WINNOW_W − 1 yields a shared
+    fingerprint — the local-dedup/plagiarism primitive that
+    ``doc_fingerprint``'s global min/xor summary cannot give (it
+    detects whole-doc twins; winnowing detects SHARED PASSAGES when
+    fingerprints are equi-joined across docs).
+
+    Plan: pure Column algebra — k-gram hashes, per-window struct-min
+    (``(hash, −pos)`` so the natural struct order IS min-hash-then-
+    rightmost), ``array_distinct``, one explode. Zero joins, zero
+    shuffles, zero Python: at 100 TB this runs map-side at scan speed
+    and the downstream passage-match is an equi-join on ``fp``.
+    Per-doc work is O(len·W) lambda steps inside codegen."""
+    n_kg = F.greatest(F.length("text") - (FP_WIN - 1), F.lit(1))
+    base = _docs(spark, sf_dir).select(
+        "doc_id", "text", n_kg.alias("n_kg")
+    ).withColumn(
+        "hs",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_kg")),
+            lambda p: spark_h15(F.col("text").substr(p, F.lit(FP_WIN))),
+        ),
+    )
+    win_min = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("n_kg") - (WINNOW_W - 1), F.lit(1))),
+        lambda s: F.array_min(
+            F.transform(
+                F.sequence(s, F.least(s + (WINNOW_W - 1), F.col("n_kg"))),
+                lambda j: F.struct(
+                    F.element_at(F.col("hs"), j).alias("fp"),
+                    (-j).alias("negp"),
+                ),
+            )
+        ),
+    )
+    return (
+        base.select("doc_id", F.explode(F.array_distinct(win_min)).alias("w"))
+        .select(
+            "doc_id",
+            (-F.col("w.negp")).cast("int").alias("pos"),
+            F.col("w.fp").alias("fp"),
+        )
+    )
+
+
+def duck_winnow() -> str:
+    """Oracle: the same rightmost-min selection via a window-to-kgram
+    range join and ROW_NUMBER ordered (hash, pos DESC)."""
+    h = duck_h15(f"substr(text, CAST(p AS INT), {FP_WIN})")
+    return f"""
+        WITH hv AS MATERIALIZED (
+            SELECT doc_id, CAST(p AS INT) AS p, {h} AS fp,
+                   GREATEST(length(text) - {FP_WIN - 1}, 1) AS n_kg
+            FROM (
+                SELECT doc_id, text,
+                       UNNEST(range(1, GREATEST(length(text) - {FP_WIN - 1}, 1) + 1)) AS p
+                FROM documents
+            )
+        ),
+        wins AS (
+            SELECT doc_id,
+                   UNNEST(range(1, GREATEST(n_kg - {WINNOW_W - 1}, 1) + 1)) AS s
+            FROM (SELECT DISTINCT doc_id, n_kg FROM hv)
+        ),
+        sel AS (
+            SELECT w.doc_id, h.p, h.fp,
+                   ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.s
+                                      ORDER BY h.fp, h.p DESC) AS rn
+            FROM wins w
+            JOIN hv h ON h.doc_id = w.doc_id
+                     AND h.p BETWEEN w.s AND w.s + {WINNOW_W - 1}
+        )
+        SELECT DISTINCT doc_id, CAST(p AS INT) AS pos, fp
+        FROM sel WHERE rn = 1
+    """

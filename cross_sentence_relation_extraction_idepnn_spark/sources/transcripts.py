@@ -291,3 +291,103 @@ def duck_skew_profile() -> str:
         )
         GROUP BY turns_per_conv
     """
+
+
+def tool_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t1, t2, t3, n) — order-2 sequence mining over per-conversation
+    tool sequences: counts of every CONSECUTIVE tool trigram (non-tool
+    turns are the 'chat' state). ``tool_transition`` is the first-order
+    Markov view; trigrams expose the multi-step agent workflows
+    (search → read → write) a transition matrix averages away — the
+    GSP-style sequential-pattern census at fixed k=3, exact because
+    consecutive k-grams need no candidate generation.
+
+    Plan: the SAME single conversation-grain exchange as
+    ``tool_transition`` (one window sort yields both ``lead`` columns),
+    then one map-side-combinable count over a ≤ |tools|³ dimension grid
+    — corpus read exactly once, output size independent of corpus
+    size."""
+    from pyspark.sql import Window
+
+    t = transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.coalesce("tool", F.lit("chat")).alias("s")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        t.withColumn("t2", F.lead("s", 1).over(w))
+        .withColumn("t3", F.lead("s", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .groupBy(F.col("s").alias("t1"), "t2", "t3")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def duck_tool_ngrams() -> str:
+    """Oracle (compose after a ``transcripts`` CTE): the same trigram
+    counts via a double turn_idx self-join — the independent relational
+    formulation of the engine's window ``lead`` pair."""
+    return """
+        SELECT COALESCE(a.tool, 'chat') AS t1,
+               COALESCE(b.tool, 'chat') AS t2,
+               COALESCE(c.tool, 'chat') AS t3,
+               COUNT(*) AS n
+        FROM transcripts a
+        JOIN transcripts b
+          ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+        JOIN transcripts c
+          ON c.conv_id = a.conv_id AND c.turn_idx = a.turn_idx + 2
+        GROUP BY 1, 2, 3
+    """
+
+
+def turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_role, dst_role, n, sum_ms, min_ms, max_ms) — response-
+    latency census per role transition: for consecutive turns within a
+    conversation (stable turn ordering — the north-rule invariant), the
+    exact integer millisecond gap ``ts(turn+1) − ts(turn)``, aggregated
+    by (previous role → role). The operational latency dashboard of an
+    agent-transcript corpus: how long users wait for assistants, how
+    long tool results take — and, fed back, the SLA outlier filter for
+    curation. All-integer (epoch milliseconds), so cross-engine exact.
+
+    Plan: one conversation-grain exchange (the ``lag`` window — same
+    sort as ``tool_transition``; a production job computes all three
+    sequence queries off ONE sorted pass), then one map-side-combinable
+    aggregation over the ≤ |roles|² grid."""
+    from pyspark.sql import Window
+
+    t = transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", F.unix_millis("ts").alias("ms")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        t.withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("gap_ms", F.col("ms") - F.lag("ms").over(w))
+        .filter(F.col("prev_role").isNotNull())
+    )
+    return gaps.groupBy(
+        F.col("prev_role").alias("src_role"), F.col("role").alias("dst_role")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("gap_ms").alias("sum_ms"),
+        F.min("gap_ms").alias("min_ms"),
+        F.max("gap_ms").alias("max_ms"),
+    )
+
+
+def duck_turn_latency() -> str:
+    """Oracle (compose after a ``transcripts`` CTE): same gaps via the
+    turn_idx+1 self-join. The CTE exposes ``ts_epoch`` (bigint
+    seconds); ``× 1000`` matches the engine's ``unix_millis`` exactly
+    because the synthetic timestamps are whole seconds."""
+    return """
+        SELECT a.role AS src_role, b.role AS dst_role,
+               COUNT(*) AS n,
+               SUM((b.ts_epoch - a.ts_epoch) * 1000) AS sum_ms,
+               MIN((b.ts_epoch - a.ts_epoch) * 1000) AS min_ms,
+               MAX((b.ts_epoch - a.ts_epoch) * 1000) AS max_ms
+        FROM transcripts a
+        JOIN transcripts b
+          ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+        GROUP BY 1, 2
+    """

@@ -176,7 +176,10 @@ def main() -> None:
         transe_step,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_assortativity,
+        kg_bridges,
         kg_communities,
+        kg_hyperanf,
         kg_neighbors,
         kg_triangles,
     )
@@ -223,8 +226,10 @@ def main() -> None:
         segment,
     )
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        tool_ngrams,
         tool_transition,
         transcripts,
+        turn_latency,
     )
 
     def _m(s, d):
@@ -403,6 +408,17 @@ def main() -> None:
         "join_size_est": sketch_mod.join_size_est,
         "weighted_sample": curation_mod.weighted_sample,
         "conv_neardup": dedup_mod.conv_neardup,
+        # session-7 additions
+        "kg_bridges": lambda s, d: kg_bridges(materialize_kg(s, d)),
+        "kg_assortativity": lambda s, d: kg_assortativity(
+            materialize_kg(s, d)
+        ),
+        "kg_hyperanf": lambda s, d: kg_hyperanf(materialize_kg(s, d)),
+        "winnow_fingerprints": textstats_mod.winnow_fingerprints,
+        "tool_ngrams": tool_ngrams,
+        "turn_latency": turn_latency,
+        "dsir_weights": curation_mod.dsir_weights,
+        "tool_pii_exposure": curation_mod.tool_pii_exposure,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

@@ -180,3 +180,102 @@ def test_weighted_sample_importance_property_crafted(spark, tmp_path):
     assert len(got) == 10
     heavy = sum(1 for r in got if r.weight == 10000)
     assert heavy >= 8, heavy
+
+
+# ---------------------------------------------- session-7 wave 2
+
+def test_dsir_weights_match_python_twin_on_crafted_corpus(spark, tmp_path):
+    """Two-token corpus, target = src0: the exact smoothed log-ratio
+    twin (math.log + floor-half-up) must reproduce dsir_e6 for every
+    doc — and the target-only token must score strictly higher than
+    the raw-only token."""
+    import math
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import py_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        DSIR_BUCKETS,
+        dsir_weights,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import (
+        release_caches,
+    )
+
+    rows = [
+        (1, "alpha alpha alpha", "en", "src0"),
+        (2, "beta beta beta", "en", "srcX"),
+        (3, "alpha beta", "en", "srcY"),
+    ]
+    path = str(tmp_path / "docs")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    got = {r["doc_id"]: (r["n_toks"], r["dsir_e6"])
+           for r in dsir_weights(spark, path).collect()}
+    release_caches()
+
+    B = DSIR_BUCKETS
+    cnt_all: dict[int, int] = {}
+    cnt_t: dict[int, int] = {}
+    for _, text, _, src in rows:
+        for tok in text.split(" "):
+            b = py_h15(tok) % B
+            cnt_all[b] = cnt_all.get(b, 0) + 1
+            if src == "src0":
+                cnt_t[b] = cnt_t.get(b, 0) + 1
+    tot_all, tot_t = sum(cnt_all.values()), sum(cnt_t.values())
+    w = {
+        b: math.floor(
+            (math.log((cnt_t.get(b, 0) + 1) / (tot_t + B))
+             - math.log((cnt_all[b] + 1) / (tot_all + B))) * 1e6 + 0.5
+        )
+        for b in cnt_all
+    }
+    for doc_id, text, _, _ in rows:
+        toks = text.split(" ")
+        exp = sum(w[py_h15(t) % B] for t in toks)
+        assert got[doc_id] == (len(toks), exp), doc_id
+    # the target-domain doc outranks the raw-only doc per token
+    assert got[1][1] / 3 > got[2][1] / 3
+
+
+def test_tool_pii_exposure_plant_profile(spark, sf_dir):
+    """Every planted turn (turn_idx % 7 == 3) carries exactly 2 spans
+    (email + SSN-like), every other turn 0 — so n_spans must equal
+    2·n_pii_turns per tool, and the per-tool planted-turn counts must
+    equal an independent aggregation of the transcript table."""
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        PII_TURN_PLANT_MOD,
+        tool_pii_exposure,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    got = {r["tool"]: r for r in tool_pii_exposure(spark, sf_dir).collect()}
+    exp = {
+        r["tool"]: (r["n_turns"], r["n_planted"])
+        for r in transcripts(spark, sf_dir)
+        .groupBy(F.coalesce("tool", F.lit("chat")).alias("tool"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(
+                (F.col("turn_idx") % PII_TURN_PLANT_MOD == 3).cast("long")
+            ).alias("n_planted"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    total_planted = 0
+    for tool, row in got.items():
+        n_turns, n_planted = exp[tool]
+        assert row["n_turns"] == n_turns
+        assert row["n_pii_turns"] == n_planted, tool
+        assert row["n_spans"] == 2 * n_planted, tool
+        total_planted += n_planted
+    assert total_planted > 0  # the plant is non-vacuous at sf0.001

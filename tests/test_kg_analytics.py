@@ -875,3 +875,154 @@ def test_kg_provenance_distinct_conversation_evidence(spark):
         ("X", "acts_on", "Y"): (3, "conv-a", "conv-c"),
         ("Z", "acts_on", "W"): (1, "conv-b", "conv-b"),
     }
+
+
+# ------------------------------------------------ session-7: bridges
+
+def test_kg_bridges_triangle_plus_pendant(spark):
+    """Triangle a-b-c with pendant d on a: every triangle edge has
+    embeddedness 1; the pendant edge is the lone local bridge."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_bridges,
+    )
+
+    kg = _kg_df(
+        spark,
+        [("a", "r", "b", 1), ("a", "r", "c", 1), ("b", "r", "c", 1),
+         ("a", "r", "d", 1)],
+    )
+    got = {
+        (r["u"], r["v"]): (r["n_common"], r["is_bridge"])
+        for r in kg_bridges(kg).collect()
+    }
+    release_caches()
+    assert got == {
+        ("a", "b"): (1, False),
+        ("a", "c"): (1, False),
+        ("b", "c"): (1, False),
+        ("a", "d"): (0, True),
+    }
+
+
+def test_kg_assortativity_hand_computed(spark):
+    """Triangle+pendant (deg 3,2,2,1): m2=8, Σx=18, Σx²=44, Σxy=38 →
+    r = −20/28, truncated toward zero at e6 → −714285 (both engines
+    truncate; Python's floor // would give −714286 — pinned here so a
+    regression to floor semantics fails loudly). One reciprocated
+    directed pair out of five distinct directed edges → 400000."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_assortativity,
+    )
+
+    kg = _kg_df(
+        spark,
+        [("a", "r", "b", 1), ("b", "r", "a", 1), ("a", "r", "c", 1),
+         ("b", "r", "c", 1), ("a", "r", "d", 1)],
+    )
+    row = kg_assortativity(kg).collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["n_edges"] == 4
+    assert row["assort_e6"] == -714285
+    assert row["recip_e6"] == 400000  # 2 of 5 directed edges reciprocated
+
+
+def test_kg_assortativity_regular_graph_zero_denominator(spark):
+    """A 4-cycle is 2-regular: den = m·Σx² − (Σx)² = 0 — the guard must
+    return 0, not divide."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_assortativity,
+    )
+
+    kg = _kg_df(
+        spark,
+        [("a", "r", "b", 1), ("b", "r", "c", 1), ("c", "r", "d", 1),
+         ("d", "r", "a", 1)],
+    )
+    row = kg_assortativity(kg).collect()[0]
+    assert row["assort_e6"] == 0
+    assert row["recip_e6"] == 0
+
+
+# ----------------------------------------------- session-7: HyperANF
+
+def _py_hll_ball(members):
+    """Exact HLL register set of a node set: bucket → max rank."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        HLL_BUCKETS,
+        HLL_REST_BITS,
+    )
+
+    regs: dict[int, int] = {}
+    for node in members:
+        h = py_h15(node)
+        bucket = h % HLL_BUCKETS
+        rest = h >> 6
+        rank = (HLL_REST_BITS + 1) if rest == 0 else (
+            HLL_REST_BITS + 1 - rest.bit_length()
+        )
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    return regs
+
+
+def test_kg_hyperanf_registers_equal_exact_ball_hll(spark):
+    """The round-d register state of node v must equal the HLL of the
+    EXACT distance-≤d ball of v (computed by BFS in pure Python) — the
+    defining invariant of HyperANF on a collision-free merge path.
+    Graph: path a-b-c-d-e plus disjoint pair x-y plus a self-loop
+    isolate z."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_hyperanf,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    kg = _kg_df(
+        spark,
+        [(u, "r", v, 1) for u, v in edges] + [("z", "r", "z", 1)],
+    )
+    got = {
+        (r["node"], r["d"]): (r["n_regs"], r["sum_rank"])
+        for r in kg_hyperanf(kg).collect()
+    }
+    release_caches()
+
+    adj: dict[str, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted({n for e in edges for n in e} | {"z"})
+    for v in nodes:
+        ball = {v}
+        for d in range(0, 4):
+            regs = _py_hll_ball(ball)
+            assert got[(v, d)] == (len(regs), sum(regs.values())), (v, d)
+            ball |= {w for m in ball for w in adj.get(m, ())}
+    # registers (and so n_regs/sum_rank) are monotone in d
+    for v in nodes:
+        for d in range(3):
+            assert got[(v, d)][0] <= got[(v, d + 1)][0]
+            assert got[(v, d)][1] <= got[(v, d + 1)][1]
+
+
+def test_kg_hyperanf_estimate_tracks_ball_size(spark):
+    """Float layer: the Flajolet estimate over a node's round-3
+    registers must land near the exact ball size (small-range linear
+    counting regime — generous ±50% band; the INTEGER register state
+    above is the exact parity surface)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_hyperanf,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.sketch import (
+        hll_estimate,
+    )
+
+    star = [("hub", "r", f"leaf{i}", 1) for i in range(12)]
+    kg = _kg_df(spark, star)
+    rows = kg_hyperanf(kg).where("node = 'hub' AND d = 1").collect()
+    release_caches()
+    # reconstruct the register dict via the python twin on the exact ball
+    ball = {"hub"} | {f"leaf{i}" for i in range(12)}
+    regs = _py_hll_ball(ball)
+    (row,) = rows
+    assert row["n_regs"] == len(regs)
+    est = hll_estimate(regs)
+    assert abs(est - len(ball)) / len(ball) < 0.5

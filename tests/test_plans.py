@@ -415,3 +415,67 @@ def test_dq_audit_and_table_stats_fk_joins_are_dimension_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     plan2 = plan_of(table_stats(spark, sf_dir))
     assert "Join" not in plan2  # pure conditional aggregation
+
+
+def test_winnow_fingerprints_is_narrow_no_join(spark, sf_dir):
+    """Winnowing must stay a pure per-doc projection: zero joins, zero
+    exchanges — map-side at scan speed at any corpus size (the
+    downstream passage-match equi-joins the OUTPUT, never this plan)."""
+    plan = plan_of(textstats.winnow_fingerprints(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert count_op(plan, "Exchange") == 0, plan
+
+
+def test_tool_ngrams_and_turn_latency_one_conv_sort_one_grid_agg(spark, sf_dir):
+    """Both sequence queries must cost exactly the tool_transition
+    shape: ONE conversation-grain exchange (the window sort) + ONE
+    map-side-combinable aggregation onto a dimension-sized grid — and
+    no self-joins (the oracle's formulation, not the engine's)."""
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        tool_ngrams,
+        turn_latency,
+    )
+
+    for fn in (tool_ngrams, turn_latency):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Join" not in plan, plan
+        assert count_op(plan, "Scan parquet") == 1, plan
+        assert count_op(plan, "Window") == 1, plan
+        # conv-grain window sort + grid agg (+ the documented
+        # _fanned_documents under-parallelism repartition)
+        assert count_op(plan, "Exchange") <= 3, plan
+        assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_kg_bridges_wedge_restricted_before_aggregation(spark):
+    """The common-neighbour count must semi-restrict wedges to the edge
+    set BEFORE aggregating (never pair-grain beyond wedge fan-out), and
+    the whole plan must be equi-join-only — no cartesian product."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_bridges,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.session import (
+        release_caches,
+    )
+
+    kg = spark.createDataFrame(
+        [("a", "r", "b", 1), ("b", "r", "c", 1), ("a", "r", "c", 1)],
+        "subj string, pred string, obj string, support long",
+    )
+    plan = plan_of(kg_bridges(kg, release=False))
+    release_caches()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tool_pii_exposure_is_narrow_grid_agg(spark, sf_dir):
+    """The tool×PII audit must be pii_scrub's shape: regexp chain in
+    codegen (no Python), no joins, one grid aggregation."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        tool_pii_exposure,
+    )
+
+    plan = plan_of(tool_pii_exposure(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan
+    assert count_op(plan, "Scan parquet") == 1, plan

@@ -146,3 +146,63 @@ def test_source_diversity_hand_computed_simpson(spark, tmp_path):
     assert (a.n_docs, a.n_groups) == (6, 2)
     assert a.simpson_e6 == 10 * 1_000_000 * 36 // (36 * 36)  # = 277777
     assert a.dominance_e6 == 833_333
+
+
+# --------------------------------------------- session-7: winnowing
+
+def _py_winnow(text: str, K: int = 8, W: int = 4) -> set[tuple[int, int]]:
+    """Pure-Python winnowing twin (Schleimer et al. 2003): rightmost
+    minimum k-gram hash per window of W hashes."""
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import py_h15
+
+    n_kg = max(len(text) - K + 1, 1)
+    hs = [py_h15(text[p - 1 : p - 1 + K]) for p in range(1, n_kg + 1)]
+    out: set[tuple[int, int]] = set()
+    for s in range(1, max(n_kg - W + 1, 1) + 1):
+        win = range(s, min(s + W - 1, n_kg) + 1)
+        best = min(win, key=lambda j: (hs[j - 1], -j))
+        out.add((best, hs[best - 1]))
+    return out
+
+
+def test_winnow_matches_python_twin(spark, sf_dir):
+    """Spark output == the independent pure-Python winnower for every
+    document at sf0.001 (positions AND hash values)."""
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    got: dict[object, set] = {}
+    for r in winnow_fingerprints(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        assert got.get(doc_id, set()) == _py_winnow(str(text)), doc_id
+
+
+def test_winnow_shared_passage_guarantee():
+    """The winnowing theorem: any shared substring of length ≥
+    K + W − 1 (= 11) produces at least one shared fingerprint HASH —
+    pinned on crafted docs that differ everywhere else, plus a
+    negative control with no 8-char overlap."""
+    shared = "zq3vkp8wx2j"  # 11 chars
+    a = "left-" + shared + "-aaaaaaaaaa"
+    b = "RIGHTRIGHT" + shared + "ZZZZ"
+    fps_a = {fp for _, fp in _py_winnow(a)}
+    fps_b = {fp for _, fp in _py_winnow(b)}
+    assert fps_a & fps_b
+    c = "completely different text with no overlap"
+    assert not ({fp for _, fp in _py_winnow(c)} & fps_a)
+
+
+def test_winnow_short_and_tiny_docs():
+    """Docs shorter than one k-gram or one window still fingerprint:
+    exactly one selected fingerprint, at a valid k-gram position."""
+    for text in ("ab", "exactly8", "ninechars"):
+        out = _py_winnow(text)
+        n_kg = max(len(text) - 7, 1)
+        assert len(out) == 1
+        ((p, _),) = out
+        assert 1 <= p <= n_kg
