@@ -114,7 +114,9 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
     parse_standoff,
 )
 from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+    conv_shape,
     documents,
+    duck_conv_shape,
     duck_skew_profile,
     duck_tool_ngrams,
     duck_tool_transition,
@@ -850,6 +852,11 @@ _DRIVER_PRIORITY = [
     "winnow_fingerprints", "tool_ngrams", "turn_latency",
     # session-7 wave 2: DSIR importance resampling, tool×PII audit
     "dsir_weights", "tool_pii_exposure",
+    # session-9 wave: agentic conversation-shape census, k-anonymity
+    # equivalence-class audit, cross-source duplication provenance
+    # matrix, source bigram-profile similarity (corpus drift)
+    "conv_shape", "k_anonymity", "dup_source_matrix",
+    "source_bigram_sim",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1214,6 +1221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency": turn_latency,
         "dsir_weights": curation.dsir_weights,
         "tool_pii_exposure": curation.tool_pii_exposure,
+        "conv_shape": conv_shape,
+        "k_anonymity": curation.k_anonymity,
+        "dup_source_matrix": dedup.dup_source_matrix,
+        "source_bigram_sim": textstats.source_bigram_sim,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1834,6 +1845,12 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": curation.duck_dsir_weights(),
         "tool_pii_exposure": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {curation.duck_tool_pii_exposure()}",
+        "conv_shape": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_conv_shape()}",
+        "k_anonymity": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {curation.duck_k_anonymity()}",
+        "dup_source_matrix": dedup.duck_dup_source_matrix(),
+        "source_bigram_sim": textstats.duck_source_bigram_sim(),
     }
 
 

@@ -428,6 +428,10 @@ def main() -> None:
     timed("turn_latency", _entry.queries()["turn_latency"])
     timed("dsir_weights", curation.dsir_weights)
     timed("tool_pii_exposure", curation.tool_pii_exposure)
+    timed("conv_shape", _entry.queries()["conv_shape"])
+    timed("k_anonymity", curation.k_anonymity)
+    timed("dup_source_matrix", dedup.dup_source_matrix)
+    timed("source_bigram_sim", textstats.source_bigram_sim)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -1421,3 +1421,55 @@ def duck_tool_pii_exposure() -> str:
         FROM transcripts
         GROUP BY 1
     """
+
+
+# ------------------------------------------------- k-anonymity audit
+
+K_ANON_K = 5  # standard privacy threshold: groups below k are at risk
+K_ANON_BAND = 64  # quasi-identifier length band width (chars)
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(role, tool, len_band, n_turns, n_convs, at_risk) — k-anonymity
+    equivalence-class audit over the transcript corpus' quasi-
+    identifiers. A release/retention review asks: if an attacker knows
+    a turn's ROLE, TOOL context, and approximate LENGTH (all visible in
+    logs/metadata even when text is redacted), how many turns share
+    that fingerprint? Equivalence classes smaller than ``K_ANON_K``
+    re-identify — the classic k-anonymity criterion (Sweeney 2002) at
+    corpus scale. All-integer output.
+
+    Plan: ONE map-side-combinable aggregation onto the
+    |roles| × |tools| × |bands| quasi-identifier grid — scan-speed at
+    100 TB, output size independent of corpus size. No join, no
+    window, no Python."""
+    from ..sources.transcripts import transcripts
+
+    t = transcripts(spark, sf_dir)
+    grp = t.select(
+        "role",
+        F.coalesce("tool", F.lit("chat")).alias("tool"),
+        (F.length("text") / F.lit(K_ANON_BAND)).cast("long").alias("len_band"),
+        "conv_id",
+    )
+    return grp.groupBy("role", "tool", "len_band").agg(
+        F.count("*").alias("n_turns"),
+        F.count_distinct("conv_id").alias("n_convs"),
+        (F.count("*") < K_ANON_K).alias("at_risk"),
+    )
+
+
+def duck_k_anonymity() -> str:
+    """Oracle (compose after a ``transcripts`` CTE): identical grid.
+    Both engines band by ``length // 64`` on non-negative lengths, so
+    truncating and flooring division agree."""
+    return f"""
+        SELECT role,
+               COALESCE(tool, 'chat') AS tool,
+               CAST(length(text) // {K_ANON_BAND} AS BIGINT) AS len_band,
+               COUNT(*) AS n_turns,
+               COUNT(DISTINCT conv_id) AS n_convs,
+               COUNT(*) < {K_ANON_K} AS at_risk
+        FROM transcripts
+        GROUP BY 1, 2, 3
+    """

@@ -1724,3 +1724,65 @@ def duck_conv_neardup(tau: float = MINHASH_TAU) -> str:
         f"shingles AS ({duck_shingles_cte('docs')})"
         f"{ctes}{final}"
     )
+
+
+# ------------------------------------------- cross-source dup matrix
+
+
+def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, n_pairs, min_jac, max_jac) — WHERE duplication
+    comes from: the verified MinHash near-dup pairs aggregated onto the
+    source×source grid (src_a ≤ src_b lexicographically; the diagonal
+    is within-source duplication). The provenance dashboard a curation
+    team reads before deciding which feeds to throttle — scraped
+    mirrors show up as hot off-diagonal cells. min/max of the already-
+    6-rounded jaccard are order-insensitive, so the output is
+    cross-engine exact.
+
+    Plan: the ``minhash_pairs`` subtree (banded LSH equi-join — never
+    all-pairs) plus two doc_id-keyed equi-joins to fetch each side's
+    source (pair-grain, which is orders of magnitude smaller than the
+    corpus), then one map-side-combinable aggregation onto the
+    |sources|² grid."""
+    pairs = minhash_pairs(spark, sf_dir)
+    src = read_parquet_cached(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    joined = (
+        pairs.join(src.withColumnRenamed("source", "sa"), pairs.doc_a == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "sb").withColumnRenamed(
+                "doc_id", "doc_id_b"
+            ),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+    )
+    return joined.groupBy(
+        F.least("sa", "sb").alias("src_a"),
+        F.greatest("sa", "sb").alias("src_b"),
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("jaccard").alias("min_jac"),
+        F.max("jaccard").alias("max_jac"),
+    )
+
+
+def duck_dup_source_matrix(tau: float = MINHASH_TAU) -> str:
+    """Oracle: the shared MinHash pair CTE chain, re-keyed through the
+    documents source column onto the source-pair grid."""
+    ctes, final = _duck_minhash_pair_parts(tau)
+    return f"""
+        WITH RECURSIVE shingles AS ({duck_shingles_cte()})
+        {ctes}
+        , pairs AS ({final})
+        SELECT LEAST(da.source, db.source) AS src_a,
+               GREATEST(da.source, db.source) AS src_b,
+               COUNT(*) AS n_pairs,
+               MIN(p.jaccard) AS min_jac,
+               MAX(p.jaccard) AS max_jac
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        GROUP BY 1, 2
+    """

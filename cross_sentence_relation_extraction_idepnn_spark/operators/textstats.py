@@ -955,3 +955,104 @@ def duck_winnow() -> str:
         SELECT DISTINCT doc_id, CAST(p AS INT) AS pos, fp
         FROM sel WHERE rn = 1
     """
+
+
+# --------------------------------------- source-profile similarity
+
+
+def source_bigram_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, dot, cos2_e6) — pairwise source-profile
+    similarity over word-bigram count vectors: the corpus-drift /
+    feed-overlap matrix (which sources publish the same *kind* of text,
+    as opposed to ``dup_source_matrix``'s literal near-copies).
+    ``dot`` is the exact integer inner product of the two sources'
+    bigram-count profiles; ``cos2_e6`` is the squared cosine as the
+    staged integer ``((dot² div ‖a‖²) × 1e6) div ‖b‖²`` —
+    square-root-free, so no transcendental drifts cross-engine, and
+    staged so the intermediate stays ≈ 1e6·dot²/(na·nb) ≤ 1e6·dot
+    (BIGINT-safe headroom even at 10⁶× the bench profile counts,
+    where the naive ``dot²×1e6`` product would overflow). Both
+    engines floor non-negative operands identically. src_a < src_b.
+
+    Plan: ONE corpus-scan explode of per-row bigram arrays into a
+    map-side-combinable count onto the (source × bigram-vocab) grid —
+    the profile table is DIMENSION-sized (sources × bounded bigram
+    vocabulary), so the pairwise self-join on bigram and the final
+    |sources|² aggregation never touch corpus-scale data again. At
+    100 TB the only corpus-wide stage is the scan-shaped profile
+    build."""
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat(element_at(split(text, ' '), i + 1), ' ', "
+        "element_at(split(text, ' '), i + 2))) "
+        "ELSE array() END"
+    )
+    prof = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(grams).alias("bigram"))
+        .groupBy("source", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    norms = prof.groupBy("source").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("norm_sq")
+    )
+    pairs = (
+        prof.alias("a")
+        .join(prof.alias("b"), "bigram")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    )
+    return (
+        pairs.join(norms.withColumnRenamed("source", "src_a"), "src_a")
+        .withColumnRenamed("norm_sq", "na")
+        .join(norms.withColumnRenamed("source", "src_b"), "src_b")
+        .withColumnRenamed("norm_sq", "nb")
+        .select(
+            "src_a",
+            "src_b",
+            "dot",
+            F.expr("(((dot * dot) div na) * 1000000) div nb").alias("cos2_e6"),
+        )
+    )
+
+
+def duck_source_bigram_sim() -> str:
+    """Same profile build via list_transform + UNNEST; integer dot and
+    squared-cosine. DuckDB ``//`` floors but every operand here is
+    non-negative, so it agrees with Spark's truncating ``div``."""
+    return """
+        WITH prof AS (
+            SELECT source, bigram, COUNT(*) AS cnt
+            FROM (
+                SELECT source, UNNEST(
+                    CASE WHEN len(ws) >= 2
+                         THEN list_transform(range(1, len(ws)),
+                                             i -> ws[i] || ' ' || ws[i + 1])
+                         ELSE []::VARCHAR[] END) AS bigram
+                FROM (SELECT source, string_split(text, ' ') AS ws
+                      FROM documents)
+            )
+            GROUP BY source, bigram
+        ),
+        norms AS (
+            SELECT source, SUM(cnt * cnt) AS norm_sq
+            FROM prof GROUP BY source
+        ),
+        pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   SUM(a.cnt * b.cnt) AS dot
+            FROM prof a JOIN prof b
+              ON a.bigram = b.bigram AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.src_a, p.src_b, p.dot,
+               CAST((((p.dot * p.dot) // na.norm_sq) * 1000000)
+                    // nb.norm_sq AS BIGINT) AS cos2_e6
+        FROM pairs p
+        JOIN norms na ON na.source = p.src_a
+        JOIN norms nb ON nb.source = p.src_b
+    """

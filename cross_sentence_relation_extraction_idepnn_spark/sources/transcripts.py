@@ -391,3 +391,94 @@ def duck_turn_latency() -> str:
           ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
         GROUP BY 1, 2
     """
+
+
+def conv_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conv_id, n_turns, n_tool_turns, n_tool_kinds, first_tool_idx,
+    max_chat_run) — per-conversation agentic-shape census: how many
+    turns, how much of the conversation is tool work, how many distinct
+    tools, when the first tool fires (−1 for pure-chat conversations),
+    and the longest run of consecutive non-tool turns (the "talk
+    stretch" between tool invocations). The conversation-grain segmenter
+    for agent corpora: pure-chat vs tool-heavy conversations get
+    different curation (and different candidate-window budgets)
+    downstream. All-integer, so cross-engine exact.
+
+    Plan: TWO conversation-grain aggregations over one corpus scan —
+    the flat per-conv rollup (map-side combinable) and the
+    gaps-and-islands run-length pass (one window sort over the chat
+    subset, then count at (conv, island) grain, then max at conv
+    grain) — joined at conv grain. Every exchange is keyed by conv_id
+    (AQE reuses the sort exchange for the island aggregation); nothing
+    is ever keyed finer than the conversation, so 1000 executors see
+    pure hash-partitioned conversation streams."""
+    from pyspark.sql import Window
+
+    t = transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    flat = t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.count("tool").alias("n_tool_turns"),
+        F.count_distinct("tool").alias("n_tool_kinds"),
+        F.coalesce(
+            F.min(F.when(F.col("tool").isNotNull(), F.col("turn_idx"))),
+            F.lit(-1),
+        ).alias("first_tool_idx"),
+    )
+    chat = t.filter(F.col("tool").isNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    runs = (
+        chat.withColumn(
+            "island", F.col("turn_idx") - F.row_number().over(w)
+        )
+        .groupBy("conv_id", "island")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("conv_id")
+        .agg(F.max("run_len").alias("max_chat_run"))
+    )
+    return flat.join(runs, "conv_id", "left").select(
+        "conv_id",
+        "n_turns",
+        "n_tool_turns",
+        "n_tool_kinds",
+        "first_tool_idx",
+        F.coalesce("max_chat_run", F.lit(0)).alias("max_chat_run"),
+    )
+
+
+def duck_conv_shape() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — this fragment
+    CONTINUES the WITH chain): the same two conversation-grain
+    aggregations — an independent SQL-window formulation of the
+    gaps-and-islands run length."""
+    return """
+        , flat AS (
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   COUNT(tool) AS n_tool_turns,
+                   COUNT(DISTINCT tool) AS n_tool_kinds,
+                   COALESCE(MIN(CASE WHEN tool IS NOT NULL
+                                     THEN turn_idx END), -1) AS first_tool_idx
+            FROM transcripts
+            GROUP BY conv_id
+        ),
+        runs AS (
+            SELECT conv_id, MAX(run_len) AS max_chat_run
+            FROM (
+                SELECT conv_id, island, COUNT(*) AS run_len
+                FROM (
+                    SELECT conv_id,
+                           turn_idx - ROW_NUMBER() OVER (
+                               PARTITION BY conv_id ORDER BY turn_idx
+                           ) AS island
+                    FROM transcripts WHERE tool IS NULL
+                )
+                GROUP BY conv_id, island
+            )
+            GROUP BY conv_id
+        )
+        SELECT f.conv_id, f.n_turns, f.n_tool_turns, f.n_tool_kinds,
+               f.first_tool_idx, COALESCE(r.max_chat_run, 0) AS max_chat_run
+        FROM flat f LEFT JOIN runs r ON r.conv_id = f.conv_id
+    """

@@ -226,6 +226,7 @@ def main() -> None:
         segment,
     )
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        conv_shape,
         tool_ngrams,
         tool_transition,
         transcripts,
@@ -419,6 +420,11 @@ def main() -> None:
         "turn_latency": turn_latency,
         "dsir_weights": curation_mod.dsir_weights,
         "tool_pii_exposure": curation_mod.tool_pii_exposure,
+        # session-9 additions
+        "conv_shape": conv_shape,
+        "k_anonymity": curation_mod.k_anonymity,
+        "dup_source_matrix": dedup_mod.dup_source_matrix,
+        "source_bigram_sim": textstats_mod.source_bigram_sim,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

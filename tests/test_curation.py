@@ -279,3 +279,53 @@ def test_tool_pii_exposure_plant_profile(spark, sf_dir):
         assert row["n_spans"] == 2 * n_planted, tool
         total_planted += n_planted
     assert total_planted > 0  # the plant is non-vacuous at sf0.001
+
+
+def test_conv_shape_crafted_word_counts(spark, tmp_path):
+    """Hand-computed shape census for conversations of 1, 4, 8, and 15
+    turns (turn derivation: 8 words per turn; tools fire on odd
+    turn_idx divisible by 3 or 5 — search for %3, code for %5)."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        conv_shape,
+    )
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [
+        (1, words(8)),    # 1 turn: no tools
+        (2, words(32)),   # 4 turns: search@3
+        (3, words(64)),   # 8 turns: search@3, code@5
+        (4, words(120)),  # 15 turns: search@3, code@5, search@9
+    ]
+    path = str(tmp_path / "cs")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {r.conv_id: r for r in conv_shape(spark, path).collect()}
+    assert got["conv-1"] == ("conv-1", 1, 0, 0, -1, 1)
+    assert got["conv-2"] == ("conv-2", 4, 1, 1, 3, 3)
+    assert got["conv-3"] == ("conv-3", 8, 2, 2, 3, 3)
+    assert got["conv-4"] == ("conv-4", 15, 3, 2, 3, 5)
+
+
+def test_k_anonymity_flag_and_totals(spark, sf_dir):
+    """The at_risk flag must equal n_turns < K on every equivalence
+    class, and the class sizes must partition the corpus exactly."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        K_ANON_K,
+        k_anonymity,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    rows = k_anonymity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.at_risk == (r.n_turns < K_ANON_K)
+        assert 1 <= r.n_convs <= r.n_turns
+    assert sum(r.n_turns for r in rows) == transcripts(spark, sf_dir).count()

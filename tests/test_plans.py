@@ -479,3 +479,37 @@ def test_tool_pii_exposure_is_narrow_grid_agg(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Python" not in plan and "Pandas" not in plan
     assert count_op(plan, "Scan parquet") == 1, plan
+
+
+def test_session9_wave_plan_shapes(spark, sf_dir):
+    """conv_shape: one window sort + conv-grain aggregations, no
+    Python; k_anonymity: a single map-side-combinable grid aggregation
+    with no join and no window; dup_source_matrix /
+    source_bigram_sim: equi-join-only (never a cartesian), no Python."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        k_anonymity,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        dup_source_matrix,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        source_bigram_sim,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        conv_shape,
+    )
+
+    plan = plan_of(conv_shape(spark, sf_dir))
+    assert count_op(plan, "Window") == 1, plan
+    assert "Python" not in plan and "Pandas" not in plan
+
+    plan = plan_of(k_anonymity(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert count_op(plan, "HashAggregate") <= 4, plan
+    assert "Python" not in plan and "Pandas" not in plan
+
+    for fn in (dup_source_matrix, source_bigram_sim):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "Python" not in plan and "Pandas" not in plan

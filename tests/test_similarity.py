@@ -24,3 +24,49 @@ def test_ann_recall_equals_python_set_intersection(spark, sf_dir):
         assert got[q]["hits"] == hits
         assert got[q]["recall"] == round(hits / len(ex), 6)
         assert 0.0 <= got[q]["recall"] <= 1.0
+
+
+def test_dup_source_matrix_partitions_pair_set(spark, sf_dir):
+    """The source-pair matrix must partition the verified MinHash pair
+    set exactly (Σ n_pairs = |pairs|), with ordered source keys and
+    min ≤ max within every cell."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        dup_source_matrix,
+        minhash_pairs,
+    )
+
+    cells = dup_source_matrix(spark, sf_dir).collect()
+    n_pairs = minhash_pairs(spark, sf_dir).count()
+    assert sum(c.n_pairs for c in cells) == n_pairs
+    for c in cells:
+        assert c.src_a <= c.src_b
+        assert c.min_jac <= c.max_jac
+
+
+def test_source_bigram_sim_crafted_profiles(spark, tmp_path):
+    """Identical-text sources must score a squared cosine of exactly
+    1e6; a disjoint-vocabulary source must produce NO pair row (no
+    shared bigram ⇒ no candidate); every score is ≤ 1e6."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        source_bigram_sim,
+    )
+
+    rows = [
+        (1, "x y z", "en", "srcA", 5),
+        (2, "x y z", "en", "srcB", 5),
+        (3, "p q", "en", "srcC", 3),
+    ]
+    path = str(tmp_path / "sbs")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    got = source_bigram_sim(spark, path).collect()
+    assert len(got) == 1
+    (r,) = got
+    assert (r.src_a, r.src_b) == ("srcA", "srcB")
+    assert r.dot == 2 and r.cos2_e6 == 1_000_000
