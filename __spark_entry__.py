@@ -117,12 +117,14 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import 
     conv_shape,
     documents,
     duck_conv_shape,
+    duck_response_drift,
     duck_skew_profile,
     duck_tool_ngrams,
     duck_tool_transition,
     duck_tool_usage,
     duck_transcripts_cte,
     duck_turn_latency,
+    response_drift,
     skew_profile,
     tool_ngrams,
     tool_transition,
@@ -857,6 +859,11 @@ _DRIVER_PRIORITY = [
     # matrix, source bigram-profile similarity (corpus drift)
     "conv_shape", "k_anonymity", "dup_source_matrix",
     "source_bigram_sim",
+    # session-9 wave 2: classifier reliability diagram, per-role
+    # verbosity drift (exact OLS), per-user event-sequence Markov
+    # census, exact Gini skew coefficient of user activity
+    "calibration_bins", "response_drift", "event_markov",
+    "activity_gini",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1225,6 +1232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": curation.k_anonymity,
         "dup_source_matrix": dedup.dup_source_matrix,
         "source_bigram_sim": textstats.source_bigram_sim,
+        "calibration_bins": textstats.calibration_bins,
+        "response_drift": response_drift,
+        "event_markov": temporal.event_markov,
+        "activity_gini": temporal.activity_gini,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1851,6 +1862,11 @@ def oracle_sql() -> dict[str, str]:
         f" {curation.duck_k_anonymity()}",
         "dup_source_matrix": dedup.duck_dup_source_matrix(),
         "source_bigram_sim": textstats.duck_source_bigram_sim(),
+        "calibration_bins": textstats.duck_calibration_bins(),
+        "response_drift": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_response_drift()}",
+        "event_markov": temporal.duck_event_markov(),
+        "activity_gini": temporal.duck_activity_gini(),
     }
 
 

@@ -432,6 +432,10 @@ def main() -> None:
     timed("k_anonymity", curation.k_anonymity)
     timed("dup_source_matrix", dedup.dup_source_matrix)
     timed("source_bigram_sim", textstats.source_bigram_sim)
+    timed("calibration_bins", textstats.calibration_bins)
+    timed("response_drift", _entry.queries()["response_drift"])
+    timed("event_markov", _entry.queries()["event_markov"])
+    timed("activity_gini", _entry.queries()["activity_gini"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

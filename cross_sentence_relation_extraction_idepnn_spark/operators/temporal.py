@@ -1150,3 +1150,117 @@ def duck_cdc_snapshot() -> str:
         FROM r
         WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'
     """
+
+
+# ------------------------------------------- event-sequence Markov
+
+
+def event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_type, dst_type, n, p_e6) — first-order Markov transition
+    census over per-user event streams: for consecutive events within a
+    user's timeline (ordered by ts, tie-broken by event_id — the
+    deterministic total order every sequence operator here uses),
+    transition counts and the half-up-e6 row-normalized probability.
+    The clickstream complement of ``tool_transition`` (which walks
+    conversation turns): funnel-drop and loop behavior fall straight
+    out of this grid. All-integer, cross-engine exact.
+
+    Plan: ONE user-grain exchange (the window sort), one map-side-
+    combinable count onto the |types|² grid, then the row
+    normalization as a window over the GRID (≤ |types|² rows — free).
+    At 10^12 events the user-grain sort is the only corpus-wide
+    stage."""
+    e = events_batch(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grid = (
+        e.withColumn("dst_type", F.lead("event_type").over(w))
+        .filter(F.col("dst_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src_type"), "dst_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("src_type")
+    return grid.withColumn("tot", F.sum("n").over(tot)).select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.expr("(n * 1000000 + tot div 2) div tot").alias("p_e6"),
+    )
+
+
+def duck_event_markov() -> str:
+    """Oracle: the same window formulation over the events view."""
+    return """
+        WITH seq AS (
+            SELECT event_type AS src_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS dst_type
+            FROM events
+        ),
+        grid AS (
+            SELECT src_type, dst_type, COUNT(*) AS n
+            FROM seq WHERE dst_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT src_type, dst_type, n,
+               CAST((n * 1000000 + SUM(n) OVER (PARTITION BY src_type) // 2)
+                    // SUM(n) OVER (PARTITION BY src_type) AS BIGINT) AS p_e6
+        FROM grid
+    """
+
+
+# ----------------------------------------------- activity inequality
+
+
+def activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_users, n_events, gini_e6) — exact Gini coefficient of
+    per-user event volume: THE one-number skew census for a stream
+    corpus (gini 0 = perfectly uniform users, → 1 = one user generates
+    everything), the quantity that decides whether user-keyed
+    aggregations need salting before they hit a 1000-executor cluster.
+    Uses the closed form over ascending-sorted volumes
+    ``G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`` — rank ties are broken by
+    user_id but G is tie-order-invariant (equal x contribute equally
+    under any rank permutation of the tie block). Half-up e6 integer,
+    cross-engine exact.
+
+    Plan: one map-side-combinable user-grain count (the only
+    corpus-wide stage), then a single window rank + one global
+    aggregate over the USER-dimension table (n_users rows — at 10^12
+    turns still only the user dimension; if even that outgrows one
+    sort, the same statistic decomposes over value-bucketed partial
+    histograms)."""
+    counts = (
+        events_batch(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.orderBy("x", "user_id")
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("n_events"),
+        F.expr(
+            "((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000"
+            " + (count(*) * sum(x)) div 2) div (count(*) * sum(x))"
+        ).alias("gini_e6"),
+    )
+
+
+def duck_activity_gini() -> str:
+    """Oracle: identical closed form via a SQL window rank."""
+    return """
+        WITH counts AS (
+            SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i
+            FROM counts
+        )
+        SELECT COUNT(*) AS n_users,
+               SUM(x) AS n_events,
+               CAST(((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
+                     + (COUNT(*) * SUM(x)) // 2) // (COUNT(*) * SUM(x))
+                    AS BIGINT) AS gini_e6
+        FROM ranked
+    """

@@ -1056,3 +1056,118 @@ def duck_source_bigram_sim() -> str:
         JOIN norms na ON na.source = p.src_a
         JOIN norms nb ON nb.source = p.src_b
     """
+
+
+# ------------------------------------------ classifier calibration
+
+# Probability-decile logit thresholds: round(ln((k/10)/(1-k/10))·1e6)
+# for k = 1..9 — constants, so both engines CASE on identical integer
+# literals (the transcendental is evaluated once, offline, here).
+CAL_LOGIT_E6 = (
+    -2197225, -1386294, -847298, -405465, 0,
+    405465, 847298, 1386294, 2197225,
+)
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n_docs, n_pos, pos_rate_e6) — reliability diagram of the
+    pretrained quality classifier: documents bucketed into probability
+    deciles (via integer logit thresholds — sigmoid is monotone, so
+    decile-of-p ≡ interval-of-logit), against the ground-truth quality
+    rule the classifier was fit to (``quality_e6 ≥ 680000``). The
+    model-QA step every production filtering stage needs: a
+    well-calibrated bin-k has pos_rate ≈ (k+0.5)/10, and ECE is one
+    weighted sum over these rows. All-integer (counts + half-up e6
+    rate), so cross-engine exact.
+
+    Plan: ONE narrow projection computes BOTH the classifier logit and
+    the label from the same token stats (no join between model and
+    truth), then one map-side-combinable aggregation onto the 10-bin
+    grid — scan-speed at 100 TB."""
+    toks = F.split(F.col("text"), " ")
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        _count_in(toks, STOPWORDS).cast("long").alias("s"),
+        F.size(F.array_distinct(toks)).cast("long").alias("d"),
+    )
+    df = (
+        df.withColumn("f1", F.least(F.col("n"), F.lit(100)) * F.lit(10_000))
+        .withColumn("f2", F.expr("(s * 1000000 + n div 2) div n"))
+        .withColumn("f3", F.expr("(d * 1000000 + n div 2) div n"))
+    )
+    w1, w2, w3 = QC_W_E6
+    logit = F.expr(
+        f"{QC_BIAS_E6} + ({w1} * f1) div 1000000"
+        f" + ({w2} * f2) div 1000000 + ({w3} * f3) div 1000000"
+    ).cast("long")
+    # ground truth: the quality_score rational, half-up e6
+    q_e6 = F.expr(
+        "((least(n, 64) * n + 48 * n + 48 * (d - s)) * 1000000"
+        " + (160 * n) div 2) div (160 * n)"
+    )
+    binned = df.select(
+        logit.alias("logit_e6"), (q_e6 >= 680000).alias("pos")
+    )
+    bin_col = F.lit(9)
+    for k in range(len(CAL_LOGIT_E6), 0, -1):
+        bin_col = F.when(
+            F.col("logit_e6") < CAL_LOGIT_E6[k - 1], F.lit(k - 1)
+        ).otherwise(bin_col)
+    return (
+        binned.select(bin_col.alias("bin"), "pos")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("pos").cast("long")).alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr(
+                "(n_pos * 1000000 + n_docs div 2) div n_docs"
+            ).alias("pos_rate_e6"),
+        )
+    )
+
+
+def duck_calibration_bins() -> str:
+    """Identical integer logit (sign-safe division — see
+    :func:`duck_quality_classifier`), label rule, and decile CASE."""
+    stop = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    w1, w2, w3 = QC_W_E6
+    assert w2 < 0 and w1 > 0 and w3 > 0
+    case = "CASE "
+    for k, thr in enumerate(CAL_LOGIT_E6):
+        case += f"WHEN logit_e6 < {thr} THEN {k} "
+    case += "ELSE 9 END"
+    return f"""
+        SELECT {case} AS bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST((SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000
+                     + COUNT(*) // 2) // COUNT(*) AS BIGINT) AS pos_rate_e6
+        FROM (
+            SELECT CAST({QC_BIAS_E6}
+                        + ({w1} * f1) // 1000000
+                        - (({-w2} * f2) // 1000000)
+                        + ({w3} * f3) // 1000000 AS BIGINT) AS logit_e6,
+                   ((LEAST(n, 64) * n + 48 * n + 48 * (d - s)) * 1000000
+                    + (160 * n) // 2) // (160 * n) >= 680000 AS pos
+            FROM (
+                SELECT LEAST(n, 100) * 10000 AS f1,
+                       (s * 1000000 + n // 2) // n AS f2,
+                       (d * 1000000 + n // 2) // n AS f3,
+                       n, s, d
+                FROM (
+                    SELECT CAST(len(toks) AS BIGINT) AS n,
+                           CAST(len(list_filter(toks,
+                                t -> list_contains({stop}, t))) AS BIGINT) AS s,
+                           CAST(len(list_distinct(toks)) AS BIGINT) AS d
+                    FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+                )
+            )
+        )
+        GROUP BY 1
+    """

@@ -482,3 +482,73 @@ def duck_conv_shape() -> str:
                f.first_tool_idx, COALESCE(r.max_chat_run, 0) AS max_chat_run
         FROM flat f LEFT JOIN runs r ON r.conv_id = f.conv_id
     """
+
+
+def response_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(role, n, sum_x, sum_y, slope_num, slope_den, slope_e6) —
+    per-role least-squares drift of turn length over conversation
+    position: does a role's output grow or shrink as conversations run
+    long? (The behavioural-drift monitor for agent corpora: assistant
+    verbosity creep and context-exhaustion truncation both show up as a
+    non-zero slope.) The OLS slope over (x = turn_idx, y = chars) is
+    kept EXACT: integer sufficient statistics, then
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` emitted as the
+    integer (num, den) pair plus a sign-safe half-up-free e6 quotient
+    (numerator may be negative — both engines divide the NEGATED
+    positive product and negate back, avoiding the floor-vs-truncate
+    divergence). All corpus-wide work is ONE map-side-combinable
+    aggregation onto the |roles| grid; at 10^12 turns the int64
+    sufficient statistics would swap to DECIMAL(38,0) — a type, not a
+    plan, change."""
+    t = transcripts(spark, sf_dir).select(
+        "role",
+        F.col("turn_idx").cast("long").alias("x"),
+        F.length("text").cast("long").alias("y"),
+    )
+    agg = t.groupBy("role").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        "role",
+        "n",
+        "sum_x",
+        "sum_y",
+        F.expr("n * sxy - sum_x * sum_y").alias("slope_num"),
+        F.expr("n * sxx - sum_x * sum_x").alias("slope_den"),
+        F.expr(
+            "CASE WHEN n * sxy - sum_x * sum_y >= 0"
+            " THEN ((n * sxy - sum_x * sum_y) * 1000000)"
+            " div (n * sxx - sum_x * sum_x)"
+            " ELSE -(((sum_x * sum_y - n * sxy) * 1000000)"
+            " div (n * sxx - sum_x * sum_x)) END"
+        ).alias("slope_e6"),
+    )
+
+
+def duck_response_drift() -> str:
+    """Oracle (compose after a ``transcripts`` CTE): identical integer
+    sufficient statistics and the same sign-safe staged division."""
+    return """
+        SELECT role, n, sum_x, sum_y,
+               n * sxy - sum_x * sum_y AS slope_num,
+               n * sxx - sum_x * sum_x AS slope_den,
+               CAST(CASE WHEN n * sxy - sum_x * sum_y >= 0
+                    THEN ((n * sxy - sum_x * sum_y) * 1000000)
+                         // (n * sxx - sum_x * sum_x)
+                    ELSE -(((sum_x * sum_y - n * sxy) * 1000000)
+                         // (n * sxx - sum_x * sum_x)) END AS BIGINT)
+                   AS slope_e6
+        FROM (
+            SELECT role, COUNT(*) AS n,
+                   SUM(turn_idx) AS sum_x,
+                   SUM(length(text)) AS sum_y,
+                   SUM(turn_idx * CAST(length(text) AS BIGINT)) AS sxy,
+                   SUM(turn_idx * CAST(turn_idx AS BIGINT)) AS sxx
+            FROM transcripts
+            GROUP BY role
+        )
+    """

@@ -227,6 +227,7 @@ def main() -> None:
     )
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
         conv_shape,
+        response_drift,
         tool_ngrams,
         tool_transition,
         transcripts,
@@ -290,6 +291,7 @@ def main() -> None:
         dedup as dedup_mod,
         search as search_mod,
         sketch as sketch_mod,
+        temporal as temporal_mod,
         textstats as textstats_mod,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.candidates import (
@@ -425,6 +427,10 @@ def main() -> None:
         "k_anonymity": curation_mod.k_anonymity,
         "dup_source_matrix": dedup_mod.dup_source_matrix,
         "source_bigram_sim": textstats_mod.source_bigram_sim,
+        "calibration_bins": textstats_mod.calibration_bins,
+        "response_drift": response_drift,
+        "event_markov": temporal_mod.event_markov,
+        "activity_gini": temporal_mod.activity_gini,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

@@ -513,3 +513,36 @@ def test_session9_wave_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_session9_wave2_plan_shapes(spark, sf_dir):
+    """calibration_bins / response_drift: pure grid aggregations — no
+    join, no window, no Python anywhere; event_markov: exactly one
+    corpus-grain window (the user-timeline sort) plus the grid-sized
+    normalization window, join-free; activity_gini: one corpus-grain
+    aggregation then a single user-dimension window, join-free."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.temporal import (
+        activity_gini,
+        event_markov,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        calibration_bins,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        response_drift,
+    )
+
+    for fn in (calibration_bins, response_drift):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Join" not in plan and "Window" not in plan, plan
+        assert "Python" not in plan and "Pandas" not in plan, plan
+
+    plan = plan_of(event_markov(spark, sf_dir))
+    assert count_op(plan, "Window") == 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan
+
+    plan = plan_of(activity_gini(spark, sf_dir))
+    assert count_op(plan, "Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan

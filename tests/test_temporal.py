@@ -681,3 +681,66 @@ def test_rollup_merge_is_associative_across_batch_counts(spark, sf_dir):
         for r in temporal.rollup_merge(parts).collect()
     }
     assert merged == full
+
+
+# ----------------------------------- event-sequence Markov + Gini
+
+
+def test_event_markov_crafted_grid_and_tie_break(spark, tmp_path):
+    """Hand-computed transition grid: user 1 walks A→B→A→B with a ts
+    tie inside (the tie breaks by event_id, so the A at id=3 precedes
+    the B at id=4); user 2 fires A→A. p_e6 is half-up row-normalized."""
+    import os
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 1, "A"),
+        (2, "2024-01-01 00:00:02", 1, "B"),
+        (3, "2024-01-01 00:00:03", 1, "A"),  # ts tie with id=4
+        (4, "2024-01-01 00:00:03", 1, "B"),
+        (5, "2024-01-01 00:00:01", 2, "A"),
+        (6, "2024-01-01 00:00:02", 2, "A"),
+    ]
+    path = str(tmp_path / "mk")
+    os.makedirs(path, exist_ok=True)
+    _events(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+    got = {
+        (r.src_type, r.dst_type): (r.n, r.p_e6)
+        for r in temporal.event_markov(spark, path).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, 666667),  # (2e6 + 1) // 3 half-up
+        ("B", "A"): (1, 1000000),
+        ("A", "A"): (1, 333333),
+    }
+
+
+def test_activity_gini_uniform_zero_and_crafted_skew(spark, tmp_path):
+    """Perfectly uniform users → gini_e6 == 0 exactly; volumes
+    (1, 1, 2) → G = 1/6 → half-up 166667. Exercises the closed form
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) end to end."""
+    import os
+
+    def write(rows, sub):
+        path = str(tmp_path / sub)
+        os.makedirs(path, exist_ok=True)
+        _events(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "events.parquet")
+        )
+        return path
+
+    uniform = [
+        (i, f"2024-01-01 00:00:{i:02d}", u, "A")
+        for i, u in enumerate((1, 1, 2, 2, 3, 3))
+    ]
+    (row,) = temporal.activity_gini(spark, write(uniform, "u")).collect()
+    assert (row.n_users, row.n_events, row.gini_e6) == (3, 6, 0)
+
+    skew = [
+        (i, f"2024-01-01 00:00:{i:02d}", u, "A")
+        for i, u in enumerate((1, 2, 3, 3))
+    ]
+    (row,) = temporal.activity_gini(spark, write(skew, "s")).collect()
+    # sorted x = [1, 1, 2]: Σi·x = 9, (2·9 − 4·4)·1e6 + 6 ) // 12
+    assert (row.n_users, row.n_events, row.gini_e6) == (3, 4, 166667)

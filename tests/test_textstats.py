@@ -206,3 +206,101 @@ def test_winnow_short_and_tiny_docs():
         assert len(out) == 1
         ((p, _),) = out
         assert 1 <= p <= n_kg
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark `div` / DuckDB
+    `//` semantics for a possibly-negative numerator, b > 0)."""
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def test_calibration_bins_matches_python_twin(spark, sf_dir):
+    """Independent integer re-implementation of the whole reliability
+    diagram (token stats → logit → decile bin → label → half-up rate)
+    over the same parquet; every (bin, n_docs, n_pos, pos_rate_e6) row
+    must match and the bins must partition the corpus."""
+    import collections
+
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        CAL_LOGIT_E6,
+        QC_BIAS_E6,
+        QC_W_E6,
+        STOPWORDS,
+        calibration_bins,
+    )
+
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    w1, w2, w3 = QC_W_E6
+    per_bin: dict[int, list[int]] = collections.defaultdict(lambda: [0, 0])
+    for text in df["text"]:
+        toks = str(text).split(" ")
+        n, d = len(toks), len(set(toks))
+        s = sum(1 for t in toks if t in STOPWORDS)
+        f1 = min(n, 100) * 10_000
+        f2 = (s * 1_000_000 + n // 2) // n
+        f3 = (d * 1_000_000 + n // 2) // n
+        logit = (
+            QC_BIAS_E6
+            + _tdiv(w1 * f1, 1_000_000)
+            + _tdiv(w2 * f2, 1_000_000)
+            + _tdiv(w3 * f3, 1_000_000)
+        )
+        q_num = (min(n, 64) * n + 48 * n + 48 * (d - s)) * 1_000_000 + (
+            160 * n
+        ) // 2
+        pos = _tdiv(q_num, 160 * n) >= 680_000
+        b = next(
+            (k for k, thr in enumerate(CAL_LOGIT_E6) if logit < thr), 9
+        )
+        per_bin[b][0] += 1
+        per_bin[b][1] += int(pos)
+    want = {
+        b: (nd, np_, (np_ * 1_000_000 + nd // 2) // nd)
+        for b, (nd, np_) in per_bin.items()
+    }
+    got = {
+        r.bin: (r.n_docs, r.n_pos, r.pos_rate_e6)
+        for r in calibration_bins(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(nd for nd, _, _ in got.values()) == len(df)
+
+
+def test_response_drift_matches_exact_fraction_ols(spark, sf_dir):
+    """The integer sufficient statistics and the staged sign-safe e6
+    slope must equal an exact-arithmetic OLS (fractions.Fraction) over
+    the collected turns; a role whose length is exactly y = 7·x + 3
+    must report slope_e6 == 7_000_000 with zero residual machinery."""
+    from fractions import Fraction
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        response_drift,
+        transcripts,
+    )
+
+    turns = (
+        transcripts(spark, sf_dir)
+        .selectExpr("role", "cast(turn_idx as long) x", "length(text) y")
+        .collect()
+    )
+    stats: dict[str, list[int]] = {}
+    for r in turns:
+        st = stats.setdefault(r.role, [0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += r.x
+        st[2] += r.y
+        st[3] += r.x * r.y
+        st[4] += r.x * r.x
+    got = {r.role: r for r in response_drift(spark, sf_dir).collect()}
+    assert set(got) == set(stats)
+    for role, (n, sx, sy, sxy, sxx) in stats.items():
+        g = got[role]
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        assert (g.n, g.sum_x, g.sum_y) == (n, sx, sy)
+        assert (g.slope_num, g.slope_den) == (num, den)
+        assert g.slope_e6 == _tdiv(num * 1_000_000, den)
+        # e6 quotient brackets the exact rational slope
+        exact = Fraction(num, den)
+        assert abs(Fraction(g.slope_e6, 1_000_000) - exact) < Fraction(1, 500_000)
