@@ -115,8 +115,12 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
 )
 from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
     conv_shape,
+    conv_survival,
     documents,
     duck_conv_shape,
+    duck_conv_survival,
+    duck_echo_rate,
+    echo_rate,
     duck_response_drift,
     duck_skew_profile,
     duck_tool_ngrams,
@@ -555,6 +559,25 @@ def _duck_kg_hyperanf() -> str:
     return duck_hyperanf_over(_duck_kg())
 
 
+def _kg_functionality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-predicate functionality / inverse-functionality census
+    (PARIS-style key-ness) over the materialized KG — the schema-
+    induction signal that tunes ``kg_resolve``."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_functionality,
+    )
+
+    return kg_functionality(materialize_kg(spark, sf))
+
+
+def _duck_kg_functionality() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_functionality_over,
+    )
+
+    return duck_functionality_over(_duck_kg())
+
+
 def _entity_pmi(spark: SparkSession, sf: str) -> DataFrame:
     """Conversation-grain canonical-entity co-occurrence PMI — the
     relation-discovery / distant-supervision signal next to the KG's
@@ -864,6 +887,10 @@ _DRIVER_PRIORITY = [
     # census, exact Gini skew coefficient of user activity
     "calibration_bins", "response_drift", "event_markov",
     "activity_gini",
+    # session-10 wave: predicate functionality census, conversation
+    # depth survival curve, adjacent-turn parroting census,
+    # interarrival dispersion (Fano) census
+    "kg_functionality", "conv_survival", "echo_rate", "burstiness",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1236,6 +1263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_drift": response_drift,
         "event_markov": temporal.event_markov,
         "activity_gini": temporal.activity_gini,
+        "kg_functionality": _kg_functionality,
+        "conv_survival": conv_survival,
+        "echo_rate": echo_rate,
+        "burstiness": temporal.burstiness,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1867,6 +1898,12 @@ def oracle_sql() -> dict[str, str]:
         f" {duck_response_drift()}",
         "event_markov": temporal.duck_event_markov(),
         "activity_gini": temporal.duck_activity_gini(),
+        "kg_functionality": _duck_kg_functionality(),
+        "conv_survival": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_conv_survival()}",
+        "echo_rate": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_echo_rate()}",
+        "burstiness": temporal.duck_burstiness(),
     }
 
 

@@ -436,6 +436,10 @@ def main() -> None:
     timed("response_drift", _entry.queries()["response_drift"])
     timed("event_markov", _entry.queries()["event_markov"])
     timed("activity_gini", _entry.queries()["activity_gini"])
+    timed("kg_functionality", _entry.queries()["kg_functionality"])
+    timed("conv_survival", _entry.queries()["conv_survival"])
+    timed("echo_rate", _entry.queries()["echo_rate"])
+    timed("burstiness", _entry.queries()["burstiness"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -3295,3 +3295,51 @@ def duck_hyperanf_over(kg_cte: str, rounds: int = HYPERANF_ROUNDS) -> str:
         + " "
         + " UNION ALL ".join(sels)
     )
+
+
+# ------------------------------------- predicate functionality census
+
+
+def kg_functionality(kg: DataFrame) -> DataFrame:
+    """(pred, n_edges, n_subj, n_obj, func_e6, inv_func_e6) —
+    per-predicate functionality census over the materialized KG
+    (Suchanek et al., PARIS/YAGO): ``func = |distinct subjects| /
+    |edges|`` (1.0 ⇔ every subject has exactly one object — the
+    predicate behaves like a key) and its inverse for objects, both as
+    half-up e6 integers. The schema-induction signal that drives
+    identity resolution: a high-functionality predicate with two
+    objects for one subject is evidence of a duplicate entity, so this
+    table is the tuning input for ``kg_resolve``.
+
+    Plan: one predicate-grain aggregation with two distinct counts
+    (Spark expands the multi-distinct into two partial aggregations —
+    still map-side combinable per distinct key, output |preds| rows).
+    Nothing after the scan is corpus-scale."""
+    return kg.groupBy("pred").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        F.expr(
+            "(count(distinct subj) * 1000000 + count(*) div 2)"
+            " div count(*)"
+        ).alias("func_e6"),
+        F.expr(
+            "(count(distinct obj) * 1000000 + count(*) div 2)"
+            " div count(*)"
+        ).alias("inv_func_e6"),
+    )
+
+
+def duck_functionality_over(kg_cte: str) -> str:
+    """Oracle: the same distinct-count census in SQL."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte})
+        SELECT pred, COUNT(*) AS n_edges,
+               COUNT(DISTINCT subj) AS n_subj,
+               COUNT(DISTINCT obj) AS n_obj,
+               CAST((COUNT(DISTINCT subj) * 1000000 + COUNT(*) // 2)
+                    // COUNT(*) AS BIGINT) AS func_e6,
+               CAST((COUNT(DISTINCT obj) * 1000000 + COUNT(*) // 2)
+                    // COUNT(*) AS BIGINT) AS inv_func_e6
+        FROM kg GROUP BY pred
+    """

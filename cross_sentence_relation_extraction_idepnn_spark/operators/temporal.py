@@ -1264,3 +1264,85 @@ def duck_activity_gini() -> str:
                     AS BIGINT) AS gini_e6
         FROM ranked
     """
+
+
+# ---------------------------------------------- interarrival dispersion
+
+
+def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_gaps, sum_dt_s, mean_dt_e3, disp_e3) —
+    inter-event-time dispersion census: within each user's timeline
+    (ts, event_id total order), the gap in whole seconds to the
+    PREVIOUS event is keyed by the later event's type, then each type
+    reports its gap count, gap sum, half-up e3 mean gap, and the
+    Fano/dispersion index variance-to-mean ratio
+    ``D = (n·Σd² − (Σd)²) / (n·Σd)`` as a half-up e3 integer (D ≈ mean
+    for a Poisson process; D ≫ mean ⇒ bursty arrivals — the signal
+    that decides whether time-bucketed downstream jobs need burst
+    headroom). The numerator is ≥ 0 by Cauchy–Schwarz, so the staged
+    division needs no sign handling; Σd² is accumulated as
+    DECIMAL(38,0) (HUGEINT on the oracle side) because at 10^9+ gaps
+    an int64 Σd² genuinely overflows — the type is the scale story,
+    not a formality. NULL dispersion when Σd = 0 (all simultaneous).
+
+    Plan: ONE user-grain window (the timeline sort every sequence
+    operator already shuffles on), then one map-side-combinable
+    aggregation onto the |types| grid. No join, no Python."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = events_batch(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    gaps = (
+        e.withColumn("us", _epoch_us("ts"))
+        .withColumn("dt_us", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("dt_us").isNotNull())
+        .select("event_type", F.expr("dt_us div 1000000").alias("d"))
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("d").cast("decimal(38,0)").alias("sd"),
+        F.sum(F.expr("cast(d as decimal(38,0)) * d")).alias("sd2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("sd").cast("long").alias("sum_dt_s"),
+        F.expr("cast((sd * 1000 + n div 2) div n as bigint)").alias(
+            "mean_dt_e3"
+        ),
+        F.expr(
+            "cast(CASE WHEN sd > 0 THEN"
+            " ((n * sd2 - sd * sd) * 1000 + (n * sd) div 2) div (n * sd)"
+            " END as bigint)"
+        ).alias("disp_e3"),
+    )
+
+
+def duck_burstiness() -> str:
+    """Oracle: identical gap derivation; HUGEINT carries Σd² and the
+    dispersion numerator exactly."""
+    return """
+        WITH gaps AS (
+            SELECT event_type,
+                   (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    )) // 1000000 AS d
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(d) AS HUGEINT) AS sd,
+                   SUM(CAST(d AS HUGEINT) * d) AS sd2
+            FROM gaps WHERE d IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_gaps,
+               CAST(sd AS BIGINT) AS sum_dt_s,
+               CAST((sd * 1000 + n // 2) // n AS BIGINT) AS mean_dt_e3,
+               CAST(CASE WHEN sd > 0 THEN
+                    ((n * sd2 - sd * sd) * 1000 + (n * sd) // 2)
+                    // (n * sd) END AS BIGINT) AS disp_e3
+        FROM agg
+    """

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
 from ..session import read_parquet_cached
 
 TURN_WORDS = 8
@@ -551,4 +553,138 @@ def duck_response_drift() -> str:
             FROM transcripts
             GROUP BY role
         )
+    """
+
+
+def conv_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(depth, n_convs_at, n_convs_ge, survival_e6) — conversation
+    depth survival curve: for every observed turn count d, how many
+    conversations have EXACTLY d turns, how many reach AT LEAST d
+    turns, and the half-up e6 survivor fraction. The retention census
+    of an agent corpus (where do conversations die?) and the direct
+    input to truncation/packing policy: choosing a max-turns cutoff K
+    drops exactly 1 − survival(K) of conversations.
+
+    Plan: one conv-grain count (map-side combinable — the only
+    corpus-wide stage), one count onto the DEPTH grid (≤ max
+    conversation length rows), then the ≥-cumulation as a window over
+    the GRID — free. At 10^12 turns nothing after the first
+    aggregation ever sees corpus-scale data."""
+    per_conv = (
+        transcripts(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("depth"))
+    )
+    grid = per_conv.groupBy("depth").agg(F.count("*").alias("n_convs_at"))
+    w_ge = (
+        Window.orderBy(F.col("depth").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        grid.withColumn("n_convs_ge", F.sum("n_convs_at").over(w_ge))
+        .withColumn("total", F.sum("n_convs_at").over(w_all))
+        .select(
+            "depth",
+            "n_convs_at",
+            "n_convs_ge",
+            F.expr(
+                "(n_convs_ge * 1000000 + total div 2) div total"
+            ).alias("survival_e6"),
+        )
+    )
+
+
+def duck_conv_survival() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — extends the CTE
+    list, hence the leading comma): the same depth-grid cumulation."""
+    return """
+        , per_conv AS (
+            SELECT conv_id, COUNT(*) AS depth FROM transcripts GROUP BY 1
+        ),
+        grid AS (
+            SELECT depth, COUNT(*) AS n_convs_at FROM per_conv GROUP BY 1
+        )
+        SELECT depth, n_convs_at,
+               SUM(n_convs_at) OVER (ORDER BY depth DESC) AS n_convs_ge,
+               CAST((SUM(n_convs_at) OVER (ORDER BY depth DESC) * 1000000
+                     + SUM(n_convs_at) OVER () // 2)
+                    // SUM(n_convs_at) OVER () AS BIGINT) AS survival_e6
+        FROM grid
+    """
+
+
+def echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_role, role, n_transitions, sum_tokens, sum_echoed,
+    echo_e6) — parroting census over adjacent turn transitions: for
+    every consecutive turn pair inside a conversation, how many of the
+    later turn's DISTINCT tokens already appear in the immediately
+    preceding turn, aggregated onto the |roles|² transition grid with
+    the half-up e6 micro-averaged echo fraction. High
+    user→assistant echo flags copy-through/parrot behaviour (low
+    training value); high assistant→user echo flags quote-back
+    confirmation loops. Token-set containment keeps both engines
+    exact: Spark ``array_intersect`` and DuckDB ``list_intersect``
+    both return the deduplicated common-element set.
+
+    Plan: ONE conv-grain window (lag — the same (conv, turn_idx) sort
+    every sequence operator shuffles on), per-row set algebra inside
+    codegen, then one map-side-combinable aggregation onto the
+    |roles|² grid. No join, no Python."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    pairs = (
+        t.withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("prev_toks", F.lag("toks").over(w))
+        .filter(F.col("prev_role").isNotNull())
+        .select(
+            "prev_role",
+            "role",
+            F.size("toks").cast("long").alias("n_tok"),
+            F.size(F.array_intersect("toks", "prev_toks"))
+            .cast("long")
+            .alias("n_echo"),
+        )
+    )
+    return pairs.groupBy("prev_role", "role").agg(
+        F.count("*").alias("n_transitions"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.sum("n_echo").alias("sum_echoed"),
+        F.expr(
+            "(sum(n_echo) * 1000000 + sum(n_tok) div 2) div sum(n_tok)"
+        ).alias("echo_e6"),
+    )
+
+
+def duck_echo_rate() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — extends the CTE
+    list, hence the leading comma): identical lag + distinct-token
+    intersection + grid aggregation."""
+    return """
+        , toks AS (
+            SELECT conv_id, turn_idx, role,
+                   list_distinct(string_split(text, ' ')) AS toks
+            FROM transcripts
+        ),
+        pairs AS (
+            SELECT LAG(role) OVER w AS prev_role, role,
+                   CAST(len(toks) AS BIGINT) AS n_tok,
+                   CAST(len(list_intersect(
+                       toks, LAG(toks) OVER w)) AS BIGINT) AS n_echo
+            FROM toks
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT prev_role, role, COUNT(*) AS n_transitions,
+               SUM(n_tok) AS sum_tokens, SUM(n_echo) AS sum_echoed,
+               CAST((SUM(n_echo) * 1000000 + SUM(n_tok) // 2)
+                    // SUM(n_tok) AS BIGINT) AS echo_e6
+        FROM pairs WHERE prev_role IS NOT NULL
+        GROUP BY 1, 2
     """

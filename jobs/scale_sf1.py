@@ -179,6 +179,7 @@ def main() -> None:
         kg_assortativity,
         kg_bridges,
         kg_communities,
+        kg_functionality,
         kg_hyperanf,
         kg_neighbors,
         kg_triangles,
@@ -227,6 +228,8 @@ def main() -> None:
     )
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
         conv_shape,
+        conv_survival,
+        echo_rate,
         response_drift,
         tool_ngrams,
         tool_transition,
@@ -431,6 +434,12 @@ def main() -> None:
         "response_drift": response_drift,
         "event_markov": temporal_mod.event_markov,
         "activity_gini": temporal_mod.activity_gini,
+        "kg_functionality": lambda s, d: kg_functionality(
+            materialize_kg(s, d)
+        ),
+        "conv_survival": conv_survival,
+        "echo_rate": echo_rate,
+        "burstiness": temporal_mod.burstiness,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

@@ -329,3 +329,77 @@ def test_k_anonymity_flag_and_totals(spark, sf_dir):
         assert r.at_risk == (r.n_turns < K_ANON_K)
         assert 1 <= r.n_convs <= r.n_turns
     assert sum(r.n_turns for r in rows) == transcripts(spark, sf_dir).count()
+
+
+def test_conv_survival_crafted_depths(spark, tmp_path):
+    """Depths (1, 2, 2, 4) — derivation: 8 words per turn, as in
+    test_conv_shape_crafted_word_counts — give a hand-computed
+    survival curve; the ≥-cumulation and the half-up e6 fractions are
+    pinned exactly."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        conv_survival,
+    )
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(1, words(8)), (2, words(16)), (3, words(16)), (4, words(32))]
+    path = str(tmp_path / "cs")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {
+        r.depth: (r.n_convs_at, r.n_convs_ge, r.survival_e6)
+        for r in conv_survival(spark, path).collect()
+    }
+    assert got == {
+        1: (1, 4, 1000000),
+        2: (2, 3, 750000),
+        4: (1, 1, 250000),
+    }
+
+
+def test_echo_rate_matches_python_twin(spark, sf_dir):
+    """Independent Python re-implementation (dict + set algebra) of
+    the transition-grid echo census over the same derived turns: every
+    (prev_role, role) row must match, and the transition count must
+    equal Σ(conv turns − 1)."""
+    import collections
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        echo_rate,
+        transcripts,
+    )
+
+    turns = transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    ).collect()
+    by_conv: dict[str, list] = collections.defaultdict(list)
+    for r in turns:
+        by_conv[r.conv_id].append((r.turn_idx, r.role, r.text))
+    grid: dict[tuple, list[int]] = collections.defaultdict(lambda: [0, 0, 0])
+    for conv in by_conv.values():
+        conv.sort()
+        for (_, pr, pt), (_, cr, ct) in zip(conv, conv[1:]):
+            cur, prev = set(ct.split(" ")), set(pt.split(" "))
+            g = grid[(pr, cr)]
+            g[0] += 1
+            g[1] += len(cur)
+            g[2] += len(cur & prev)
+    want = {
+        k: (n, st, se, (se * 1_000_000 + st // 2) // st)
+        for k, (n, st, se) in grid.items()
+    }
+    got = {
+        (r.prev_role, r.role): (
+            r.n_transitions, r.sum_tokens, r.sum_echoed, r.echo_e6
+        )
+        for r in echo_rate(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == sum(
+        len(c) - 1 for c in by_conv.values()
+    )

@@ -1026,3 +1026,35 @@ def test_kg_hyperanf_estimate_tracks_ball_size(spark):
     assert row["n_regs"] == len(regs)
     est = hll_estimate(regs)
     assert abs(est - len(ball)) / len(ball) < 0.5
+
+
+def test_kg_functionality_hand_computed(spark):
+    """Predicate r: 3 edges, 2 distinct subjects, 2 distinct objects →
+    func = inv_func = (2e6 + 1) // 3; predicate q is perfectly
+    functional (each subject one object) but only half
+    inverse-functional (both subjects share one object)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_functionality,
+    )
+
+    kg = _kg_df(
+        spark,
+        [
+            ("A", "r", "B", 1),
+            ("A", "r", "C", 1),
+            ("D", "r", "B", 1),
+            ("X", "q", "Y", 1),
+            ("Z", "q", "Y", 1),
+        ],
+    )
+    got = {
+        r["pred"]: (
+            r["n_edges"], r["n_subj"], r["n_obj"],
+            r["func_e6"], r["inv_func_e6"],
+        )
+        for r in kg_functionality(kg).collect()
+    }
+    assert got == {
+        "r": (3, 2, 2, 666667, 666667),
+        "q": (2, 2, 1, 1000000, 500000),
+    }

@@ -546,3 +546,42 @@ def test_session9_wave2_plan_shapes(spark, sf_dir):
     assert count_op(plan, "Window") == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan and "Pandas" not in plan, plan
+
+
+def test_session10_wave_plan_shapes(spark, sf_dir):
+    """echo_rate / burstiness: exactly one corpus-grain window (the
+    conversation / user timeline sort) + grid aggregation, join-free,
+    Python-free; conv_survival: at most two windows and both run over
+    the depth GRID (the corpus stage is the conv-grain count), no
+    join, no Python; kg_functionality: aggregation-only over the
+    checkpointed KG — no join, no window, no Python."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_functionality,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.temporal import (
+        burstiness,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        conv_survival,
+        echo_rate,
+    )
+
+    for fn in (echo_rate, burstiness):
+        plan = plan_of(fn(spark, sf_dir))
+        assert count_op(plan, "Window") == 1, plan
+        assert "Join" not in plan, plan
+        assert "Python" not in plan and "Pandas" not in plan, plan
+
+    plan = plan_of(conv_survival(spark, sf_dir))
+    assert count_op(plan, "Window") <= 2, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan
+
+    kg = spark.createDataFrame(
+        [("A", "r", "B", 1)], "subj string, pred string, obj string, support long"
+    )
+    plan = plan_of(kg_functionality(kg))
+    assert "Join" not in plan and "Window" not in plan, plan
+    # NB: the local-RDD scan mentions applySchemaToPythonRDD — only
+    # actual Python-execution operators are disallowed
+    assert "EvalPython" not in plan and "Pandas" not in plan, plan

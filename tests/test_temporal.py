@@ -744,3 +744,53 @@ def test_activity_gini_uniform_zero_and_crafted_skew(spark, tmp_path):
     (row,) = temporal.activity_gini(spark, write(skew, "s")).collect()
     # sorted x = [1, 1, 2]: Σi·x = 9, (2·9 − 4·4)·1e6 + 6 ) // 12
     assert (row.n_users, row.n_events, row.gini_e6) == (3, 4, 166667)
+
+
+def test_burstiness_matches_python_twin(spark, sf_dir):
+    """Exact-integer twin of the Fano census: per-user timeline gaps
+    keyed by the later event's type, then count / sum / half-up e3
+    mean / half-up e3 dispersion (variance-to-mean) — every row must
+    match, including the Σd²-as-arbitrary-precision accumulation."""
+    import collections
+
+    rows = (
+        stream_events.events_batch(spark, sf_dir)
+        .selectExpr(
+            "user_id",
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS us",
+            "event_id",
+            "event_type",
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = collections.defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.us, r.event_id, r.event_type))
+    stats: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0, 0])
+    for tl in by_user.values():
+        tl.sort()
+        for (pus, _, _), (cus, _, ct) in zip(tl, tl[1:]):
+            d = (cus - pus) // 1_000_000
+            st = stats[ct]
+            st[0] += 1
+            st[1] += d
+            st[2] += d * d
+    want = {}
+    for t, (n, sd, sd2) in stats.items():
+        mean = (sd * 1000 + n // 2) // n
+        disp = (
+            ((n * sd2 - sd * sd) * 1000 + (n * sd) // 2) // (n * sd)
+            if sd > 0
+            else None
+        )
+        want[t] = (n, sd, mean, disp)
+    got = {
+        r.event_type: (r.n_gaps, r.sum_dt_s, r.mean_dt_e3, r.disp_e3)
+        for r in temporal.burstiness(spark, sf_dir).collect()
+    }
+    assert got == want
+    # a bursty corpus has at least one type with dispersion > mean
+    assert any(
+        d is not None and d > m for (_, _, m, d) in got.values()
+    ) or all(d is None for (_, _, _, d) in got.values())
