@@ -578,6 +578,24 @@ def _duck_kg_functionality() -> str:
     return duck_functionality_over(_duck_kg())
 
 
+def _kg_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected distinct-neighbour degree distribution of the
+    materialized KG — the heavy-tail witness for hub-join planning."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_degree_hist,
+    )
+
+    return kg_degree_hist(materialize_kg(spark, sf))
+
+
+def _duck_kg_degree_hist() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_degree_hist_over,
+    )
+
+    return duck_degree_hist_over(_duck_kg())
+
+
 def _entity_pmi(spark: SparkSession, sf: str) -> DataFrame:
     """Conversation-grain canonical-entity co-occurrence PMI — the
     relation-discovery / distant-supervision signal next to the KG's
@@ -891,6 +909,9 @@ _DRIVER_PRIORITY = [
     # depth survival curve, adjacent-turn parroting census,
     # interarrival dispersion (Fano) census
     "kg_functionality", "conv_survival", "echo_rate", "burstiness",
+    # session-11 wave: Flesch readability census, context-length
+    # truncation-loss audit, dialog-act census, KG degree histogram
+    "readability", "truncation_loss", "dialog_acts", "kg_degree_hist",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1267,6 +1288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_survival": conv_survival,
         "echo_rate": echo_rate,
         "burstiness": temporal.burstiness,
+        "readability": textstats.readability,
+        "truncation_loss": textstats.truncation_loss,
+        "dialog_acts": textstats.dialog_acts,
+        "kg_degree_hist": _kg_degree_hist,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1904,6 +1929,11 @@ def oracle_sql() -> dict[str, str]:
         "echo_rate": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {duck_echo_rate()}",
         "burstiness": temporal.duck_burstiness(),
+        "readability": textstats.duck_readability(),
+        "truncation_loss": textstats.duck_truncation_loss(),
+        "dialog_acts": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {textstats.duck_dialog_acts()}",
+        "kg_degree_hist": _duck_kg_degree_hist(),
     }
 
 

@@ -440,6 +440,10 @@ def main() -> None:
     timed("conv_survival", _entry.queries()["conv_survival"])
     timed("echo_rate", _entry.queries()["echo_rate"])
     timed("burstiness", _entry.queries()["burstiness"])
+    timed("readability", textstats.readability)
+    timed("truncation_loss", textstats.truncation_loss)
+    timed("dialog_acts", textstats.dialog_acts)
+    timed("kg_degree_hist", _entry.queries()["kg_degree_hist"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

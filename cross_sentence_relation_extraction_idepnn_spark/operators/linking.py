@@ -3343,3 +3343,50 @@ def duck_functionality_over(kg_cte: str) -> str:
                     // COUNT(*) AS BIGINT) AS inv_func_e6
         FROM kg GROUP BY pred
     """
+
+
+# ------------------------------------------- degree distribution census
+
+
+def kg_degree_hist(kg: DataFrame) -> DataFrame:
+    """(degree, n_nodes) — undirected distinct-neighbour degree
+    distribution of the materialized KG: the first chart anyone draws
+    of a graph, the heavy-tail witness that decides whether hub-keyed
+    joins (triangles, wedges, walks) need degree-orientation/salting,
+    and the input to any power-law fit. Self-loops are excluded, edge
+    multiplicity collapses (distinct neighbours).
+
+    Plan: dedup to undirected edge set (one exchange at edge grain),
+    explode both directions, one node-grain count, then one count onto
+    the DEGREE grid. Nothing after the edge dedup exceeds node grain."""
+    und = (
+        kg.select(
+            F.least("subj", "obj").alias("u"),
+            F.greatest("subj", "obj").alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    directed = und.select(F.col("u").alias("node")).unionAll(
+        und.select(F.col("v").alias("node"))
+    )
+    deg = directed.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def duck_degree_hist_over(kg_cte: str) -> str:
+    """Oracle: the same undirected dedup + two-level count."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        und AS (
+            SELECT DISTINCT LEAST(subj, obj) AS u, GREATEST(subj, obj) AS v
+            FROM kg WHERE LEAST(subj, obj) < GREATEST(subj, obj)
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS degree FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v FROM und
+            ) GROUP BY node
+        )
+        SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """

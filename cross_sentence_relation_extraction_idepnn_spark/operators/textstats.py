@@ -1171,3 +1171,226 @@ def duck_calibration_bins() -> str:
         )
         GROUP BY 1
     """
+
+
+# --------------------------------------------------- readability census
+
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_words, n_sents, n_syll, fre_e3) — per-source
+    Flesch reading-ease census kept integer-exact: syllables are vowel
+    runs (the classic approximation), sentences are '.' counts floored
+    at one per doc, and the score is the micro-average
+    ``206.835 − 1.015·(W/S) − 84.6·(Y/W)`` ×1000 with each rational
+    term half-up-rounded BEFORE the subtraction (so both engines
+    subtract identical integers; the result may legitimately go
+    negative for pathological text). The corpus-mix readability dial:
+    training mixtures are routinely rebalanced on exactly this
+    statistic.
+
+    Plan: one narrow projection (regexp + split counts, all codegen)
+    feeding one map-side-combinable aggregation onto the |sources|
+    grid — scan-speed at 100 TB."""
+    df = _docs(spark, sf_dir).select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("w"),
+        F.greatest(
+            F.lit(1),
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "\\.", ""))
+            ).cast("long"),
+        ).alias("s"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiouAEIOU]+"), 0))
+        .cast("long")
+        .alias("y"),
+    )
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("s").alias("n_sents"),
+            F.sum("y").alias("n_syll"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_sents",
+            "n_syll",
+            F.expr(
+                "206835 - (1015 * n_words + n_sents div 2) div n_sents"
+                " - (84600 * n_syll + n_words div 2) div n_words"
+            ).alias("fre_e3"),
+        )
+    )
+
+
+def duck_readability() -> str:
+    """Oracle: identical vowel-run / dot-count derivation and staged
+    half-up terms."""
+    return """
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(w) AS n_words, SUM(s) AS n_sents, SUM(y) AS n_syll,
+               CAST(206835
+                    - (1015 * SUM(w) + SUM(s) // 2) // SUM(s)
+                    - (84600 * SUM(y) + SUM(w) // 2) // SUM(w)
+                    AS BIGINT) AS fre_e3
+        FROM (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                   GREATEST(1, CAST(length(text)
+                       - length(replace(text, '.', '')) AS BIGINT)) AS s,
+                   CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                        AS BIGINT) AS y
+            FROM documents
+        )
+        GROUP BY source
+    """
+
+
+# ------------------------------------------------ truncation-loss audit
+
+TRUNC_LENGTHS = (64, 128, 256, 512)
+
+
+def truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(max_len, n_docs, n_over, tokens_total, tokens_lost, loss_e6) —
+    context-length policy audit: for each candidate whitespace-token
+    cutoff L, how many documents exceed it and what half-up e6
+    fraction of all tokens a hard truncation at L would discard. THE
+    table one reads before choosing a packing/truncation length — the
+    knee of loss_e6 vs L is the cheapest L that wastes nothing.
+
+    Plan: ONE corpus pass computes per-doc token counts and the |L|
+    conditional aggregates as columns (map-side combinable), then the
+    single output row unpivots via ``stack`` onto the |L|-row grid —
+    the corpus is scanned once regardless of how many cutoffs are
+    audited."""
+    n = F.size(F.split("text", " ")).cast("long")
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(n).alias("tok"),
+    ]
+    for ln in TRUNC_LENGTHS:
+        aggs.append(
+            F.sum(F.when(n > ln, 1).otherwise(0)).alias(f"over_{ln}")
+        )
+        aggs.append(
+            F.sum(F.when(n > ln, n - ln).otherwise(0)).alias(f"lost_{ln}")
+        )
+    one = _docs(spark, sf_dir).agg(*aggs)
+    stack = ", ".join(
+        f"{ln}L, over_{ln}, lost_{ln}" for ln in TRUNC_LENGTHS
+    )
+    return one.selectExpr(
+        "n_docs",
+        "tok",
+        f"stack({len(TRUNC_LENGTHS)}, {stack})"
+        " as (max_len, n_over, tokens_lost)",
+    ).selectExpr(
+        "max_len",
+        "n_docs",
+        "n_over",
+        "tok as tokens_total",
+        "tokens_lost",
+        "(tokens_lost * 1000000 + tok div 2) div tok as loss_e6",
+    )
+
+
+def duck_truncation_loss() -> str:
+    """Oracle: the same conditional aggregates, one row per cutoff via
+    a literal lengths list."""
+    selects = []
+    for ln in TRUNC_LENGTHS:
+        selects.append(
+            f"""
+            SELECT {ln} AS max_len, COUNT(*) AS n_docs,
+                   SUM(CASE WHEN n > {ln} THEN 1 ELSE 0 END) AS n_over,
+                   SUM(n) AS tokens_total,
+                   SUM(CASE WHEN n > {ln} THEN n - {ln} ELSE 0 END)
+                       AS tokens_lost,
+                   CAST((SUM(CASE WHEN n > {ln} THEN n - {ln} ELSE 0 END)
+                         * 1000000 + SUM(n) // 2) // SUM(n) AS BIGINT)
+                       AS loss_e6
+            FROM toks
+            """
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+        WITH toks AS (
+            SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        )
+        {body}
+    """
+
+
+# ---------------------------------------------------- dialog-act census
+
+
+def dialog_acts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(role, n_turns, n_question, n_exclaim, n_code, question_e6,
+    exclaim_e6, code_e6) — per-role dialog-act census via surface
+    heuristics: a turn is a QUESTION if its right-trimmed text ends
+    with '?', an EXCLAMATION if it ends with '!', and CODE-BEARING if
+    it contains a backtick. The conversational-style profile of an
+    agent corpus (which roles ask, which emote, which paste code) and
+    a drift monitor across corpus versions. Pure narrow Column
+    algebra, half-up e6 rates.
+
+    Plan: one narrow projection + one map-side-combinable aggregation
+    onto the |roles| grid — scan-speed at 100 TB."""
+    from ..sources.transcripts import transcripts
+
+    t = transcripts(spark, sf_dir).select(
+        "role",
+        F.rtrim(F.col("text")).alias("txt"),
+    )
+    flags = t.select(
+        "role",
+        F.col("txt").endswith("?").cast("long").alias("q"),
+        F.col("txt").endswith("!").cast("long").alias("x"),
+        F.col("txt").contains("`").cast("long").alias("c"),
+    )
+    return flags.groupBy("role").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("q").alias("n_question"),
+        F.sum("x").alias("n_exclaim"),
+        F.sum("c").alias("n_code"),
+        F.expr(
+            "(sum(q) * 1000000 + count(*) div 2) div count(*)"
+        ).alias("question_e6"),
+        F.expr(
+            "(sum(x) * 1000000 + count(*) div 2) div count(*)"
+        ).alias("exclaim_e6"),
+        F.expr(
+            "(sum(c) * 1000000 + count(*) div 2) div count(*)"
+        ).alias("code_e6"),
+    )
+
+
+def duck_dialog_acts() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — extends the CTE
+    list, hence the leading comma): identical rtrim + suffix/contains
+    flags."""
+    return """
+        , flags AS (
+            SELECT role,
+                   CASE WHEN rtrim(text) LIKE '%?' THEN 1 ELSE 0 END AS q,
+                   CASE WHEN rtrim(text) LIKE '%!' THEN 1 ELSE 0 END AS x,
+                   CASE WHEN text LIKE '%`%' THEN 1 ELSE 0 END AS c
+            FROM transcripts
+        )
+        SELECT role, COUNT(*) AS n_turns,
+               SUM(q) AS n_question, SUM(x) AS n_exclaim,
+               SUM(c) AS n_code,
+               CAST((SUM(q) * 1000000 + COUNT(*) // 2) // COUNT(*)
+                    AS BIGINT) AS question_e6,
+               CAST((SUM(x) * 1000000 + COUNT(*) // 2) // COUNT(*)
+                    AS BIGINT) AS exclaim_e6,
+               CAST((SUM(c) * 1000000 + COUNT(*) // 2) // COUNT(*)
+                    AS BIGINT) AS code_e6
+        FROM flags GROUP BY role
+    """

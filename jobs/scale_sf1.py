@@ -179,6 +179,7 @@ def main() -> None:
         kg_assortativity,
         kg_bridges,
         kg_communities,
+        kg_degree_hist,
         kg_functionality,
         kg_hyperanf,
         kg_neighbors,
@@ -440,6 +441,12 @@ def main() -> None:
         "conv_survival": conv_survival,
         "echo_rate": echo_rate,
         "burstiness": temporal_mod.burstiness,
+        "readability": textstats_mod.readability,
+        "truncation_loss": textstats_mod.truncation_loss,
+        "dialog_acts": textstats_mod.dialog_acts,
+        "kg_degree_hist": lambda s, d: kg_degree_hist(
+            materialize_kg(s, d)
+        ),
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

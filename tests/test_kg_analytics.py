@@ -1058,3 +1058,26 @@ def test_kg_functionality_hand_computed(spark):
         "r": (3, 2, 2, 666667, 666667),
         "q": (2, 2, 1, 1000000, 500000),
     }
+
+
+def test_kg_degree_hist_hand_computed(spark):
+    """Star A-{B,C,D} plus parallel/self edges that must collapse:
+    degrees A=3, B=C=D=1 → hist {3:1, 1:3}; multiplicity and the
+    self-loop contribute nothing."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_degree_hist,
+    )
+
+    kg = _kg_df(
+        spark,
+        [
+            ("A", "r", "B", 1),
+            ("B", "r", "A", 1),   # reverse duplicate — same undirected edge
+            ("A", "r", "C", 2),
+            ("A", "q", "C", 1),   # parallel edge under another predicate
+            ("A", "r", "D", 1),
+            ("D", "r", "D", 9),   # self-loop — excluded
+        ],
+    )
+    got = {r.degree: r.n_nodes for r in kg_degree_hist(kg).collect()}
+    assert got == {3: 1, 1: 3}

@@ -585,3 +585,36 @@ def test_session10_wave_plan_shapes(spark, sf_dir):
     # NB: the local-RDD scan mentions applySchemaToPythonRDD — only
     # actual Python-execution operators are disallowed
     assert "EvalPython" not in plan and "Pandas" not in plan, plan
+
+
+def test_session11_wave_plan_shapes(spark, sf_dir):
+    """readability / dialog_acts / truncation_loss: pure narrow
+    projection + grid aggregation — no join, no window, no Python
+    (truncation_loss additionally scans the corpus exactly ONCE for
+    all audited cutoffs: one parquet scan in the plan);
+    kg_degree_hist over a literal KG: aggregation-only above the
+    distinct, join- and window-free."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_degree_hist,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        dialog_acts,
+        readability,
+        truncation_loss,
+    )
+
+    for fn in (readability, dialog_acts, truncation_loss):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Join" not in plan and "Window" not in plan, plan
+        assert "Python" not in plan and "Pandas" not in plan, plan
+
+    plan = plan_of(truncation_loss(spark, sf_dir))
+    assert count_op(plan, "Scan parquet") == 1, plan
+
+    kg = spark.createDataFrame(
+        [("A", "r", "B", 1)],
+        "subj string, pred string, obj string, support long",
+    )
+    plan = plan_of(kg_degree_hist(kg))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "EvalPython" not in plan and "Pandas" not in plan, plan

@@ -304,3 +304,111 @@ def test_response_drift_matches_exact_fraction_ols(spark, sf_dir):
         # e6 quotient brackets the exact rational slope
         exact = Fraction(num, den)
         assert abs(Fraction(g.slope_e6, 1_000_000) - exact) < Fraction(1, 500_000)
+
+
+def test_readability_matches_python_twin(spark, sf_dir):
+    """Independent re-implementation (re module) of the vowel-run /
+    dot-count / staged half-up Flesch census: every per-source row
+    must match exactly."""
+    import collections
+    import re
+
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        readability,
+    )
+
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    agg: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for src, text in zip(df["source"], df["text"]):
+        text = str(text)
+        a = agg[src]
+        a[0] += 1
+        a[1] += len(text.split(" "))
+        a[2] += max(1, text.count("."))
+        a[3] += len(re.findall(r"[aeiouAEIOU]+", text))
+    want = {
+        s: (n, w, st, y,
+            206835 - (1015 * w + st // 2) // st - (84600 * y + w // 2) // w)
+        for s, (n, w, st, y) in agg.items()
+    }
+    got = {
+        r.source: (r.n_docs, r.n_words, r.n_sents, r.n_syll, r.fre_e3)
+        for r in readability(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_truncation_loss_crafted_lengths(spark, tmp_path):
+    """Docs of 2 / 100 / 300 / 600 tokens give hand-computed over-counts
+    and token losses at every audited cutoff; loss_e6 is monotone
+    non-increasing in max_len."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        TRUNC_LENGTHS,
+        truncation_loss,
+    )
+
+    def words(n):
+        return " ".join("w" for _ in range(n))
+
+    rows = [
+        (i, words(n), "en", "src0", n)
+        for i, n in enumerate((2, 100, 300, 600))
+    ]
+    path = str(tmp_path / "tl")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    tot = 2 + 100 + 300 + 600
+    want = {}
+    for ln in TRUNC_LENGTHS:
+        lost = sum(max(0, n - ln) for n in (2, 100, 300, 600))
+        over = sum(1 for n in (2, 100, 300, 600) if n > ln)
+        want[ln] = (4, over, tot, lost, (lost * 1_000_000 + tot // 2) // tot)
+    got = {
+        r.max_len: (
+            r.n_docs, r.n_over, r.tokens_total, r.tokens_lost, r.loss_e6
+        )
+        for r in truncation_loss(spark, path).collect()
+    }
+    assert got == want
+    losses = [got[ln][4] for ln in sorted(got)]
+    assert losses == sorted(losses, reverse=True)
+
+
+def test_dialog_acts_crafted_flags(spark, sf_dir):
+    """Flag semantics on the real corpus: every rate is the half-up
+    e6 quotient of its count, totals partition the corpus, and the
+    flags agree with a python re-check on a sample conversation."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        dialog_acts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    rows = dialog_acts(spark, sf_dir).collect()
+    assert rows
+    t = transcripts(spark, sf_dir).select("role", "text").collect()
+    import collections
+
+    want: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in t:
+        w = want[r.role]
+        txt = r.text.rstrip()
+        w[0] += 1
+        w[1] += txt.endswith("?")
+        w[2] += txt.endswith("!")
+        w[3] += "`" in r.text
+    for r in rows:
+        n, q, x, c = want[r.role]
+        assert (r.n_turns, r.n_question, r.n_exclaim, r.n_code) == (n, q, x, c)
+        assert r.question_e6 == (q * 1_000_000 + n // 2) // n
+    assert sum(r.n_turns for r in rows) == len(t)
