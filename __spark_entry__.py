@@ -114,9 +114,11 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.standoff import (
     parse_standoff,
 )
 from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+    conv_cohesion,
     conv_shape,
     conv_survival,
     documents,
+    duck_conv_cohesion,
     duck_conv_shape,
     duck_conv_survival,
     duck_echo_rate,
@@ -578,6 +580,38 @@ def _duck_kg_functionality() -> str:
     return duck_functionality_over(_duck_kg())
 
 
+def _synonymy_census(spark: SparkSession, sf: str) -> DataFrame:
+    """(n_surfaces, n_entities) — alias-richness histogram of the
+    canonical entity map: how many canonical entities are known by
+    exactly k distinct surfaces. The synonymy complement of the
+    functionality census — a fat tail here means heavy surface
+    variation and justifies the canonicalization stage's cost."""
+    canon = _canonicalize(spark, sf)
+    sizes = canon.groupBy("component").agg(
+        F.count("*").alias("n_surfaces")
+    )
+    return sizes.groupBy("n_surfaces").agg(
+        F.count("*").alias("n_entities")
+    )
+
+
+def _duck_synonymy_census() -> str:
+    return (
+        f"WITH RECURSIVE transcripts AS ({duck_transcripts_cte()}), "
+        f"sentences AS ({_SENTS_CTE}), "
+        f"mentions AS ({duck_mentions_cte()})"
+        + duck_canonicalize_ctes()
+        + """
+        , sizes AS (
+            SELECT component, COUNT(*) AS n_surfaces
+            FROM canon GROUP BY component
+        )
+        SELECT n_surfaces, COUNT(*) AS n_entities
+        FROM sizes GROUP BY n_surfaces
+        """
+    )
+
+
 def _kg_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected distinct-neighbour degree distribution of the
     materialized KG — the heavy-tail witness for hub-join planning."""
@@ -912,6 +946,11 @@ _DRIVER_PRIORITY = [
     # session-11 wave: Flesch readability census, context-length
     # truncation-loss audit, dialog-act census, KG degree histogram
     "readability", "truncation_loss", "dialog_acts", "kg_degree_hist",
+    # session-12 wave: conversation cohesion histogram, entity
+    # synonymy census, quality × duplication cross-tab, head-gram
+    # coverage curve
+    "conv_cohesion", "synonymy_census", "quality_dup_matrix",
+    "gram_coverage",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1292,6 +1331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_loss": textstats.truncation_loss,
         "dialog_acts": textstats.dialog_acts,
         "kg_degree_hist": _kg_degree_hist,
+        "conv_cohesion": conv_cohesion,
+        "synonymy_census": _synonymy_census,
+        "quality_dup_matrix": dedup.quality_dup_matrix,
+        "gram_coverage": textstats.gram_coverage,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1934,6 +1977,11 @@ def oracle_sql() -> dict[str, str]:
         "dialog_acts": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {textstats.duck_dialog_acts()}",
         "kg_degree_hist": _duck_kg_degree_hist(),
+        "conv_cohesion": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_conv_cohesion()}",
+        "synonymy_census": _duck_synonymy_census(),
+        "quality_dup_matrix": dedup.duck_quality_dup_matrix(),
+        "gram_coverage": textstats.duck_gram_coverage(),
     }
 
 

@@ -444,6 +444,10 @@ def main() -> None:
     timed("truncation_loss", textstats.truncation_loss)
     timed("dialog_acts", textstats.dialog_acts)
     timed("kg_degree_hist", _entry.queries()["kg_degree_hist"])
+    timed("conv_cohesion", _entry.queries()["conv_cohesion"])
+    timed("synonymy_census", _entry.queries()["synonymy_census"])
+    timed("quality_dup_matrix", dedup.quality_dup_matrix)
+    timed("gram_coverage", textstats.gram_coverage)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

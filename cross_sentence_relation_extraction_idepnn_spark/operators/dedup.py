@@ -1786,3 +1786,109 @@ def duck_dup_source_matrix(tau: float = MINHASH_TAU) -> str:
         JOIN documents db ON db.doc_id = p.doc_b
         GROUP BY 1, 2
     """
+
+
+# ------------------------------------------- quality × duplication grid
+
+
+def quality_dup_matrix(
+    spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU
+) -> DataFrame:
+    """(band, is_dup, n_docs) — the curation cross-tab: quality-score
+    decile band (``least(9, q_e6 div 100000)`` over the exact integer
+    quality rational) × near-duplicate status (member of a verified
+    MinHash cluster of size ≥ 2). THE question this answers — do
+    duplicates concentrate in low-quality strata? — decides whether
+    dedup-before-quality-filter or the reverse ordering wastes less
+    compute in the production funnel.
+
+    Plan: the quality side is a narrow projection; the dup side reuses
+    the audited :func:`dedup_clusters` subtree (pair-bounded CC, never
+    corpus-grain after the band join) plus a cluster-grain size
+    aggregate joined back at CLUSTER grain; the final doc-grain
+    equi-join and the 20-cell grid aggregation are the only stages
+    that see both sides."""
+    from .textstats import STOPWORDS
+
+    clusters = dedup_clusters(spark, sf_dir, tau)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    dup = clusters.join(sizes, "cluster_id").select(
+        "doc_id", (F.col("sz") >= 2).alias("is_dup")
+    )
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    q = (
+        read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n"),
+            F.size(
+                F.filter(toks, lambda t: F.array_contains(stop, t))
+            )
+            .cast("long")
+            .alias("s"),
+            F.size(F.array_distinct(toks)).cast("long").alias("d"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "least(9, (((least(n, 64) * n + 48 * n + 48 * (d - s))"
+                " * 1000000 + (160 * n) div 2) div (160 * n))"
+                " div 100000)"
+            ).alias("band"),
+        )
+    )
+    return (
+        q.join(dup, "doc_id")
+        .groupBy("band", "is_dup")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def duck_quality_dup_matrix(tau: float = MINHASH_TAU) -> str:
+    """Self-contained oracle: the dedup_clusters recursive chain plus
+    the identical integer quality banding, cross-tabbed."""
+    from .textstats import STOPWORDS
+
+    stop = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    ctes, final = _duck_minhash_pair_parts(tau)
+    return f"""
+        WITH RECURSIVE shingles AS ({duck_shingles_cte()})
+        {ctes}
+        , pairs AS ({final})
+        , und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM pairs)
+        , reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN und e ON e.src = r.id
+        )
+        , clus AS (
+            SELECT id AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY id
+        )
+        , sizes AS (
+            SELECT cluster_id, COUNT(*) AS sz FROM clus GROUP BY 1
+        )
+        , q AS (
+            SELECT doc_id,
+                   LEAST(9, (((LEAST(n, 64) * n + 48 * n + 48 * (d - s))
+                        * 1000000 + (160 * n) // 2) // (160 * n))
+                        // 100000) AS band
+            FROM (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n,
+                       CAST(len(list_filter(toks,
+                            t -> list_contains({stop}, t))) AS BIGINT) AS s,
+                       CAST(len(list_distinct(toks)) AS BIGINT) AS d
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents)
+            )
+        )
+        SELECT q.band, s.sz >= 2 AS is_dup, COUNT(*) AS n_docs
+        FROM q
+        JOIN clus USING (doc_id)
+        JOIN sizes s USING (cluster_id)
+        GROUP BY 1, 2
+    """

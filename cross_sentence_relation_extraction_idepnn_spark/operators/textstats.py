@@ -1394,3 +1394,105 @@ def duck_dialog_acts() -> str:
                     AS BIGINT) AS code_e6
         FROM flags GROUP BY role
     """
+
+
+# ------------------------------------------------- head-gram coverage
+
+COVERAGE_KS = (10, 100, 1000)
+
+
+def gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(top_k, n_grams, total_occ, covered, coverage_e6) —
+    templatedness census: what half-up e6 fraction of ALL bigram
+    occurrences the top-k most frequent bigrams account for, for each
+    audited k. A steep curve (tiny head covers most mass) is the
+    boilerplate/template signature that predicts big wins from
+    ``line_dedup``/``repetition_score``; a flat curve means genuinely
+    diverse text. Ties rank deterministically by (count desc, gram
+    asc) in both engines.
+
+    Plan: the corpus-wide stage is ONE explode + map-side-combinable
+    bigram count; everything after runs on the VOCABULARY dimension
+    (distinct bigrams): a single rank window, one aggregate with |K|
+    conditional sums, a 1-row stack unpivot. At 100 TB the vocab sort
+    is the classic head-selection problem — if even the vocab outgrows
+    one sort, a two-pass threshold select (count histogram → cutoff)
+    replaces the window without changing the contract."""
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        _docs(spark, sf_dir)
+        .select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ',"
+                    " element_at(t, i + 1)))"
+                )
+            ).alias("gram")
+        )
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram"))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    aggs = [
+        F.count("*").alias("n_grams"),
+        F.sum("cnt").alias("total_occ"),
+    ]
+    for k in COVERAGE_KS:
+        aggs.append(
+            F.sum(F.when(F.col("rk") <= k, F.col("cnt")).otherwise(0)).alias(
+                f"cov_{k}"
+            )
+        )
+    one = ranked.agg(*aggs)
+    stack = ", ".join(f"{k}L, cov_{k}" for k in COVERAGE_KS)
+    return one.selectExpr(
+        "n_grams",
+        "total_occ",
+        f"stack({len(COVERAGE_KS)}, {stack}) as (top_k, covered)",
+    ).selectExpr(
+        "top_k",
+        "n_grams",
+        "total_occ",
+        "covered",
+        "(covered * 1000000 + total_occ div 2) div total_occ"
+        " as coverage_e6",
+    )
+
+
+def duck_gram_coverage() -> str:
+    """Oracle: identical bigram derivation, (count desc, gram) rank,
+    and per-k conditional coverage."""
+    selects = []
+    for k in COVERAGE_KS:
+        selects.append(
+            f"""
+            SELECT {k} AS top_k,
+                   (SELECT COUNT(*) FROM ranked) AS n_grams,
+                   (SELECT SUM(cnt) FROM ranked) AS total_occ,
+                   SUM(CASE WHEN rk <= {k} THEN cnt ELSE 0 END) AS covered,
+                   CAST((SUM(CASE WHEN rk <= {k} THEN cnt ELSE 0 END)
+                         * 1000000 + (SELECT SUM(cnt) FROM ranked) // 2)
+                        // (SELECT SUM(cnt) FROM ranked) AS BIGINT)
+                       AS coverage_e6
+            FROM ranked
+            """
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+        WITH grams AS (
+            SELECT t[i] || ' ' || t[i + 1] AS gram
+            FROM (SELECT string_split(text, ' ') AS t FROM documents),
+                 UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2
+        ),
+        counts AS (SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram),
+        ranked AS (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rk
+            FROM counts
+        )
+        {body}
+    """

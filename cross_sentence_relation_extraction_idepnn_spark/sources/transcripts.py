@@ -688,3 +688,101 @@ def duck_echo_rate() -> str:
         FROM pairs WHERE prev_role IS NOT NULL
         GROUP BY 1, 2
     """
+
+
+def conv_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, n_convs, n_transitions) — lexical-cohesion histogram of
+    conversations: each conversation's mean adjacent-turn Jaccard
+    (distinct-token, half-up e6) is banded into deciles
+    (``least(9, mean div 100000)``), then the band grid counts
+    conversations and their transitions. The TextTiling-style topical
+    -drift census at corpus grain: a left-shifted histogram means
+    conversations wander (poor multi-turn coherence supervision), a
+    right-shifted one means repetitive/templated dialogue. Single-turn
+    conversations have no transitions and are excluded.
+
+    Plan: ONE conversation-grain lag window, per-row set algebra in
+    codegen, a conv-grain mean aggregation (same key as the window —
+    no second corpus exchange), then a count onto the 10-row band
+    grid. No join, no Python."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    jac = (
+        t.withColumn("prev_toks", F.lag("toks").over(w))
+        .filter(F.col("prev_toks").isNotNull())
+        .select(
+            "conv_id",
+            F.size(F.array_intersect("toks", "prev_toks"))
+            .cast("long")
+            .alias("i"),
+            (
+                F.size("toks") + F.size("prev_toks")
+                - F.size(F.array_intersect("toks", "prev_toks"))
+            )
+            .cast("long")
+            .alias("u"),
+        )
+        .select(
+            "conv_id",
+            F.expr("(i * 1000000 + u div 2) div u").alias("jac_e6"),
+        )
+    )
+    per_conv = jac.groupBy("conv_id").agg(
+        F.count("*").alias("n_trans"),
+        F.expr(
+            "(sum(jac_e6) + count(*) div 2) div count(*)"
+        ).alias("mean_jac_e6"),
+    )
+    return (
+        per_conv.select(
+            F.expr("least(9, mean_jac_e6 div 100000)").alias("band"),
+            "n_trans",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.sum("n_trans").alias("n_transitions"),
+        )
+    )
+
+
+def duck_conv_cohesion() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — extends the CTE
+    list, hence the leading comma): identical lag + Jaccard + decile
+    banding."""
+    return """
+        , toks AS (
+            SELECT conv_id, turn_idx,
+                   list_distinct(string_split(text, ' ')) AS toks
+            FROM transcripts
+        ),
+        jac AS (
+            SELECT conv_id,
+                   CAST((i * 1000000 + u // 2) // u AS BIGINT) AS jac_e6
+            FROM (
+                SELECT conv_id,
+                       CAST(len(list_intersect(toks, LAG(toks) OVER w))
+                            AS BIGINT) AS i,
+                       CAST(len(toks) + len(LAG(toks) OVER w)
+                            - len(list_intersect(toks, LAG(toks) OVER w))
+                            AS BIGINT) AS u
+                FROM toks
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            WHERE u IS NOT NULL
+        ),
+        per_conv AS (
+            SELECT conv_id, COUNT(*) AS n_trans,
+                   (SUM(jac_e6) + COUNT(*) // 2) // COUNT(*)
+                       AS mean_jac_e6
+            FROM jac GROUP BY conv_id
+        )
+        SELECT LEAST(9, mean_jac_e6 // 100000) AS band,
+               COUNT(*) AS n_convs,
+               SUM(n_trans) AS n_transitions
+        FROM per_conv GROUP BY 1
+    """

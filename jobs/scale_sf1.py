@@ -228,6 +228,7 @@ def main() -> None:
         segment,
     )
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        conv_cohesion,
         conv_shape,
         conv_survival,
         echo_rate,
@@ -447,6 +448,9 @@ def main() -> None:
         "kg_degree_hist": lambda s, d: kg_degree_hist(
             materialize_kg(s, d)
         ),
+        "conv_cohesion": conv_cohesion,
+        "quality_dup_matrix": dedup_mod.quality_dup_matrix,
+        "gram_coverage": textstats_mod.gram_coverage,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

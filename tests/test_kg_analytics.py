@@ -1081,3 +1081,24 @@ def test_kg_degree_hist_hand_computed(spark):
     )
     got = {r.degree: r.n_nodes for r in kg_degree_hist(kg).collect()}
     assert got == {3: 1, 1: 3}
+
+
+def test_synonymy_census_partitions_canonical_map(spark, sf_dir):
+    """The histogram must re-aggregate exactly to the canonical map:
+    Σ n_surfaces·n_entities = |distinct surfaces| and the census must
+    equal a python recount of component sizes."""
+    import collections
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+
+    canon = entry._canonicalize(spark, sf_dir).collect()
+    sizes = collections.Counter(r.component for r in canon)
+    hist = collections.Counter(sizes.values())
+    got = {
+        r.n_surfaces: r.n_entities
+        for r in entry._synonymy_census(spark, sf_dir).collect()
+    }
+    assert got == dict(hist)
+    assert sum(k * v for k, v in got.items()) == len(canon)

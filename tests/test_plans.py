@@ -618,3 +618,37 @@ def test_session11_wave_plan_shapes(spark, sf_dir):
     plan = plan_of(kg_degree_hist(kg))
     assert "Join" not in plan and "Window" not in plan, plan
     assert "EvalPython" not in plan and "Pandas" not in plan, plan
+
+
+def test_session12_wave_plan_shapes(spark, sf_dir):
+    """conv_cohesion: one conversation-grain window, then the mean
+    aggregation reuses the SAME conv key (no second corpus-grain
+    exchange) — join-free, Python-free; gram_coverage: corpus work is
+    one explode + count, the rank window runs once over the bigram
+    VOCAB, one parquet scan total; quality_dup_matrix: equi-joins only
+    (never a cartesian), no Python."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        quality_dup_matrix,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        gram_coverage,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        conv_cohesion,
+    )
+
+    plan = plan_of(conv_cohesion(spark, sf_dir))
+    assert count_op(plan, "Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan
+
+    plan = plan_of(gram_coverage(spark, sf_dir))
+    assert count_op(plan, "Window") == 1, plan
+    assert count_op(plan, "Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan
+
+    plan = plan_of(quality_dup_matrix(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan

@@ -70,3 +70,71 @@ def test_source_bigram_sim_crafted_profiles(spark, tmp_path):
     (r,) = got
     assert (r.src_a, r.src_b) == ("srcA", "srcB")
     assert r.dot == 2 and r.cos2_e6 == 1_000_000
+
+
+def test_conv_cohesion_crafted_bands(spark, tmp_path):
+    """A twin-half conversation (turn1 == turn0) lands in band 9 with
+    Jaccard exactly 1e6; a disjoint-vocabulary one lands in band 0;
+    the single-turn conversation contributes nothing."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        conv_cohesion,
+    )
+
+    eight = "a b c d e f g h"
+    rows = [
+        (1, eight),                                    # 1 turn — excluded
+        (2, eight + " " + eight),                      # identical halves
+        (3, eight + " i j k l m n o p"),               # disjoint halves
+    ]
+    path = str(tmp_path / "cc")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {
+        r.band: (r.n_convs, r.n_transitions)
+        for r in conv_cohesion(spark, path).collect()
+    }
+    assert got == {9: (1, 1), 0: (1, 1)}
+
+
+def test_quality_dup_matrix_matches_python_twin(spark, sf_dir):
+    """Cross-check against a python composition of the two audited
+    sides: cluster membership collected from dedup_clusters, quality
+    decile bands recomputed with exact integers from the parquet; the
+    20-cell grid must match and partition the corpus."""
+    import collections
+
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        dedup_clusters,
+        quality_dup_matrix,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        STOPWORDS,
+    )
+
+    clus = dedup_clusters(spark, sf_dir).collect()
+    size = collections.Counter(r.cluster_id for r in clus)
+    is_dup = {r.doc_id: size[r.cluster_id] >= 2 for r in clus}
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    want: dict[tuple, int] = collections.defaultdict(int)
+    for doc_id, text in zip(df["doc_id"], df["text"]):
+        toks = str(text).split(" ")
+        n, d = len(toks), len(set(toks))
+        s = sum(1 for t in toks if t in STOPWORDS)
+        q_e6 = (
+            (min(n, 64) * n + 48 * n + 48 * (d - s)) * 1_000_000
+            + (160 * n) // 2
+        ) // (160 * n)
+        band = min(9, q_e6 // 100_000)
+        want[(band, is_dup[doc_id])] += 1
+    got = {
+        (r.band, r.is_dup): r.n_docs
+        for r in quality_dup_matrix(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == len(df)

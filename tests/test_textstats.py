@@ -412,3 +412,41 @@ def test_dialog_acts_crafted_flags(spark, sf_dir):
         assert (r.n_turns, r.n_question, r.n_exclaim, r.n_code) == (n, q, x, c)
         assert r.question_e6 == (q * 1_000_000 + n // 2) // n
     assert sum(r.n_turns for r in rows) == len(t)
+
+
+def test_gram_coverage_matches_python_twin(spark, sf_dir):
+    """collections.Counter twin of the head-gram coverage curve: same
+    bigram derivation, same (count desc, gram asc) deterministic rank,
+    same half-up e6 coverage at every audited k; coverage is monotone
+    non-decreasing in k."""
+    import collections
+
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        COVERAGE_KS,
+        gram_coverage,
+    )
+
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt: collections.Counter = collections.Counter()
+    for text in df["text"]:
+        toks = str(text).split(" ")
+        for a, b in zip(toks, toks[1:]):
+            cnt[a + " " + b] += 1
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    want = {}
+    for k in COVERAGE_KS:
+        covered = sum(c for _, c in ordered[:k])
+        want[k] = (
+            len(cnt), total, covered,
+            (covered * 1_000_000 + total // 2) // total,
+        )
+    got = {
+        r.top_k: (r.n_grams, r.total_occ, r.covered, r.coverage_e6)
+        for r in gram_coverage(spark, sf_dir).collect()
+    }
+    assert got == want
+    covs = [got[k][3] for k in sorted(got)]
+    assert covs == sorted(covs)
