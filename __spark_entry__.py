@@ -951,6 +951,11 @@ _DRIVER_PRIORITY = [
     # coverage curve
     "conv_cohesion", "synonymy_census", "quality_dup_matrix",
     "gram_coverage",
+    # session-13 wave: arrival seasonality grid, per-source exact
+    # length quantiles, fingerprint collision audit, LSH bucket-load
+    # audit
+    "event_seasonality", "len_quantiles", "fingerprint_collisions",
+    "lsh_bucket_stats",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1335,6 +1340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonymy_census": _synonymy_census,
         "quality_dup_matrix": dedup.quality_dup_matrix,
         "gram_coverage": textstats.gram_coverage,
+        "event_seasonality": temporal.event_seasonality,
+        "len_quantiles": textstats.len_quantiles,
+        "fingerprint_collisions": textstats.fingerprint_collisions,
+        "lsh_bucket_stats": dedup.lsh_bucket_stats,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1982,6 +1991,10 @@ def oracle_sql() -> dict[str, str]:
         "synonymy_census": _duck_synonymy_census(),
         "quality_dup_matrix": dedup.duck_quality_dup_matrix(),
         "gram_coverage": textstats.duck_gram_coverage(),
+        "event_seasonality": temporal.duck_event_seasonality(),
+        "len_quantiles": textstats.duck_len_quantiles(),
+        "fingerprint_collisions": textstats.duck_fingerprint_collisions(),
+        "lsh_bucket_stats": dedup.duck_lsh_bucket_stats(),
     }
 
 

@@ -448,6 +448,10 @@ def main() -> None:
     timed("synonymy_census", _entry.queries()["synonymy_census"])
     timed("quality_dup_matrix", dedup.quality_dup_matrix)
     timed("gram_coverage", textstats.gram_coverage)
+    timed("event_seasonality", _entry.queries()["event_seasonality"])
+    timed("len_quantiles", textstats.len_quantiles)
+    timed("fingerprint_collisions", textstats.fingerprint_collisions)
+    timed("lsh_bucket_stats", dedup.lsh_bucket_stats)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -1892,3 +1892,54 @@ def duck_quality_dup_matrix(tau: float = MINHASH_TAU) -> str:
         JOIN sizes s USING (cluster_id)
         GROUP BY 1, 2
     """
+
+
+# ------------------------------------------------ LSH bucket-load audit
+
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, bucket_size, n_buckets, cand_pairs) — bucket-load census
+    of the MinHash LSH band join: per band, how many buckets hold
+    exactly k documents and how many candidate pairs (k·(k−1)/2) each
+    size class generates. THE pre-flight skew audit for the band join:
+    the candidate volume is Σ k² over buckets, so one hot bucket
+    (boilerplate signature) dominates the whole join — this table says
+    whether AQE skew-split headroom suffices or a signature salt /
+    stop-signature list is needed BEFORE the join runs at corpus
+    scale.
+
+    Plan: reuses the map-only ``_band_sigs`` subtree, then one
+    (band, signature)-grain count and one count onto the (band, k)
+    grid — the audit costs one exchange, strictly less than the join
+    it de-risks."""
+    buckets = _band_sigs(spark, sf_dir).groupBy("band", "band_sig").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return buckets.groupBy("band", "bucket_size").agg(
+        F.count("*").alias("n_buckets"),
+        F.expr(
+            "sum(bucket_size * (bucket_size - 1) div 2)"
+        ).alias("cand_pairs"),
+    )
+
+
+def duck_lsh_bucket_stats() -> str:
+    """Oracle: the shared sig/bands CTE chain re-aggregated to the
+    (band, k) grid."""
+    return f"""
+        WITH shingles AS ({duck_shingles_cte()})
+        , sig AS ({duck_minhash_cte()})
+        , bands AS (
+            SELECT doc_id, CAST(perm_id // {BAND_ROWS} AS INT) AS band,
+                   array_to_string(list(CAST(minv AS VARCHAR)
+                       ORDER BY perm_id), '-') AS band_sig
+            FROM sig GROUP BY doc_id, CAST(perm_id // {BAND_ROWS} AS INT)
+        )
+        , buckets AS (
+            SELECT band, band_sig, COUNT(*) AS bucket_size
+            FROM bands GROUP BY 1, 2
+        )
+        SELECT band, bucket_size, COUNT(*) AS n_buckets,
+               SUM(bucket_size * (bucket_size - 1) // 2) AS cand_pairs
+        FROM buckets GROUP BY 1, 2
+    """

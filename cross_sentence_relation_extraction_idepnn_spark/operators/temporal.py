@@ -1346,3 +1346,57 @@ def duck_burstiness() -> str:
                     // (n * sd) END AS BIGINT) AS disp_e3
         FROM agg
     """
+
+
+# ------------------------------------------------- seasonality census
+
+
+def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dow, hod, n_events, share_e6) — day-of-week × hour-of-day
+    arrival grid with the half-up e6 traffic share of each cell. The
+    capacity-planning census behind every streaming deployment
+    (provision for the hot cell, schedule compaction in the cold
+    ones). Both coordinates derive from pure epoch arithmetic —
+    ``dow = (epoch_days + 4) % 7`` (0 = Sunday; 1970-01-01 was a
+    Thursday → day 0 maps to 4) and ``hod = (epoch_s % 86400) div
+    3600`` — so no engine calendar/timezone function can diverge.
+
+    Plan: one narrow epoch projection + one map-side-combinable count
+    onto the ≤168-cell grid; the share normalization is a window over
+    the GRID — free. Scan-speed at 100 TB."""
+    e = events_batch(spark, sf_dir).select(_epoch_us("ts").alias("us"))
+    cells = e.select(
+        F.expr("((us div 86400000000) + 4) % 7").alias("dow"),
+        F.expr("((us div 1000000) % 86400) div 3600").alias("hod"),
+    )
+    grid = cells.groupBy("dow", "hod").agg(F.count("*").alias("n_events"))
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return grid.withColumn("tot", F.sum("n_events").over(w)).select(
+        "dow",
+        "hod",
+        "n_events",
+        F.expr("(n_events * 1000000 + tot div 2) div tot").alias(
+            "share_e6"
+        ),
+    )
+
+
+def duck_event_seasonality() -> str:
+    """Oracle: identical epoch arithmetic over the events view."""
+    return """
+        WITH cells AS (
+            SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                   ((epoch_us(ts) // 1000000) % 86400) // 3600 AS hod
+            FROM events
+        ),
+        grid AS (
+            SELECT dow, hod, COUNT(*) AS n_events
+            FROM cells GROUP BY 1, 2
+        )
+        SELECT dow, hod, n_events,
+               CAST((n_events * 1000000 + SUM(n_events) OVER () // 2)
+                    // SUM(n_events) OVER () AS BIGINT) AS share_e6
+        FROM grid
+    """

@@ -1496,3 +1496,106 @@ def duck_gram_coverage() -> str:
         )
         {body}
     """
+
+
+# ------------------------------------------ per-source length quantiles
+
+LEN_QUANT_PCTS = (50, 90, 99)
+
+
+def len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, p50, p90, p99) — EXACT discrete (lower) token-
+    length order statistics per source: rank(q) = ``(q·(n−1)) div 100
+    + 1`` in (n_tokens, doc_id) order, so every quantile is an actual
+    document length and ties are deterministic. The per-source length
+    profile that drives packing/truncation policy per corpus slice
+    (one global curve — ``truncation_loss`` — hides a bimodal mix).
+
+    Plan: one narrow token-count projection, one source-grain window
+    rank (sources are the partition key — each source sorts
+    independently; at 100 TB a single source IS a corpus, so the
+    production swap is the range-partitioned rank of
+    ``quality_bands``), then a |sources|-grid conditional aggregate."""
+    df = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    ranked = df.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_docs")]
+    for q in LEN_QUANT_PCTS:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"({q} * (n - 1)) div 100 + 1"),
+                    F.col("n_tok"),
+                )
+            ).alias(f"p{q}")
+        )
+    return ranked.groupBy("source").agg(*aggs)
+
+
+def duck_len_quantiles() -> str:
+    """Oracle: identical rank selection in SQL."""
+    picks = ", ".join(
+        f"MAX(CASE WHEN rn = ({q} * (n - 1)) // 100 + 1"
+        f" THEN n_tok END) AS p{q}"
+        for q in LEN_QUANT_PCTS
+    )
+    return f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, n_tok,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n_tok, doc_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM toks
+        )
+        SELECT source, MAX(n) AS n_docs, {picks}
+        FROM ranked GROUP BY source
+    """
+
+
+# ------------------------------------------ fingerprint collision audit
+
+
+def fingerprint_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs_per_fp, n_fps) — collision census of the joint
+    (fp_min, fp_xor) document fingerprint: how many fingerprint values
+    are shared by exactly k documents. THE false-merge risk audit for
+    fingerprint-keyed dedup — any mass at k ≥ 2 that exceeds the true
+    duplicate rate means the 15-bit hash family needs widening before
+    the fingerprint becomes a dedup key at corpus scale.
+
+    Plan: reuses the audited ``doc_fingerprint`` narrow subtree, then
+    one fingerprint-grain count and one count onto the k grid —
+    monotonically shrinking grains."""
+    fp = doc_fingerprint(spark, sf_dir)
+    per_fp = fp.groupBy("fp_min", "fp_xor").agg(
+        F.count("*").alias("n_docs_per_fp")
+    )
+    return per_fp.groupBy("n_docs_per_fp").agg(F.count("*").alias("n_fps"))
+
+
+def duck_fingerprint_collisions() -> str:
+    """Oracle: the fingerprint CTE re-aggregated to the k grid."""
+    return f"""
+        WITH fp AS ({duck_fingerprint()}),
+        per_fp AS (
+            SELECT fp_min, fp_xor, COUNT(*) AS n_docs_per_fp
+            FROM fp GROUP BY 1, 2
+        )
+        SELECT n_docs_per_fp, COUNT(*) AS n_fps
+        FROM per_fp GROUP BY 1
+    """

@@ -451,6 +451,10 @@ def main() -> None:
         "conv_cohesion": conv_cohesion,
         "quality_dup_matrix": dedup_mod.quality_dup_matrix,
         "gram_coverage": textstats_mod.gram_coverage,
+        "event_seasonality": temporal_mod.event_seasonality,
+        "len_quantiles": textstats_mod.len_quantiles,
+        "fingerprint_collisions": textstats_mod.fingerprint_collisions,
+        "lsh_bucket_stats": dedup_mod.lsh_bucket_stats,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

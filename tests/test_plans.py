@@ -652,3 +652,37 @@ def test_session12_wave_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_session13_wave_plan_shapes(spark, sf_dir):
+    """event_seasonality: narrow epoch projection + grid aggregation
+    (the share window runs over the ≤168-row grid), join-free,
+    Python-free; fingerprint_collisions / lsh_bucket_stats: reuse
+    their audited narrow subtrees, aggregation-only above them
+    (join-free); len_quantiles: exactly one source-grain window,
+    join-free, Python-free."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        lsh_bucket_stats,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.temporal import (
+        event_seasonality,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        fingerprint_collisions,
+        len_quantiles,
+    )
+
+    plan = plan_of(event_seasonality(spark, sf_dir))
+    assert count_op(plan, "Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan
+
+    plan = plan_of(len_quantiles(spark, sf_dir))
+    assert count_op(plan, "Window") <= 2, plan  # rank + per-source count
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan
+
+    for fn in (fingerprint_collisions, lsh_bucket_stats):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Join" not in plan and "Window" not in plan, plan
+        assert "Python" not in plan and "Pandas" not in plan, plan

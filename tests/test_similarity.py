@@ -138,3 +138,50 @@ def test_quality_dup_matrix_matches_python_twin(spark, sf_dir):
     }
     assert got == dict(want)
     assert sum(got.values()) == len(df)
+
+
+def test_lsh_bucket_stats_conserves_docs_and_pairs(spark, sf_dir):
+    """Per band, Σ bucket_size·n_buckets must equal the corpus size
+    (every doc hashes into every band exactly once) and every row's
+    cand_pairs must equal n_buckets · k(k−1)/2; byte-identical twin
+    docs must share a bucket in EVERY band."""
+    import os
+
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        lsh_bucket_stats,
+    )
+
+    n_docs = len(pd.read_parquet(f"{sf_dir}/documents.parquet"))
+    rows = lsh_bucket_stats(spark, sf_dir).collect()
+    assert rows
+    per_band: dict[int, int] = {}
+    for r in rows:
+        per_band[r.band] = per_band.get(r.band, 0) + (
+            r.bucket_size * r.n_buckets
+        )
+        assert r.cand_pairs == (
+            r.n_buckets * r.bucket_size * (r.bucket_size - 1) // 2
+        )
+    assert set(per_band.values()) == {n_docs}
+
+    # crafted twins collide in every band
+    import tempfile
+
+    same = "twin document with plenty of shingle material inside it"
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(1, same, "en", "a", 1), (2, same, "en", "b", 1),
+             (3, "entirely unrelated text body with other words", "en", "a", 1)],
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        crafted = lsh_bucket_stats(spark, td).collect()
+        bands_with_pair = {
+            r.band for r in crafted if r.bucket_size >= 2
+        }
+        n_bands = len({r.band for r in crafted})
+        assert bands_with_pair == set(range(n_bands))

@@ -794,3 +794,31 @@ def test_burstiness_matches_python_twin(spark, sf_dir):
     assert any(
         d is not None and d > m for (_, _, m, d) in got.values()
     ) or all(d is None for (_, _, _, d) in got.values())
+
+
+def test_event_seasonality_crafted_cells(spark, tmp_path):
+    """2024-01-01 is a Monday: events at Mon 00:30, Mon 13:05 ×2, and
+    Tue 23:59 land in hand-computed (dow, hod) cells with half-up e6
+    shares of a 4-event total."""
+    import os
+
+    rows = [
+        (1, "2024-01-01 00:30:00", 1, "A"),
+        (2, "2024-01-01 13:05:00", 1, "A"),
+        (3, "2024-01-01 13:59:59", 2, "B"),
+        (4, "2024-01-02 23:59:59", 2, "B"),
+    ]
+    path = str(tmp_path / "se")
+    os.makedirs(path, exist_ok=True)
+    _events(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+    got = {
+        (r.dow, r.hod): (r.n_events, r.share_e6)
+        for r in temporal.event_seasonality(spark, path).collect()
+    }
+    assert got == {
+        (1, 0): (1, 250000),   # Monday == 1 (0 = Sunday)
+        (1, 13): (2, 500000),
+        (2, 23): (1, 250000),
+    }

@@ -450,3 +450,63 @@ def test_gram_coverage_matches_python_twin(spark, sf_dir):
     assert got == want
     covs = [got[k][3] for k in sorted(got)]
     assert covs == sorted(covs)
+
+
+def test_len_quantiles_crafted_ranks(spark, tmp_path):
+    """Lengths 1..10 in one source: rank(q) = (q·9)//100 + 1 selects
+    the 5th, 9th, and 9th values — p50=5, p90=9, p99=9 (exact discrete
+    lower quantiles, no interpolation)."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        len_quantiles,
+    )
+
+    rows = [
+        (i, " ".join("w" for _ in range(i)), "en", "src0", i)
+        for i in range(1, 11)
+    ]
+    path = str(tmp_path / "lq")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    (row,) = len_quantiles(spark, path).collect()
+    assert (row.source, row.n_docs, row.p50, row.p90, row.p99) == (
+        "src0", 10, 5, 9, 9,
+    )
+
+
+def test_fingerprint_collisions_twins_collide(spark, tmp_path):
+    """Two byte-identical documents must share a joint fingerprint
+    (k = 2 bucket); a distinct document stays a singleton; the census
+    re-aggregates to the corpus size."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        fingerprint_collisions,
+    )
+
+    same = "identical fingerprint material with enough characters"
+    rows = [
+        (1, same, "en", "src0", len(same)),
+        (2, same, "en", "src1", len(same)),
+        (3, "a completely different document body here", "en", "src0", 41),
+    ]
+    path = str(tmp_path / "fc")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    got = {
+        r.n_docs_per_fp: r.n_fps
+        for r in fingerprint_collisions(spark, path).collect()
+    }
+    assert got == {2: 1, 1: 1}
+    assert sum(k * v for k, v in got.items()) == 3
