@@ -612,6 +612,24 @@ def _duck_synonymy_census() -> str:
     )
 
 
+def _kg_component_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected-component size distribution — the knowledge-island
+    census (under-merge / over-merge health signal of the linker)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_component_sizes,
+    )
+
+    return kg_component_sizes(materialize_kg(spark, sf))
+
+
+def _duck_kg_component_sizes() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_component_sizes_over,
+    )
+
+    return duck_component_sizes_over(_duck_kg())
+
+
 def _kg_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected distinct-neighbour degree distribution of the
     materialized KG — the heavy-tail witness for hub-join planning."""
@@ -956,6 +974,11 @@ _DRIVER_PRIORITY = [
     # audit
     "event_seasonality", "len_quantiles", "fingerprint_collisions",
     "lsh_bucket_stats",
+    # session-14 wave: sessionization gap what-if, language-ID
+    # confusion matrix, prefix duplication census, KG component-size
+    # distribution
+    "session_gap_whatif", "lang_confusion", "prefix_dup_census",
+    "kg_component_sizes",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1344,6 +1367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_quantiles": textstats.len_quantiles,
         "fingerprint_collisions": textstats.fingerprint_collisions,
         "lsh_bucket_stats": dedup.lsh_bucket_stats,
+        "session_gap_whatif": temporal.session_gap_whatif,
+        "lang_confusion": textstats.lang_confusion,
+        "prefix_dup_census": textstats.prefix_dup_census,
+        "kg_component_sizes": _kg_component_sizes,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -1995,6 +2022,10 @@ def oracle_sql() -> dict[str, str]:
         "len_quantiles": textstats.duck_len_quantiles(),
         "fingerprint_collisions": textstats.duck_fingerprint_collisions(),
         "lsh_bucket_stats": dedup.duck_lsh_bucket_stats(),
+        "session_gap_whatif": temporal.duck_session_gap_whatif(),
+        "lang_confusion": textstats.duck_lang_confusion(),
+        "prefix_dup_census": textstats.duck_prefix_dup_census(),
+        "kg_component_sizes": _duck_kg_component_sizes(),
     }
 
 

@@ -452,6 +452,10 @@ def main() -> None:
     timed("len_quantiles", textstats.len_quantiles)
     timed("fingerprint_collisions", textstats.fingerprint_collisions)
     timed("lsh_bucket_stats", dedup.lsh_bucket_stats)
+    timed("session_gap_whatif", _entry.queries()["session_gap_whatif"])
+    timed("lang_confusion", textstats.lang_confusion)
+    timed("prefix_dup_census", textstats.prefix_dup_census)
+    timed("kg_component_sizes", _entry.queries()["kg_component_sizes"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

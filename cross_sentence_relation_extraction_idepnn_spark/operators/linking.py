@@ -3390,3 +3390,42 @@ def duck_degree_hist_over(kg_cte: str) -> str:
         )
         SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
     """
+
+
+# ------------------------------------------ component-size distribution
+
+
+def kg_component_sizes(kg: DataFrame) -> DataFrame:
+    """(size, n_components) — connected-component size distribution of
+    the KG's undirected entity graph: the knowledge-island census.
+    One giant component plus dust is healthy extraction; many mid-size
+    islands mean the linker is under-merging (aliases not resolved);
+    a single all-node component can flag over-merging. Complements
+    ``kg_components`` (node grain) the way ``kg_degree_hist``
+    complements the degree columns.
+
+    Plan: reuses the audited component machinery (driver union-find /
+    large-small-star), then two monotonically shrinking aggregations
+    (component-grain count → size-grid count)."""
+    comp = kg_components(kg)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+
+
+def duck_component_sizes_over(kg_cte: str) -> str:
+    """Oracle: the shared component CTE re-aggregated to the size
+    grid."""
+    inner = duck_components_cte()
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        cc_nodes AS (SELECT DISTINCT surface FROM (
+            SELECT subj AS surface FROM kg UNION ALL SELECT obj FROM kg
+        )),
+        cc_edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM kg
+                     WHERE subj <> obj),
+        comp AS ({inner}),
+        sizes AS (
+            SELECT component, COUNT(*) AS size FROM comp GROUP BY 1
+        )
+        SELECT size, COUNT(*) AS n_components FROM sizes GROUP BY 1
+    """

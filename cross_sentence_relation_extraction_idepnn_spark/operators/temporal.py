@@ -1400,3 +1400,86 @@ def duck_event_seasonality() -> str:
                     // SUM(n_events) OVER () AS BIGINT) AS share_e6
         FROM grid
     """
+
+
+# ---------------------------------------------- session-gap what-if
+
+SESSION_GAPS_S = (60, 300, 1800)
+
+
+def session_gap_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(gap_s, n_sessions, n_events, mean_events_e3) — sessionization
+    parameter sweep: for each candidate idle-gap threshold T, the
+    session count that timeout would produce over every user timeline
+    (a session starts at a user's first event or after an idle gap
+    > T seconds), plus the half-up e3 mean session size. The
+    what-if table behind choosing the streaming sessionizer's gap —
+    the knee of n_sessions vs T is the natural timeout; mirrors
+    ``watermark_sim`` for the other stateful-streaming parameter.
+
+    Plan: ONE user-grain timeline window computes the gap once; all
+    |T| thresholds fold as conditional sums in a single global
+    aggregation — the sweep costs one corpus pass regardless of how
+    many thresholds are audited (same shape as ``truncation_loss``)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = events_batch(spark, sf_dir).select("user_id", "ts", "event_id")
+    gaps = e.withColumn("us", _epoch_us("ts")).select(
+        (F.col("us") - F.lag("us").over(w)).alias("dt_us")
+    )
+    aggs = [F.count("*").alias("n_events")]
+    for t in SESSION_GAPS_S:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("dt_us").isNull()
+                    | (F.col("dt_us") > t * 1_000_000),
+                    1,
+                ).otherwise(0)
+            ).alias(f"ns_{t}")
+        )
+    one = gaps.agg(*aggs)
+    stack = ", ".join(f"{t}L, ns_{t}" for t in SESSION_GAPS_S)
+    return one.selectExpr(
+        "n_events",
+        f"stack({len(SESSION_GAPS_S)}, {stack}) as (gap_s, n_sessions)",
+    ).selectExpr(
+        "gap_s",
+        "n_sessions",
+        "n_events",
+        "(n_events * 1000 + n_sessions div 2) div n_sessions"
+        " as mean_events_e3",
+    )
+
+
+def duck_session_gap_whatif() -> str:
+    """Oracle: the same single-pass conditional sweep."""
+    selects = []
+    for t in SESSION_GAPS_S:
+        selects.append(
+            f"""
+            SELECT {t} AS gap_s,
+                   SUM(CASE WHEN dt_us IS NULL
+                            OR dt_us > {t * 1_000_000}
+                       THEN 1 ELSE 0 END) AS n_sessions,
+                   COUNT(*) AS n_events,
+                   CAST((COUNT(*) * 1000
+                         + SUM(CASE WHEN dt_us IS NULL
+                                    OR dt_us > {t * 1_000_000}
+                               THEN 1 ELSE 0 END) // 2)
+                        // SUM(CASE WHEN dt_us IS NULL
+                                    OR dt_us > {t * 1_000_000}
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                       AS mean_events_e3
+            FROM gaps
+            """
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+        WITH gaps AS (
+            SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS dt_us
+            FROM events
+        )
+        {body}
+    """

@@ -1599,3 +1599,90 @@ def duck_fingerprint_collisions() -> str:
         SELECT n_docs_per_fp, COUNT(*) AS n_fps
         FROM per_fp GROUP BY 1
     """
+
+
+# ----------------------------------------- language-ID confusion matrix
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang_true, lang_pred, n_docs) — confusion matrix of the
+    ``lang_id`` heuristic against the corpus ground-truth ``lang``
+    column. The model-QA table for the language router: per-language
+    recall, the und-rate, and every systematic confusion fall straight
+    out of this grid — run it per corpus version to catch router
+    drift before a mis-routed slice poisons a monolingual model.
+
+    Plan: prediction and truth live on the SAME row (no model⋈truth
+    join — the same trick as ``calibration_bins``), so the whole
+    operator is one narrow projection + one map-side-combinable count
+    onto the |langs|² grid."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    df = _docs(spark, sf_dir).select(
+        "lang", toks.alias("toks")
+    )
+    for lang, markers in LANG_MARKERS.items():
+        df = df.withColumn(f"c_{lang}", _count_in(F.col("toks"), markers))
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in LANG_MARKERS])
+    n_best = sum(
+        F.when(F.col(f"c_{lang}") == best, 1).otherwise(0)
+        for lang in LANG_MARKERS
+    )
+    pred = F.when(best == 0, F.lit("und")).when(n_best > 1, F.lit("und"))
+    for lang in LANG_MARKERS:
+        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    return (
+        df.select(F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def duck_lang_confusion() -> str:
+    """Oracle: reuses the audited ``duck_lang_id`` prediction CTE,
+    re-keyed by the ground-truth column (the doc_id join exists only
+    oracle-side; the Spark plan keeps truth and prediction on one
+    row)."""
+    return f"""
+        WITH pred AS ({duck_lang_id()})
+        SELECT d.lang AS lang_true, p.lang_pred, COUNT(*) AS n_docs
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------- prefix duplication census
+
+PREFIX_LEN = 32
+
+
+def prefix_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs_per_prefix, n_prefixes) — histogram of how many
+    documents share each 32-char text prefix. Templated intros
+    (boilerplate headers, scraped navigation, form letters) show up as
+    mass at k ≥ 2 long before full-document near-dup detection fires —
+    this is the cheapest early-warning signal in the dedup family
+    (exact-prefix equality, zero hashing), and heavy prefix classes
+    are exactly the snm_pairs sort-key collisions that need widening.
+
+    Plan: narrow substr projection → prefix-grain count → k-grid
+    count; monotonically shrinking grains, join/window-free."""
+    pre = _docs(spark, sf_dir).select(
+        F.substring("text", 1, PREFIX_LEN).alias("prefix")
+    )
+    per = pre.groupBy("prefix").agg(F.count("*").alias("n_docs_per_prefix"))
+    return per.groupBy("n_docs_per_prefix").agg(
+        F.count("*").alias("n_prefixes")
+    )
+
+
+def duck_prefix_dup_census() -> str:
+    """Oracle: identical substr + two-level count."""
+    return f"""
+        WITH per AS (
+            SELECT substr(text, 1, {PREFIX_LEN}) AS prefix,
+                   COUNT(*) AS n_docs_per_prefix
+            FROM documents GROUP BY 1
+        )
+        SELECT n_docs_per_prefix, COUNT(*) AS n_prefixes
+        FROM per GROUP BY 1
+    """

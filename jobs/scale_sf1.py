@@ -179,6 +179,7 @@ def main() -> None:
         kg_assortativity,
         kg_bridges,
         kg_communities,
+        kg_component_sizes,
         kg_degree_hist,
         kg_functionality,
         kg_hyperanf,
@@ -455,6 +456,12 @@ def main() -> None:
         "len_quantiles": textstats_mod.len_quantiles,
         "fingerprint_collisions": textstats_mod.fingerprint_collisions,
         "lsh_bucket_stats": dedup_mod.lsh_bucket_stats,
+        "session_gap_whatif": temporal_mod.session_gap_whatif,
+        "lang_confusion": textstats_mod.lang_confusion,
+        "prefix_dup_census": textstats_mod.prefix_dup_census,
+        "kg_component_sizes": lambda s, d: kg_component_sizes(
+            materialize_kg(s, d)
+        ),
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

@@ -1102,3 +1102,25 @@ def test_synonymy_census_partitions_canonical_map(spark, sf_dir):
     }
     assert got == dict(hist)
     assert sum(k * v for k, v in got.items()) == len(canon)
+
+
+def test_kg_component_sizes_islands(spark):
+    """Two disjoint triangles plus an isolated edge → size histogram
+    {3: 2, 2: 1}."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_component_sizes,
+    )
+
+    kg = _kg_df(
+        spark,
+        [
+            ("A", "r", "B", 1), ("B", "r", "C", 1), ("C", "r", "A", 1),
+            ("D", "r", "E", 1), ("E", "r", "F", 1), ("F", "r", "D", 1),
+            ("X", "r", "Y", 1),
+        ],
+    )
+    got = {
+        r.size: r.n_components
+        for r in kg_component_sizes(kg).collect()
+    }
+    assert got == {3: 2, 2: 1}

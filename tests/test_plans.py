@@ -686,3 +686,28 @@ def test_session13_wave_plan_shapes(spark, sf_dir):
         plan = plan_of(fn(spark, sf_dir))
         assert "Join" not in plan and "Window" not in plan, plan
         assert "Python" not in plan and "Pandas" not in plan, plan
+
+
+def test_session14_wave_plan_shapes(spark, sf_dir):
+    """session_gap_whatif: one user-grain window, the |T| thresholds
+    fold into ONE aggregation (one parquet scan), join-free,
+    Python-free; lang_confusion / prefix_dup_census: narrow projection
+    + grid aggregations — no join, no window, no Python."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.temporal import (
+        session_gap_whatif,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        lang_confusion,
+        prefix_dup_census,
+    )
+
+    plan = plan_of(session_gap_whatif(spark, sf_dir))
+    assert count_op(plan, "Window") == 1, plan
+    assert count_op(plan, "Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan
+
+    for fn in (lang_confusion, prefix_dup_census):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Join" not in plan and "Window" not in plan, plan
+        assert "Python" not in plan and "Pandas" not in plan, plan

@@ -822,3 +822,34 @@ def test_event_seasonality_crafted_cells(spark, tmp_path):
         (1, 13): (2, 500000),
         (2, 23): (1, 250000),
     }
+
+
+def test_session_gap_whatif_crafted_thresholds(spark, tmp_path):
+    """User 1's gaps are 30 s / 120 s / 1700 s; user 2 has one event.
+    Session counts at T = 60/300/1800 are hand-computed 4/3/2 with
+    half-up e3 means 1250/1667/2500 over the 5-event corpus."""
+    import os
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "A"),
+        (2, "2024-01-01 00:00:30", 1, "A"),
+        (3, "2024-01-01 00:02:30", 1, "A"),
+        (4, "2024-01-01 00:30:50", 1, "A"),
+        (5, "2024-01-01 09:00:00", 2, "B"),
+    ]
+    path = str(tmp_path / "sg")
+    os.makedirs(path, exist_ok=True)
+    _events(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+    got = {
+        r.gap_s: (r.n_sessions, r.n_events, r.mean_events_e3)
+        for r in temporal.session_gap_whatif(spark, path).collect()
+    }
+    assert got == {
+        60: (4, 5, 1250),
+        300: (3, 5, 1667),
+        1800: (2, 5, 2500),
+    }
+    ns = [got[t][0] for t in sorted(got)]
+    assert ns == sorted(ns, reverse=True)  # monotone in the threshold

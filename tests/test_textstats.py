@@ -510,3 +510,60 @@ def test_fingerprint_collisions_twins_collide(spark, tmp_path):
     }
     assert got == {2: 1, 1: 1}
     assert sum(k * v for k, v in got.items()) == 3
+
+
+def test_lang_confusion_matches_lang_id_recount(spark, sf_dir):
+    """The confusion grid must equal a recount of lang_id's own
+    per-document predictions against the parquet truth column and
+    partition the corpus."""
+    import collections
+
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        lang_confusion,
+        lang_id,
+    )
+
+    pred = {r.doc_id: r.lang_pred for r in lang_id(spark, sf_dir).collect()}
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    want: dict[tuple, int] = collections.defaultdict(int)
+    for doc_id, lang in zip(df["doc_id"], df["lang"]):
+        want[(lang, pred[doc_id])] += 1
+    got = {
+        (r.lang_true, r.lang_pred): r.n_docs
+        for r in lang_confusion(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == len(df)
+
+
+def test_prefix_dup_census_crafted_twins(spark, tmp_path):
+    """Two documents sharing a 32-char prefix (different suffixes) form
+    a k=2 prefix class; a distinct document stays a singleton."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        prefix_dup_census,
+    )
+
+    head = "shared templated header exactly!"  # 32 chars
+    assert len(head) == 32
+    rows = [
+        (1, head + " unique tail one", "en", "a", 1),
+        (2, head + " other tail", "en", "b", 1),
+        (3, "a wholly different document body", "en", "a", 1),
+    ]
+    path = str(tmp_path / "pd")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    got = {
+        r.n_docs_per_prefix: r.n_prefixes
+        for r in prefix_dup_census(spark, path).collect()
+    }
+    assert got == {2: 1, 1: 1}
