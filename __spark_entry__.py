@@ -122,7 +122,9 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import 
     duck_conv_shape,
     duck_conv_survival,
     duck_echo_rate,
+    duck_tool_funnel,
     echo_rate,
+    tool_funnel,
     duck_response_drift,
     duck_skew_profile,
     duck_tool_ngrams,
@@ -979,6 +981,10 @@ _DRIVER_PRIORITY = [
     # distribution
     "session_gap_whatif", "lang_confusion", "prefix_dup_census",
     "kg_component_sizes",
+    # session-15 wave: error-burst range-window census, normalized
+    # exact dedup, tool-adoption funnel, hash-partition balance audit
+    "error_bursts", "normalized_dedup", "tool_funnel",
+    "partition_balance",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1371,6 +1377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": textstats.lang_confusion,
         "prefix_dup_census": textstats.prefix_dup_census,
         "kg_component_sizes": _kg_component_sizes,
+        "error_bursts": temporal.error_bursts,
+        "normalized_dedup": dedup.normalized_dedup,
+        "tool_funnel": tool_funnel,
+        "partition_balance": dedup.partition_balance,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -2026,6 +2036,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": textstats.duck_lang_confusion(),
         "prefix_dup_census": textstats.duck_prefix_dup_census(),
         "kg_component_sizes": _duck_kg_component_sizes(),
+        "error_bursts": temporal.duck_error_bursts(),
+        "normalized_dedup": dedup.duck_normalized_dedup(),
+        "tool_funnel": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_tool_funnel()}",
+        "partition_balance": dedup.duck_partition_balance(),
     }
 
 

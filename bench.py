@@ -456,6 +456,10 @@ def main() -> None:
     timed("lang_confusion", textstats.lang_confusion)
     timed("prefix_dup_census", textstats.prefix_dup_census)
     timed("kg_component_sizes", _entry.queries()["kg_component_sizes"])
+    timed("error_bursts", _entry.queries()["error_bursts"])
+    timed("normalized_dedup", dedup.normalized_dedup)
+    timed("tool_funnel", _entry.queries()["tool_funnel"])
+    timed("partition_balance", dedup.partition_balance)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -1943,3 +1943,143 @@ def duck_lsh_bucket_stats() -> str:
                SUM(bucket_size * (bucket_size - 1) // 2) AS cand_pairs
         FROM buckets GROUP BY 1, 2
     """
+
+
+# ------------------------------------------- normalized-exact dedup
+
+
+def normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, n_distinct_raw, n_distinct_norm, norm_only_dups,
+    dup_rate_e6) — the dedup class BETWEEN exact and MinHash:
+    duplicates that appear only after text normalization (lowercase,
+    punctuation stripped, whitespace collapsed). ``norm_only_dups`` =
+    distinct raw texts that collapse together once normalized — the
+    case/punctuation variants ``dedup_exact`` misses and MinHash
+    over-pays for; a large value says a cheap normalize-then-hash
+    pass should run before the LSH stage in the production funnel.
+
+    Plan: one narrow normalize projection + two count-distinct
+    aggregates folded into a single global aggregation — one corpus
+    pass, no join, no window."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    df = read_parquet_cached(spark, f"{sf_dir}/documents.parquet").select(
+        F.col("text").alias("raw"), norm.alias("norm")
+    )
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("raw").alias("n_distinct_raw"),
+        F.countDistinct("norm").alias("n_distinct_norm"),
+        (F.countDistinct("raw") - F.countDistinct("norm")).alias(
+            "norm_only_dups"
+        ),
+        F.expr(
+            "((count(*) - count(distinct norm)) * 1000000"
+            " + count(*) div 2) div count(*)"
+        ).alias("dup_rate_e6"),
+    )
+
+
+def duck_normalized_dedup() -> str:
+    """Oracle: identical normalization chain (the regex class and the
+    collapse order are part of the contract)."""
+    return """
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT raw) AS n_distinct_raw,
+               COUNT(DISTINCT norm) AS n_distinct_norm,
+               COUNT(DISTINCT raw) - COUNT(DISTINCT norm)
+                   AS norm_only_dups,
+               CAST(((COUNT(*) - COUNT(DISTINCT norm)) * 1000000
+                     + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+                   AS dup_rate_e6
+        FROM (
+            SELECT text AS raw,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+            FROM documents
+        )
+    """
+
+
+# ---------------------------------------------- partition-balance audit
+
+PARTITION_CANDIDATES = (32, 128, 512)
+
+
+def partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_partitions, n_rows, max_rows, mean_rows_e3, skew_e6) — hash-
+    partition balance forecast: for each candidate partition count P,
+    the corpus is bucketed by the portable ``H(doc_id) mod P`` and the
+    fullest bucket is compared to the mean (``skew_e6`` =
+    max/mean·1e6, half-up). The table one reads before setting
+    ``spark.sql.shuffle.partitions`` for doc-keyed stages: skew_e6
+    near 1e6 means the key hashes clean; a hot bucket says the key
+    needs salting BEFORE the job runs at corpus scale.
+
+    Plan: the corpus-wide stage is one explode(|P| literal buckets) +
+    one (P, bucket)-grain count — everything after runs on ≤ ΣP
+    grid rows."""
+    from ..hashing import spark_h15
+
+    h = spark_h15(F.col("doc_id").cast("string"))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("n_partitions"),
+                (h % p).alias("bucket"),
+            )
+            for p in PARTITION_CANDIDATES
+        ]
+    )
+    df = (
+        read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+        .select(F.explode(buckets).alias("b"))
+        .select("b.n_partitions", "b.bucket")
+    )
+    grid = df.groupBy("n_partitions", "bucket").agg(
+        F.count("*").alias("bkt_rows")
+    )
+    return grid.groupBy("n_partitions").agg(
+        F.sum("bkt_rows").alias("n_rows"),
+        F.max("bkt_rows").alias("max_rows"),
+        F.expr(
+            "(sum(bkt_rows) * 1000 + n_partitions div 2) div n_partitions"
+        ).alias("mean_rows_e3"),
+        F.expr(
+            "(max(bkt_rows) * n_partitions * 1000000 + sum(bkt_rows) div 2)"
+            " div sum(bkt_rows)"
+        ).alias("skew_e6"),
+    )
+
+
+def duck_partition_balance() -> str:
+    """Oracle: identical portable hash and staged integer skew."""
+    from ..hashing import duck_h15
+
+    h = duck_h15("CAST(doc_id AS VARCHAR)")
+    selects = []
+    for p in PARTITION_CANDIDATES:
+        selects.append(
+            f"SELECT {p} AS n_partitions, {h} % {p} AS bucket FROM documents"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+        WITH buckets AS ({body}),
+        grid AS (
+            SELECT n_partitions, bucket, COUNT(*) AS bkt_rows
+            FROM buckets GROUP BY 1, 2
+        )
+        SELECT n_partitions, SUM(bkt_rows) AS n_rows,
+               MAX(bkt_rows) AS max_rows,
+               CAST((SUM(bkt_rows) * 1000 + n_partitions // 2)
+                    // n_partitions AS BIGINT) AS mean_rows_e3,
+               CAST((MAX(bkt_rows) * n_partitions * 1000000
+                     + SUM(bkt_rows) // 2)
+                    // SUM(bkt_rows) AS BIGINT) AS skew_e6
+        FROM grid GROUP BY n_partitions
+    """

@@ -3404,9 +3404,15 @@ def kg_component_sizes(kg: DataFrame) -> DataFrame:
     ``kg_components`` (node grain) the way ``kg_degree_hist``
     complements the degree columns.
 
-    Plan: reuses the audited component machinery (driver union-find /
-    large-small-star), then two monotonically shrinking aggregations
-    (component-grain count → size-grid count)."""
+    Plan: the KG is a DIMENSION table (triples, not corpus rows), so
+    it is eagerly truncated ONCE up front — the component machinery
+    issues several actions (node count, union-find collects) and each
+    would otherwise re-derive the whole extraction pipeline (measured:
+    116 s → ~17 s at sf1). Then the audited component machinery
+    (driver union-find / large-small-star) and two monotonically
+    shrinking aggregations (component-grain count → size-grid
+    count)."""
+    kg = _track_result(kg.localCheckpoint(eager=True))
     comp = kg_components(kg)
     sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(F.count("*").alias("n_components"))

@@ -1483,3 +1483,74 @@ def duck_session_gap_whatif() -> str:
         )
         {body}
     """
+
+
+# -------------------------------------------------- error-burst census
+
+BURST_WINDOW_S = 3600
+BURST_TYPE = "error"
+
+
+def error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(max_in_window, n_users) — error-burst census: for each user,
+    the maximum number of ``error`` events inside any trailing
+    1-hour window of their timeline, histogrammed over users. THE
+    incident-shape census (a user whose errors arrive 50-in-an-hour is
+    a runaway agent loop; one-per-day is background noise) and the
+    sizing input for any rate-limit/alerting threshold.
+
+    Plan: a RANGE-frame window (epoch-seconds ordering, trailing
+    ``BURST_WINDOW_S − 1`` seconds) over error events only — the
+    frame is value-bounded so state per user is the burst window, not
+    the timeline; then a user-grain max and a grid count. The range
+    frame is the one window shape the engine's other operators don't
+    already exercise — pinned here deliberately."""
+    e = (
+        events_batch(spark, sf_dir)
+        .filter(F.col("event_type") == BURST_TYPE)
+        .select(
+            "user_id", F.expr(f"({_EPOCH_US_SQL}) div 1000000").alias("s")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-(BURST_WINDOW_S - 1), 0)
+    )
+    per_event = e.withColumn("in_win", F.count("*").over(w))
+    per_user = per_event.groupBy("user_id").agg(
+        F.max("in_win").alias("max_in_window")
+    )
+    return per_user.groupBy("max_in_window").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+_EPOCH_US_SQL = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+
+
+def duck_error_bursts() -> str:
+    """Oracle: the same RANGE frame in SQL."""
+    return f"""
+        WITH err AS (
+            SELECT user_id, epoch_us(ts) // 1000000 AS s
+            FROM events WHERE event_type = '{BURST_TYPE}'
+        ),
+        per_event AS (
+            SELECT user_id,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY s
+                       RANGE BETWEEN {BURST_WINDOW_S - 1} PRECEDING
+                             AND CURRENT ROW
+                   ) AS in_win
+            FROM err
+        ),
+        per_user AS (
+            SELECT user_id, MAX(in_win) AS max_in_window
+            FROM per_event GROUP BY 1
+        )
+        SELECT max_in_window, COUNT(*) AS n_users
+        FROM per_user GROUP BY 1
+    """

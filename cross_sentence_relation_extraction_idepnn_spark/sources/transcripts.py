@@ -786,3 +786,82 @@ def duck_conv_cohesion() -> str:
                SUM(n_trans) AS n_transitions
         FROM per_conv GROUP BY 1
     """
+
+
+def tool_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_convs, rate_e6) — ordered tool-adoption funnel over
+    conversations: ``any`` (all conversations), ``search`` (used the
+    search tool), ``search_then_code`` (used code strictly AFTER the
+    first search — the agentic escalation pattern). The conversation-
+    grain complement of ``event_funnel`` (user/event grain): a
+    shallow funnel says tool use doesn't compound and multi-tool
+    training examples are rare.
+
+    Plan: one conversation-grain aggregation computes both first-use
+    indices (min turn_idx per tool as conditional mins), then one
+    global aggregation with conditional sums and a 1-row unpivot —
+    one corpus pass, no window, no join."""
+    t = transcripts(spark, sf_dir).select("conv_id", "turn_idx", "tool")
+    per_conv = t.groupBy("conv_id").agg(
+        F.min(
+            F.when(F.col("tool") == "search", F.col("turn_idx"))
+        ).alias("first_search"),
+        F.min(
+            F.when(F.col("tool") == "code", F.col("turn_idx"))
+        ).alias("first_code"),
+    )
+    one = per_conv.agg(
+        F.count("*").alias("n_any"),
+        F.sum(
+            F.col("first_search").isNotNull().cast("long")
+        ).alias("n_search"),
+        F.sum(
+            (
+                F.col("first_search").isNotNull()
+                & (F.col("first_code") > F.col("first_search"))
+            ).cast("long")
+        ).alias("n_chain"),
+    )
+    return one.selectExpr(
+        "n_any",
+        "stack(3, 'any', n_any, 'search', n_search,"
+        " 'search_then_code', n_chain) as (stage, n_convs)",
+    ).selectExpr(
+        "stage",
+        "n_convs",
+        "(n_convs * 1000000 + n_any div 2) div n_any as rate_e6",
+    )
+
+
+def duck_tool_funnel() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — extends the CTE
+    list, hence the leading comma): identical conditional-min funnel."""
+    return """
+        , per_conv AS (
+            SELECT conv_id,
+                   MIN(CASE WHEN tool = 'search' THEN turn_idx END)
+                       AS first_search,
+                   MIN(CASE WHEN tool = 'code' THEN turn_idx END)
+                       AS first_code
+            FROM transcripts GROUP BY conv_id
+        ),
+        one AS (
+            SELECT COUNT(*) AS n_any,
+                   SUM(CASE WHEN first_search IS NOT NULL
+                       THEN 1 ELSE 0 END) AS n_search,
+                   SUM(CASE WHEN first_search IS NOT NULL
+                            AND first_code > first_search
+                       THEN 1 ELSE 0 END) AS n_chain
+            FROM per_conv
+        )
+        SELECT stage, n_convs,
+               CAST((n_convs * 1000000 + n_any // 2) // n_any AS BIGINT)
+                   AS rate_e6
+        FROM (
+            SELECT n_any, 'any' AS stage, n_any AS n_convs FROM one
+            UNION ALL
+            SELECT n_any, 'search', n_search FROM one
+            UNION ALL
+            SELECT n_any, 'search_then_code', n_chain FROM one
+        )
+    """

@@ -232,6 +232,7 @@ def main() -> None:
         conv_cohesion,
         conv_shape,
         conv_survival,
+        tool_funnel,
         echo_rate,
         response_drift,
         tool_ngrams,
@@ -462,6 +463,10 @@ def main() -> None:
         "kg_component_sizes": lambda s, d: kg_component_sizes(
             materialize_kg(s, d)
         ),
+        "error_bursts": temporal_mod.error_bursts,
+        "normalized_dedup": dedup_mod.normalized_dedup,
+        "tool_funnel": tool_funnel,
+        "partition_balance": dedup_mod.partition_balance,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

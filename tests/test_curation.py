@@ -403,3 +403,33 @@ def test_echo_rate_matches_python_twin(spark, sf_dir):
     assert sum(v[0] for v in got.values()) == sum(
         len(c) - 1 for c in by_conv.values()
     )
+
+
+def test_tool_funnel_crafted_stages(spark, tmp_path):
+    """Three conversations: 15 turns (search@3 then code@5 — full
+    chain), 4 turns (search@3 only), 1 turn (no tools) → funnel
+    3 / 2 / 1 with half-up e6 rates."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        tool_funnel,
+    )
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(1, words(120)), (2, words(32)), (3, words(8))]
+    path = str(tmp_path / "tf")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {
+        r.stage: (r.n_convs, r.rate_e6)
+        for r in tool_funnel(spark, path).collect()
+    }
+    assert got == {
+        "any": (3, 1000000),
+        "search": (2, 666667),
+        "search_then_code": (1, 333333),
+    }

@@ -711,3 +711,37 @@ def test_session14_wave_plan_shapes(spark, sf_dir):
         plan = plan_of(fn(spark, sf_dir))
         assert "Join" not in plan and "Window" not in plan, plan
         assert "Python" not in plan and "Pandas" not in plan, plan
+
+
+def test_session15_wave_plan_shapes(spark, sf_dir):
+    """error_bursts: one RANGE-frame window over error events only +
+    shrinking aggregations, join-free, Python-free; normalized_dedup:
+    one global aggregation over a narrow normalize projection — no
+    join, no window; tool_funnel: two aggregations + 1-row unpivot,
+    one parquet scan, no window; partition_balance: explode + two
+    grid aggregations, join/window-free."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        normalized_dedup,
+        partition_balance,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.temporal import (
+        error_bursts,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        tool_funnel,
+    )
+
+    plan = plan_of(error_bursts(spark, sf_dir))
+    assert count_op(plan, "Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan
+
+    for fn in (normalized_dedup, partition_balance):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Join" not in plan and "Window" not in plan, plan
+        assert "Python" not in plan and "Pandas" not in plan, plan
+
+    plan = plan_of(tool_funnel(spark, sf_dir))
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert count_op(plan, "Scan parquet") == 1, plan
+    assert "Python" not in plan and "Pandas" not in plan, plan

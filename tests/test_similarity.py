@@ -185,3 +185,54 @@ def test_lsh_bucket_stats_conserves_docs_and_pairs(spark, sf_dir):
         }
         n_bands = len({r.band for r in crafted})
         assert bands_with_pair == set(range(n_bands))
+
+
+def test_normalized_dedup_crafted_variants(spark, tmp_path):
+    """'Hello, World!' and 'hello   world' are distinct raw texts that
+    collapse under normalization → exactly one norm-only dup among
+    three docs, dup_rate_e6 = 333333 (half-up of 1/3)."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        normalized_dedup,
+    )
+
+    rows = [
+        (1, "Hello, World!", "en", "a", 1),
+        (2, "hello   world", "en", "b", 1),
+        (3, "a unique document", "en", "a", 1),
+    ]
+    path = str(tmp_path / "nd")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    (row,) = normalized_dedup(spark, path).collect()
+    assert (
+        row.n_docs, row.n_distinct_raw, row.n_distinct_norm,
+        row.norm_only_dups, row.dup_rate_e6,
+    ) == (3, 3, 2, 1, 333333)
+
+
+def test_partition_balance_conserves_rows(spark, sf_dir):
+    """Every candidate P must account for the whole corpus, the mean
+    must be total·1000/P half-up-free (floor), and skew_e6 ≥ 1e6 by
+    max ≥ mean."""
+    import pandas as pd
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        PARTITION_CANDIDATES,
+        partition_balance,
+    )
+
+    n = len(pd.read_parquet(f"{sf_dir}/documents.parquet"))
+    rows = {r.n_partitions: r for r in partition_balance(spark, sf_dir).collect()}
+    assert set(rows) == set(PARTITION_CANDIDATES)
+    for p, r in rows.items():
+        assert r.n_rows == n
+        assert r.mean_rows_e3 == (n * 1000 + p // 2) // p
+        assert r.skew_e6 >= 1_000_000
+        assert r.max_rows * p >= n

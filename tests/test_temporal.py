@@ -853,3 +853,29 @@ def test_session_gap_whatif_crafted_thresholds(spark, tmp_path):
     }
     ns = [got[t][0] for t in sorted(got)]
     assert ns == sorted(ns, reverse=True)  # monotone in the threshold
+
+
+def test_error_bursts_crafted_windows(spark, tmp_path):
+    """User 1's errors at 0 / 1800 / 3599 s all fit one trailing hour
+    (max 3); the 7200 s error stands alone; user 2 has a single error
+    → histogram {3: 1, 1: 1}. Non-error events must not count."""
+    import os
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "error"),
+        (2, "2024-01-01 00:30:00", 1, "error"),
+        (3, "2024-01-01 00:59:59", 1, "error"),
+        (4, "2024-01-01 02:00:00", 1, "error"),
+        (5, "2024-01-01 00:10:00", 1, "click"),   # ignored
+        (6, "2024-01-01 05:00:00", 2, "error"),
+    ]
+    path = str(tmp_path / "eb")
+    os.makedirs(path, exist_ok=True)
+    _events(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+    got = {
+        r.max_in_window: r.n_users
+        for r in temporal.error_bursts(spark, path).collect()
+    }
+    assert got == {3: 1, 1: 1}
