@@ -88,11 +88,13 @@ from cross_sentence_relation_extraction_idepnn_spark.operators.metrics import (
 )
 from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
     DUCK_TOKEN_OFFSETS,
+    duck_segmenter_divergence,
     duck_sentences_punkt,
     duck_with_prefix,
     punctuated_transcripts,
     segment,
     segment_punkt,
+    segmenter_divergence,
     token_offsets,
 )
 from cross_sentence_relation_extraction_idepnn_spark.sources.muc6 import (
@@ -122,8 +124,10 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import 
     duck_conv_shape,
     duck_conv_survival,
     duck_echo_rate,
+    duck_role_balance,
     duck_tool_funnel,
     echo_rate,
+    role_balance,
     tool_funnel,
     duck_response_drift,
     duck_skew_profile,
@@ -632,6 +636,24 @@ def _duck_kg_component_sizes() -> str:
     return duck_component_sizes_over(_duck_kg())
 
 
+def _kg_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed-edge reciprocity per predicate (+ ALL rollup) — the
+    symmetric-predicate / direction-health audit of the linker."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_reciprocity,
+    )
+
+    return kg_reciprocity(materialize_kg(spark, sf))
+
+
+def _duck_kg_reciprocity() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_reciprocity_over,
+    )
+
+    return duck_reciprocity_over(_duck_kg())
+
+
 def _kg_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected distinct-neighbour degree distribution of the
     materialized KG — the heavy-tail witness for hub-join planning."""
@@ -985,6 +1007,10 @@ _DRIVER_PRIORITY = [
     # exact dedup, tool-adoption funnel, hash-partition balance audit
     "error_bursts", "normalized_dedup", "tool_funnel",
     "partition_balance",
+    # session-16 wave: KG edge reciprocity, segmenter-divergence drift
+    # census, assistant token-share deciles, simhash bit-bias audit
+    "kg_reciprocity", "segmenter_divergence", "role_balance",
+    "simhash_bit_bias",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1381,6 +1407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": dedup.normalized_dedup,
         "tool_funnel": tool_funnel,
         "partition_balance": dedup.partition_balance,
+        "kg_reciprocity": _kg_reciprocity,
+        "segmenter_divergence": segmenter_divergence,
+        "role_balance": role_balance,
+        "simhash_bit_bias": dedup.simhash_bit_bias,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -2041,6 +2071,11 @@ def oracle_sql() -> dict[str, str]:
         "tool_funnel": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {duck_tool_funnel()}",
         "partition_balance": dedup.duck_partition_balance(),
+        "kg_reciprocity": _duck_kg_reciprocity(),
+        "segmenter_divergence": duck_segmenter_divergence(),
+        "role_balance": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_role_balance()}",
+        "simhash_bit_bias": dedup.duck_simhash_bit_bias(),
     }
 
 

@@ -460,6 +460,10 @@ def main() -> None:
     timed("normalized_dedup", dedup.normalized_dedup)
     timed("tool_funnel", _entry.queries()["tool_funnel"])
     timed("partition_balance", dedup.partition_balance)
+    timed("kg_reciprocity", _entry.queries()["kg_reciprocity"])
+    timed("segmenter_divergence", _entry.queries()["segmenter_divergence"])
+    timed("role_balance", _entry.queries()["role_balance"])
+    timed("simhash_bit_bias", dedup.simhash_bit_bias)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

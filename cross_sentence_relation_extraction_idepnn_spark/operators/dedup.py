@@ -2083,3 +2083,60 @@ def duck_partition_balance() -> str:
                     // SUM(bkt_rows) AS BIGINT) AS skew_e6
         FROM grid GROUP BY n_partitions
     """
+
+
+# ---------------------------------------------- simhash bit-bias audit
+
+
+def simhash_bit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bit, n_ones, ones_e6) — hash-quality audit of the SimHash
+    signature table: for each of the 32 signature bits, how many
+    documents set it, as a half-up e6 rate. An unbiased hash family
+    leaves every bit near 500000; a pinned or skewed bit collapses the
+    effective signature width, inflating the byte-block collision rate
+    :func:`simhash_pairs` pays for at corpus scale — this is the
+    audit one runs BEFORE trusting the pigeonhole join's candidate
+    volume estimate. (Bits genuinely track corpus token statistics,
+    so systematic drift here also flags corpus composition shifts.)
+
+    Plan: one aggregation over the signature table with 32 conditional
+    sums (map-side combinable, one exchange carrying a single 33-column
+    row), then a 1-row → 32-row stack unpivot and the rate projection —
+    the corpus-side cost is exactly the ``simhash_docs`` subtree."""
+    sims = simhash_docs(spark, sf_dir)
+    one = sims.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("simhash"), b) % 2).alias(f"o{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    pairs = ", ".join(
+        f"{b}L, o{b}" for b in range(SIMHASH_BITS)
+    )
+    return one.selectExpr(
+        "n", f"stack({SIMHASH_BITS}, {pairs}) AS (bit, n_ones)"
+    ).selectExpr(
+        "bit",
+        "n_ones",
+        "(n_ones * 1000000 + n div 2) div n AS ones_e6",
+    )
+
+
+def duck_simhash_bit_bias() -> str:
+    """Oracle: identical conditional sums over the simhash CTE."""
+    sums = ", ".join(
+        f"SUM((simhash // {1 << b}) % 2) AS o{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT n, {b} AS bit, o{b} AS n_ones FROM one"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH sims AS ({duck_simhash_cte()}),
+        one AS (SELECT COUNT(*) AS n, {sums} FROM sims)
+        SELECT CAST(bit AS BIGINT) AS bit, n_ones,
+               CAST((n_ones * 1000000 + n // 2) // n AS BIGINT) AS ones_e6
+        FROM ({rows})
+    """

@@ -3435,3 +3435,69 @@ def duck_component_sizes_over(kg_cte: str) -> str:
         )
         SELECT size, COUNT(*) AS n_components FROM sizes GROUP BY 1
     """
+
+
+# ------------------------------------------------- edge reciprocity
+
+
+def kg_reciprocity(kg: DataFrame) -> DataFrame:
+    """(pred, n_edges, n_recip, recip_e6) — directed-edge reciprocity
+    of the KG, per predicate plus an ``ALL`` rollup row: the fraction
+    of distinct (subj, pred, obj) edges whose exact reverse
+    (obj, pred, subj) is also asserted. High reciprocity flags
+    symmetric predicates (the linker should collapse them to one
+    canonical direction or the KG doubles its storage and every
+    triangle/degree statistic double-counts); near-zero reciprocity on
+    a predicate documented as symmetric flags extraction asymmetry —
+    the direction-health audit of the materialized graph.
+
+    Plan: distinct directed edge set (one KG-dimension exchange), then
+    a LEFT SEMI-shaped self-join on the reversed key — both sides are
+    key-distinct so the join cannot fan out — and one rollup
+    aggregation onto the |preds|+1 grid. Everything is dimension-
+    sized (triples, not corpus rows)."""
+    e = (
+        kg.select("pred", "subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    rev = e.select(
+        "pred", F.col("obj").alias("subj"), F.col("subj").alias("obj")
+    ).withColumn("has_rev", F.lit(1).cast("long"))
+    marked = e.join(rev, ["pred", "subj", "obj"], "left")
+    per = marked.rollup("pred").agg(
+        F.count("*").alias("n_edges"),
+        F.coalesce(F.sum("has_rev"), F.lit(0)).alias("n_recip"),
+    )
+    return per.select(
+        F.coalesce(F.col("pred"), F.lit("ALL")).alias("pred"),
+        "n_edges",
+        "n_recip",
+        F.expr(
+            "(n_recip * 1000000 + n_edges div 2) div n_edges"
+        ).alias("recip_e6"),
+    )
+
+
+def duck_reciprocity_over(kg_cte: str) -> str:
+    """Oracle: identical distinct-edge reversed self-join + rollup."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        e AS (
+            SELECT DISTINCT pred, subj, obj FROM kg WHERE subj <> obj
+        ),
+        marked AS (
+            SELECT a.pred, CASE WHEN b.pred IS NOT NULL THEN 1 ELSE 0 END
+                       AS has_rev
+            FROM e a LEFT JOIN e b
+              ON a.pred = b.pred AND a.subj = b.obj AND a.obj = b.subj
+        ),
+        per AS (
+            SELECT pred, COUNT(*) AS n_edges, SUM(has_rev) AS n_recip
+            FROM marked GROUP BY ROLLUP(pred)
+        )
+        SELECT COALESCE(pred, 'ALL') AS pred, n_edges, n_recip,
+               CAST((n_recip * 1000000 + n_edges // 2) // n_edges
+                    AS BIGINT) AS recip_e6
+        FROM per
+    """

@@ -449,3 +449,67 @@ def duck_sentences_punkt() -> str:
                p.n_tokens
         FROM pspan p JOIN pdoc d ON d.conv_id = p.conv_id
     """
+
+
+# ------------- segmenter-divergence census (backend drift audit, T1/T2)
+
+
+def segmenter_divergence(spark, sf_dir: str) -> DataFrame:
+    """(sent_diff, n_docs) — per-document sentence-count disagreement
+    between the two segmentation backends over the SAME punctuated
+    fixture: ``sent_diff = n_window − n_punkt`` (word-window
+    :func:`segment` minus punctuation-driven :func:`segment_punkt`),
+    histogrammed over documents. The drift monitor VERDICT r3's seam
+    concern asks for in census form: a production swap of the
+    segmentation backend (punkt → spaCy → …) moves this distribution,
+    and a shifted histogram is the cheap tripwire that fires BEFORE
+    downstream candidate counts silently change. Both backends already
+    have independently oracle-checked row-level outputs (``sentences``,
+    ``sentences_punkt``); this audits their relationship.
+
+    Plan: the fixture subtree is built once per branch (narrow
+    projection over documents); each branch aggregates to conv grain
+    before the single conv-keyed full-outer join, so the join is
+    dimension-over-dimension; then one count onto the diff grid.
+    The punkt branch carries the engine's one sanctioned Arrow UDF."""
+    pdoc = punctuated_transcripts(spark, sf_dir)
+    n_win = segment(pdoc).groupBy("conv_id").agg(
+        F.count("*").alias("n_window")
+    )
+    n_pk = segment_punkt(pdoc).groupBy("conv_id").agg(
+        F.count("*").alias("n_punkt")
+    )
+    per_doc = n_win.join(n_pk, "conv_id", "full").select(
+        (
+            F.coalesce(F.col("n_window"), F.lit(0))
+            - F.coalesce(F.col("n_punkt"), F.lit(0))
+        ).alias("sent_diff")
+    )
+    return per_doc.groupBy("sent_diff").agg(F.count("*").alias("n_docs"))
+
+
+def duck_segmenter_divergence() -> str:
+    """Oracle: both segmenter oracles (word-window CTE and the
+    independent token-level punkt formulation) over the punctuated
+    fixture, joined at document grain."""
+    win_q = (
+        f"WITH transcripts AS ({duck_punctuated_cte()}), "
+        f"sentences AS ({duck_sentences_cte()}) "
+        "SELECT conv_id FROM sentences"
+    )
+    return f"""
+        WITH win AS (
+            SELECT conv_id, COUNT(*) AS n_window FROM ({win_q})
+            GROUP BY conv_id
+        ),
+        pk AS (
+            SELECT conv_id, COUNT(*) AS n_punkt
+            FROM ({duck_sentences_punkt()}) GROUP BY conv_id
+        ),
+        per_doc AS (
+            SELECT COALESCE(w.n_window, 0) - COALESCE(p.n_punkt, 0)
+                       AS sent_diff
+            FROM win w FULL JOIN pk p ON w.conv_id = p.conv_id
+        )
+        SELECT sent_diff, COUNT(*) AS n_docs FROM per_doc GROUP BY 1
+    """

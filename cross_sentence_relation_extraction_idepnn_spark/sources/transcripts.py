@@ -865,3 +865,70 @@ def duck_tool_funnel() -> str:
             SELECT n_any, 'search_then_code', n_chain FROM one
         )
     """
+
+
+def role_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(share_decile, n_convs, total_tokens) — assistant token-share
+    census over conversations: per conversation the half-up e6 share
+    of whitespace tokens spoken by the ``assistant`` role, bucketed
+    into deciles (0–9, exact-100% landing in 9), with conversation
+    counts and total token mass per bucket. The corpus-shape number an
+    SFT/RLHF pipeline reads first: a mass concentrated in high deciles
+    means assistant-heavy transcripts (cheap completion tokens,
+    expensive prompt diversity); low deciles mean the assistant barely
+    speaks and per-conversation supervision is thin.
+
+    Plan: one narrow token-count projection, one conversation-grain
+    conditional-sum aggregation (map-side combinable), then one count
+    onto the 10-bucket grid — a single corpus pass, no window, no
+    join."""
+    t = transcripts(spark, sf_dir).select(
+        "conv_id",
+        "role",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    per_conv = t.groupBy("conv_id").agg(
+        F.sum("n_tok").alias("tot"),
+        F.sum(
+            F.when(F.col("role") == "assistant", F.col("n_tok")).otherwise(
+                F.lit(0)
+            )
+        ).alias("asst"),
+    )
+    bucketed = per_conv.select(
+        "tot",
+        F.least(
+            F.expr("(asst * 1000000 + tot div 2) div tot div 100000"),
+            F.lit(9).cast("long"),
+        ).alias("share_decile"),
+    )
+    return bucketed.groupBy("share_decile").agg(
+        F.count("*").alias("n_convs"),
+        F.sum("tot").alias("total_tokens"),
+    )
+
+
+def duck_role_balance() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — extends the CTE
+    list, hence the leading comma): identical conditional-sum share."""
+    return """
+        , per_conv AS (
+            SELECT conv_id, SUM(n_tok) AS tot,
+                   SUM(CASE WHEN role = 'assistant' THEN n_tok
+                       ELSE 0 END) AS asst
+            FROM (
+                SELECT conv_id, role,
+                       len(string_split(text, ' ')) AS n_tok
+                FROM transcripts
+            ) GROUP BY conv_id
+        ),
+        bucketed AS (
+            SELECT tot,
+                   LEAST((asst * 1000000 + tot // 2) // tot // 100000, 9)
+                       AS share_decile
+            FROM per_conv
+        )
+        SELECT share_decile, COUNT(*) AS n_convs,
+               SUM(tot) AS total_tokens
+        FROM bucketed GROUP BY 1
+    """

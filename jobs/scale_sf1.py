@@ -180,6 +180,7 @@ def main() -> None:
         kg_bridges,
         kg_communities,
         kg_component_sizes,
+        kg_reciprocity,
         kg_degree_hist,
         kg_functionality,
         kg_hyperanf,
@@ -227,12 +228,14 @@ def main() -> None:
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
         segment,
+        segmenter_divergence,
     )
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
         conv_cohesion,
         conv_shape,
         conv_survival,
         tool_funnel,
+        role_balance,
         echo_rate,
         response_drift,
         tool_ngrams,
@@ -467,6 +470,12 @@ def main() -> None:
         "normalized_dedup": dedup_mod.normalized_dedup,
         "tool_funnel": tool_funnel,
         "partition_balance": dedup_mod.partition_balance,
+        "kg_reciprocity": lambda s, d: kg_reciprocity(
+            materialize_kg(s, d)
+        ),
+        "segmenter_divergence": segmenter_divergence,
+        "role_balance": role_balance,
+        "simhash_bit_bias": dedup_mod.simhash_bit_bias,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

@@ -433,3 +433,30 @@ def test_tool_funnel_crafted_stages(spark, tmp_path):
         "search": (2, 666667),
         "search_then_code": (1, 333333),
     }
+
+
+def test_role_balance_crafted_shares(spark, tmp_path):
+    """8-word doc → one user turn (share 0, decile 0); 16 words →
+    user 8 / assistant 8 (500000 → decile 5); 24 words → turns
+    user/assistant/user = 8 assistant of 24 (333333 → decile 3).
+    Token mass rides along per bucket."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        role_balance,
+    )
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(1, words(8)), (2, words(16)), (3, words(24))]
+    path = str(tmp_path / "rb")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {
+        r.share_decile: (r.n_convs, r.total_tokens)
+        for r in role_balance(spark, path).collect()
+    }
+    assert got == {0: (1, 8), 5: (1, 16), 3: (1, 24)}

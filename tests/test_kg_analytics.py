@@ -1124,3 +1124,35 @@ def test_kg_component_sizes_islands(spark):
         for r in kg_component_sizes(kg).collect()
     }
     assert got == {3: 2, 2: 1}
+
+
+def test_kg_reciprocity_hand_computed(spark):
+    """pred r: A↔B reciprocated, A→C not (2/3 → 666667 half-up);
+    pred s: C↔D both directions (2/2), with a duplicate C→D row
+    (multiplicity must collapse) and an E→E self-loop (must be
+    excluded); ALL rollup: 4/5 → 800000."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_reciprocity,
+    )
+
+    kg = _kg_df(
+        spark,
+        [
+            ("A", "r", "B", 1),
+            ("B", "r", "A", 1),
+            ("A", "r", "C", 1),
+            ("C", "s", "D", 1),
+            ("C", "s", "D", 5),
+            ("D", "s", "C", 2),
+            ("E", "s", "E", 1),
+        ],
+    )
+    got = {
+        r["pred"]: (r["n_edges"], r["n_recip"], r["recip_e6"])
+        for r in kg_reciprocity(kg).collect()
+    }
+    assert got == {
+        "r": (3, 2, 666667),
+        "s": (2, 2, 1000000),
+        "ALL": (5, 4, 800000),
+    }

@@ -745,3 +745,48 @@ def test_session15_wave_plan_shapes(spark, sf_dir):
     assert "Window" not in plan and "Join" not in plan, plan
     assert count_op(plan, "Scan parquet") == 1, plan
     assert "Python" not in plan and "Pandas" not in plan, plan
+
+
+def test_session16_wave_plan_shapes(spark, sf_dir):
+    """kg_reciprocity: ONE key-distinct self-join (no fanout possible),
+    window-free, Python-free; segmenter_divergence: exactly one
+    conv-grain join of two pre-aggregated branches and exactly one
+    Arrow UDF (the sanctioned punkt splitter) — Catalyst must have
+    pruned the segmenters' unused row_number windows; role_balance:
+    join/window/Python-free single corpus pass; simhash_bit_bias:
+    join/window/Python-free, global stage carries one 33-column row."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        simhash_bit_bias,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_reciprocity,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segmenter_divergence,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        role_balance,
+    )
+
+    kg = spark.createDataFrame(
+        [("A", "r", "B", 1), ("B", "r", "A", 1)],
+        "subj string, pred string, obj string, support long",
+    )
+    plan = plan_of(kg_reciprocity(kg))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 1, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+    plan = plan_of(segmenter_divergence(spark, sf_dir))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 1, plan
+    assert count_op(plan, "ArrowEvalPython") == 1, plan
+    assert "Window" not in plan, plan
+
+    for fn in (role_balance, simhash_bit_bias):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "Join" not in plan and "Window" not in plan, plan
+        assert "Python" not in plan and "Pandas" not in plan, plan

@@ -262,3 +262,52 @@ def test_token_level_boundary_rule_equals_char_scan_randomized():
         ]
         text = " ".join(toks)
         assert punkt_sentences(text) == token_rule_sentences(text), text
+
+
+def test_segmenter_divergence_hand_computed(spark, tmp_path):
+    """5-word doc: fixture 'W0 w1 w2 Dr. W4.' — punkt sees 1 sentence
+    ('Dr.' is an abbreviation, the trailing period has no successor),
+    the 4-word window sees 2 → diff 1. 8-word doc: fixture
+    'W0 w1 w2 Dr. W4. W5. w6 J.' — punkt splits only after 'W4.'
+    ('W5.' precedes lowercase, 'J.' is terminal) = 2 sentences,
+    window ceil(8/4) = 2 → diff 0. Histogram {1: 1, 0: 1}."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segmenter_divergence,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(5))),
+        (2, " ".join(f"w{i}" for i in range(8))),
+    ]
+    path = str(tmp_path / "segdiv")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {
+        r.sent_diff: r.n_docs
+        for r in segmenter_divergence(spark, path).collect()
+    }
+    assert got == {1: 1, 0: 1}
+
+
+def test_segmenter_divergence_conserves_docs(spark, sf_dir):
+    """The histogram's doc mass equals the corpus doc count and its
+    signed mass equals the difference of the two public row-level
+    operators' totals — the census cannot invent or drop documents."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        punctuated_transcripts,
+        segment,
+        segment_punkt,
+        segmenter_divergence,
+    )
+
+    hist = segmenter_divergence(spark, sf_dir).collect()
+    pdoc = punctuated_transcripts(spark, sf_dir)
+    n_docs = pdoc.count()
+    n_win = segment(pdoc).count()
+    n_pk = segment_punkt(pdoc).count()
+    assert sum(r.n_docs for r in hist) == n_docs
+    assert sum(r.sent_diff * r.n_docs for r in hist) == n_win - n_pk

@@ -236,3 +236,27 @@ def test_partition_balance_conserves_rows(spark, sf_dir):
         assert r.mean_rows_e3 == (n * 1000 + p // 2) // p
         assert r.skew_e6 >= 1_000_000
         assert r.max_rows * p >= n
+
+
+def test_simhash_bit_bias_independent_recompute(spark, sf_dir):
+    """The 32-row audit equals a pure-Python recompute over the
+    collected signature table (bit extraction + half-up e6), and
+    every bit row is present exactly once."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_bit_bias,
+        simhash_docs,
+    )
+
+    sigs = [r.simhash for r in simhash_docs(spark, sf_dir).collect()]
+    n = len(sigs)
+    expected = {}
+    for b in range(SIMHASH_BITS):
+        ones = sum((s >> b) & 1 for s in sigs)
+        expected[b] = (ones, (ones * 1_000_000 + n // 2) // n)
+    got = {
+        r.bit: (r.n_ones, r.ones_e6)
+        for r in simhash_bit_bias(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) == SIMHASH_BITS
