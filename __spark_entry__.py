@@ -90,12 +90,14 @@ from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation impo
     DUCK_TOKEN_OFFSETS,
     duck_segmenter_divergence,
     duck_sentences_punkt,
+    duck_turn_reassembly,
     duck_with_prefix,
     punctuated_transcripts,
     segment,
     segment_punkt,
     segmenter_divergence,
     token_offsets,
+    turn_reassembly,
 )
 from cross_sentence_relation_extraction_idepnn_spark.sources.muc6 import (
     duck_muc6_triples,
@@ -654,6 +656,45 @@ def _duck_kg_reciprocity() -> str:
     return duck_reciprocity_over(_duck_kg())
 
 
+def _predicate_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Unordered predicate-pair subject co-occurrence — the relation-
+    correlation table that seeds ontology induction."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        predicate_cooccurrence,
+    )
+
+    return predicate_cooccurrence(materialize_kg(spark, sf))
+
+
+def _duck_predicate_cooccurrence() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_predicate_cooccurrence_over,
+    )
+
+    return duck_predicate_cooccurrence_over(_duck_kg())
+
+
+def _entity_lifespan(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-entity observation-span histogram over the temporal KG —
+    the KG-lifecycle / retention-policy input."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        entity_lifespan,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        temporal_kg,
+    )
+
+    return entity_lifespan(temporal_kg(spark, sf))
+
+
+def _duck_entity_lifespan() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_entity_lifespan_over,
+    )
+
+    return duck_entity_lifespan_over(_duck_kg_temporal())
+
+
 def _kg_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected distinct-neighbour degree distribution of the
     materialized KG — the heavy-tail witness for hub-join planning."""
@@ -1011,6 +1052,11 @@ _DRIVER_PRIORITY = [
     # census, assistant token-share deciles, simhash bit-bias audit
     "kg_reciprocity", "segmenter_divergence", "role_balance",
     "simhash_bit_bias",
+    # session-17 wave: turn-reassembly invariant census, predicate
+    # co-occurrence (+ its non-vacuous event-grid twin), entity
+    # lifespan, embedding dim profile
+    "turn_reassembly", "predicate_cooccurrence", "event_cooccurrence",
+    "entity_lifespan", "embedding_dim_profile",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1411,6 +1457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmenter_divergence": segmenter_divergence,
         "role_balance": role_balance,
         "simhash_bit_bias": dedup.simhash_bit_bias,
+        "turn_reassembly": turn_reassembly,
+        "predicate_cooccurrence": _predicate_cooccurrence,
+        "event_cooccurrence": temporal.event_cooccurrence,
+        "entity_lifespan": _entity_lifespan,
+        "embedding_dim_profile": similarity.embedding_dim_profile,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -2076,6 +2127,12 @@ def oracle_sql() -> dict[str, str]:
         "role_balance": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {duck_role_balance()}",
         "simhash_bit_bias": dedup.duck_simhash_bit_bias(),
+        "turn_reassembly": f"{duck_with_prefix()}"
+        f" {duck_turn_reassembly()}",
+        "predicate_cooccurrence": _duck_predicate_cooccurrence(),
+        "event_cooccurrence": temporal.duck_event_cooccurrence(),
+        "entity_lifespan": _duck_entity_lifespan(),
+        "embedding_dim_profile": similarity.duck_embedding_dim_profile(),
     }
 
 

@@ -464,6 +464,11 @@ def main() -> None:
     timed("segmenter_divergence", _entry.queries()["segmenter_divergence"])
     timed("role_balance", _entry.queries()["role_balance"])
     timed("simhash_bit_bias", dedup.simhash_bit_bias)
+    timed("turn_reassembly", _entry.queries()["turn_reassembly"])
+    timed("predicate_cooccurrence", _entry.queries()["predicate_cooccurrence"])
+    timed("event_cooccurrence", _entry.queries()["event_cooccurrence"])
+    timed("entity_lifespan", _entry.queries()["entity_lifespan"])
+    timed("embedding_dim_profile", _entry.queries()["embedding_dim_profile"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

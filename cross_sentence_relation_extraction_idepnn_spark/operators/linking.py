@@ -3501,3 +3501,96 @@ def duck_reciprocity_over(kg_cte: str) -> str:
                     AS BIGINT) AS recip_e6
         FROM per
     """
+
+
+# ---------------------------------------- predicate co-occurrence
+
+
+def predicate_cooccurrence(kg: DataFrame) -> DataFrame:
+    """(pred_a, pred_b, n_subjects) — KG schema discovery: for every
+    unordered predicate pair (lexicographic ``pred_a < pred_b``), how
+    many subjects assert BOTH. The relation-correlation table that
+    seeds ontology induction (predicates that always co-fire are
+    candidates for implication/merge) and negative-sampling design
+    (TransE corruption should avoid co-occurring predicates as easy
+    negatives). NOTE: the reference extractor emits a single
+    predicate, so over THIS corpus the pair grid is legitimately
+    empty — the driver oracle pins that emptiness exactly, and the
+    crafted multi-predicate pytest pins the pairing semantics; the
+    non-vacuous twin over this corpus is ``event_cooccurrence``.
+
+    Plan: dedup to the (subj, pred) incidence set (dimension-sized),
+    one subject-keyed self-join — fanout per subject is bounded by
+    |preds|², a schema constant, never corpus-driven — then one
+    map-side-combinable count onto the predicate-pair grid."""
+    sp = kg.select("subj", "pred").distinct()
+    b = sp.select(F.col("subj").alias("subj"), F.col("pred").alias("pred_b"))
+    pairs = (
+        sp.withColumnRenamed("pred", "pred_a")
+        .join(b, "subj")
+        .filter(F.col("pred_a") < F.col("pred_b"))
+    )
+    return pairs.groupBy("pred_a", "pred_b").agg(
+        F.count("*").alias("n_subjects")
+    )
+
+
+def duck_predicate_cooccurrence_over(kg_cte: str) -> str:
+    """Oracle: identical incidence self-join."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte}),
+        sp AS (SELECT DISTINCT subj, pred FROM kg)
+        SELECT a.pred AS pred_a, b.pred AS pred_b,
+               COUNT(*) AS n_subjects
+        FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+        GROUP BY 1, 2
+    """
+
+
+# ------------------------------------------------- entity lifespan
+
+
+def entity_lifespan(kgt: DataFrame) -> DataFrame:
+    """(lifespan_hours, n_entities) — temporal footprint census over
+    the TEMPORAL KG (``temporal_kg``'s (subj, pred, obj, first_seen,
+    last_seen, n_convs) grain): per canonical entity, the span between
+    its earliest and latest observation across every triple it
+    participates in (either end), floored to hours and histogrammed.
+    Long-lived entities are the stable backbone worth canonical-id
+    pinning; zero-hour entities are one-conversation ephemera a
+    retention policy can age out — the KG-lifecycle input.
+
+    Plan: the temporal KG is dimension-sized, so everything here is
+    dimension-grain: endpoint union (subj + obj), one entity-grain
+    min/max aggregation, one count onto the lifespan grid. Epochs are
+    BIGINT seconds end-to-end — exact cross-engine."""
+    ends = kgt.select(
+        F.col("subj").alias("entity"), "first_seen", "last_seen"
+    ).unionAll(
+        kgt.select(F.col("obj").alias("entity"), "first_seen", "last_seen")
+    )
+    per = ends.groupBy("entity").agg(
+        F.min("first_seen").alias("f"), F.max("last_seen").alias("l")
+    )
+    return per.select(
+        F.expr("(l - f) div 3600").alias("lifespan_hours")
+    ).groupBy("lifespan_hours").agg(F.count("*").alias("n_entities"))
+
+
+def duck_entity_lifespan_over(kgt_cte: str) -> str:
+    """Oracle: identical endpoint union + entity-grain span."""
+    return f"""
+        WITH RECURSIVE kgt AS MATERIALIZED ({kgt_cte}),
+        ends AS (
+            SELECT subj AS entity, first_seen, last_seen FROM kgt
+            UNION ALL
+            SELECT obj, first_seen, last_seen FROM kgt
+        ),
+        per AS (
+            SELECT entity, MIN(first_seen) AS f, MAX(last_seen) AS l
+            FROM ends GROUP BY 1
+        )
+        SELECT (l - f) // 3600 AS lifespan_hours,
+               COUNT(*) AS n_entities
+        FROM per GROUP BY 1
+    """

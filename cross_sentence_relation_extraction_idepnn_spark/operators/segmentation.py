@@ -513,3 +513,81 @@ def duck_segmenter_divergence() -> str:
         )
         SELECT sent_diff, COUNT(*) AS n_docs FROM per_doc GROUP BY 1
     """
+
+
+# --------------- turn-reassembly invariant census (north-rule audit)
+
+
+def turn_reassembly(spark, sf_dir: str) -> DataFrame:
+    """(n_turns, n_match, n_mismatch) — the per-turn text-equality
+    invariant as a first-class, monitorable census: every transcript
+    turn's text, re-assembled from the sentences table (spans joined
+    in ``sent_in_turn`` order with single spaces), must equal the
+    original turn text under stable turn ordering. ``n_mismatch``
+    MUST be 0 — this is the invariant the whole pipeline's
+    offset/indexing arithmetic rests on; running it as a query (not
+    only a pytest) means a production corpus with pathological text
+    (double spaces, zero-width chars after a backend swap) trips a
+    dashboard number instead of a silent candidate-window shift.
+
+    Plan: the segmentation subtree aggregates back to turn grain
+    (sort_array over the per-turn span structs — bounded by spans per
+    turn, not corpus), one turn-keyed LEFT join against the
+    transcript (a missing reassembly counts as mismatch), one global
+    conditional-sum aggregate. Join is corpus-grain but key-distinct
+    on both sides — no fanout."""
+    from ..sources.transcripts import transcripts
+
+    t = transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    rebuilt = (
+        segment(t)
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sent_in_turn", "sent_text"))
+                    ),
+                    lambda x: x["sent_text"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    joined = t.join(rebuilt, ["conv_id", "turn_idx"], "left")
+    return joined.agg(
+        F.count("*").alias("n_turns"),
+        F.sum(
+            (F.col("rebuilt") == F.col("text")).cast("long")
+        ).alias("n_match"),
+        F.sum(
+            F.when(
+                F.col("rebuilt").isNull()
+                | (F.col("rebuilt") != F.col("text")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+        ).alias("n_mismatch"),
+    )
+
+
+def duck_turn_reassembly() -> str:
+    """Oracle: string_agg in sent_in_turn order, same LEFT-join census
+    (compose after the shared transcripts+sentences prefix)."""
+    return """
+        , rebuilt AS (
+            SELECT conv_id, turn_idx,
+                   string_agg(sent_text, ' ' ORDER BY sent_in_turn)
+                       AS rebuilt
+            FROM sentences GROUP BY conv_id, turn_idx
+        )
+        SELECT COUNT(*) AS n_turns,
+               SUM(CASE WHEN r.rebuilt = t.text THEN 1 ELSE 0 END)
+                   AS n_match,
+               SUM(CASE WHEN r.rebuilt IS NULL OR r.rebuilt <> t.text
+                   THEN 1 ELSE 0 END) AS n_mismatch
+        FROM transcripts t
+        LEFT JOIN rebuilt r
+          ON r.conv_id = t.conv_id AND r.turn_idx = t.turn_idx
+    """

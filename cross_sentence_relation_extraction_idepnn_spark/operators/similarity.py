@@ -828,3 +828,87 @@ def duck_ivf_recall(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
           ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
         GROUP BY 1
     """
+
+
+# ------------------------------------------ per-dimension profile
+
+
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, n_vecs, sum_q, min_q, max_q, mean_e6) — per-dimension
+    health profile of the embedding table on a fixed e6 integer
+    quantization (``q = floor(x·10⁶ + ½)`` per component, BIGINT sums):
+    dead dimensions (min_q = max_q = 0) waste IVF cells and LSH bits;
+    a strongly biased mean says the encoder isn't centered and
+    sign-LSH hyperplanes through the origin will cut unevenly. The
+    audit one runs before choosing the ANN index family.
+
+    Quantize-then-aggregate makes the statistics EXACT integers —
+    order-independent across partitions and engines, unlike float row
+    aggregation (within-array float math elsewhere in this module is
+    ordered and rounded; across rows only integers survive a shuffle
+    deterministically).
+
+    Plan: one aggregation over the table computing 3·|dim| conditional
+    integer sums/extrema (map-side combinable; the shuffle carries a
+    single wide row), then a 1-row → |dim|-row stack unpivot. No
+    explode — the corpus is never multiplied by the dimensionality."""
+    cols = []
+    for d in range(EMB_DIM):
+        # floor(v + 0.5) instead of round(): both engines floor toward
+        # -inf on the SAME promoted double, so exact-.5 ties cannot
+        # split between HALF_UP implementations.
+        q = F.floor(
+            F.element_at("embedding", d + 1) * 1000000.0 + 0.5
+        ).cast("long")
+        cols += [
+            F.sum(q).alias(f"s{d}"),
+            F.min(q).alias(f"mn{d}"),
+            F.max(q).alias(f"mx{d}"),
+        ]
+    one = _emb(spark, sf_dir).agg(F.count("*").alias("n"), *cols)
+    quads = ", ".join(
+        f"{d}L, s{d}, mn{d}, mx{d}" for d in range(EMB_DIM)
+    )
+    return one.selectExpr(
+        "n",
+        f"stack({EMB_DIM}, {quads}) AS (dim, sum_q, min_q, max_q)",
+    ).selectExpr(
+        "dim",
+        "n AS n_vecs",
+        "sum_q",
+        "min_q",
+        "max_q",
+        "CASE WHEN sum_q >= 0 THEN (sum_q + n div 2) div n"
+        "     ELSE -((-sum_q + n div 2) div n) END AS mean_e6",
+    )
+
+
+def duck_embedding_dim_profile() -> str:
+    """Oracle: identical e6 quantization and integer aggregation.
+    The explicit ``CAST(... AS DOUBLE)`` is load-bearing: DuckDB's
+    FLOAT × DECIMAL-literal multiply does not promote like Spark's
+    float × double (last-ulp drift flips the floor on a handful of
+    rows per dimension — observed at sf0.01 before the cast)."""
+    sums = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(embedding[{d + 1}] AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS s{d},"
+        f" MIN(CAST(FLOOR(CAST(embedding[{d + 1}] AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS mn{d},"
+        f" MAX(CAST(FLOOR(CAST(embedding[{d + 1}] AS DOUBLE) * 1000000.0 + 0.5)"
+        f" AS BIGINT)) AS mx{d}"
+        for d in range(EMB_DIM)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT n, {d} AS dim, s{d} AS sum_q, mn{d} AS min_q,"
+        f" mx{d} AS max_q FROM one"
+        for d in range(EMB_DIM)
+    )
+    return f"""
+        WITH one AS (SELECT COUNT(*) AS n, {sums} FROM embeddings)
+        SELECT CAST(dim AS BIGINT) AS dim, n AS n_vecs,
+               CAST(sum_q AS BIGINT) AS sum_q, min_q, max_q,
+               CAST(CASE WHEN sum_q >= 0 THEN (sum_q + n // 2) // n
+                    ELSE -((-sum_q + n // 2) // n) END AS BIGINT)
+                   AS mean_e6
+        FROM ({rows})
+    """

@@ -1554,3 +1554,50 @@ def duck_error_bursts() -> str:
         SELECT max_in_window, COUNT(*) AS n_users
         FROM per_user GROUP BY 1
     """
+
+
+# ------------------------------------------- event-type co-occurrence
+
+
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, n_users) — unordered event-type pair
+    co-occurrence over users: for every pair ``type_a < type_b``, how
+    many users emitted BOTH at least once. The behavioral-correlation
+    grid (errors co-firing with retries, purchases with searches)
+    that seeds funnel design and anomaly baselines — the same
+    incidence-self-join shape as the KG's ``predicate_cooccurrence``,
+    non-vacuous on this corpus's multi-type event stream.
+
+    Plan: dedup to the (user, type) incidence set (one corpus-grain
+    exchange, map-side combinable), then a user-keyed self-join whose
+    per-user fanout is bounded by |event types|² — a schema constant —
+    and one count onto the pair grid."""
+    ut = (
+        events_batch(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    b = ut.select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        ut.withColumnRenamed("event_type", "type_a")
+        .join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+def duck_event_cooccurrence() -> str:
+    """Oracle: identical incidence self-join."""
+    return """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_users
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """

@@ -181,6 +181,8 @@ def main() -> None:
         kg_communities,
         kg_component_sizes,
         kg_reciprocity,
+        entity_lifespan,
+        predicate_cooccurrence,
         kg_degree_hist,
         kg_functionality,
         kg_hyperanf,
@@ -223,12 +225,14 @@ def main() -> None:
     )
 
     from cross_sentence_relation_extraction_idepnn_spark.operators import similarity
+    from cross_sentence_relation_extraction_idepnn_spark.plans import pipeline as _temporal_kg_mod
     from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
         detect_mentions,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
         segment,
         segmenter_divergence,
+        turn_reassembly,
     )
     from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
         conv_cohesion,
@@ -476,6 +480,15 @@ def main() -> None:
         "segmenter_divergence": segmenter_divergence,
         "role_balance": role_balance,
         "simhash_bit_bias": dedup_mod.simhash_bit_bias,
+        "turn_reassembly": turn_reassembly,
+        "predicate_cooccurrence": lambda s, d: predicate_cooccurrence(
+            materialize_kg(s, d)
+        ),
+        "event_cooccurrence": temporal_mod.event_cooccurrence,
+        "entity_lifespan": lambda s, d: entity_lifespan(
+            _temporal_kg_mod.temporal_kg(s, d)
+        ),
+        "embedding_dim_profile": similarity.embedding_dim_profile,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

@@ -1156,3 +1156,53 @@ def test_kg_reciprocity_hand_computed(spark):
         "s": (2, 2, 1000000),
         "ALL": (5, 4, 800000),
     }
+
+
+def test_predicate_cooccurrence_crafted(spark):
+    """S1 asserts r+s+t (3 pairs), S2 asserts r+s (1 pair, so (r,s)
+    counts 2 subjects), S3 asserts only r (no pair); duplicate edges
+    must not double-count the incidence."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        predicate_cooccurrence,
+    )
+
+    kg = _kg_df(
+        spark,
+        [
+            ("S1", "r", "X", 1),
+            ("S1", "r", "Y", 1),  # dup incidence (S1, r)
+            ("S1", "s", "X", 1),
+            ("S1", "t", "X", 1),
+            ("S2", "r", "X", 1),
+            ("S2", "s", "X", 1),
+            ("S3", "r", "X", 1),
+        ],
+    )
+    got = {
+        (r.pred_a, r.pred_b): r.n_subjects
+        for r in predicate_cooccurrence(kg).collect()
+    }
+    assert got == {("r", "s"): 2, ("r", "t"): 1, ("s", "t"): 1}
+
+
+def test_entity_lifespan_crafted(spark):
+    """A participates in two triples spanning [100, 7300] → 2 hours;
+    B only in the first (3600 s → 0 hours after floor of (3500)/3600);
+    C spans [7200, 7300] → 0 hours. Histogram {2: 1, 0: 2}."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        entity_lifespan,
+    )
+
+    kgt = spark.createDataFrame(
+        [
+            ("A", "r", "B", 100, 3600, 1),
+            ("C", "r", "A", 7200, 7300, 1),
+        ],
+        "subj string, pred string, obj string, first_seen long,"
+        " last_seen long, n_convs long",
+    )
+    got = {
+        r.lifespan_hours: r.n_entities
+        for r in entity_lifespan(kgt).collect()
+    }
+    assert got == {2: 1, 0: 2}

@@ -790,3 +790,62 @@ def test_session16_wave_plan_shapes(spark, sf_dir):
         plan = plan_of(fn(spark, sf_dir))
         assert "Join" not in plan and "Window" not in plan, plan
         assert "Python" not in plan and "Pandas" not in plan, plan
+
+
+def test_session17_wave_plan_shapes(spark, sf_dir):
+    """turn_reassembly: ONE key-distinct turn-grain join, no Python;
+    predicate_cooccurrence / event_cooccurrence: one incidence
+    self-join over a pre-deduped set; entity_lifespan: join-free
+    union + shrinking aggregations; embedding_dim_profile: a single
+    scan into ONE exchange (the 1-row global aggregate) — the corpus
+    is never exploded by the dimensionality."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        entity_lifespan,
+        predicate_cooccurrence,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        turn_reassembly,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.similarity import (
+        embedding_dim_profile,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.temporal import (
+        event_cooccurrence,
+    )
+
+    plan = plan_of(turn_reassembly(spark, sf_dir))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 1, plan
+    assert "EvalPython" not in plan and "Window" not in plan, plan
+
+    kg = spark.createDataFrame(
+        [("A", "r", "B", 1)],
+        "subj string, pred string, obj string, support long",
+    )
+    plan = plan_of(predicate_cooccurrence(kg))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 1, plan
+    assert "Window" not in plan and "EvalPython" not in plan, plan
+
+    plan = plan_of(event_cooccurrence(spark, sf_dir))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 1, plan
+    assert "Window" not in plan and "EvalPython" not in plan, plan
+
+    kgt = spark.createDataFrame(
+        [("A", "r", "B", 0, 1, 1)],
+        "subj string, pred string, obj string, first_seen long,"
+        " last_seen long, n_convs long",
+    )
+    plan = plan_of(entity_lifespan(kgt))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert count_op(plan, "Union") == 1, plan
+
+    plan = plan_of(embedding_dim_profile(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert count_op(plan, "Exchange") == 1, plan
+    assert "posexplode" not in plan and "Explode" not in plan, plan

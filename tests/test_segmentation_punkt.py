@@ -311,3 +311,52 @@ def test_segmenter_divergence_conserves_docs(spark, sf_dir):
     n_pk = segment_punkt(pdoc).count()
     assert sum(r.n_docs for r in hist) == n_docs
     assert sum(r.sent_diff * r.n_docs for r in hist) == n_win - n_pk
+
+
+def test_turn_reassembly_invariant_holds(spark, sf_dir):
+    """The north-rule invariant as a census: over the real corpus
+    every reassembled turn equals its transcript text — (N, N, 0)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        turn_reassembly,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    row = turn_reassembly(spark, sf_dir).collect()[0]
+    n = transcripts(spark, sf_dir).count()
+    assert (row.n_turns, row.n_match, row.n_mismatch) == (n, n, 0)
+
+
+def test_turn_reassembly_detects_mismatch(spark, tmp_path, monkeypatch):
+    """Force a divergent reassembly (a corrupted segmenter that drops
+    the first word of every turn) and the census must count every
+    multi-word turn as a mismatch — the tripwire actually fires."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators import (
+        segmentation as seg_mod,
+    )
+
+    rows = [(1, " ".join(f"w{i}" for i in range(8)))]
+    path = str(tmp_path / "tr")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+
+    real_segment = seg_mod.segment
+
+    def corrupted(transcripts_df, sent_words=seg_mod.SENT_WORDS):
+        s = real_segment(transcripts_df, sent_words)
+        return s.withColumn(
+            "sent_text",
+            F.when(
+                F.col("sent_in_turn") == 0,
+                F.expr("substring(sent_text, instr(sent_text, ' ') + 1)"),
+            ).otherwise(F.col("sent_text")),
+        )
+
+    monkeypatch.setattr(seg_mod, "segment", corrupted)
+    row = seg_mod.turn_reassembly(spark, path).collect()[0]
+    assert row.n_turns == 1 and row.n_mismatch == 1 and row.n_match == 0

@@ -260,3 +260,30 @@ def test_simhash_bit_bias_independent_recompute(spark, sf_dir):
     }
     assert got == expected
     assert len(got) == SIMHASH_BITS
+
+
+def test_embedding_dim_profile_independent_recompute(spark, sf_dir):
+    """The 64-row profile equals a pure-Python recompute over the
+    collected embedding table (same floor(v·1e6 + 0.5) quantizer,
+    signed half-up integer mean)."""
+    import math
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.similarity import (
+        EMB_DIM,
+        _emb,
+        embedding_dim_profile,
+    )
+
+    vecs = [r.embedding for r in _emb(spark, sf_dir).collect()]
+    n = len(vecs)
+    expected = {}
+    for d in range(EMB_DIM):
+        qs = [int(math.floor(float(v[d]) * 1000000.0 + 0.5)) for v in vecs]
+        s = sum(qs)
+        mean = (s + n // 2) // n if s >= 0 else -((-s + n // 2) // n)
+        expected[d] = (n, s, min(qs), max(qs), mean)
+    got = {
+        r.dim: (r.n_vecs, r.sum_q, r.min_q, r.max_q, r.mean_e6)
+        for r in embedding_dim_profile(spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -879,3 +879,34 @@ def test_error_bursts_crafted_windows(spark, tmp_path):
         for r in temporal.error_bursts(spark, path).collect()
     }
     assert got == {3: 1, 1: 1}
+
+
+def test_event_cooccurrence_crafted(spark, tmp_path):
+    """User 1 emits {error, click, buy} (3 pairs), user 2 {error,
+    click} (1 more on that pair), user 3 {click} only (none);
+    repeated events must not double-count the incidence."""
+    import os
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "error"),
+        (2, "2024-01-01 00:01:00", 1, "error"),  # dup incidence
+        (3, "2024-01-01 00:02:00", 1, "click"),
+        (4, "2024-01-01 00:03:00", 1, "buy"),
+        (5, "2024-01-01 00:04:00", 2, "error"),
+        (6, "2024-01-01 00:05:00", 2, "click"),
+        (7, "2024-01-01 00:06:00", 3, "click"),
+    ]
+    path = str(tmp_path / "ec")
+    os.makedirs(path, exist_ok=True)
+    _events(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+    got = {
+        (r.type_a, r.type_b): r.n_users
+        for r in temporal.event_cooccurrence(spark, path).collect()
+    }
+    assert got == {
+        ("click", "error"): 2,
+        ("buy", "click"): 1,
+        ("buy", "error"): 1,
+    }
