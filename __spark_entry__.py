@@ -695,6 +695,42 @@ def _duck_entity_lifespan() -> str:
     return duck_entity_lifespan_over(_duck_kg_temporal())
 
 
+def _kg_support_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Support-band x min_k confidence cross-tab — the KG quality-
+    triage table."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_support_matrix,
+    )
+
+    return kg_support_matrix(materialize_kg(spark, sf))
+
+
+def _duck_kg_support_matrix() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_support_matrix_over,
+    )
+
+    return duck_support_matrix_over(_duck_kg())
+
+
+def _mention_density(spark: SparkSession, sf: str) -> DataFrame:
+    """Mentions-per-turn histogram including zero-mention turns — the
+    candidate-stage capacity-planning grid."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        mention_density,
+    )
+
+    return mention_density(spark, sf)
+
+
+def _duck_mention_density() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        duck_mention_density,
+    )
+
+    return f"{duck_with_prefix()} {duck_mention_density()}"
+
+
 def _kg_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected distinct-neighbour degree distribution of the
     materialized KG — the heavy-tail witness for hub-join planning."""
@@ -1057,6 +1093,10 @@ _DRIVER_PRIORITY = [
     # lifespan, embedding dim profile
     "turn_reassembly", "predicate_cooccurrence", "event_cooccurrence",
     "entity_lifespan", "embedding_dim_profile",
+    # session-18 wave: jaccard threshold sweep, PII-type co-occurrence,
+    # mention density, KG support x k confidence matrix
+    "jaccard_histogram", "pii_cooccurrence", "mention_density",
+    "kg_support_matrix",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1462,6 +1502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cooccurrence": temporal.event_cooccurrence,
         "entity_lifespan": _entity_lifespan,
         "embedding_dim_profile": similarity.embedding_dim_profile,
+        "jaccard_histogram": dedup.jaccard_histogram,
+        "pii_cooccurrence": lambda s, d: curation.pii_cooccurrence(
+            s, d, plant=True
+        ),
+        "mention_density": _mention_density,
+        "kg_support_matrix": _kg_support_matrix,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -2133,6 +2179,11 @@ def oracle_sql() -> dict[str, str]:
         "event_cooccurrence": temporal.duck_event_cooccurrence(),
         "entity_lifespan": _duck_entity_lifespan(),
         "embedding_dim_profile": similarity.duck_embedding_dim_profile(),
+        "jaccard_histogram": f"{shingles_prefix}"
+        f" {dedup.duck_jaccard_histogram()}",
+        "pii_cooccurrence": curation.duck_pii_cooccurrence(plant=True),
+        "mention_density": _duck_mention_density(),
+        "kg_support_matrix": _duck_kg_support_matrix(),
     }
 
 

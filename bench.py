@@ -469,6 +469,10 @@ def main() -> None:
     timed("event_cooccurrence", _entry.queries()["event_cooccurrence"])
     timed("entity_lifespan", _entry.queries()["entity_lifespan"])
     timed("embedding_dim_profile", _entry.queries()["embedding_dim_profile"])
+    timed("jaccard_histogram", dedup.jaccard_histogram)
+    timed("pii_cooccurrence", _entry.queries()["pii_cooccurrence"])
+    timed("mention_density", _entry.queries()["mention_density"])
+    timed("kg_support_matrix", _entry.queries()["kg_support_matrix"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -1473,3 +1473,110 @@ def duck_k_anonymity() -> str:
         FROM transcripts
         GROUP BY 1, 2, 3
     """
+
+
+# --------------------------------------------- PII-type co-occurrence
+
+PII_TYPE_NAMES = ("email", "phone", "ssn")
+
+
+def pii_type_counts(text):
+    """Per-pattern masked-span count Columns, taken on the same
+    progressively cleaned chain state as :func:`pii_exprs` — the
+    decomposition of ``n_pii`` by type."""
+    clean = text
+    counts = []
+    for pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.split(clean, pat, -1)) - 1)
+        clean = F.regexp_replace(clean, pat, repl)
+    return counts
+
+
+def pii_cooccurrence(
+    spark: SparkSession, sf_dir: str, plant: bool = True
+) -> DataFrame:
+    """(type_a, type_b, n_docs) — PII-type co-occurrence grid over
+    documents (diagonal rows = per-type document counts, off-diagonal
+    = documents carrying BOTH types). The privacy-risk stratifier: a
+    document with co-occurring identifier types (email + SSN-like) is
+    categorically riskier than either alone — re-identification needs
+    a join key and this grid counts where the corpus hands one over.
+    Uses the same planted fixture (and the same progressively-cleaned
+    span counting) as ``pii_scrub``, so the masking chain and this
+    census cannot drift apart.
+
+    Plan: one narrow flag projection + ONE global aggregation with
+    |types|·(|types|+1)/2 conditional sums (map-side combinable,
+    single-row shuffle), then a stack unpivot onto the grid — scan
+    speed, join-free."""
+    text = F.col("text")
+    if plant:
+        text = F.when(
+            F.col("doc_id") % PII_PLANT_EVERY == 0,
+            F.concat(
+                text,
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com id 123-45-6789"),
+            ),
+        ).otherwise(text)
+    counts = pii_type_counts(text)
+    flags = _docs(spark, sf_dir).select(
+        *[
+            (c > 0).cast("long").alias(PII_TYPE_NAMES[i])
+            for i, c in enumerate(counts)
+        ]
+    )
+    names = PII_TYPE_NAMES
+    aggs = []
+    cells = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            col = f"c_{a}_{b}"
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).alias(col)
+                if a != b
+                else F.sum(F.col(a)).alias(col)
+            )
+            cells.append(f"'{a}', '{b}', {col}")
+    one = flags.agg(*aggs)
+    return one.selectExpr(
+        f"stack({len(cells)}, {', '.join(cells)})"
+        " AS (type_a, type_b, n_docs)"
+    )
+
+
+def duck_pii_cooccurrence(plant: bool = True) -> str:
+    """Oracle: identical chain-state flags and conditional sums."""
+    text = "text"
+    if plant:
+        text = (
+            f"CASE WHEN doc_id % {PII_PLANT_EVERY} = 0 THEN text"
+            " || ' contact user' || CAST(doc_id AS VARCHAR)"
+            " || '@example.com id 123-45-6789' ELSE text END"
+        )
+    clean = text
+    flags = []
+    for pat, repl in PII_PATTERNS:
+        flags.append(
+            f"CASE WHEN len(string_split_regex({clean}, '{pat}')) - 1 > 0"
+            " THEN 1 ELSE 0 END"
+        )
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    names = PII_TYPE_NAMES
+    sel = ", ".join(
+        f"{f} AS {n}" for f, n in zip(flags, names)
+    )
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            expr = f"SUM({a})" if a == b else f"SUM({a} * {b})"
+            rows.append(
+                f"SELECT '{a}' AS type_a, '{b}' AS type_b,"
+                f" {expr} AS n_docs FROM flags"
+            )
+    body = " UNION ALL ".join(rows)
+    return f"""
+        WITH flags AS (SELECT {sel} FROM documents)
+        {body}
+    """

@@ -2140,3 +2140,72 @@ def duck_simhash_bit_bias() -> str:
                CAST((n_ones * 1000000 + n // 2) // n AS BIGINT) AS ones_e6
         FROM ({rows})
     """
+
+
+# ------------------------------------------ jaccard threshold sweep
+
+
+def jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(jaccard_pct, n_pairs) — verified-Jaccard distribution over ALL
+    LSH candidate pairs (no τ filter), as half-up integer percent
+    bands. THE threshold-sweep table: where the pair mass sits decides
+    MINHASH_TAU (a bimodal histogram — near-dups vs band-collision
+    noise — gives a clean valley to cut at; mass piling just under a
+    proposed τ warns the cut is knife-edged). Exact integers
+    end-to-end, so the census is engine-stable.
+
+    Plan: identical candidate subtree to :func:`minhash_pairs` (band
+    equi-join is the ONE corpus-scale shuffle), then the same two
+    doc-id verification joins and a count onto the ≤101-row percent
+    grid — the sweep costs nothing beyond the pair derivation it
+    audits."""
+    bands = _band_sigs(spark, sf_dir)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = _shingle_arrays(spark, sf_dir)
+    joined = cand.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = (
+        F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter
+    )
+    # exact half-up integer percent: (inter*100 + union div 2) div union
+    pct = F.expr("(n_inter * 100 + n_union div 2) div n_union")
+    return (
+        joined.select(inter.alias("n_inter"), union.alias("n_union"))
+        .select(pct.alias("jaccard_pct"))
+        .groupBy("jaccard_pct")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def duck_jaccard_histogram() -> str:
+    """Oracle: the shared minhash-pair CTE chain, final select swapped
+    for the integer-percent grid (compose after a shingles CTE)."""
+    ctes, _ = _duck_minhash_pair_parts(0.0)
+    return f"""
+        {ctes}
+        , pcts AS (
+            SELECT CAST((COALESCE(i.n_inter, 0) * 100
+                         + (ca.n + cb.n - COALESCE(i.n_inter, 0)) // 2)
+                        // (ca.n + cb.n - COALESCE(i.n_inter, 0))
+                        AS BIGINT) AS jaccard_pct
+            FROM cand c
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            JOIN counts ca ON ca.doc_id = c.doc_a
+            JOIN counts cb ON cb.doc_id = c.doc_b
+        )
+        SELECT jaccard_pct, COUNT(*) AS n_pairs FROM pcts GROUP BY 1
+    """

@@ -3594,3 +3594,44 @@ def duck_entity_lifespan_over(kgt_cte: str) -> str:
                COUNT(*) AS n_entities
         FROM per GROUP BY 1
     """
+
+
+# --------------------------------------------- support × k cross-tab
+
+SUPPORT_BAND_CAP = 5
+
+
+def kg_support_matrix(kg: DataFrame) -> DataFrame:
+    """(support_band, min_k, n_triples) — confidence-structure
+    cross-tab of the materialized KG: evidence volume (distinct-window
+    support, capped at ``SUPPORT_BAND_CAP`` so the band set is a
+    constant grid) × extraction distance (``min_k`` — the closest
+    sentence gap any supporting window achieved). The quality-triage
+    table: (1, MAX_K) cells are single-sighting long-range extractions
+    — the first candidates for a higher acceptance threshold or human
+    review; (≥5, 0) cells are same-sentence workhorses. All-integer.
+
+    Plan: one dimension-grain aggregation onto the ≤ cap·(MAX_K+1)
+    grid — the KG is triples, never corpus rows."""
+    return (
+        kg.select(
+            F.least(F.col("support"), F.lit(SUPPORT_BAND_CAP))
+            .cast("long")
+            .alias("support_band"),
+            F.col("min_k").cast("long").alias("min_k"),
+        )
+        .groupBy("support_band", "min_k")
+        .agg(F.count("*").alias("n_triples"))
+    )
+
+
+def duck_support_matrix_over(kg_cte: str) -> str:
+    """Oracle: identical capped cross-tab."""
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte})
+        SELECT CAST(LEAST(support, {SUPPORT_BAND_CAP}) AS BIGINT)
+                   AS support_band,
+               CAST(min_k AS BIGINT) AS min_k,
+               COUNT(*) AS n_triples
+        FROM kg GROUP BY 1, 2
+    """

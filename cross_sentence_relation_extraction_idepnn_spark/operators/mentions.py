@@ -323,3 +323,51 @@ def locate_annotations(
             .alias("via"),
         )
     )
+
+
+def mention_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_mentions, n_turns) — mentions-per-turn histogram INCLUDING
+    zero-mention turns (the turn universe comes from the transcript,
+    not from the mention table — a census that silently drops empty
+    turns overstates entity density and mis-sizes every downstream
+    candidate budget). The k-window pair generator's cost is
+    quadratic in per-window mention count, so this grid is the
+    capacity-planning input for the candidate stage at corpus scale.
+
+    Plan: the mention subtree aggregates to turn grain, then ONE
+    turn-keyed LEFT join from the transcript universe (key-distinct
+    both sides), a zero-fill, and a count onto the density grid."""
+    from .segmentation import segment
+    from ..sources.transcripts import transcripts
+
+    t = transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    m = (
+        detect_mentions(spark, segment(transcripts(spark, sf_dir)))
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.count("*").alias("n_m"))
+    )
+    per_turn = t.join(m, ["conv_id", "turn_idx"], "left").select(
+        F.coalesce(F.col("n_m"), F.lit(0)).alias("n_mentions")
+    )
+    return per_turn.groupBy("n_mentions").agg(
+        F.count("*").alias("n_turns")
+    )
+
+
+def duck_mention_density() -> str:
+    """Oracle (compose after the transcripts+sentences prefix):
+    identical turn-universe LEFT join + zero-fill."""
+    return f"""
+        , mtab AS ({duck_mentions_cte()})
+        , per_turn AS (
+            SELECT t.conv_id, t.turn_idx,
+                   COALESCE(m.n_m, 0) AS n_mentions
+            FROM transcripts t
+            LEFT JOIN (
+                SELECT conv_id, turn_idx, COUNT(*) AS n_m
+                FROM mtab GROUP BY 1, 2
+            ) m ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+        )
+        SELECT n_mentions, COUNT(*) AS n_turns
+        FROM per_turn GROUP BY 1
+    """

@@ -183,6 +183,7 @@ def main() -> None:
         kg_reciprocity,
         entity_lifespan,
         predicate_cooccurrence,
+        kg_support_matrix,
         kg_degree_hist,
         kg_functionality,
         kg_hyperanf,
@@ -226,7 +227,11 @@ def main() -> None:
 
     from cross_sentence_relation_extraction_idepnn_spark.operators import similarity
     from cross_sentence_relation_extraction_idepnn_spark.plans import pipeline as _temporal_kg_mod
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        pii_cooccurrence as curation_pii_cooccurrence,
+    )
     from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        mention_density,
         detect_mentions,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
@@ -489,6 +494,14 @@ def main() -> None:
             _temporal_kg_mod.temporal_kg(s, d)
         ),
         "embedding_dim_profile": similarity.embedding_dim_profile,
+        "jaccard_histogram": dedup_mod.jaccard_histogram,
+        "pii_cooccurrence": lambda s, d: curation_pii_cooccurrence(
+            s, d, plant=True
+        ),
+        "mention_density": mention_density,
+        "kg_support_matrix": lambda s, d: kg_support_matrix(
+            materialize_kg(s, d)
+        ),
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

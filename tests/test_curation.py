@@ -460,3 +460,40 @@ def test_role_balance_crafted_shares(spark, tmp_path):
         for r in role_balance(spark, path).collect()
     }
     assert got == {0: (1, 8), 5: (1, 16), 3: (1, 24)}
+
+
+def test_pii_cooccurrence_crafted_grid(spark, tmp_path):
+    """doc1 email only, doc2 ssn only, doc3 email+ssn, doc4 clean,
+    doc5 email+phone → diagonal (email 3, phone 1, ssn 2),
+    off-diagonal (email,ssn)=1, (email,phone)=1, (phone,ssn)=0.
+    plant=False so only the crafted spans count."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        pii_cooccurrence,
+    )
+
+    rows = [
+        (1, "reach me at a.b@example.com today"),
+        (2, "ssn is 123-45-6789 ok"),
+        (3, "x@y.org and 987-65-4321 together"),
+        (4, "nothing sensitive here"),
+        (5, "mail q@r.io call +1 555-123-4567 now"),
+    ]
+    path = str(tmp_path / "pc")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {
+        (r.type_a, r.type_b): r.n_docs
+        for r in pii_cooccurrence(spark, path, plant=False).collect()
+    }
+    assert got == {
+        ("email", "email"): 3,
+        ("phone", "phone"): 1,
+        ("ssn", "ssn"): 2,
+        ("email", "phone"): 1,
+        ("email", "ssn"): 1,
+        ("phone", "ssn"): 0,
+    }

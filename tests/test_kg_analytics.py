@@ -1206,3 +1206,27 @@ def test_entity_lifespan_crafted(spark):
         for r in entity_lifespan(kgt).collect()
     }
     assert got == {2: 1, 0: 2}
+
+
+def test_kg_support_matrix_caps_band(spark):
+    """support 7 folds into band 5 with support 5; min_k separates
+    cells; all-integer grid."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_support_matrix,
+    )
+
+    kg = spark.createDataFrame(
+        [
+            ("A", "r", "B", 7, 0.9, 0),
+            ("C", "r", "D", 5, 0.8, 0),
+            ("E", "r", "F", 1, 0.7, 2),
+            ("G", "r", "H", 1, 0.6, 2),
+        ],
+        "subj string, pred string, obj string, support long,"
+        " max_score double, min_k int",
+    )
+    got = {
+        (r.support_band, r.min_k): r.n_triples
+        for r in kg_support_matrix(kg).collect()
+    }
+    assert got == {(5, 0): 2, (1, 2): 2}

@@ -494,3 +494,32 @@ def test_tokenizer_seam_routes_divergence_to_quarantine(spark, sf_dir, tmp_path)
         feats.filter("NOT ok").filter(F.col("cand_id") == "planted#broken").count()
         == 1
     )
+
+
+def test_mention_density_conserves_turns_and_mentions(spark, sf_dir):
+    """Histogram turn mass equals the transcript turn count; weighted
+    mention mass equals the mention-table row count; the zero bucket
+    equals the independently-counted unmentioned turns."""
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+        mention_density,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    hist = mention_density(spark, sf_dir).collect()
+    t = transcripts(spark, sf_dir)
+    m = detect_mentions(spark, segment(t))
+    n_turns = t.count()
+    n_mentions = m.count()
+    n_mentioned_turns = m.select("conv_id", "turn_idx").distinct().count()
+    got0 = {r.n_mentions: r.n_turns for r in hist}.get(0, 0)
+    assert sum(r.n_turns for r in hist) == n_turns
+    assert sum(r.n_mentions * r.n_turns for r in hist) == n_mentions
+    assert got0 == n_turns - n_mentioned_turns

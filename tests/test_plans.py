@@ -849,3 +849,38 @@ def test_session17_wave_plan_shapes(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     assert count_op(plan, "Exchange") == 1, plan
     assert "posexplode" not in plan and "Explode" not in plan, plan
+
+
+def test_session18_wave_plan_shapes(spark, sf_dir):
+    """jaccard_histogram: exactly the minhash_pairs join budget (band
+    self-join + two verification joins = 3, all equi); pii_cooccurrence:
+    join/window-free single scan into ONE exchange; mention_density:
+    two joins (broadcast alias dict + turn-universe equi-join),
+    Python-free, windows pruned."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        pii_cooccurrence,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        jaccard_histogram,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        mention_density,
+    )
+
+    plan = plan_of(jaccard_histogram(spark, sf_dir))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 3, plan
+    assert "Window" not in plan and "EvalPython" not in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+    plan = plan_of(pii_cooccurrence(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert count_op(plan, "Exchange") == 1, plan
+
+    plan = plan_of(mention_density(spark, sf_dir))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 2, plan
+    assert "Window" not in plan and "EvalPython" not in plan, plan

@@ -287,3 +287,63 @@ def test_embedding_dim_profile_independent_recompute(spark, sf_dir):
         for r in embedding_dim_profile(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_jaccard_histogram_conserves_candidates(spark, sf_dir):
+    """The percent histogram's pair mass equals the distinct LSH
+    candidate-pair count (independently derived from the band table),
+    and the ≥(100·τ) tail can never undercount the τ-filtered
+    verified pair set whose rounded jaccard is strictly above the
+    band boundary."""
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        _band_sigs,
+        jaccard_histogram,
+    )
+
+    hist = jaccard_histogram(spark, sf_dir).collect()
+    bands = _band_sigs(spark, sf_dir)
+    n_cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_pairs for r in hist) == n_cand
+    assert all(0 <= r.jaccard_pct <= 100 for r in hist)
+
+
+def test_jaccard_histogram_crafted_percent(spark, tmp_path):
+    """Two 12-word docs sharing all but the last word: shingle sets
+    (k-shingles over words) have |A∩B| and |A∪B| known exactly; the
+    operator must land them in the half-up percent band computed by
+    hand from those counts."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        _shingle_arrays,
+        jaccard_histogram,
+    )
+
+    base = [f"w{i}" for i in range(12)]
+    d2 = base[:-1] + ["zz"]
+    rows = [(1, " ".join(base)), (2, " ".join(d2))]
+    path = str(tmp_path / "jh")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    sets = {
+        r.doc_id: set(r.shs) for r in _shingle_arrays(spark, path).collect()
+    }
+    inter = len(sets[1] & sets[2])
+    union = len(sets[1] | sets[2])
+    expect_pct = (inter * 100 + union // 2) // union
+    got = {
+        r.jaccard_pct: r.n_pairs
+        for r in jaccard_histogram(spark, path).collect()
+    }
+    assert got == {expect_pct: 1}
