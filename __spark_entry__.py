@@ -128,9 +128,11 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import 
     duck_echo_rate,
     duck_role_balance,
     duck_tool_funnel,
+    duck_turn_dedup,
     echo_rate,
     role_balance,
     tool_funnel,
+    turn_dedup,
     duck_response_drift,
     duck_skew_profile,
     duck_tool_ngrams,
@@ -713,6 +715,24 @@ def _duck_kg_support_matrix() -> str:
     return duck_support_matrix_over(_duck_kg())
 
 
+def _mention_recurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-recurrence turn-span histogram — the empirical MAX_K
+    validation (chains beyond the k-window are unreachable pairs)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        mention_recurrence,
+    )
+
+    return mention_recurrence(spark, sf)
+
+
+def _duck_mention_recurrence() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        duck_mention_recurrence,
+    )
+
+    return f"{duck_with_prefix()} {duck_mention_recurrence()}"
+
+
 def _mention_density(spark: SparkSession, sf: str) -> DataFrame:
     """Mentions-per-turn histogram including zero-mention turns — the
     candidate-stage capacity-planning grid."""
@@ -729,6 +749,31 @@ def _duck_mention_density() -> str:
     )
 
     return f"{duck_with_prefix()} {duck_mention_density()}"
+
+
+def _kg_temporal_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-maintenance twin of ``kg_temporal``: conv-hash
+    deltas each run the full temporal extraction against a ONE-time
+    global canonical map; ``merge_temporal_kg`` combines them (min
+    first_seen / max last_seen / SUM of disjoint per-delta distinct-
+    conv counts). Checked against the SAME oracle as ``kg_temporal``:
+    delta merge ≡ full rebuild."""
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import spark_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        merge_temporal_kg,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        temporal_kg,
+    )
+
+    tdf = transcripts(spark, sf)
+    canon = canonicalize(_mentions(spark, sf))
+    h = spark_h15(F.col("conv_id"))
+    deltas = [
+        temporal_kg(spark, tdf=tdf.filter(h % 2 == i), canon=canon)
+        for i in (0, 1)
+    ]
+    return merge_temporal_kg(*deltas)
 
 
 def _kg_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
@@ -1097,6 +1142,10 @@ _DRIVER_PRIORITY = [
     # mention density, KG support x k confidence matrix
     "jaccard_histogram", "pii_cooccurrence", "mention_density",
     "kg_support_matrix",
+    # session-19 wave: temporal-KG delta-merge law, mention recurrence,
+    # turn-grain dedup census, zipf rank-mass profile
+    "kg_temporal_incremental", "mention_recurrence", "turn_dedup",
+    "zipf_profile",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1508,6 +1557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "mention_density": _mention_density,
         "kg_support_matrix": _kg_support_matrix,
+        "kg_temporal_incremental": _kg_temporal_incremental,
+        "mention_recurrence": _mention_recurrence,
+        "turn_dedup": turn_dedup,
+        "zipf_profile": textstats.zipf_profile,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -2184,6 +2237,11 @@ def oracle_sql() -> dict[str, str]:
         "pii_cooccurrence": curation.duck_pii_cooccurrence(plant=True),
         "mention_density": _duck_mention_density(),
         "kg_support_matrix": _duck_kg_support_matrix(),
+        "kg_temporal_incremental": _duck_kg_temporal(),
+        "mention_recurrence": _duck_mention_recurrence(),
+        "turn_dedup": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_turn_dedup()}",
+        "zipf_profile": textstats.duck_zipf_profile(),
     }
 
 

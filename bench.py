@@ -473,6 +473,10 @@ def main() -> None:
     timed("pii_cooccurrence", _entry.queries()["pii_cooccurrence"])
     timed("mention_density", _entry.queries()["mention_density"])
     timed("kg_support_matrix", _entry.queries()["kg_support_matrix"])
+    timed("kg_temporal_incremental", _entry.queries()["kg_temporal_incremental"])
+    timed("mention_recurrence", _entry.queries()["mention_recurrence"])
+    timed("turn_dedup", _entry.queries()["turn_dedup"])
+    timed("zipf_profile", _entry.queries()["zipf_profile"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -3635,3 +3635,23 @@ def duck_support_matrix_over(kg_cte: str) -> str:
                COUNT(*) AS n_triples
         FROM kg GROUP BY 1, 2
     """
+
+
+def merge_temporal_kg(*kgs: DataFrame) -> DataFrame:
+    """Incremental maintenance for the TEMPORAL KG: merge per-delta
+    ``temporal_kg`` tables at (subj, pred, obj) grain. All three
+    temporal aggregates are decomposable under conv-partitioned
+    deltas — ``first_seen`` mins, ``last_seen`` maxes, and ``n_convs``
+    SUMS exactly (a conversation lives in exactly one delta, so
+    per-delta distinct-conv counts are disjoint). With a globally
+    built canonical map, merging deltas is provably equal to a full
+    rebuild — the law ``kg_temporal_incremental`` checks against the
+    SAME oracle as ``kg_temporal``. One exchange on the triple key."""
+    import functools
+
+    merged = functools.reduce(lambda a, b: a.unionByName(b), kgs)
+    return merged.groupBy("subj", "pred", "obj").agg(
+        F.min("first_seen").alias("first_seen"),
+        F.max("last_seen").alias("last_seen"),
+        F.sum("n_convs").alias("n_convs"),
+    )

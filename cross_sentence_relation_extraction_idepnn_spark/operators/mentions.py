@@ -371,3 +371,43 @@ def duck_mention_density() -> str:
         SELECT n_mentions, COUNT(*) AS n_turns
         FROM per_turn GROUP BY 1
     """
+
+
+def mention_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(turn_span, n_chains) — entity-recurrence census: per
+    (conversation, entity) mention chain, the turn distance between
+    first and last mention, histogrammed. THE empirical validation of
+    the candidate window: chains with ``turn_span`` beyond the k-window
+    are entity pairs the generator never considers — if that tail
+    carries real mass, MAX_K is leaving recall on the table; if it's
+    empty, widening the window only buys quadratic cost. (Reference
+    analogue: iDepNN's inter-sentential window k ≤ 3,
+    `parse_BB_data.py` k-window loops.)
+
+    Plan: the mention subtree folds to (conv, entity) grain with one
+    min/max aggregation (map-side combinable), then a count onto the
+    span grid. Nothing after the fold exceeds chain grain."""
+    from .segmentation import segment
+    from ..sources.transcripts import transcripts
+
+    m = detect_mentions(spark, segment(transcripts(spark, sf_dir)))
+    chains = m.groupBy("conv_id", "entity_id").agg(
+        (F.max("turn_idx") - F.min("turn_idx")).cast("long").alias("turn_span")
+    )
+    return chains.groupBy("turn_span").agg(F.count("*").alias("n_chains"))
+
+
+def duck_mention_recurrence() -> str:
+    """Oracle (compose after the transcripts+sentences prefix):
+    identical chain fold."""
+    return f"""
+        , mtab AS ({duck_mentions_cte()})
+        , chains AS (
+            SELECT conv_id, entity_id,
+                   CAST(MAX(turn_idx) - MIN(turn_idx) AS BIGINT)
+                       AS turn_span
+            FROM mtab GROUP BY 1, 2
+        )
+        SELECT turn_span, COUNT(*) AS n_chains
+        FROM chains GROUP BY 1
+    """

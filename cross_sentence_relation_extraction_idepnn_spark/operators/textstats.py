@@ -1686,3 +1686,69 @@ def duck_prefix_dup_census() -> str:
         SELECT n_docs_per_prefix, COUNT(*) AS n_prefixes
         FROM per GROUP BY 1
     """
+
+
+# ----------------------------------------------------- zipf profile
+
+
+def zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank_bucket, n_tokens, total_occ) — rank-frequency mass curve
+    of the corpus vocabulary in log2-rank buckets (bucket b holds
+    ranks [2^b, 2^{b+1})): the Zipf-shape fingerprint. A natural
+    corpus puts roughly constant mass per bucket (slope ≈ −1); a
+    template-heavy corpus front-loads the first buckets; a
+    machine-generated one flattens the tail. Cheap drift detector to
+    run per corpus version, complementary to ``gram_coverage`` (which
+    sweeps top-k coverage, not the full curve). Ranks tie-break
+    deterministically by (count desc, token asc) in both engines;
+    ``floor(log2(rank))`` is exact in IEEE at the bucket boundaries
+    (powers of two), so the bucketing is engine-stable.
+
+    Plan: the corpus-wide stage is ONE explode + token count;
+    everything after runs on the VOCABULARY dimension — a single rank
+    window and a count onto the ≤ log2|V| bucket grid. If the vocab
+    outgrows one sort at extreme scale, the same two-pass threshold
+    select documented for ``gram_coverage`` applies."""
+    from pyspark.sql import Window
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("occ"))
+    )
+    w = Window.orderBy(F.col("occ").desc(), F.col("tok").asc())
+    ranked = toks.select(
+        "occ", F.row_number().over(w).alias("rank")
+    )
+    return (
+        ranked.select(
+            F.floor(F.log2("rank")).cast("long").alias("rank_bucket"),
+            "occ",
+        )
+        .groupBy("rank_bucket")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("occ").alias("total_occ"),
+        )
+    )
+
+
+def duck_zipf_profile() -> str:
+    """Oracle: identical rank window and log2 bucketing."""
+    return """
+        WITH toks AS (
+            SELECT tok, COUNT(*) AS occ FROM (
+                SELECT UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) GROUP BY tok
+        ),
+        ranked AS (
+            SELECT occ, ROW_NUMBER() OVER
+                       (ORDER BY occ DESC, tok ASC) AS rank
+            FROM toks
+        )
+        SELECT CAST(FLOOR(LOG2(rank)) AS BIGINT) AS rank_bucket,
+               COUNT(*) AS n_tokens, SUM(occ) AS total_occ
+        FROM ranked GROUP BY 1
+    """

@@ -932,3 +932,38 @@ def duck_role_balance() -> str:
                SUM(tot) AS total_tokens
         FROM bucketed GROUP BY 1
     """
+
+
+def turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(multiplicity, n_classes, n_turns) — turn-grain exact-duplicate
+    census: how many distinct turn texts occur once, twice, … across
+    the whole corpus, with the turn mass per band. The transcript-
+    native boilerplate detector (greetings, canned tool preambles,
+    retry loops repeat at TURN grain, invisible to document-grain
+    dedup and coarser than line_dedup's line grain) — a heavy
+    multiplicity head is the signal to run turn-level dedup before
+    pair generation wastes candidate budget on template turns.
+
+    Plan: one turn-text count (the single corpus-grain exchange,
+    map-side combinable), then a count onto the multiplicity grid —
+    the same two-level shape as ``dedup_exact``, one grain finer."""
+    t = transcripts(spark, sf_dir).select("text")
+    classes = t.groupBy("text").agg(F.count("*").alias("multiplicity"))
+    return classes.groupBy("multiplicity").agg(
+        F.count("*").alias("n_classes"),
+        (F.count("*") * F.col("multiplicity")).alias("n_turns"),
+    )
+
+
+def duck_turn_dedup() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — leading comma):
+    identical two-level count."""
+    return """
+        , classes AS (
+            SELECT text, COUNT(*) AS multiplicity
+            FROM transcripts GROUP BY text
+        )
+        SELECT multiplicity, COUNT(*) AS n_classes,
+               COUNT(*) * multiplicity AS n_turns
+        FROM classes GROUP BY multiplicity
+    """

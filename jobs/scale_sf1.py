@@ -227,11 +227,13 @@ def main() -> None:
 
     from cross_sentence_relation_extraction_idepnn_spark.operators import similarity
     from cross_sentence_relation_extraction_idepnn_spark.plans import pipeline as _temporal_kg_mod
+    import __spark_entry__ as _entry_mod
     from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
         pii_cooccurrence as curation_pii_cooccurrence,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
         mention_density,
+        mention_recurrence,
         detect_mentions,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
@@ -245,6 +247,7 @@ def main() -> None:
         conv_survival,
         tool_funnel,
         role_balance,
+        turn_dedup,
         echo_rate,
         response_drift,
         tool_ngrams,
@@ -502,6 +505,12 @@ def main() -> None:
         "kg_support_matrix": lambda s, d: kg_support_matrix(
             materialize_kg(s, d)
         ),
+        "kg_temporal_incremental": _entry_mod.queries()[
+            "kg_temporal_incremental"
+        ],
+        "mention_recurrence": mention_recurrence,
+        "turn_dedup": turn_dedup,
+        "zipf_profile": textstats_mod.zipf_profile,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

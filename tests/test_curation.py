@@ -497,3 +497,27 @@ def test_pii_cooccurrence_crafted_grid(spark, tmp_path):
         ("email", "ssn"): 1,
         ("phone", "ssn"): 0,
     }
+
+
+def test_turn_dedup_crafted_multiplicity(spark, tmp_path):
+    """Two 8-word docs with identical text yield one turn class of
+    multiplicity 2; a distinct third doc is a singleton →
+    {2: (1, 2), 1: (1, 1)}."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        turn_dedup,
+    )
+
+    same = " ".join(f"w{i}" for i in range(8))
+    rows = [(1, same), (2, same), (3, " ".join(f"z{i}" for i in range(8)))]
+    path = str(tmp_path / "td")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {
+        r.multiplicity: (r.n_classes, r.n_turns)
+        for r in turn_dedup(spark, path).collect()
+    }
+    assert got == {2: (1, 2), 1: (1, 1)}

@@ -1230,3 +1230,26 @@ def test_kg_support_matrix_caps_band(spark):
         for r in kg_support_matrix(kg).collect()
     }
     assert got == {(5, 0): 2, (1, 2): 2}
+
+
+def test_merge_temporal_kg_law_hand_computed(spark):
+    """Two conv-partitioned deltas: shared triple merges to
+    (min first, max last, summed conv counts); delta-only triples
+    pass through unchanged."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        merge_temporal_kg,
+    )
+
+    schema = (
+        "subj string, pred string, obj string, first_seen long,"
+        " last_seen long, n_convs long"
+    )
+    d1 = spark.createDataFrame(
+        [("A", "r", "B", 100, 200, 2), ("C", "r", "D", 50, 60, 1)], schema
+    )
+    d2 = spark.createDataFrame([("A", "r", "B", 150, 400, 3)], schema)
+    got = {
+        (r.subj, r.obj): (r.first_seen, r.last_seen, r.n_convs)
+        for r in merge_temporal_kg(d1, d2).collect()
+    }
+    assert got == {("A", "B"): (100, 400, 5), ("C", "D"): (50, 60, 1)}

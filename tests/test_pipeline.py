@@ -523,3 +523,24 @@ def test_mention_density_conserves_turns_and_mentions(spark, sf_dir):
     assert sum(r.n_turns for r in hist) == n_turns
     assert sum(r.n_mentions * r.n_turns for r in hist) == n_mentions
     assert got0 == n_turns - n_mentioned_turns
+
+
+def test_mention_recurrence_conserves_chains(spark, sf_dir):
+    """Histogram chain mass equals the distinct (conv, entity) count
+    and spans are bounded by per-conversation turn extents."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        detect_mentions,
+        mention_recurrence,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    hist = mention_recurrence(spark, sf_dir).collect()
+    m = detect_mentions(spark, segment(transcripts(spark, sf_dir)))
+    n_chains = m.select("conv_id", "entity_id").distinct().count()
+    assert sum(r.n_chains for r in hist) == n_chains
+    assert all(r.turn_span >= 0 for r in hist)

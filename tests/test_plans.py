@@ -884,3 +884,35 @@ def test_session18_wave_plan_shapes(spark, sf_dir):
         plan, "BroadcastHashJoin"
     ) == 2, plan
     assert "Window" not in plan and "EvalPython" not in plan, plan
+
+
+def test_session19_wave_plan_shapes(spark, sf_dir):
+    """turn_dedup: join/window/Python-free two-level count;
+    zipf_profile: one explode + vocab-dimension rank window (exactly
+    1 Window), join-free; mention_recurrence: chain fold then grid —
+    the only joins are the mention subtree's own (alias broadcast),
+    Python-free."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        mention_recurrence,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        zipf_profile,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        turn_dedup,
+    )
+
+    plan = plan_of(turn_dedup(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+    plan = plan_of(zipf_profile(spark, sf_dir))
+    assert count_op(plan, "Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+    plan = plan_of(mention_recurrence(spark, sf_dir))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 1, plan
+    assert "EvalPython" not in plan, plan

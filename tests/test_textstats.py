@@ -567,3 +567,24 @@ def test_prefix_dup_census_crafted_twins(spark, tmp_path):
         for r in prefix_dup_census(spark, path).collect()
     }
     assert got == {2: 1, 1: 1}
+
+
+def test_zipf_profile_conserves_mass(spark, sf_dir):
+    """Bucket 0 holds exactly rank 1; token and occurrence masses
+    equal independently-computed vocabulary size and corpus token
+    count."""
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        zipf_profile,
+    )
+
+    hist = {r.rank_bucket: (r.n_tokens, r.total_occ)
+            for r in zipf_profile(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    n_occ = toks.count()
+    n_vocab = toks.distinct().count()
+    assert hist[0][0] == 1
+    assert sum(v[0] for v in hist.values()) == n_vocab
+    assert sum(v[1] for v in hist.values()) == n_occ
