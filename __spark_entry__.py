@@ -776,6 +776,51 @@ def _kg_temporal_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return merge_temporal_kg(*deltas)
 
 
+def _kg_partitioned_write(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned triple-table materialization (north-rule sink):
+    subject-hash-bucketed parquet write + read-back census — a green
+    row proves the physical layout round-trips."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        kg_partitioned_write,
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scratch",
+        "kg_write",
+        os.path.basename(sf.rstrip("/")),
+    )
+    return kg_partitioned_write(materialize_kg(spark, sf), path)
+
+
+def _duck_kg_partitioned_write() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        duck_partitioned_write_over,
+    )
+
+    return duck_partitioned_write_over(_duck_kg())
+
+
+def _alias_hit_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Alias-dictionary yield per role — the mention-detection
+    coverage dashboard."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        alias_hit_rate,
+    )
+
+    return alias_hit_rate(spark, sf)
+
+
+def _duck_alias_hit_rate() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        duck_alias_hit_rate,
+    )
+
+    return f"{duck_with_prefix()} {duck_alias_hit_rate()}"
+
+
 def _kg_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected distinct-neighbour degree distribution of the
     materialized KG — the heavy-tail witness for hub-join planning."""
@@ -1146,6 +1191,10 @@ _DRIVER_PRIORITY = [
     # turn-grain dedup census, zipf rank-mass profile
     "kg_temporal_incremental", "mention_recurrence", "turn_dedup",
     "zipf_profile",
+    # session-20 wave: partitioned triple-table sink, alias-dict
+    # yield, simhash hamming sweep
+    "kg_partitioned_write", "alias_hit_rate",
+    "simhash_hamming_histogram",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1561,6 +1610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_recurrence": _mention_recurrence,
         "turn_dedup": turn_dedup,
         "zipf_profile": textstats.zipf_profile,
+        "kg_partitioned_write": _kg_partitioned_write,
+        "alias_hit_rate": _alias_hit_rate,
+        "simhash_hamming_histogram": dedup.simhash_hamming_histogram,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -2238,6 +2290,10 @@ def oracle_sql() -> dict[str, str]:
         "mention_density": _duck_mention_density(),
         "kg_support_matrix": _duck_kg_support_matrix(),
         "kg_temporal_incremental": _duck_kg_temporal(),
+        "kg_partitioned_write": _duck_kg_partitioned_write(),
+        "alias_hit_rate": _duck_alias_hit_rate(),
+        "simhash_hamming_histogram": f"{shingles_prefix}"
+        f" {dedup.duck_simhash_hamming_histogram()}",
         "mention_recurrence": _duck_mention_recurrence(),
         "turn_dedup": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {duck_turn_dedup()}",

@@ -477,6 +477,9 @@ def main() -> None:
     timed("mention_recurrence", _entry.queries()["mention_recurrence"])
     timed("turn_dedup", _entry.queries()["turn_dedup"])
     timed("zipf_profile", _entry.queries()["zipf_profile"])
+    timed("kg_partitioned_write", _entry.queries()["kg_partitioned_write"])
+    timed("alias_hit_rate", _entry.queries()["alias_hit_rate"])
+    timed("simhash_hamming_histogram", dedup.simhash_hamming_histogram)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

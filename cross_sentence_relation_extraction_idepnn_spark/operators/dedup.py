@@ -2209,3 +2209,81 @@ def duck_jaccard_histogram() -> str:
         )
         SELECT jaccard_pct, COUNT(*) AS n_pairs FROM pcts GROUP BY 1
     """
+
+
+# ------------------------------------- simhash hamming sweep
+
+
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hamming, n_pairs) — Hamming-distance distribution over ALL
+    byte-block simhash candidate pairs (no ≤ max_ham filter): the
+    threshold-sweep twin of :func:`jaccard_histogram` for the simhash
+    family. Mass at high Hamming is pure block-collision noise the
+    pigeonhole join pays to verify — if it dominates, the block width
+    is too narrow for this corpus; mass hugging the ≤ 3 cutoff warns
+    the dedup decision is knife-edged. Exact integers.
+
+    Plan: identical candidate subtree to :func:`simhash_pairs` (block
+    equi-join is the one corpus-scale shuffle), XOR popcount per pair,
+    then a count onto the 33-row grid."""
+    sim = simhash_docs(spark, sf_dir)
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        F.shiftright(F.col("simhash"), j * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["blk", "val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        cand.select(ham.alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def duck_simhash_hamming_histogram() -> str:
+    """Oracle: the simhash candidate CTEs re-aggregated to the
+    Hamming grid."""
+    return f"""
+        , sim AS ({duck_simhash_cte()})
+        , blocks AS (
+            SELECT doc_id, simhash, j AS blk,
+                   (simhash >> (j * 8)) & 255 AS val
+            FROM sim, (SELECT UNNEST(range(4)) AS j)
+        )
+        , cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.simhash AS sh_a, y.simhash AS sh_b
+            FROM blocks x JOIN blocks y
+              ON x.blk = y.blk AND x.val = y.val
+             AND x.doc_id < y.doc_id
+        )
+        SELECT CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming,
+               COUNT(*) AS n_pairs
+        FROM cand GROUP BY 1
+    """

@@ -3655,3 +3655,58 @@ def merge_temporal_kg(*kgs: DataFrame) -> DataFrame:
         F.max("last_seen").alias("last_seen"),
         F.sum("n_convs").alias("n_convs"),
     )
+
+
+# -------------------------------- partitioned triple-table sink
+
+KG_WRITE_BUCKETS = 8
+
+
+def kg_partitioned_write(
+    kg: DataFrame, path: str, n_buckets: int = KG_WRITE_BUCKETS
+) -> DataFrame:
+    """(bucket, n_triples) — the north rule's "dedup-shuffle
+    materialization into a partitioned triple table" as a first-class,
+    verifiable batch sink: the KG is written to ``path`` partitioned
+    by ``bucket = H(subj) mod n_buckets`` (the portable hash, so
+    bucket routing is reproducible cross-engine and stable across
+    runs — an incremental writer appends to the same buckets), then
+    READ BACK from the partitioned files and counted per bucket. The
+    returned census is computed from the round-tripped files, so a
+    green row proves the physical layout, not just the logical plan.
+    ``overwrite`` mode keeps the sink idempotent (re-running a failed
+    job converges, the same law the streaming sink's batchId
+    partitioning provides).
+
+    Plan: one dimension-grain write shuffled by the partition column
+    (Spark routes rows to partition directories map-side), one
+    partition-pruned read-back, one grid count. Subject-hash
+    bucketing co-locates each entity's triples — the layout every
+    downstream per-entity consumer (neighbors, degree, resolve) wants
+    to read without a shuffle."""
+    from ..hashing import spark_h15
+
+    out = kg.withColumn(
+        "bucket", (spark_h15(F.col("subj")) % n_buckets).cast("int")
+    )
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    back = kg.sparkSession.read.parquet(path)
+    return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_triples")
+    )
+
+
+def duck_partitioned_write_over(
+    kg_cte: str, n_buckets: int = KG_WRITE_BUCKETS
+) -> str:
+    """Oracle: the bucket-assignment law on the logical KG (the Spark
+    side must produce the SAME census from the physical files)."""
+    from ..hashing import duck_h15
+
+    h = duck_h15("subj")
+    return f"""
+        WITH RECURSIVE kg AS MATERIALIZED ({kg_cte})
+        SELECT CAST({h} % {n_buckets} AS BIGINT) AS bucket,
+               COUNT(*) AS n_triples
+        FROM kg GROUP BY 1
+    """

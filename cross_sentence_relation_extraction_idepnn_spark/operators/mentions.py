@@ -411,3 +411,65 @@ def duck_mention_recurrence() -> str:
         SELECT turn_span, COUNT(*) AS n_chains
         FROM chains GROUP BY 1
     """
+
+
+def alias_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(role, n_turns, n_tokens, n_mentions, hit_e6) — alias-dictionary
+    yield per speaker role: how many whitespace tokens each role emits,
+    how many become detected mentions, and the half-up e6 hit rate.
+    The dictionary-coverage dashboard: a falling assistant hit rate
+    after a corpus refresh means the broadcast alias dict is going
+    stale for generated text; a near-zero role can be excluded from
+    mention detection entirely and the J7 broadcast shrinks.
+
+    Plan: token counts are a narrow projection; mentions fold to turn
+    grain before ONE turn-keyed join back to the role column
+    (key-distinct both sides), then a |roles|-grid conditional-sum
+    aggregation."""
+    from .segmentation import segment
+    from ..sources.transcripts import transcripts
+
+    t = transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    m = (
+        detect_mentions(spark, segment(transcripts(spark, sf_dir)))
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.count("*").alias("n_m"))
+    )
+    per_turn = t.join(m, ["conv_id", "turn_idx"], "left").select(
+        "role", "n_tok", F.coalesce(F.col("n_m"), F.lit(0)).alias("n_m")
+    )
+    return per_turn.groupBy("role").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_m").alias("n_mentions"),
+        F.expr(
+            "(sum(n_m) * 1000000 + sum(n_tok) div 2) div sum(n_tok)"
+        ).alias("hit_e6"),
+    )
+
+
+def duck_alias_hit_rate() -> str:
+    """Oracle (compose after the transcripts+sentences prefix):
+    identical turn-grain fold + role grid."""
+    return f"""
+        , mtab AS ({duck_mentions_cte()})
+        , per_turn AS (
+            SELECT t.role, len(string_split(t.text, ' ')) AS n_tok,
+                   COALESCE(m.n_m, 0) AS n_m
+            FROM transcripts t
+            LEFT JOIN (
+                SELECT conv_id, turn_idx, COUNT(*) AS n_m
+                FROM mtab GROUP BY 1, 2
+            ) m ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+        )
+        SELECT role, COUNT(*) AS n_turns, SUM(n_tok) AS n_tokens,
+               SUM(n_m) AS n_mentions,
+               CAST((SUM(n_m) * 1000000 + SUM(n_tok) // 2)
+                    // SUM(n_tok) AS BIGINT) AS hit_e6
+        FROM per_turn GROUP BY role
+    """

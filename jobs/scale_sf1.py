@@ -234,6 +234,7 @@ def main() -> None:
     from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
         mention_density,
         mention_recurrence,
+        alias_hit_rate,
         detect_mentions,
     )
     from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
@@ -511,6 +512,9 @@ def main() -> None:
         "mention_recurrence": mention_recurrence,
         "turn_dedup": turn_dedup,
         "zipf_profile": textstats_mod.zipf_profile,
+        "kg_partitioned_write": _entry_mod.queries()["kg_partitioned_write"],
+        "alias_hit_rate": alias_hit_rate,
+        "simhash_hamming_histogram": dedup_mod.simhash_hamming_histogram,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

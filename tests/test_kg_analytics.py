@@ -1253,3 +1253,41 @@ def test_merge_temporal_kg_law_hand_computed(spark):
         for r in merge_temporal_kg(d1, d2).collect()
     }
     assert got == {("A", "B"): (100, 400, 5), ("C", "D"): (50, 60, 1)}
+
+
+def test_kg_partitioned_write_layout_and_idempotence(spark, tmp_path):
+    """The census from the round-tripped files equals the
+    python-recomputed bucket assignment; the directory layout is
+    physically partitioned (bucket=K subdirs); overwrite re-run
+    converges to the same census."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.hashing import py_h15
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        KG_WRITE_BUCKETS,
+        kg_partitioned_write,
+    )
+
+    kg = _kg_df(
+        spark,
+        [(f"E{i}", "r", f"F{i}", 1) for i in range(20)],
+    )
+    path = str(tmp_path / "kgw")
+    got = {
+        r.bucket: r.n_triples
+        for r in kg_partitioned_write(kg, path).collect()
+    }
+    expected: dict[int, int] = {}
+    for i in range(20):
+        b = py_h15(f"E{i}") % KG_WRITE_BUCKETS
+        expected[b] = expected.get(b, 0) + 1
+    assert got == expected
+    subdirs = {
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    }
+    assert subdirs == {f"bucket={b}" for b in expected}
+    again = {
+        r.bucket: r.n_triples
+        for r in kg_partitioned_write(kg, path).collect()
+    }
+    assert again == got

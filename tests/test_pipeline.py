@@ -544,3 +544,26 @@ def test_mention_recurrence_conserves_chains(spark, sf_dir):
     n_chains = m.select("conv_id", "entity_id").distinct().count()
     assert sum(r.n_chains for r in hist) == n_chains
     assert all(r.turn_span >= 0 for r in hist)
+
+
+def test_alias_hit_rate_conserves(spark, sf_dir):
+    """Role rows partition the turn universe; token and mention masses
+    match independent counts; the e6 rate recomputes exactly."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        alias_hit_rate,
+        detect_mentions,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.segmentation import (
+        segment,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        transcripts,
+    )
+
+    rows = alias_hit_rate(spark, sf_dir).collect()
+    t = transcripts(spark, sf_dir)
+    m = detect_mentions(spark, segment(t))
+    assert sum(r.n_turns for r in rows) == t.count()
+    assert sum(r.n_mentions for r in rows) == m.count()
+    for r in rows:
+        assert r.hit_e6 == (r.n_mentions * 1_000_000 + r.n_tokens // 2) // r.n_tokens

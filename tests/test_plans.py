@@ -916,3 +916,29 @@ def test_session19_wave_plan_shapes(spark, sf_dir):
         plan, "BroadcastHashJoin"
     ) == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_session20_wave_plan_shapes(spark, sf_dir):
+    """alias_hit_rate: mention subtree folds to turn grain before the
+    single universe join (2 joins total incl. the alias broadcast),
+    Python-free; simhash_hamming_histogram: exactly the simhash_pairs
+    join budget (the one block self-join), window/Python-free."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        simhash_hamming_histogram,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.mentions import (
+        alias_hit_rate,
+    )
+
+    plan = plan_of(alias_hit_rate(spark, sf_dir))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 2, plan
+    assert "Window" not in plan and "EvalPython" not in plan, plan
+
+    plan = plan_of(simhash_hamming_histogram(spark, sf_dir))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 1, plan
+    assert "Window" not in plan and "EvalPython" not in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

@@ -347,3 +347,20 @@ def test_jaccard_histogram_crafted_percent(spark, tmp_path):
         for r in jaccard_histogram(spark, path).collect()
     }
     assert got == {expect_pct: 1}
+
+
+def test_simhash_hamming_histogram_consistent_with_pairs(spark, sf_dir):
+    """The sweep's ≤ HAMMING_MAX mass equals the simhash_pairs row
+    count (same candidate subtree, filter vs census), and the grid
+    stays within [0, 32]."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        HAMMING_MAX,
+        simhash_hamming_histogram,
+        simhash_pairs,
+    )
+
+    hist = {r.hamming: r.n_pairs
+            for r in simhash_hamming_histogram(spark, sf_dir).collect()}
+    n_kept = simhash_pairs(spark, sf_dir).count()
+    assert sum(v for h, v in hist.items() if h <= HAMMING_MAX) == n_kept
+    assert all(0 <= h <= 32 for h in hist)
