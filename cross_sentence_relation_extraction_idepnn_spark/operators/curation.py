@@ -169,7 +169,15 @@ def decontaminate(
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    docs = _docs(spark, sf_dir).select("doc_id", grams.alias("g"))
+    # fan out BEFORE the gram build: a small local file reads as ONE
+    # split and n-gram string construction is the dominant per-row
+    # cost — at cluster scale the scan already has ≥ cores splits and
+    # this branch never fires
+    raw = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < par:
+        raw = raw.repartition(par)
+    docs = raw.select("doc_id", grams.alias("g"))
     bench_g = (
         docs.filter(F.col("doc_id") % bench_every == 0)
         .select(F.explode("g").alias("gram"))
@@ -800,7 +808,15 @@ def bloom_prefilter(
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    docs = _docs(spark, sf_dir).select("doc_id", grams.alias("g"))
+    # fan out BEFORE the gram build: a small local file reads as ONE
+    # split and n-gram string construction is the dominant per-row
+    # cost — at cluster scale the scan already has ≥ cores splits and
+    # this branch never fires
+    raw = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < par:
+        raw = raw.repartition(par)
+    docs = raw.select("doc_id", grams.alias("g"))
     bench_g = (
         docs.filter(F.col("doc_id") % bench_every == 0)
         .select(F.explode("g").alias("gram"))
@@ -812,27 +828,32 @@ def bloom_prefilter(
             spark_h15(F.concat(F.lit(f"bloom{j}|"), F.col(col))) % m
         ).cast("int")
 
-    bloom = (
-        bench_g.select(
+    # Literal-bitmask re-plan (round 4, the IVF literal-quantizer
+    # pattern): the filter is ≤ m bits NO MATTER the blocklist size, so
+    # it rides into codegen as ONE boolean-array literal and the k-bit
+    # membership test is a narrow projection — the old explode(×k) →
+    # broadcast-join → (doc, gram) re-aggregation (the plan's only
+    # corpus-scale shuffle, 38 s at sf1) is gone. The collect is the
+    # sanctioned dimension-sized kind (≤ m rows, here 4 KB).
+    import functools
+
+    bloom_positions = {
+        r.bitpos
+        for r in bench_g.select(
             F.explode(F.array(*[bit(j) for j in range(k)])).alias("bitpos")
         )
         .distinct()
-        .withColumn("set_", F.lit(1))
+        .collect()
+    }
+    lit_mask = F.lit([i in bloom_positions for i in range(m)])
+    cand = functools.reduce(
+        lambda a, b: a & b,
+        [F.element_at(lit_mask, bit(j) + 1) for j in range(k)],
     )
     cg = docs.filter(F.col("doc_id") % bench_every != 0).select(
         "doc_id", F.explode("g").alias("gram")
     )
-    hitbits = (
-        cg.select(
-            "doc_id",
-            "gram",
-            F.explode(F.array(*[bit(j) for j in range(k)])).alias("bitpos"),
-        )
-        .join(F.broadcast(bloom), "bitpos", "left")
-        .groupBy("doc_id", "gram")
-        .agg((F.sum(F.coalesce("set_", F.lit(0))) == k).alias("cand"))
-    )
-    flagged = hitbits.join(
+    flagged = cg.withColumn("cand", cand).join(
         F.broadcast(bench_g.withColumn("exact", F.lit(True))), "gram", "left"
     )
     return flagged.groupBy("doc_id").agg(
