@@ -1810,7 +1810,15 @@ def quality_dup_matrix(
     that see both sides."""
     from .textstats import STOPWORDS
 
-    clusters = dedup_clusters(spark, sf_dir, tau)
+    from ..session import track_checkpoint
+
+    # eager truncation: clusters feeds TWO consumers (the size
+    # aggregate and the doc-grain join) — without it the whole
+    # minhash-pair + connected-components subtree evaluates twice
+    # (the kg_component_sizes lesson, session 15)
+    clusters = track_checkpoint(
+        dedup_clusters(spark, sf_dir, tau).localCheckpoint(eager=True)
+    )
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
     dup = clusters.join(sizes, "cluster_id").select(
         "doc_id", (F.col("sz") >= 2).alias("is_dup")
