@@ -127,6 +127,8 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import 
     duck_conv_survival,
     duck_echo_rate,
     duck_role_balance,
+    conv_context_budget,
+    duck_conv_context_budget,
     duck_tool_funnel,
     duck_turn_dedup,
     echo_rate,
@@ -821,6 +823,60 @@ def _duck_alias_hit_rate() -> str:
     return f"{duck_with_prefix()} {duck_alias_hit_rate()}"
 
 
+def _extraction_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """(stage, n_rows) — the whole KG-extraction pipeline as ONE
+    attrition funnel: turns → sentences → mentions → candidate pairs →
+    featurize-ok windows → accepted triples → canonical deduped KG.
+    The observability table a pipeline operator reads first after any
+    corpus or model change (the KG-side sibling of
+    ``curation_funnel``); every stage count reuses the corresponding
+    audited engine operator, so a funnel shift localizes the stage
+    that moved. Plan: each stage is an independent 1-row count
+    aggregate unioned onto the 7-row grid (stages have different
+    grains, so a shared-pass form does not exist)."""
+    import functools
+
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        materialize_kg as _mat_kg,
+    )
+
+    stages = [
+        ("1_turns", transcripts(spark, sf)),
+        ("2_sentences", _sentences(spark, sf)),
+        ("3_mentions", _mentions(spark, sf)),
+        ("4_candidates", _candidates(spark, sf)),
+        ("5_featurized_ok", _featurized(spark, sf).filter("ok")),
+        ("6_triples", _triples(spark, sf)),
+        ("7_kg", _mat_kg(spark, sf)),
+    ]
+    parts = [
+        df.agg(F.count("*").alias("n_rows")).select(
+            F.lit(name).alias("stage"), "n_rows"
+        )
+        for name, df in stages
+    ]
+    return functools.reduce(lambda a, b: a.unionAll(b), parts)
+
+
+def _duck_extraction_funnel() -> str:
+    from cross_sentence_relation_extraction_idepnn_spark.operators.graph import (
+        duck_sdp_prefix,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.training import GOLD_MAX_HOPS
+
+    return f"""
+        {duck_sdp_prefix()}
+        SELECT '1_turns' AS stage, COUNT(*) AS n_rows FROM transcripts
+        UNION ALL SELECT '2_sentences', COUNT(*) FROM sentences
+        UNION ALL SELECT '3_mentions', COUNT(*) FROM mentions
+        UNION ALL SELECT '4_candidates', COUNT(*) FROM candidates
+        UNION ALL SELECT '5_featurized_ok', COUNT(*) FROM sdp WHERE ok
+        UNION ALL SELECT '6_triples', COUNT(*) FROM sdp
+                  WHERE ok AND sdp_dist <= {GOLD_MAX_HOPS}
+        UNION ALL SELECT '7_kg', COUNT(*) FROM ({_duck_kg()})
+    """
+
+
 def _kg_degree_hist(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected distinct-neighbour degree distribution of the
     materialized KG — the heavy-tail witness for hub-join planning."""
@@ -1195,6 +1251,9 @@ _DRIVER_PRIORITY = [
     # yield, simhash hamming sweep
     "kg_partitioned_write", "alias_hit_rate",
     "simhash_hamming_histogram",
+    # session-21 wave: end-to-end extraction funnel, normalization
+    # mask census, context-budget truncation census
+    "extraction_funnel", "mask_census", "conv_context_budget",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1613,6 +1672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_partitioned_write": _kg_partitioned_write,
         "alias_hit_rate": _alias_hit_rate,
         "simhash_hamming_histogram": dedup.simhash_hamming_histogram,
+        "extraction_funnel": _extraction_funnel,
+        "mask_census": lambda s, d: textstats.mask_census(s, d, plant=True),
+        "conv_context_budget": conv_context_budget,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -2294,6 +2356,10 @@ def oracle_sql() -> dict[str, str]:
         "alias_hit_rate": _duck_alias_hit_rate(),
         "simhash_hamming_histogram": f"{shingles_prefix}"
         f" {dedup.duck_simhash_hamming_histogram()}",
+        "extraction_funnel": _duck_extraction_funnel(),
+        "mask_census": textstats.duck_mask_census(plant=True),
+        "conv_context_budget": f"WITH transcripts AS"
+        f" ({duck_transcripts_cte()}) {duck_conv_context_budget()}",
         "mention_recurrence": _duck_mention_recurrence(),
         "turn_dedup": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {duck_turn_dedup()}",

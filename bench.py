@@ -480,6 +480,9 @@ def main() -> None:
     timed("kg_partitioned_write", _entry.queries()["kg_partitioned_write"])
     timed("alias_hit_rate", _entry.queries()["alias_hit_rate"])
     timed("simhash_hamming_histogram", dedup.simhash_hamming_histogram)
+    timed("extraction_funnel", _entry.queries()["extraction_funnel"])
+    timed("mask_census", _entry.queries()["mask_census"])
+    timed("conv_context_budget", _entry.queries()["conv_context_budget"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

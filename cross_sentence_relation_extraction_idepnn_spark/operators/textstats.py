@@ -1752,3 +1752,125 @@ def duck_zipf_profile() -> str:
                COUNT(*) AS n_tokens, SUM(occ) AS total_occ
         FROM ranked GROUP BY 1
     """
+
+
+# ----------------------------------------------------- mask census
+
+_MASK_STEPS = "currency", "time", "number", "url"
+
+MASK_PLANT_EVERY = 10  # synthetic corpus carries no organic maskable spans
+
+
+def mask_census(
+    spark: SparkSession, sf_dir: str, plant: bool = True
+) -> DataFrame:
+    """(mask_type, n_docs, n_hits) — observability for the T4-T8
+    normalization chain: per mask type (currency → time → number →
+    url, measured in REFERENCE CHAIN ORDER on the progressively
+    masked state, exactly as ``normalize_chain`` applies them), how
+    many documents contain at least one maskable span and how many
+    spans the chain rewrites in total. The drift monitor for the
+    text-normalization stage: a corpus refresh that doubles ``url``
+    hits changes the token distribution every downstream model sees —
+    this table fires before the vocabulary silently shifts. Counting
+    on the chain state matters (a digit inside a URL is masked as
+    part of the URL step only if the number step didn't eat it first
+    — same discipline as ``pii_scrub``'s span counting).
+
+    Plan: one narrow regex projection + one global aggregation
+    (single-row shuffle) + a 4-row stack unpivot — scan-speed."""
+    from ..functions.text import _TIME_RE, space_tags
+
+    text = F.col("text")
+    if plant:
+        # deterministic maskable spans on every Nth doc (the pii_scrub
+        # plant pattern), so the chain is non-vacuous on the synthetic
+        # corpus; expected per planted doc: currency 1, time 1,
+        # number 2 (the 5 freed by the currency mask + the 3), url 1
+        text = F.when(
+            F.col("doc_id") % MASK_PLANT_EVERY == 0,
+            F.concat(text, F.lit(" price $5 in 3 days see //x.io/q")),
+        ).otherwise(text)
+    spaced = space_tags(text)
+    # chain states mirror functions.text.normalize_chain exactly
+    steps = []
+    state = spaced
+    # currency: count '$' occurrences, then mask
+    steps.append(("currency", F.size(F.split(state, r"\$", -1)) - 1))
+    state = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(state, r"\$", " currency "), r"  +", " "
+        )
+    )
+    # time: reference lowercases first (side effect), then masks units
+    state = F.lower(state)
+    steps.append(("time", F.size(F.split(state, _TIME_RE, -1)) - 1))
+    state = F.regexp_replace(state, _TIME_RE, "time")
+    # numbers
+    steps.append(("number", F.size(F.split(state, r"\b[0-9]+\b", -1)) - 1))
+    state = F.regexp_replace(state, r"\b[0-9]+\b", "0")
+    # urls
+    steps.append(("url", F.size(F.split(state, r"//\S*", -1)) - 1))
+    one = _docs(spark, sf_dir).select(
+        *[cnt.alias(f"c_{name}") for name, cnt in steps]
+    ).agg(
+        *[
+            F.sum((F.col(f"c_{name}") > 0).cast("long")).alias(f"d_{name}")
+            for name, _ in steps
+        ],
+        *[
+            F.sum(F.col(f"c_{name}").cast("long")).alias(f"h_{name}")
+            for name, _ in steps
+        ],
+    )
+    cells = ", ".join(
+        f"'{name}', d_{name}, h_{name}" for name, _ in steps
+    )
+    return one.selectExpr(
+        f"stack({len(steps)}, {cells}) AS (mask_type, n_docs, n_hits)"
+    )
+
+
+def duck_mask_census(plant: bool = True) -> str:
+    """Oracle: identical plant + chain-state regex counting."""
+    from ..functions.text import _TIME_RE
+
+    text = "text"
+    if plant:
+        text = (
+            f"CASE WHEN doc_id % {MASK_PLANT_EVERY} = 0 THEN text"
+            " || ' price $5 in 3 days see //x.io/q' ELSE text END"
+        )
+    spaced = (
+        f"trim(regexp_replace(regexp_replace({text},"
+        " '(</?e[12]>)', ' \\1 ', 'g'), '  +', ' ', 'g'))"
+    )
+    state = spaced
+    exprs = []
+    exprs.append(
+        ("currency", f"len(string_split_regex({state}, '\\$')) - 1")
+    )
+    state = (
+        f"trim(regexp_replace(regexp_replace({state}, '\\$',"
+        f" ' currency ', 'g'), '  +', ' ', 'g'))"
+    )
+    state = f"lower({state})"
+    exprs.append(
+        ("time", f"len(string_split_regex({state}, '{_TIME_RE}')) - 1")
+    )
+    state = f"regexp_replace({state}, '{_TIME_RE}', 'time', 'g')"
+    exprs.append(
+        ("number", f"len(string_split_regex({state}, '\\b[0-9]+\\b')) - 1")
+    )
+    state = f"regexp_replace({state}, '\\b[0-9]+\\b', '0', 'g')"
+    exprs.append(
+        ("url", f"len(string_split_regex({state}, '//\\S*')) - 1")
+    )
+    sel = ", ".join(f"({e}) AS c_{n}" for n, e in exprs)
+    rows = " UNION ALL ".join(
+        f"SELECT '{n}' AS mask_type,"
+        f" SUM(CASE WHEN c_{n} > 0 THEN 1 ELSE 0 END) AS n_docs,"
+        f" SUM(c_{n}) AS n_hits FROM flags"
+        for n, _e in exprs
+    )
+    return f"WITH flags AS (SELECT {sel} FROM documents) {rows}"

@@ -967,3 +967,111 @@ def duck_turn_dedup() -> str:
                COUNT(*) * multiplicity AS n_turns
         FROM classes GROUP BY multiplicity
     """
+
+
+CONTEXT_BUDGETS = (64, 256, 1024)
+
+
+def conv_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(budget, n_convs_intact, turns_kept, turns_dropped,
+    tokens_dropped) — context-window truncation census under the
+    KEEP-THE-SUFFIX policy every chat assembly uses: for each audited
+    token budget B, a turn survives iff the whitespace-token mass from
+    it to the END of its conversation fits in B. The conversation-
+    grain complement of ``truncation_loss`` (doc-grain prefix cutoff):
+    it prices what context budgets actually destroy — early turns of
+    long conversations — and ``n_convs_intact`` counts conversations
+    that fit whole. All-integer.
+
+    Plan: ONE reverse running-sum window per conversation (rows
+    frame, state = one partial sum), a conversation-grain rollup, and
+    one global aggregate unpivoted onto the |budgets| grid — one
+    corpus pass regardless of how many budgets are audited."""
+    from pyspark.sql import Window
+
+    t = transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_turn = t.select(
+        "conv_id", "n_tok", F.sum("n_tok").over(w).alias("sfx")
+    )
+    per_conv = per_turn.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        *[
+            F.sum((F.col("sfx") <= b).cast("long")).alias(f"kept_{b}")
+            for b in CONTEXT_BUDGETS
+        ],
+        *[
+            F.sum(
+                F.when(F.col("sfx") > b, F.col("n_tok")).otherwise(0)
+            ).alias(f"drop_{b}")
+            for b in CONTEXT_BUDGETS
+        ],
+    )
+    one = per_conv.agg(
+        F.sum("n_turns").alias("tot_turns"),
+        *[
+            F.sum(
+                (F.col(f"kept_{b}") == F.col("n_turns")).cast("long")
+            ).alias(f"intact_{b}")
+            for b in CONTEXT_BUDGETS
+        ],
+        *[F.sum(f"kept_{b}").alias(f"k_{b}") for b in CONTEXT_BUDGETS],
+        *[F.sum(f"drop_{b}").alias(f"d_{b}") for b in CONTEXT_BUDGETS],
+    )
+    cells = ", ".join(
+        f"{b}L, intact_{b}, k_{b}, tot_turns - k_{b}, d_{b}"
+        for b in CONTEXT_BUDGETS
+    )
+    return one.selectExpr(
+        f"stack({len(CONTEXT_BUDGETS)}, {cells}) AS (budget,"
+        " n_convs_intact, turns_kept, turns_dropped, tokens_dropped)"
+    )
+
+
+def duck_conv_context_budget() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — leading comma):
+    identical reverse running sum and budget grid."""
+    kept = ", ".join(
+        f"SUM(CASE WHEN sfx <= {b} THEN 1 ELSE 0 END) AS kept_{b},"
+        f" SUM(CASE WHEN sfx > {b} THEN n_tok ELSE 0 END) AS drop_{b}"
+        for b in CONTEXT_BUDGETS
+    )
+    glob = ", ".join(
+        f"SUM(CASE WHEN kept_{b} = n_turns THEN 1 ELSE 0 END)"
+        f" AS intact_{b}, SUM(kept_{b}) AS k_{b}, SUM(drop_{b}) AS d_{b}"
+        for b in CONTEXT_BUDGETS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({b} AS BIGINT) AS budget, intact_{b} AS n_convs_intact,"
+        f" k_{b} AS turns_kept, tot_turns - k_{b} AS turns_dropped,"
+        f" d_{b} AS tokens_dropped FROM one"
+        for b in CONTEXT_BUDGETS
+    )
+    return f"""
+        , per_turn AS (
+            SELECT conv_id, n_tok,
+                   SUM(n_tok) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sfx
+            FROM (
+                SELECT conv_id, turn_idx,
+                       len(string_split(text, ' ')) AS n_tok
+                FROM transcripts
+            )
+        ),
+        per_conv AS (
+            SELECT conv_id, COUNT(*) AS n_turns, {kept}
+            FROM per_turn GROUP BY conv_id
+        ),
+        one AS (SELECT SUM(n_turns) AS tot_turns, {glob} FROM per_conv)
+        {rows}
+    """

@@ -249,6 +249,7 @@ def main() -> None:
         tool_funnel,
         role_balance,
         turn_dedup,
+        conv_context_budget,
         echo_rate,
         response_drift,
         tool_ngrams,
@@ -515,6 +516,11 @@ def main() -> None:
         "kg_partitioned_write": _entry_mod.queries()["kg_partitioned_write"],
         "alias_hit_rate": alias_hit_rate,
         "simhash_hamming_histogram": dedup_mod.simhash_hamming_histogram,
+        "extraction_funnel": _entry_mod.queries()["extraction_funnel"],
+        "mask_census": lambda s, d: textstats_mod.mask_census(
+            s, d, plant=True
+        ),
+        "conv_context_budget": conv_context_budget,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

@@ -521,3 +521,39 @@ def test_turn_dedup_crafted_multiplicity(spark, tmp_path):
         for r in turn_dedup(spark, path).collect()
     }
     assert got == {2: (1, 2), 1: (1, 1)}
+
+
+def test_conv_context_budget_crafted_suffix(spark, tmp_path):
+    """72-word doc → 9 turns of 8 tokens; suffix sums are 8..72, so
+    budget 64 keeps 8 turns (drops the opening 8 tokens, conversation
+    not intact) while 256/1024 keep everything; an 8-word doc is
+    always intact."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        conv_context_budget,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(72))),
+        (2, " ".join(f"z{i}" for i in range(8))),
+    ]
+    path = str(tmp_path / "ccb")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {
+        r.budget: (
+            r.n_convs_intact,
+            r.turns_kept,
+            r.turns_dropped,
+            r.tokens_dropped,
+        )
+        for r in conv_context_budget(spark, path).collect()
+    }
+    assert got == {
+        64: (1, 9, 1, 8),
+        256: (2, 10, 0, 0),
+        1024: (2, 10, 0, 0),
+    }

@@ -567,3 +567,23 @@ def test_alias_hit_rate_conserves(spark, sf_dir):
     assert sum(r.n_mentions for r in rows) == m.count()
     for r in rows:
         assert r.hit_e6 == (r.n_mentions * 1_000_000 + r.n_tokens // 2) // r.n_tokens
+
+
+def test_extraction_funnel_matches_stage_operators(spark, sf_dir):
+    """Each funnel row equals its stage operator's independent count,
+    and attrition is monotone across the scoring tail (featurized_ok ≥
+    triples ≥ kg)."""
+    import __spark_entry__ as entry
+
+    got = {
+        r.stage: r.n_rows
+        for r in entry.queries()["extraction_funnel"](spark, sf_dir).collect()
+    }
+    qs = entry.queries()
+    assert got["1_turns"] == qs["transcripts"](spark, sf_dir).count()
+    assert got["2_sentences"] == qs["sentences"](spark, sf_dir).count()
+    assert got["3_mentions"] == qs["mentions"](spark, sf_dir).count()
+    assert got["4_candidates"] == qs["candidates"](spark, sf_dir).count()
+    assert got["6_triples"] == qs["triples"](spark, sf_dir).count()
+    assert got["7_kg"] == qs["kg"](spark, sf_dir).count()
+    assert got["5_featurized_ok"] >= got["6_triples"] >= got["7_kg"]

@@ -942,3 +942,25 @@ def test_session20_wave_plan_shapes(spark, sf_dir):
     ) == 1, plan
     assert "Window" not in plan and "EvalPython" not in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_session21_wave_plan_shapes(spark, sf_dir):
+    """mask_census: join/window-free single scan into ONE exchange;
+    conv_context_budget: exactly one window (the reverse running sum),
+    join-free, Python-free."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        mask_census,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        conv_context_budget,
+    )
+
+    plan = plan_of(mask_census(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert count_op(plan, "Exchange") == 1, plan
+
+    plan = plan_of(conv_context_budget(spark, sf_dir))
+    assert count_op(plan, "Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan

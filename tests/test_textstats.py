@@ -588,3 +588,35 @@ def test_zipf_profile_conserves_mass(spark, sf_dir):
     assert hist[0][0] == 1
     assert sum(v[0] for v in hist.values()) == n_vocab
     assert sum(v[1] for v in hist.values()) == n_occ
+
+
+def test_mask_census_crafted_spans(spark, tmp_path):
+    """'pay $3 now wait 2 days then visit //a.b x' → currency 1,
+    time 1 (days), number 2 (the 3 freed by the currency mask + the
+    2), url 1; a clean doc contributes nothing. plant=False so only
+    crafted spans count."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        mask_census,
+    )
+
+    rows = [
+        (1, "pay $3 now wait 2 days then visit //a.b x"),
+        (2, "nothing maskable here at all"),
+    ]
+    path = str(tmp_path / "mc")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    got = {
+        r.mask_type: (r.n_docs, r.n_hits)
+        for r in mask_census(spark, path, plant=False).collect()
+    }
+    assert got == {
+        "currency": (1, 1),
+        "time": (1, 1),
+        "number": (1, 2),
+        "url": (1, 1),
+    }
