@@ -836,18 +836,31 @@ def _extraction_funnel(spark: SparkSession, sf: str) -> DataFrame:
     grains, so a shared-pass form does not exist)."""
     import functools
 
-    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
-        materialize_kg as _mat_kg,
+    from cross_sentence_relation_extraction_idepnn_spark.operators.linking import (
+        dedup_triples,
+        rekey_canonical,
     )
+    from cross_sentence_relation_extraction_idepnn_spark.session import track_checkpoint
 
+    # stages 1-4 share the memoized sentence/mention subtrees; the
+    # expensive fused featurize+score kernel runs once for stage 5 and
+    # once for the triple set, which is then eagerly truncated so
+    # stage 7's canonical dedup reuses it instead of re-scoring the
+    # corpus a third time (51 s → ~2 scoring passes at sf1)
+    t_chk = track_checkpoint(
+        extract_triples(spark, sf).localCheckpoint(eager=True)
+    )
+    kg_df = dedup_triples(
+        rekey_canonical(t_chk, canonicalize(_mentions(spark, sf)))
+    )
     stages = [
         ("1_turns", transcripts(spark, sf)),
         ("2_sentences", _sentences(spark, sf)),
         ("3_mentions", _mentions(spark, sf)),
         ("4_candidates", _candidates(spark, sf)),
         ("5_featurized_ok", _featurized(spark, sf).filter("ok")),
-        ("6_triples", _triples(spark, sf)),
-        ("7_kg", _mat_kg(spark, sf)),
+        ("6_triples", t_chk),
+        ("7_kg", kg_df),
     ]
     parts = [
         df.agg(F.count("*").alias("n_rows")).select(
