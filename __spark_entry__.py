@@ -1267,6 +1267,9 @@ _DRIVER_PRIORITY = [
     # session-21 wave: end-to-end extraction funnel, normalization
     # mask census, context-budget truncation census
     "extraction_funnel", "mask_census", "conv_context_budget",
+    # session-22 wave: dedup-family ensemble agreement, length-bias
+    # dup cross-tab
+    "dedup_family_agreement", "length_dup_matrix",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1688,6 +1691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_funnel": _extraction_funnel,
         "mask_census": lambda s, d: textstats.mask_census(s, d, plant=True),
         "conv_context_budget": conv_context_budget,
+        "dedup_family_agreement": dedup.dedup_family_agreement,
+        "length_dup_matrix": dedup.length_dup_matrix,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -2370,6 +2375,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming_histogram": f"{shingles_prefix}"
         f" {dedup.duck_simhash_hamming_histogram()}",
         "extraction_funnel": _duck_extraction_funnel(),
+        "dedup_family_agreement": f"{shingles_prefix}"
+        f" {dedup.duck_dedup_family_agreement()}",
+        "length_dup_matrix": dedup.duck_length_dup_matrix(),
         "mask_census": textstats.duck_mask_census(plant=True),
         "conv_context_budget": f"WITH transcripts AS"
         f" ({duck_transcripts_cte()}) {duck_conv_context_budget()}",

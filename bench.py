@@ -483,6 +483,8 @@ def main() -> None:
     timed("extraction_funnel", _entry.queries()["extraction_funnel"])
     timed("mask_census", _entry.queries()["mask_census"])
     timed("conv_context_budget", _entry.queries()["conv_context_budget"])
+    timed("dedup_family_agreement", dedup.dedup_family_agreement)
+    timed("length_dup_matrix", dedup.length_dup_matrix)
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

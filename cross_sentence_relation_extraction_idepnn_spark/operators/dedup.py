@@ -2295,3 +2295,163 @@ def duck_simhash_hamming_histogram() -> str:
                COUNT(*) AS n_pairs
         FROM cand GROUP BY 1
     """
+
+
+# --------------------------------------- cross-family dedup agreement
+
+
+def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(family, n_pairs) — ensemble audit of the two cheap near-dup
+    families: verified MinHash pairs (Jaccard ≥ τ) vs SimHash pairs
+    (Hamming ≤ 3) on the same corpus, counted as ``minhash_only`` /
+    ``simhash_only`` / ``both``. The families measure different
+    similarity (set overlap vs weighted-token profile), so
+    disagreement is EXPECTED — what this table monitors is the
+    disagreement RATE: a corpus change that collapses ``both`` while
+    inflating a single family means one detector drifted (token
+    distribution shifted under simhash, or shingle length stopped
+    matching the edit pattern) and the production dedup ensemble needs
+    re-tuning. The cheap standing answer to "which dedup should I
+    trust here?".
+
+    Plan: both pair subtrees are the audited band/block equi-joins;
+    agreement is ONE full-outer join at pair grain (pair-bounded, far
+    below corpus grain) and a count onto the 3-row grid."""
+    mh = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").withColumn(
+        "in_mh", F.lit(1)
+    )
+    sh = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").withColumn(
+        "in_sh", F.lit(1)
+    )
+    joined = mh.join(sh, ["doc_a", "doc_b"], "full")
+    family = (
+        F.when(
+            F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("in_mh").isNotNull(), F.lit("minhash_only"))
+        .otherwise(F.lit("simhash_only"))
+    )
+    return joined.select(family.alias("family")).groupBy("family").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+def duck_dedup_family_agreement() -> str:
+    """Oracle: both pair CTE chains + the same full-outer census
+    (compose after a shingles CTE)."""
+    mh_ctes, _ = _duck_minhash_pair_parts(MINHASH_TAU)
+    return f"""
+        {mh_ctes}
+        , mh AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            JOIN counts ca ON ca.doc_id = c.doc_a
+            JOIN counts cb ON cb.doc_id = c.doc_b
+            WHERE COALESCE(i.n_inter, 0) * 1.0
+                  / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= {MINHASH_TAU}
+        )
+        , sim AS ({duck_simhash_cte()})
+        , blocks AS (
+            SELECT doc_id, simhash, j AS blk,
+                   (simhash >> (j * 8)) & 255 AS val
+            FROM sim, (SELECT UNNEST(range(4)) AS j)
+        )
+        , scand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   x.simhash AS sh_a, y.simhash AS sh_b
+            FROM blocks x JOIN blocks y
+              ON x.blk = y.blk AND x.val = y.val
+             AND x.doc_id < y.doc_id
+        )
+        , sh AS (
+            SELECT doc_a, doc_b FROM scand
+            WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}
+        )
+        , agreement AS (
+            SELECT CASE
+                WHEN m.doc_a IS NOT NULL AND s.doc_a IS NOT NULL
+                    THEN 'both'
+                WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+                ELSE 'simhash_only' END AS family
+            FROM mh m FULL JOIN sh s
+              ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+        )
+        SELECT family, COUNT(*) AS n_pairs
+        FROM agreement GROUP BY 1
+    """
+
+
+# -------------------------------------------- length-bias of dedup
+
+LEN_BAND_EDGES = (32, 64, 128)
+
+
+def length_dup_matrix(
+    spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU
+) -> DataFrame:
+    """(len_band, is_dup, n_docs) — length-bias audit of the MinHash
+    near-dup detector: whitespace-token length band × membership in a
+    verified dup cluster (size ≥ 2). MinHash's fixed shingle width
+    makes short documents both harder to pair (few shingles) and
+    easier to false-pair (one shared phrase dominates Jaccard) — this
+    cross-tab shows where on the length axis the detector actually
+    fires, the complement of ``quality_dup_matrix``'s quality axis.
+    Band edges in ``LEN_BAND_EDGES`` (band = #edges strictly below
+    the doc's token count — all-integer).
+
+    Plan: the length side is a narrow projection; the dup side reuses
+    the audited cluster subtree (eagerly truncated — it feeds the
+    size aggregate and the doc join); the final doc-grain equi-join
+    and the grid count are the only stages seeing both."""
+    from ..session import track_checkpoint
+
+    clusters = track_checkpoint(
+        dedup_clusters(spark, sf_dir, tau).localCheckpoint(eager=True)
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    dup = clusters.join(sizes, "cluster_id").select(
+        "doc_id", (F.col("sz") >= 2).alias("is_dup")
+    )
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    band = sum(
+        (n > e).cast("long") for e in LEN_BAND_EDGES
+    )
+    lens = read_parquet_cached(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", band.alias("len_band")
+    )
+    return (
+        lens.join(dup, "doc_id")
+        .groupBy("len_band", "is_dup")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def duck_length_dup_matrix(tau: float = MINHASH_TAU) -> str:
+    """Oracle: the dedup_clusters chain re-crossed with length bands
+    (self-contained — reuses the duck_dedup_clusters derivation)."""
+    band = " + ".join(
+        f"CASE WHEN len(string_split(text, ' ')) > {e} THEN 1 ELSE 0 END"
+        for e in LEN_BAND_EDGES
+    )
+    return f"""
+        WITH RECURSIVE clusters AS MATERIALIZED (
+            {duck_dedup_clusters(tau)}
+        ),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS sz
+            FROM clusters GROUP BY 1
+        ),
+        dup AS (
+            SELECT c.doc_id, (s.sz >= 2) AS is_dup
+            FROM clusters c JOIN sizes s ON s.cluster_id = c.cluster_id
+        ),
+        lens AS (
+            SELECT doc_id, CAST({band} AS BIGINT) AS len_band
+            FROM documents
+        )
+        SELECT l.len_band, d.is_dup, COUNT(*) AS n_docs
+        FROM lens l JOIN dup d ON d.doc_id = l.doc_id
+        GROUP BY 1, 2
+    """

@@ -521,6 +521,8 @@ def main() -> None:
             s, d, plant=True
         ),
         "conv_context_budget": conv_context_budget,
+        "dedup_family_agreement": dedup_mod.dedup_family_agreement,
+        "length_dup_matrix": dedup_mod.length_dup_matrix,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

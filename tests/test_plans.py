@@ -964,3 +964,20 @@ def test_session21_wave_plan_shapes(spark, sf_dir):
     assert count_op(plan, "Window") == 1, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_session22_wave_plan_shapes(spark, sf_dir):
+    """dedup_family_agreement: the two audited pair subtrees plus ONE
+    pair-grain full-outer join on top (join budget = minhash's 3 +
+    simhash's 1 + 1 agreement = 5 equi-joins, nothing nested-loop),
+    window/Python-free."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        dedup_family_agreement,
+    )
+
+    plan = plan_of(dedup_family_agreement(spark, sf_dir))
+    assert count_op(plan, "SortMergeJoin") + count_op(
+        plan, "BroadcastHashJoin"
+    ) == 5, plan
+    assert "Window" not in plan and "EvalPython" not in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

@@ -364,3 +364,41 @@ def test_simhash_hamming_histogram_consistent_with_pairs(spark, sf_dir):
     n_kept = simhash_pairs(spark, sf_dir).count()
     assert sum(v for h, v in hist.items() if h <= HAMMING_MAX) == n_kept
     assert all(0 <= h <= 32 for h in hist)
+
+
+def test_dedup_family_agreement_conserves(spark, sf_dir):
+    """minhash_only + both equals the MinHash pair count;
+    simhash_only + both equals the SimHash pair count — the census
+    partitions the union of the two pair sets exactly."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        dedup_family_agreement,
+        minhash_pairs,
+        simhash_pairs,
+    )
+
+    got = {r.family: r.n_pairs
+           for r in dedup_family_agreement(spark, sf_dir).collect()}
+    n_mh = minhash_pairs(spark, sf_dir).count()
+    n_sh = simhash_pairs(spark, sf_dir).count()
+    assert got.get("minhash_only", 0) + got.get("both", 0) == n_mh
+    assert got.get("simhash_only", 0) + got.get("both", 0) == n_sh
+
+
+def test_length_dup_matrix_conserves_docs(spark, sf_dir):
+    """Every document lands in exactly one (band, dup) cell, and the
+    dup mass equals the independently-counted members of clusters of
+    size ≥ 2."""
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        dedup_clusters,
+        length_dup_matrix,
+    )
+
+    rows = length_dup_matrix(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    cl = dedup_clusters(spark, sf_dir)
+    sz = cl.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    n_dup = cl.join(sz, "cluster_id").filter("sz >= 2").count()
+    assert sum(r.n_docs for r in rows if r.is_dup) == n_dup
