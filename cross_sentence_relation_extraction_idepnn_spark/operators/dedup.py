@@ -2317,11 +2317,25 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: both pair subtrees are the audited band/block equi-joins;
     agreement is ONE full-outer join at pair grain (pair-bounded, far
     below corpus grain) and a count onto the 3-row grid."""
-    mh = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").withColumn(
-        "in_mh", F.lit(1)
+    from ..session import track_checkpoint
+
+    # eager truncation BEFORE the outer join: composed, the planner
+    # cannot estimate the pair-set cardinality and demotes the
+    # verification join to a sort-merge that shuffles the shingle
+    # arrays (measured 1.46 GB at sf1 vs the audited subtree's 3 MB);
+    # materialized, each family runs its standalone plan and the
+    # agreement join sees two small tables with real stats
+    mh = track_checkpoint(
+        minhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_mh", F.lit(1))
+        .localCheckpoint(eager=True)
     )
-    sh = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").withColumn(
-        "in_sh", F.lit(1)
+    sh = track_checkpoint(
+        simhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_sh", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     joined = mh.join(sh, ["doc_a", "doc_b"], "full")
     family = (

@@ -967,10 +967,11 @@ def test_session21_wave_plan_shapes(spark, sf_dir):
 
 
 def test_session22_wave_plan_shapes(spark, sf_dir):
-    """dedup_family_agreement: the two audited pair subtrees plus ONE
-    pair-grain full-outer join on top (join budget = minhash's 3 +
-    simhash's 1 + 1 agreement = 5 equi-joins, nothing nested-loop),
-    window/Python-free."""
+    """dedup_family_agreement: the two pair families are eagerly
+    truncated (each runs its own audited standalone plan — composing
+    them un-truncated demoted the verification join to a shingle-array
+    shuffle, 1.46 GB at sf1), so the visible plan is exactly ONE
+    pair-grain full-outer join over two materialized tables."""
     from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
         dedup_family_agreement,
     )
@@ -978,6 +979,6 @@ def test_session22_wave_plan_shapes(spark, sf_dir):
     plan = plan_of(dedup_family_agreement(spark, sf_dir))
     assert count_op(plan, "SortMergeJoin") + count_op(
         plan, "BroadcastHashJoin"
-    ) == 5, plan
+    ) == 1, plan
     assert "Window" not in plan and "EvalPython" not in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
