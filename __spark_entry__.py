@@ -129,6 +129,10 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import 
     duck_role_balance,
     conv_context_budget,
     duck_conv_context_budget,
+    duck_tool_effect,
+    duck_tool_latency,
+    tool_effect,
+    tool_latency,
     duck_tool_funnel,
     duck_turn_dedup,
     echo_rate,
@@ -1270,6 +1274,8 @@ _DRIVER_PRIORITY = [
     # session-22 wave: dedup-family ensemble agreement, length-bias
     # dup cross-tab
     "dedup_family_agreement", "length_dup_matrix",
+    # session-23 wave: per-tool next-turn effect + latency
+    "tool_effect", "tool_latency",
     # single-green-round queries (r3)
     "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
     # transcript → candidate core
@@ -1693,6 +1699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_context_budget": conv_context_budget,
         "dedup_family_agreement": dedup.dedup_family_agreement,
         "length_dup_matrix": dedup.length_dup_matrix,
+        "tool_effect": tool_effect,
+        "tool_latency": tool_latency,
         # model-kernel outputs — oracle-checked via the closed-form
         # tree-distance SQL (duck_sdp_ctes); see module docstring
         "featurized_sdp": _featurized,
@@ -2378,6 +2386,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_family_agreement": f"{shingles_prefix}"
         f" {dedup.duck_dedup_family_agreement()}",
         "length_dup_matrix": dedup.duck_length_dup_matrix(),
+        "tool_effect": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_tool_effect()}",
+        "tool_latency": f"WITH transcripts AS ({duck_transcripts_cte()})"
+        f" {duck_tool_latency()}",
         "mask_census": textstats.duck_mask_census(plant=True),
         "conv_context_budget": f"WITH transcripts AS"
         f" ({duck_transcripts_cte()}) {duck_conv_context_budget()}",

@@ -485,6 +485,8 @@ def main() -> None:
     timed("conv_context_budget", _entry.queries()["conv_context_budget"])
     timed("dedup_family_agreement", dedup.dedup_family_agreement)
     timed("length_dup_matrix", dedup.length_dup_matrix)
+    timed("tool_effect", _entry.queries()["tool_effect"])
+    timed("tool_latency", _entry.queries()["tool_latency"])
 
     _run_passes()
     sec_high = timings["kg_pipeline"]

@@ -1075,3 +1075,111 @@ def duck_conv_context_budget() -> str:
         one AS (SELECT SUM(n_turns) AS tot_turns, {glob} FROM per_conv)
         {rows}
     """
+
+
+def tool_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tool, n_turns, sum_next_len, mean_next_len_e2) — does tool use
+    change what the assistant says next? For every turn, the
+    whitespace-token length of the NEXT turn in the conversation,
+    aggregated by the current turn's tool (NULL tool → the ``none``
+    baseline row). A search result that doubles the next turn's length
+    is grounding being used; a tool whose next-turn length matches the
+    baseline is plausibly ignored — the cheap causal-proxy readout an
+    agent-platform team watches per release. ``mean_next_len_e2`` is
+    the half-up 1e2 fixed-point mean (integers end-to-end).
+
+    Plan: ONE lead window per conversation (same sort the other
+    sequence queries share at 100 TB), then a map-side-combinable
+    aggregation onto the ≤|tools|+1 grid."""
+    from pyspark.sql import Window
+
+    t = transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    led = t.withColumn("next_len", F.lead("n_tok").over(w)).filter(
+        F.col("next_len").isNotNull()
+    )
+    return led.groupBy(
+        F.coalesce(F.col("tool"), F.lit("none")).alias("tool")
+    ).agg(
+        F.count("*").alias("n_turns"),
+        F.sum("next_len").alias("sum_next_len"),
+        F.expr(
+            "(sum(next_len) * 100 + count(*) div 2) div count(*)"
+        ).alias("mean_next_len_e2"),
+    )
+
+
+def duck_tool_effect() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — leading comma):
+    the lead via the turn_idx+1 self-join (inner join ≡ the engine's
+    next-turn-exists filter under dense per-conversation turn
+    indices)."""
+    return """
+        , led AS (
+            SELECT COALESCE(a.tool, 'none') AS tool,
+                   len(string_split(b.text, ' ')) AS next_len
+            FROM transcripts a
+            JOIN transcripts b
+              ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+        )
+        SELECT tool, COUNT(*) AS n_turns,
+               SUM(next_len) AS sum_next_len,
+               CAST((SUM(next_len) * 100 + COUNT(*) // 2) // COUNT(*)
+                    AS BIGINT) AS mean_next_len_e2
+        FROM led GROUP BY tool
+    """
+
+
+def tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tool, n, sum_ms, min_ms, max_ms) — response latency by TOOL
+    NAME: for each tool-bearing turn, the millisecond gap to the next
+    turn in the conversation. The per-tool SLA complement of
+    ``turn_latency`` (which aggregates by role transition): a tool
+    whose max gap explodes is the pipeline's slow dependency, and the
+    sum/n pair feeds any latency budget exactly (integers
+    end-to-end).
+
+    Plan: the same per-conversation sorted pass as the other sequence
+    queries (one lead window), filtered to tool turns, then one
+    map-side-combinable aggregation onto the |tools| grid."""
+    from pyspark.sql import Window
+
+    t = transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "tool", F.unix_millis("ts").alias("ms")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        t.withColumn("next_ms", F.lead("ms").over(w))
+        .filter(F.col("tool").isNotNull() & F.col("next_ms").isNotNull())
+        .select("tool", (F.col("next_ms") - F.col("ms")).alias("gap_ms"))
+    )
+    return gaps.groupBy("tool").agg(
+        F.count("*").alias("n"),
+        F.sum("gap_ms").alias("sum_ms"),
+        F.min("gap_ms").alias("min_ms"),
+        F.max("gap_ms").alias("max_ms"),
+    )
+
+
+def duck_tool_latency() -> str:
+    """Oracle (compose after a ``transcripts`` CTE — leading comma):
+    gaps via the turn_idx+1 self-join on bigint epoch seconds × 1000
+    (the synthetic timestamps are whole seconds, so this matches
+    ``unix_millis`` exactly)."""
+    return """
+        , gaps AS (
+            SELECT a.tool, (b.ts_epoch - a.ts_epoch) * 1000 AS gap_ms
+            FROM transcripts a
+            JOIN transcripts b
+              ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+            WHERE a.tool IS NOT NULL
+        )
+        SELECT tool, COUNT(*) AS n, SUM(gap_ms) AS sum_ms,
+               MIN(gap_ms) AS min_ms, MAX(gap_ms) AS max_ms
+        FROM gaps GROUP BY tool
+    """

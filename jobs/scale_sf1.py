@@ -250,6 +250,8 @@ def main() -> None:
         role_balance,
         turn_dedup,
         conv_context_budget,
+        tool_effect,
+        tool_latency,
         echo_rate,
         response_drift,
         tool_ngrams,
@@ -523,6 +525,8 @@ def main() -> None:
         "conv_context_budget": conv_context_budget,
         "dedup_family_agreement": dedup_mod.dedup_family_agreement,
         "length_dup_matrix": dedup_mod.length_dup_matrix,
+        "tool_effect": tool_effect,
+        "tool_latency": tool_latency,
     }
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}

@@ -557,3 +557,33 @@ def test_conv_context_budget_crafted_suffix(spark, tmp_path):
         256: (2, 10, 0, 0),
         1024: (2, 10, 0, 0),
     }
+
+
+def test_tool_effect_and_latency_crafted(spark, tmp_path):
+    """40-word doc → 5 turns of 8 tokens; tool turns (search@3) have a
+    next turn of 8 tokens, 13 s later; the baseline rows cover every
+    other non-terminal turn. Hand-computed grids."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        tool_effect,
+        tool_latency,
+    )
+
+    rows = [(1, " ".join(f"w{i}" for i in range(40)))]
+    path = str(tmp_path / "te")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    # turns 0..4; tool: turn 3 -> 'search' (odd and %3==0); others None
+    eff = {
+        r.tool: (r.n_turns, r.sum_next_len, r.mean_next_len_e2)
+        for r in tool_effect(spark, path).collect()
+    }
+    assert eff == {"none": (3, 24, 800), "search": (1, 8, 800)}
+    lat = {
+        r.tool: (r.n, r.sum_ms, r.min_ms, r.max_ms)
+        for r in tool_latency(spark, path).collect()
+    }
+    assert lat == {"search": (1, 13000, 13000, 13000)}

@@ -982,3 +982,18 @@ def test_session22_wave_plan_shapes(spark, sf_dir):
     ) == 1, plan
     assert "Window" not in plan and "EvalPython" not in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_session23_wave_plan_shapes(spark, sf_dir):
+    """tool_effect / tool_latency: ONE lead window each (the shared
+    per-conversation sorted pass), join-free, Python-free."""
+    from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import (
+        tool_effect,
+        tool_latency,
+    )
+
+    for fn in (tool_effect, tool_latency):
+        plan = plan_of(fn(spark, sf_dir))
+        assert count_op(plan, "Window") == 1, plan
+        assert "Join" not in plan, plan
+        assert "EvalPython" not in plan, plan
