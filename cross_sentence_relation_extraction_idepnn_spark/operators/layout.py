@@ -179,32 +179,17 @@ def compaction_plan(
 
     from ..session import track_cache
 
+    from ..plans.rangenum import prefix_offset_col, ranged_by
+
     stats = zorder_files(spark, sf_dir)
-    ranged = (
-        stats.repartitionByRange(n_ranges, "zfile")
-        .withColumn("pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    track_cache(ranged)
-    sums = {
-        r["pid"]: r["s"]
-        for r in ranged.groupBy("pid")
-        .agg(F.sum("n_rows").alias("s"))
-        .collect()
-    }
-    offsets, acc = [], 0
-    for p in sorted(sums):
-        offsets += [F.lit(p), F.lit(acc)]
-        acc += sums[p]
-    off_map = F.create_map(*offsets) if offsets else F.create_map()
+    ranged = ranged_by(stats, n_ranges, "zfile")
+    off_col, _total = prefix_offset_col(ranged, F.col("n_rows"))
     w = (
         Window.partitionBy("pid")
         .orderBy("zfile")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum = F.coalesce(F.sum("n_rows").over(w), F.lit(0)) + F.coalesce(
-        off_map[F.col("pid")], F.lit(0)
-    )
+    cum = F.coalesce(F.sum("n_rows").over(w), F.lit(0)) + off_col
     return (
         ranged.withColumn("cum_before", cum)
         .withColumn(

@@ -989,25 +989,13 @@ def kg_negatives(
             .unionByName(edges.select(F.col("obj").alias("node")))
             .distinct()
         )
-        ranged = track_cache(
-            nodes.repartitionByRange(n_ranges, "node")
-            .withColumn("pid", F.spark_partition_id())
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        counts = {
-            r["pid"]: r["cnt"]
-            for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-        }
-        offsets, acc = [], 0
-        for p in sorted(counts):
-            offsets += [F.lit(p), F.lit(acc)]
-            acc += counts[p]
-        n = acc
+        from ..plans.rangenum import prefix_offset_col, ranged_by
+
+        ranged = ranged_by(nodes, n_ranges, "node")
+        off, n = prefix_offset_col(ranged)
         w = Window.partitionBy("pid").orderBy("node")
         numbered = ranged.withColumn(
-            "node_id",
-            (F.row_number().over(w) - 1 + F.create_map(*offsets)[F.col("pid")])
-            .cast("long"),
+            "node_id", (F.row_number().over(w) - 1 + off).cast("long")
         ).select("node", "node_id")
         cand = edges.select(
             "*",

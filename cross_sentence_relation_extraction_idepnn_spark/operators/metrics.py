@@ -65,30 +65,16 @@ def vocabulary(sentences: DataFrame, n_ranges: int = 32) -> DataFrame:
         .filter(F.col("word") != "")
         .distinct()
     )
-    from pyspark.storagelevel import StorageLevel
+    from ..plans.rangenum import prefix_offset_col, ranged_by
 
-    ranged = (
-        toks.repartitionByRange(n_ranges, "word")
-        .withColumn("pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    track_cache(ranged)
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    if not counts:
+    ranged = ranged_by(toks, n_ranges, "word")
+    off, total = prefix_offset_col(ranged)
+    if total == 0:
         return toks.withColumn("word_idx", F.lit(0).cast("int"))
-    offsets = []
-    acc = 0
-    for p in sorted(counts):
-        offsets += [F.lit(p), F.lit(acc)]
-        acc += counts[p]
-    off_map = F.create_map(*offsets)
     w = Window.partitionBy("pid").orderBy("word")
     return ranged.withColumn(
         "word_idx",
-        (F.row_number().over(w) - 1 + off_map[F.col("pid")]).cast("int"),
+        (F.row_number().over(w) - 1 + off).cast("int"),
     ).select("word", "word_idx")
 
 

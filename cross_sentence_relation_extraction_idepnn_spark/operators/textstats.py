@@ -377,12 +377,9 @@ def quality_bands(
         "lang",
         F.expr("(_numer * 1000000 + _denom div 2) div _denom").alias("q_e6"),
     )
-    ranged = (
-        base.repartitionByRange(n_ranges, "lang", "q_e6", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    track_cache(ranged)
+    from ..plans.rangenum import exclusive_prefix, ranged_by
+
+    ranged = ranged_by(base, n_ranges, "lang", "q_e6", "doc_id")
     counts = ranged.groupBy("pid", "lang").agg(F.count("*").alias("cnt")).collect()
     if not counts:
         return spark.createDataFrame(
@@ -396,11 +393,10 @@ def quality_bands(
     off_entries: list = []
     tot_entries: list = []
     for lang, lst in by_lang.items():
-        acc = 0
-        for pid, cnt in sorted(lst):
-            off_entries += [F.lit(f"{pid}|{lang}"), F.lit(acc)]
-            acc += cnt
-        tot_entries += [F.lit(lang), F.lit(acc)]
+        offsets, tot = exclusive_prefix(lst)
+        for pid, off in offsets.items():
+            off_entries += [F.lit(f"{pid}|{lang}"), F.lit(off)]
+        tot_entries += [F.lit(lang), F.lit(tot)]
     off_map = F.create_map(*off_entries)
     tot_map = F.create_map(*tot_entries)
     w = Window.partitionBy("pid", "lang").orderBy("q_e6", "doc_id")
@@ -709,30 +705,16 @@ def vocab_growth(
         F.split("text", " ").alias("ws"),
         F.size(F.split("text", " ")).cast("long").alias("dl"),
     )
-    ranged = (
-        sized.repartitionByRange(n_ranges, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    track_cache(ranged)
-    sums = {
-        r["pid"]: r["s"]
-        for r in ranged.groupBy("pid").agg(F.sum("dl").alias("s")).collect()
-    }
-    offsets, acc = [], 0
-    for p in sorted(sums):
-        offsets += [F.lit(p), F.lit(int(sums[p] is not None and acc))]
-        acc += int(sums[p] or 0)
-    total = acc
-    off_map = F.create_map(*offsets) if offsets else F.create_map()
+    from ..plans.rangenum import prefix_offset_col, ranged_by
+
+    ranged = ranged_by(sized, n_ranges, "doc_id")
+    off_col, total = prefix_offset_col(ranged, F.col("dl"))
     w = (
         Window.partitionBy("pid")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    off = F.coalesce(F.sum("dl").over(w), F.lit(0)) + F.coalesce(
-        off_map[F.col("pid")], F.lit(0)
-    )
+    off = F.coalesce(F.sum("dl").over(w), F.lit(0)) + off_col
     toks = (
         ranged.withColumn("off", off)
         .select("off", F.posexplode("ws").alias("pos", "word"))

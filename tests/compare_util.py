@@ -29,7 +29,15 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def compare_frames(spark_df, con, sql: str) -> dict:
     """Non-raising variant of :func:`assert_frames_match` returning the
     driver-harness row shape (rows/schema/hash match flags + counts).
-    Used by ``jobs/parity_self.py`` to record ``PARITY_SELF.json``."""
+    Used by ``jobs/parity_self.py`` to record ``PARITY_SELF.json``.
+
+    STRICT since round 5: the driver hashes exact values after sorting
+    columns by name, so ``5`` (int64) and ``5.0`` (float64, e.g. DuckDB
+    HUGEINT materialized by pandas) must NOT compare equal here.  Round 4
+    shipped 8 driver-RED rows precisely because this gate was
+    ``check_dtype=False`` with default rtol while PARITY_SELF claimed
+    218/218 green.  ``check_dtype=True, check_exact=True`` makes the
+    self-gate at least as strict as the driver's hash."""
     spd = spark_df.toPandas()
     dpd = con.sql(sql).df()
     schema_match = sorted(spd.columns) == sorted(dpd.columns)
@@ -41,7 +49,9 @@ def compare_frames(spark_df, con, sql: str) -> dict:
             cols = sorted(spd.columns)
             a = spd[cols].sort_values(cols).reset_index(drop=True)
             b = dpd[cols].sort_values(cols).reset_index(drop=True)
-            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            pd.testing.assert_frame_equal(
+                a, b, check_dtype=True, check_exact=True
+            )
             hash_match = True
         except AssertionError as exc:
             err = str(exc)[:300]
@@ -56,8 +66,9 @@ def compare_frames(spark_df, con, sql: str) -> dict:
 
 
 def assert_frames_match(spark_df, con, sql: str) -> pd.DataFrame:
-    """Order-insensitive, dtype-lenient equality of a Spark DataFrame
-    against a DuckDB query (mirrors the driver's correctness gate)."""
+    """Order-insensitive, dtype- and value-EXACT equality of a Spark
+    DataFrame against a DuckDB query (at least as strict as the driver's
+    correctness hash — see :func:`compare_frames`)."""
     spd = spark_df.toPandas()
     dpd = con.sql(sql).df()
     assert sorted(spd.columns) == sorted(dpd.columns), (
@@ -67,5 +78,5 @@ def assert_frames_match(spark_df, con, sql: str) -> pd.DataFrame:
     spd = spd[cols].sort_values(cols).reset_index(drop=True)
     dpd = dpd[cols].sort_values(cols).reset_index(drop=True)
     assert len(spd) == len(dpd), f"row counts differ: {len(spd)} vs {len(dpd)}"
-    pd.testing.assert_frame_equal(spd, dpd, check_dtype=False)
+    pd.testing.assert_frame_equal(spd, dpd, check_dtype=True, check_exact=True)
     return spd

@@ -402,3 +402,66 @@ def test_length_dup_matrix_conserves_docs(spark, sf_dir):
     sz = cl.groupBy("cluster_id").agg(F.count("*").alias("sz"))
     n_dup = cl.join(sz, "cluster_id").filter("sz >= 2").count()
     assert sum(r.n_docs for r in rows if r.is_dup) == n_dup
+
+
+def test_simhash_boilerplate_corpus_brute_force_parity(spark, tmp_path):
+    """Hot-bucket guard pin (VERDICT r4 #3): a template-heavy corpus —
+    50 byte-identical docs (one simhash, one signature row) plus a few
+    distinct docs — must produce exactly the brute-force pair set
+    (C(50,2) hamming-0 pairs among the copies + any ≤ HAMMING_MAX cross
+    pairs), the histogram must agree arithmetically, and the candidate
+    join must run at signature grain: exactly ONE join whose inputs are
+    the collapsed distinct-signature table (HashAggregate below the
+    join), with pair expansion (Generate) only above it."""
+    import itertools
+    import os
+    import re
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        HAMMING_MAX,
+        simhash_docs,
+        simhash_hamming_histogram,
+        simhash_pairs,
+    )
+    from test_plans import count_op, plan_of
+
+    rows = [(i, "the same boilerplate template text", "en", "t", 1)
+            for i in range(1, 51)]
+    rows += [(100 + j, f"unique doc number {j} with words {j*7}", "en", "u", 1)
+             for j in range(4)]
+    path = str(tmp_path / "bp")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+    sigs = {r.doc_id: r.simhash for r in simhash_docs(spark, path).collect()}
+    blocks = lambda s: {(j, (s >> (j * 8)) & 255) for j in range(4)}
+    expect = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if blocks(sigs[a]) & blocks(sigs[b]):
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= HAMMING_MAX:
+                expect.add((a, b, h))
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in simhash_pairs(spark, path).collect()}
+    assert got == expect
+    assert len([p for p in got if p[2] == 0]) >= 50 * 49 // 2
+
+    hist = {r.hamming: r.n_pairs
+            for r in simhash_hamming_histogram(spark, path).collect()}
+    assert hist[0] >= 50 * 49 // 2
+    assert sum(v for h, v in hist.items() if h <= HAMMING_MAX) == len(got)
+
+    plan = plan_of(simhash_pairs(spark, path))
+    n_joins = count_op(plan, "SortMergeJoin") + count_op(plan, "BroadcastHashJoin")
+    assert n_joins == 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # signature collapse (collect_list agg) must feed the join: the
+    # plan has HashAggregate/ObjectHashAggregate nodes for _simhash_sigs
+    assert (count_op(plan, "ObjectHashAggregate")
+            + count_op(plan, "HashAggregate")
+            + count_op(plan, "SortAggregate")) >= 2, plan
