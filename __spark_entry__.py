@@ -1133,166 +1133,73 @@ def _kg_diff(spark: SparkSession, sf: str) -> DataFrame:
 # green driver rows (and standing PARITY_SELF coverage) cede their
 # slots to the tail.
 _DRIVER_PRIORITY = [
-    # flagship KG product family + analytics
+    # ROUND-5 ORDER (VERDICT r4 next-#5): the driver checks a disjoint
+    # ~50-query sample per round; 100 of 218 queries got rows in r3+r4.
+    # Slots 1-118 are the never-driver-sampled set, led by the 32
+    # dtype-hardened censuses (highest-risk rows incl. the north-rule
+    # invariant turn_reassembly); driver-green r3/r4 rows move to the
+    # tail (PARITY_SELF.json re-records ALL queries at sf0.01 anyway).
+    # -- dtype-fixed, never sampled --
+    "span_coverage", "bloom_prefilter", "ivf_recall", "props_profile",
+    "disorder_profile", "cdc_snapshot", "rollup_delta", "turn_latency",
+    "source_bigram_sim", "response_drift", "activity_gini", "conv_survival",
+    "echo_rate", "readability", "truncation_loss", "dialog_acts",
+    "conv_cohesion", "gram_coverage", "lsh_bucket_stats",
+    "session_gap_whatif", "tool_funnel", "partition_balance",
+    "kg_reciprocity", "role_balance", "simhash_bit_bias", "turn_reassembly",
+    "pii_cooccurrence", "zipf_profile", "alias_hit_rate", "mask_census",
+    "conv_context_budget", "tool_effect",
+    # -- remaining never-sampled --
+    "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
+    "transe_epochs", "kg_linkpred", "events_anomalies", "containment_pairs",
+    "kg_ppr", "tfidf_keywords", "cooc_ktruss", "kg_condense",
+    "split_leakage", "minhash_error", "dedup_keep_best",
+    "embedding_quantize", "surface_editsim", "watermark_sim",
+    "kg_provenance", "zonemap_prune", "events_quantiles", "skew_profile",
+    "dataset_split", "canonicalize_delta", "kg_resolve", "dedup_delta",
+    "kg_neighbor_agg", "kg_clustering", "dedup_clusters_delta", "snm_pairs",
+    "retrieval_eval", "kmv_sketch", "vocab_growth", "dq_audit",
+    "blocking_quality", "reservoir_sample", "table_stats",
+    "annotator_agreement", "phrase_search", "novelty_score",
+    "source_diversity", "join_size_est", "weighted_sample", "conv_neardup",
+    "kg_bridges", "kg_assortativity", "kg_hyperanf", "winnow_fingerprints",
+    "tool_ngrams", "dsir_weights", "tool_pii_exposure", "conv_shape",
+    "k_anonymity", "dup_source_matrix", "calibration_bins", "event_markov",
+    "kg_functionality", "burstiness", "kg_degree_hist", "synonymy_census",
+    "quality_dup_matrix", "event_seasonality", "len_quantiles",
+    "fingerprint_collisions", "lang_confusion", "prefix_dup_census",
+    "kg_component_sizes", "error_bursts", "normalized_dedup",
+    "segmenter_divergence", "predicate_cooccurrence", "event_cooccurrence",
+    "entity_lifespan", "embedding_dim_profile", "jaccard_histogram",
+    "mention_density", "kg_support_matrix", "kg_temporal_incremental",
+    "mention_recurrence", "turn_dedup", "kg_partitioned_write",
+    "simhash_hamming_histogram", "extraction_funnel",
+    "dedup_family_agreement", "length_dup_matrix", "tool_latency",
+    # -- driver-green in r3/r4 (tail; outside the next sample window) --
     "triples", "kg", "kg_incremental", "kg_pagerank", "kg_neighbors",
     "kg_temporal", "kg_negatives", "kg_edge_lift", "kg_communities",
     "kg_triangles", "kg_components", "kg_node_sim", "transe_step",
-    "hll_registers",
-    "cms_sketch", "a2_lines",
-    "multimodal_features",
-    # round-4 additions — no driver row yet
-    "semantic_dedup", "dedup_clusters", "dup_spans",
-    "bm25_topk", "overlap_topk", "hybrid_topk", "collocations",
-    "lm_score",
-    "quality_classifier", "chunk_documents",
-    "bpe_merges",
-    # temporal / warehouse family — no driver row yet
-    "events_asof", "scd2_users", "events_interval_join",
-    "events_rollup", "kg_rollup", "quality_bands", "kg_paths",
-    "zorder_files", "events_fill",
-    # round-4 late + final waves — no driver row yet
+    "hll_registers", "cms_sketch", "a2_lines", "multimodal_features",
+    "semantic_dedup", "dedup_clusters", "dup_spans", "bm25_topk",
+    "overlap_topk", "hybrid_topk", "collocations", "lm_score",
+    "quality_classifier", "chunk_documents", "bpe_merges", "events_asof",
+    "scd2_users", "events_interval_join", "events_rollup", "kg_rollup",
+    "quality_bands", "kg_paths", "zorder_files", "events_fill",
     "embedding_gram", "kg_kcore", "event_funnel", "value_histogram",
     "kg_walks", "compaction_plan", "walk_pairs", "entity_pmi", "ann_recall",
     "tool_transition", "events_cohorts", "kg_diff", "source_keywords",
-    # ---- entries below here may fall outside a 50-entry driver cap ----
-    # r3-hash-green kernel attestations + twins of in-window queries
-    # (events_cms twins cms_sketch, bpe_token_counts twins bpe_merges);
-    # PARITY_SELF.json re-records all of them at sf0.01 every round
-    "featurized_sdp", "adp_degree", "position_bounds",
-    "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
-    "transe_epochs", "span_coverage", "kg_linkpred", "events_anomalies",
-    "bloom_prefilter", "containment_pairs", "kg_ppr", "tfidf_keywords",
-    "cooc_ktruss", "kg_condense", "split_leakage", "ivf_recall",
-    "minhash_error", "props_profile", "dedup_keep_best",
-    "embedding_quantize", "surface_editsim", "disorder_profile",
-    "watermark_sim", "kg_provenance", "zonemap_prune",
-    "events_quantiles",
-    # round-4-final additions: PARITY_SELF-covered now; first in line
-    # (with the nine above) for the round-5 driver window.
-    # ROUND-5 REORDER CHECKLIST — once CORRECTNESS_r04 lands, promote
-    # exactly the still-never-driver-checked set into slots 1-50:
-    # events_cms, bpe_token_counts, events_hll, heavy_hitters,
-    # transe_epochs, span_coverage, kg_linkpred, events_anomalies,
-    # bloom_prefilter, skew_profile, dataset_split, canonicalize_delta,
-    # kg_resolve, dedup_delta, kg_neighbor_agg, kg_clustering,
-    # dedup_clusters_delta, plus the session-5 wave: containment_pairs,
-    # kg_ppr, tfidf_keywords, cooc_ktruss, kg_condense, split_leakage,
-    # ivf_recall, minhash_error, props_profile, dedup_keep_best,
-    # embedding_quantize, plus the session-6 waves: snm_pairs,
-    # retrieval_eval, kmv_sketch, cdc_snapshot, vocab_growth, dq_audit,
-    # blocking_quality, rollup_delta, reservoir_sample, table_stats,
-    # annotator_agreement, phrase_search (40 today; more than one
-    # 50-slot window — rotate by driver-row age, re-audit vs the r04
-    # json; PARITY_SELF.json covers every query at sf0.01 regardless).
-    "skew_profile", "dataset_split", "canonicalize_delta",
-    "kg_resolve", "dedup_delta", "kg_neighbor_agg", "kg_clustering",
-    "dedup_clusters_delta",
-    # session-6 wave: sorted-neighborhood dedup, retrieval eval, KMV
-    # bottom-k sketch, CDC latest-wins snapshot, Heaps'-law vocab
-    # growth, cross-table DQ expectation suite
-    "snm_pairs", "retrieval_eval", "kmv_sketch", "cdc_snapshot",
-    "vocab_growth", "dq_audit",
-    # session-6 wave 2: measured blocker QA, cube incremental
-    # maintenance, exact-k stratified panels, ANALYZE-stats surface
-    "blocking_quality", "rollup_delta", "reservoir_sample",
-    "table_stats",
-    # session-6 wave 3: chance-corrected label agreement, phrase index
-    "annotator_agreement", "phrase_search",
-    # session-6 wave 4: cross-snapshot novelty, composition diversity
-    "novelty_score", "source_diversity",
-    # session-6 wave 5: CBO join-size estimation audit, weighted panel
-    "join_size_est", "weighted_sample",
-    # session-6 wave 6: conversation-grain near-dup (KG input hygiene)
-    "conv_neardup",
-    # session-7 wave: edge embeddedness / weak ties, exact-integer
-    # assortativity+reciprocity, HyperANF distance sketch, MOSS
-    # winnowing fingerprints, tool-trigram mining, turn-latency census
-    "kg_bridges", "kg_assortativity", "kg_hyperanf",
-    "winnow_fingerprints", "tool_ngrams", "turn_latency",
-    # session-7 wave 2: DSIR importance resampling, tool×PII audit
-    "dsir_weights", "tool_pii_exposure",
-    # session-9 wave: agentic conversation-shape census, k-anonymity
-    # equivalence-class audit, cross-source duplication provenance
-    # matrix, source bigram-profile similarity (corpus drift)
-    "conv_shape", "k_anonymity", "dup_source_matrix",
-    "source_bigram_sim",
-    # session-9 wave 2: classifier reliability diagram, per-role
-    # verbosity drift (exact OLS), per-user event-sequence Markov
-    # census, exact Gini skew coefficient of user activity
-    "calibration_bins", "response_drift", "event_markov",
-    "activity_gini",
-    # session-10 wave: predicate functionality census, conversation
-    # depth survival curve, adjacent-turn parroting census,
-    # interarrival dispersion (Fano) census
-    "kg_functionality", "conv_survival", "echo_rate", "burstiness",
-    # session-11 wave: Flesch readability census, context-length
-    # truncation-loss audit, dialog-act census, KG degree histogram
-    "readability", "truncation_loss", "dialog_acts", "kg_degree_hist",
-    # session-12 wave: conversation cohesion histogram, entity
-    # synonymy census, quality × duplication cross-tab, head-gram
-    # coverage curve
-    "conv_cohesion", "synonymy_census", "quality_dup_matrix",
-    "gram_coverage",
-    # session-13 wave: arrival seasonality grid, per-source exact
-    # length quantiles, fingerprint collision audit, LSH bucket-load
-    # audit
-    "event_seasonality", "len_quantiles", "fingerprint_collisions",
-    "lsh_bucket_stats",
-    # session-14 wave: sessionization gap what-if, language-ID
-    # confusion matrix, prefix duplication census, KG component-size
-    # distribution
-    "session_gap_whatif", "lang_confusion", "prefix_dup_census",
-    "kg_component_sizes",
-    # session-15 wave: error-burst range-window census, normalized
-    # exact dedup, tool-adoption funnel, hash-partition balance audit
-    "error_bursts", "normalized_dedup", "tool_funnel",
-    "partition_balance",
-    # session-16 wave: KG edge reciprocity, segmenter-divergence drift
-    # census, assistant token-share deciles, simhash bit-bias audit
-    "kg_reciprocity", "segmenter_divergence", "role_balance",
-    "simhash_bit_bias",
-    # session-17 wave: turn-reassembly invariant census, predicate
-    # co-occurrence (+ its non-vacuous event-grid twin), entity
-    # lifespan, embedding dim profile
-    "turn_reassembly", "predicate_cooccurrence", "event_cooccurrence",
-    "entity_lifespan", "embedding_dim_profile",
-    # session-18 wave: jaccard threshold sweep, PII-type co-occurrence,
-    # mention density, KG support x k confidence matrix
-    "jaccard_histogram", "pii_cooccurrence", "mention_density",
-    "kg_support_matrix",
-    # session-19 wave: temporal-KG delta-merge law, mention recurrence,
-    # turn-grain dedup census, zipf rank-mass profile
-    "kg_temporal_incremental", "mention_recurrence", "turn_dedup",
-    "zipf_profile",
-    # session-20 wave: partitioned triple-table sink, alias-dict
-    # yield, simhash hamming sweep
-    "kg_partitioned_write", "alias_hit_rate",
-    "simhash_hamming_histogram",
-    # session-21 wave: end-to-end extraction funnel, normalization
-    # mask census, context-budget truncation census
-    "extraction_funnel", "mask_census", "conv_context_budget",
-    # session-22 wave: dedup-family ensemble agreement, length-bias
-    # dup cross-tab
-    "dedup_family_agreement", "length_dup_matrix",
-    # session-23 wave: per-tool next-turn effect + latency
-    "tool_effect", "tool_latency",
-    # single-green-round queries (r3)
-    "muc6_triples", "line_dedup", "pack_sequences", "curation_funnel",
-    # transcript → candidate core
-    "transcripts", "sentences", "mentions", "candidates",
-    "tagged_candidates", "relation_ids", "vocabulary", "token_offsets",
-    "sentences_punkt", "normalize_docs", "canonicalize",
-    "located_annotations",
-    # pair-generation / ANN / sources / streaming
-    "minhash_pairs", "simhash_pairs", "ngram_pairs", "cosine_topk",
-    "lsh_ann_topk", "ivf_ann_topk", "embedding_neardup",
-    # tail (driver rows green in ≥2 rounds; PARITY_SELF covers)
-    "embedding_neardup_mp", "standoff_parse",
-    "events_windowed", "sessionize_batch", "tool_usage", "frame_sample",
-    "intra_inter", "class_freq", "macro_f1", "macro_f1_3class",
-    "dedup_exact", "minhash_signatures", "simhash_docs", "lang_id",
-    "quality_score", "token_counts", "doc_fingerprint", "pii_scrub",
-    "repetition_score", "decontaminate", "sample_stratified",
+    "featurized_sdp", "adp_degree", "position_bounds", "muc6_triples",
+    "line_dedup", "pack_sequences", "curation_funnel", "transcripts",
+    "sentences", "mentions", "candidates", "tagged_candidates",
+    "relation_ids", "vocabulary", "token_offsets", "sentences_punkt",
+    "normalize_docs", "canonicalize", "located_annotations", "minhash_pairs",
+    "simhash_pairs", "ngram_pairs", "cosine_topk", "lsh_ann_topk",
+    "ivf_ann_topk", "embedding_neardup", "embedding_neardup_mp",
+    "standoff_parse", "events_windowed", "sessionize_batch", "tool_usage",
+    "frame_sample", "intra_inter", "class_freq", "macro_f1",
+    "macro_f1_3class", "dedup_exact", "minhash_signatures", "simhash_docs",
+    "lang_id", "quality_score", "token_counts", "doc_fingerprint",
+    "pii_scrub", "repetition_score", "decontaminate", "sample_stratified",
     "domain_mixture", "cc_records", "multimodal_meta",
 ]
 

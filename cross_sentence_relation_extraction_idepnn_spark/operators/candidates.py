@@ -242,4 +242,3 @@ def duck_full_prefix(max_k: int = MAX_K) -> str:
         + f", mentions AS ({duck_mentions_cte()})"
         + f", candidates AS ({duck_candidates_cte(max_k)})"
     )
-

@@ -906,10 +906,10 @@ def duck_bloom_prefilter(
             FROM cg c
         )
         SELECT doc_id, COUNT(*) AS n_grams,
-               SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS n_candidates,
-               SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS n_exact,
-               SUM(CASE WHEN cand THEN 1 ELSE 0 END)
-                   - SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS n_fp
+               CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
         FROM per_gram GROUP BY 1
     """
 
@@ -1594,7 +1594,7 @@ def duck_pii_cooccurrence(plant: bool = True) -> str:
             expr = f"SUM({a})" if a == b else f"SUM({a} * {b})"
             rows.append(
                 f"SELECT '{a}' AS type_a, '{b}' AS type_b,"
-                f" {expr} AS n_docs FROM flags"
+                f" CAST({expr} AS BIGINT) AS n_docs FROM flags"
             )
     body = " UNION ALL ".join(rows)
     return f"""

@@ -847,7 +847,8 @@ def span_coverage(spark: SparkSession, sf_dir: str, k: int = SPAN_K) -> DataFram
     formulations, hash-identical results."""
     docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     ntok = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
     sp = _span_hashes(spark, sf_dir, k)
     dup = (
@@ -1853,7 +1854,7 @@ def quality_dup_matrix(
     aggregate joined back at CLUSTER grain; the final doc-grain
     equi-join and the 20-cell grid aggregation are the only stages
     that see both sides."""
-    from .textstats import STOPWORDS
+    from .textstats import STOPWORDS, quality_rational_e6
 
     from ..session import track_checkpoint
 
@@ -1885,9 +1886,7 @@ def quality_dup_matrix(
         .select(
             "doc_id",
             F.expr(
-                "least(9, (((least(n, 64) * n + 48 * n + 48 * (d - s))"
-                " * 1000000 + (160 * n) div 2) div (160 * n))"
-                " div 100000)"
+                f"least(9, ({quality_rational_e6('div')}) div 100000)"
             ).alias("band"),
         )
     )
@@ -1901,7 +1900,7 @@ def quality_dup_matrix(
 def duck_quality_dup_matrix(tau: float = MINHASH_TAU) -> str:
     """Self-contained oracle: the dedup_clusters recursive chain plus
     the identical integer quality banding, cross-tabbed."""
-    from .textstats import STOPWORDS
+    from .textstats import STOPWORDS, quality_rational_e6
 
     stop = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
     ctes, final = _duck_minhash_pair_parts(tau)
@@ -1926,9 +1925,7 @@ def duck_quality_dup_matrix(tau: float = MINHASH_TAU) -> str:
         )
         , q AS (
             SELECT doc_id,
-                   LEAST(9, (((LEAST(n, 64) * n + 48 * n + 48 * (d - s))
-                        * 1000000 + (160 * n) // 2) // (160 * n))
-                        // 100000) AS band
+                   LEAST(9, ({quality_rational_e6("//")}) // 100000) AS band
             FROM (
                 SELECT doc_id,
                        CAST(len(toks) AS BIGINT) AS n,
@@ -1993,7 +1990,7 @@ def duck_lsh_bucket_stats() -> str:
             FROM bands GROUP BY 1, 2
         )
         SELECT band, bucket_size, COUNT(*) AS n_buckets,
-               SUM(bucket_size * (bucket_size - 1) // 2) AS cand_pairs
+               CAST(SUM(bucket_size * (bucket_size - 1) // 2) AS BIGINT) AS cand_pairs
         FROM buckets GROUP BY 1, 2
     """
 
@@ -2118,7 +2115,8 @@ def duck_partition_balance() -> str:
     selects = []
     for p in PARTITION_CANDIDATES:
         selects.append(
-            f"SELECT {p} AS n_partitions, {h} % {p} AS bucket FROM documents"
+            f"SELECT CAST({p} AS BIGINT) AS n_partitions,"
+            f" {h} % {p} AS bucket FROM documents"
         )
     body = " UNION ALL ".join(selects)
     return f"""
@@ -2127,7 +2125,7 @@ def duck_partition_balance() -> str:
             SELECT n_partitions, bucket, COUNT(*) AS bkt_rows
             FROM buckets GROUP BY 1, 2
         )
-        SELECT n_partitions, SUM(bkt_rows) AS n_rows,
+        SELECT n_partitions, CAST(SUM(bkt_rows) AS BIGINT) AS n_rows,
                MAX(bkt_rows) AS max_rows,
                CAST((SUM(bkt_rows) * 1000 + n_partitions // 2)
                     // n_partitions AS BIGINT) AS mean_rows_e3,
@@ -2179,7 +2177,7 @@ def simhash_bit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 def duck_simhash_bit_bias() -> str:
     """Oracle: identical conditional sums over the simhash CTE."""
     sums = ", ".join(
-        f"SUM((simhash // {1 << b}) % 2) AS o{b}"
+        f"CAST(SUM((simhash // {1 << b}) % 2) AS BIGINT) AS o{b}"
         for b in range(SIMHASH_BITS)
     )
     rows = " UNION ALL ".join(

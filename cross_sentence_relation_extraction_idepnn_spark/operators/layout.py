@@ -222,7 +222,7 @@ def duck_compaction_plan(target_rows: int = COMPACT_TARGET_ROWS) -> str:
             FROM stats
         )
         SELECT CAST(cum_before // {target_rows} AS INT) AS bin,
-               COUNT(*) AS n_files, SUM(n_rows) AS total_rows,
+               COUNT(*) AS n_files, CAST(SUM(n_rows) AS BIGINT) AS total_rows,
                MIN(zfile) AS first_file, MAX(zfile) AS last_file,
                MIN(min_user) AS min_user, MAX(max_user) AS max_user
         FROM c GROUP BY 1

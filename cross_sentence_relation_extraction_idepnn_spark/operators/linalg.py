@@ -100,7 +100,7 @@ def duck_embedding_gram() -> str:
         idx AS (SELECT vec_id, ql, UNNEST(range(1, len(ql) + 1)) AS i FROM base),
         e AS (SELECT vec_id, i, ql[i] AS q FROM idx)
         SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
-               SUM(a.q * b.q) AS g
+               CAST(SUM(a.q * b.q) AS BIGINT) AS g
         FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         GROUP BY 1, 2
     """

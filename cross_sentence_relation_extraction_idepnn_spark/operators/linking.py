@@ -3481,7 +3481,7 @@ def duck_reciprocity_over(kg_cte: str) -> str:
               ON a.pred = b.pred AND a.subj = b.obj AND a.obj = b.subj
         ),
         per AS (
-            SELECT pred, COUNT(*) AS n_edges, SUM(has_rev) AS n_recip
+            SELECT pred, COUNT(*) AS n_edges, CAST(SUM(has_rev) AS BIGINT) AS n_recip
             FROM marked GROUP BY ROLLUP(pred)
         )
         SELECT COALESCE(pred, 'ALL') AS pred, n_edges, n_recip,

@@ -467,8 +467,9 @@ def duck_alias_hit_rate() -> str:
                 FROM mtab GROUP BY 1, 2
             ) m ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
         )
-        SELECT role, COUNT(*) AS n_turns, SUM(n_tok) AS n_tokens,
-               SUM(n_m) AS n_mentions,
+        SELECT role, COUNT(*) AS n_turns,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_m) AS BIGINT) AS n_mentions,
                CAST((SUM(n_m) * 1000000 + SUM(n_tok) // 2)
                     // SUM(n_tok) AS BIGINT) AS hit_e6
         FROM per_turn GROUP BY role

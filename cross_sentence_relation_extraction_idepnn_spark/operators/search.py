@@ -205,7 +205,7 @@ def _duck_bm25_parts() -> tuple[str, str]:
         ),
         s AS (
             SELECT query_id, doc_id,
-                   (SUM(idf6 * tf6) + 500000) // 1000000 AS score_e6
+                   CAST((SUM(idf6 * tf6) + 500000) // 1000000 AS BIGINT) AS score_e6
             FROM w GROUP BY query_id, doc_id
         )"""
     final = f"""
@@ -305,7 +305,7 @@ def duck_lm_score() -> str:
         )
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               (2 * SUM(p6) + COUNT(*)) // (2 * COUNT(*)) AS mean_p6,
+               CAST((2 * SUM(p6) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_p6,
                MIN(p6) AS min_p6
         FROM p GROUP BY doc_id
     """
@@ -430,7 +430,7 @@ def duck_hybrid() -> str:
         WITH bm AS MATERIALIZED ({duck_bm25()}),
         ov AS MATERIALIZED ({duck_overlap()}),
         fused AS (
-            SELECT query_id, doc_id, SUM(c) AS rrf_e6
+            SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_e6
             FROM (
                 SELECT query_id, doc_id, 1000000 // ({RRF_K} + rnk) AS c FROM bm
                 UNION ALL

@@ -583,10 +583,10 @@ def duck_turn_reassembly() -> str:
             FROM sentences GROUP BY conv_id, turn_idx
         )
         SELECT COUNT(*) AS n_turns,
-               SUM(CASE WHEN r.rebuilt = t.text THEN 1 ELSE 0 END)
-                   AS n_match,
-               SUM(CASE WHEN r.rebuilt IS NULL OR r.rebuilt <> t.text
-                   THEN 1 ELSE 0 END) AS n_mismatch
+               CAST(SUM(CASE WHEN r.rebuilt = t.text THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_match,
+               CAST(SUM(CASE WHEN r.rebuilt IS NULL OR r.rebuilt <> t.text
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
         FROM transcripts t
         LEFT JOIN rebuilt r
           ON r.conv_id = t.conv_id AND r.turn_idx = t.turn_idx

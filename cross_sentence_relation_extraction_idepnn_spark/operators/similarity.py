@@ -772,7 +772,7 @@ def duck_ann_recall(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
     (each already an independent SQL formulation of its engine twin)."""
     return f"""
         SELECT ex.query_id, COUNT(*) AS k_exact,
-               SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+               CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
                ROUND(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                      / COUNT(*), 6) AS recall
         FROM ({duck_cosine_topk(k=k, n_queries=n_queries)}) ex
@@ -820,7 +820,7 @@ def duck_ivf_recall(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
     oracles (the ``duck_ann_recall`` shape with the IVF side)."""
     return f"""
         SELECT ex.query_id, COUNT(*) AS k_exact,
-               SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+               CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
                ROUND(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                      / COUNT(*), 6) AS recall
         FROM ({duck_cosine_topk(k=k, n_queries=n_queries)}) ex

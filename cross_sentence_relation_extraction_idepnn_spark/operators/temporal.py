@@ -52,6 +52,15 @@ ASOF_REF_TYPE = "error"
 INTERVAL_JOIN_SECONDS = 14400
 
 
+# SQL-string twin of :func:`_epoch_us` below, for use inside F.expr
+# fragments; defined at module top so it exists before any use site
+# (ADVICE r4: it previously sat after error_bursts and resolved only
+# because F.expr defers parsing to call time).
+_EPOCH_US_SQL = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+
+
 def _epoch_us(col_sql: str):
     """Wall-time epoch MICROseconds for a timestamp column — pure
     timestamp arithmetic, independent of ``spark.sql.session.timeZone``
@@ -313,7 +322,7 @@ def duck_kg_rollup(kg_sql: str) -> str:
         SELECT pred, subj,
                CAST(GROUPING(pred, subj) AS INT) AS gid,
                COUNT(*) AS n_triples,
-               SUM(support) AS support_sum
+               CAST(SUM(support) AS BIGINT) AS support_sum
         FROM ({kg_sql})
         GROUP BY ROLLUP(pred, subj)
     """
@@ -379,7 +388,7 @@ def duck_events_rollup() -> str:
         SELECT event_type, CAST(hour(ts) AS INT) AS hh,
                CAST(GROUPING(event_type, hour(ts)) AS INT) AS gid,
                COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents_sum
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
         FROM events
         GROUP BY CUBE(event_type, hour(ts))
     """
@@ -824,7 +833,7 @@ def duck_props_profile() -> str:
             FROM kv
         )
         SELECT event_type, key, COUNT(*) AS n,
-               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                COUNT(DISTINCT value) AS n_distinct,
                MIN(TRY_CAST(value AS BIGINT)) AS min_num,
                MAX(TRY_CAST(value AS BIGINT)) AS max_num
@@ -914,7 +923,7 @@ def duck_disorder_profile(jitter: int = 0) -> str:
             WINDOW w AS (PARTITION BY user_id ORDER BY arr, event_id)
         )
         SELECT user_id, COUNT(*) AS n_events,
-               SUM(inv) AS n_inversions,
+               CAST(SUM(inv) AS BIGINT) AS n_inversions,
                CAST(FLOOR(MAX(late_us) / 1000000) AS BIGINT) AS max_late_s
         FROM step GROUP BY user_id
     """
@@ -1145,7 +1154,11 @@ def duck_cdc_snapshot() -> str:
             ) AS rn
             FROM events
         )
-        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        SELECT user_id, event_id AS last_event_id,
+               -- TIMESTAMP_NS: pandas materializes plain TIMESTAMP as
+               -- datetime64[us] vs Spark toPandas()'s [ns] — same
+               -- instant, driver-hash mismatch (VERDICT r4 #1)
+               CAST(ts AS TIMESTAMP_NS) AS last_ts,
                event_type AS last_type, value AS last_value
         FROM r
         WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'
@@ -1258,7 +1271,7 @@ def duck_activity_gini() -> str:
             FROM counts
         )
         SELECT COUNT(*) AS n_users,
-               SUM(x) AS n_events,
+               CAST(SUM(x) AS BIGINT) AS n_events,
                CAST(((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
                      + (COUNT(*) * SUM(x)) // 2) // (COUNT(*) * SUM(x))
                     AS BIGINT) AS gini_e6
@@ -1457,10 +1470,10 @@ def duck_session_gap_whatif() -> str:
     for t in SESSION_GAPS_S:
         selects.append(
             f"""
-            SELECT {t} AS gap_s,
-                   SUM(CASE WHEN dt_us IS NULL
+            SELECT CAST({t} AS BIGINT) AS gap_s,
+                   CAST(SUM(CASE WHEN dt_us IS NULL
                             OR dt_us > {t * 1_000_000}
-                       THEN 1 ELSE 0 END) AS n_sessions,
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events,
                    CAST((COUNT(*) * 1000
                          + SUM(CASE WHEN dt_us IS NULL
@@ -1524,11 +1537,6 @@ def error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("max_in_window").agg(
         F.count("*").alias("n_users")
     )
-
-
-_EPOCH_US_SQL = (
-    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-)
 
 
 def duck_error_bursts() -> str:

@@ -262,6 +262,19 @@ QC_BIAS_E6 = -56_340_675
 QC_W_E6 = (94_916_212, -36_877_417, 42_615_799)  # (len_capped, stop_ratio, ttr)
 
 
+def quality_rational_e6(idiv: str) -> str:
+    """The quality_score half-up-e6 rational over integer columns
+    (n = tokens, s = stopwords, d = distinct tokens) — ONE definition
+    shared by the Spark exprs AND DuckDB oracles of calibration_bins
+    and dedup.quality_dup_matrix (ADVICE r4: the literal was duplicated
+    in four places and could drift). ``idiv`` is the engine's integer-
+    division token: 'div' in Spark SQL, '//' in DuckDB."""
+    return (
+        "((least(n, 64) * n + 48 * n + 48 * (d - s)) * 1000000"
+        f" + (160 * n) {idiv} 2) {idiv} (160 * n)"
+    )
+
+
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, logit_e6, keep) — model-based quality filtering: a
     pretrained logistic-regression scorer over length/stopword/
@@ -1026,7 +1039,7 @@ def duck_source_bigram_sim() -> str:
         ),
         pairs AS (
             SELECT a.source AS src_a, b.source AS src_b,
-                   SUM(a.cnt * b.cnt) AS dot
+                   CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
             FROM prof a JOIN prof b
               ON a.bigram = b.bigram AND a.source < b.source
             GROUP BY 1, 2
@@ -1084,10 +1097,7 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" + ({w2} * f2) div 1000000 + ({w3} * f3) div 1000000"
     ).cast("long")
     # ground truth: the quality_score rational, half-up e6
-    q_e6 = F.expr(
-        "((least(n, 64) * n + 48 * n + 48 * (d - s)) * 1000000"
-        " + (160 * n) div 2) div (160 * n)"
-    )
+    q_e6 = F.expr(quality_rational_e6("div"))
     binned = df.select(
         logit.alias("logit_e6"), (q_e6 >= 680000).alias("pos")
     )
@@ -1135,8 +1145,7 @@ def duck_calibration_bins() -> str:
                         + ({w1} * f1) // 1000000
                         - (({-w2} * f2) // 1000000)
                         + ({w3} * f3) // 1000000 AS BIGINT) AS logit_e6,
-                   ((LEAST(n, 64) * n + 48 * n + 48 * (d - s)) * 1000000
-                    + (160 * n) // 2) // (160 * n) >= 680000 AS pos
+                   {quality_rational_e6("//")} >= 680000 AS pos
             FROM (
                 SELECT LEAST(n, 100) * 10000 AS f1,
                        (s * 1000000 + n // 2) // n AS f2,
@@ -1214,7 +1223,8 @@ def duck_readability() -> str:
     half-up terms."""
     return """
         SELECT source, COUNT(*) AS n_docs,
-               SUM(w) AS n_words, SUM(s) AS n_sents, SUM(y) AS n_syll,
+               CAST(SUM(w) AS BIGINT) AS n_words, CAST(SUM(s) AS BIGINT) AS n_sents,
+               CAST(SUM(y) AS BIGINT) AS n_syll,
                CAST(206835
                     - (1015 * SUM(w) + SUM(s) // 2) // SUM(s)
                     - (84600 * SUM(y) + SUM(w) // 2) // SUM(w)
@@ -1288,11 +1298,11 @@ def duck_truncation_loss() -> str:
     for ln in TRUNC_LENGTHS:
         selects.append(
             f"""
-            SELECT {ln} AS max_len, COUNT(*) AS n_docs,
-                   SUM(CASE WHEN n > {ln} THEN 1 ELSE 0 END) AS n_over,
-                   SUM(n) AS tokens_total,
-                   SUM(CASE WHEN n > {ln} THEN n - {ln} ELSE 0 END)
-                       AS tokens_lost,
+            SELECT CAST({ln} AS BIGINT) AS max_len, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN n > {ln} THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+                   CAST(SUM(n) AS BIGINT) AS tokens_total,
+                   CAST(SUM(CASE WHEN n > {ln} THEN n - {ln} ELSE 0 END)
+                       AS BIGINT) AS tokens_lost,
                    CAST((SUM(CASE WHEN n > {ln} THEN n - {ln} ELSE 0 END)
                          * 1000000 + SUM(n) // 2) // SUM(n) AS BIGINT)
                        AS loss_e6
@@ -1366,8 +1376,8 @@ def duck_dialog_acts() -> str:
             FROM transcripts
         )
         SELECT role, COUNT(*) AS n_turns,
-               SUM(q) AS n_question, SUM(x) AS n_exclaim,
-               SUM(c) AS n_code,
+               CAST(SUM(q) AS BIGINT) AS n_question, CAST(SUM(x) AS BIGINT) AS n_exclaim,
+               CAST(SUM(c) AS BIGINT) AS n_code,
                CAST((SUM(q) * 1000000 + COUNT(*) // 2) // COUNT(*)
                     AS BIGINT) AS question_e6,
                CAST((SUM(x) * 1000000 + COUNT(*) // 2) // COUNT(*)
@@ -1451,10 +1461,10 @@ def duck_gram_coverage() -> str:
     for k in COVERAGE_KS:
         selects.append(
             f"""
-            SELECT {k} AS top_k,
+            SELECT CAST({k} AS BIGINT) AS top_k,
                    (SELECT COUNT(*) FROM ranked) AS n_grams,
-                   (SELECT SUM(cnt) FROM ranked) AS total_occ,
-                   SUM(CASE WHEN rk <= {k} THEN cnt ELSE 0 END) AS covered,
+                   CAST((SELECT SUM(cnt) FROM ranked) AS BIGINT) AS total_occ,
+                   CAST(SUM(CASE WHEN rk <= {k} THEN cnt ELSE 0 END) AS BIGINT) AS covered,
                    CAST((SUM(CASE WHEN rk <= {k} THEN cnt ELSE 0 END)
                          * 1000000 + (SELECT SUM(cnt) FROM ranked) // 2)
                         // (SELECT SUM(cnt) FROM ranked) AS BIGINT)
@@ -1731,7 +1741,7 @@ def duck_zipf_profile() -> str:
             FROM toks
         )
         SELECT CAST(FLOOR(LOG2(rank)) AS BIGINT) AS rank_bucket,
-               COUNT(*) AS n_tokens, SUM(occ) AS total_occ
+               COUNT(*) AS n_tokens, CAST(SUM(occ) AS BIGINT) AS total_occ
         FROM ranked GROUP BY 1
     """
 
@@ -1851,8 +1861,8 @@ def duck_mask_census(plant: bool = True) -> str:
     sel = ", ".join(f"({e}) AS c_{n}" for n, e in exprs)
     rows = " UNION ALL ".join(
         f"SELECT '{n}' AS mask_type,"
-        f" SUM(CASE WHEN c_{n} > 0 THEN 1 ELSE 0 END) AS n_docs,"
-        f" SUM(c_{n}) AS n_hits FROM flags"
+        f" CAST(SUM(CASE WHEN c_{n} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,"
+        f" CAST(SUM(c_{n}) AS BIGINT) AS n_hits FROM flags"
         for n, _e in exprs
     )
     return f"WITH flags AS (SELECT {sel} FROM documents) {rows}"

@@ -385,7 +385,7 @@ def duck_turn_latency() -> str:
     return """
         SELECT a.role AS src_role, b.role AS dst_role,
                COUNT(*) AS n,
-               SUM((b.ts_epoch - a.ts_epoch) * 1000) AS sum_ms,
+               CAST(SUM((b.ts_epoch - a.ts_epoch) * 1000) AS BIGINT) AS sum_ms,
                MIN((b.ts_epoch - a.ts_epoch) * 1000) AS min_ms,
                MAX((b.ts_epoch - a.ts_epoch) * 1000) AS max_ms
         FROM transcripts a
@@ -546,10 +546,10 @@ def duck_response_drift() -> str:
                    AS slope_e6
         FROM (
             SELECT role, COUNT(*) AS n,
-                   SUM(turn_idx) AS sum_x,
-                   SUM(length(text)) AS sum_y,
-                   SUM(turn_idx * CAST(length(text) AS BIGINT)) AS sxy,
-                   SUM(turn_idx * CAST(turn_idx AS BIGINT)) AS sxx
+                   CAST(SUM(turn_idx) AS BIGINT) AS sum_x,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_y,
+                   CAST(SUM(turn_idx * CAST(length(text) AS BIGINT)) AS BIGINT) AS sxy,
+                   CAST(SUM(turn_idx * CAST(turn_idx AS BIGINT)) AS BIGINT) AS sxx
             FROM transcripts
             GROUP BY role
         )
@@ -608,7 +608,7 @@ def duck_conv_survival() -> str:
             SELECT depth, COUNT(*) AS n_convs_at FROM per_conv GROUP BY 1
         )
         SELECT depth, n_convs_at,
-               SUM(n_convs_at) OVER (ORDER BY depth DESC) AS n_convs_ge,
+               CAST(SUM(n_convs_at) OVER (ORDER BY depth DESC) AS BIGINT) AS n_convs_ge,
                CAST((SUM(n_convs_at) OVER (ORDER BY depth DESC) * 1000000
                      + SUM(n_convs_at) OVER () // 2)
                     // SUM(n_convs_at) OVER () AS BIGINT) AS survival_e6
@@ -682,7 +682,8 @@ def duck_echo_rate() -> str:
             WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
         )
         SELECT prev_role, role, COUNT(*) AS n_transitions,
-               SUM(n_tok) AS sum_tokens, SUM(n_echo) AS sum_echoed,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(SUM(n_echo) AS BIGINT) AS sum_echoed,
                CAST((SUM(n_echo) * 1000000 + SUM(n_tok) // 2)
                     // SUM(n_tok) AS BIGINT) AS echo_e6
         FROM pairs WHERE prev_role IS NOT NULL
@@ -781,9 +782,9 @@ def duck_conv_cohesion() -> str:
                        AS mean_jac_e6
             FROM jac GROUP BY conv_id
         )
-        SELECT LEAST(9, mean_jac_e6 // 100000) AS band,
+        SELECT CAST(LEAST(9, mean_jac_e6 // 100000) AS BIGINT) AS band,
                COUNT(*) AS n_convs,
-               SUM(n_trans) AS n_transitions
+               CAST(SUM(n_trans) AS BIGINT) AS n_transitions
         FROM per_conv GROUP BY 1
     """
 
@@ -847,11 +848,11 @@ def duck_tool_funnel() -> str:
         ),
         one AS (
             SELECT COUNT(*) AS n_any,
-                   SUM(CASE WHEN first_search IS NOT NULL
-                       THEN 1 ELSE 0 END) AS n_search,
-                   SUM(CASE WHEN first_search IS NOT NULL
+                   CAST(SUM(CASE WHEN first_search IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_search,
+                   CAST(SUM(CASE WHEN first_search IS NOT NULL
                             AND first_code > first_search
-                       THEN 1 ELSE 0 END) AS n_chain
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_chain
             FROM per_conv
         )
         SELECT stage, n_convs,
@@ -913,9 +914,9 @@ def duck_role_balance() -> str:
     list, hence the leading comma): identical conditional-sum share."""
     return """
         , per_conv AS (
-            SELECT conv_id, SUM(n_tok) AS tot,
-                   SUM(CASE WHEN role = 'assistant' THEN n_tok
-                       ELSE 0 END) AS asst
+            SELECT conv_id, CAST(SUM(n_tok) AS BIGINT) AS tot,
+                   CAST(SUM(CASE WHEN role = 'assistant' THEN n_tok
+                       ELSE 0 END) AS BIGINT) AS asst
             FROM (
                 SELECT conv_id, role,
                        len(string_split(text, ' ')) AS n_tok
@@ -929,7 +930,7 @@ def duck_role_balance() -> str:
             FROM per_conv
         )
         SELECT share_decile, COUNT(*) AS n_convs,
-               SUM(tot) AS total_tokens
+               CAST(SUM(tot) AS BIGINT) AS total_tokens
         FROM bucketed GROUP BY 1
     """
 
@@ -1045,8 +1046,9 @@ def duck_conv_context_budget() -> str:
         for b in CONTEXT_BUDGETS
     )
     glob = ", ".join(
-        f"SUM(CASE WHEN kept_{b} = n_turns THEN 1 ELSE 0 END)"
-        f" AS intact_{b}, SUM(kept_{b}) AS k_{b}, SUM(drop_{b}) AS d_{b}"
+        f"CAST(SUM(CASE WHEN kept_{b} = n_turns THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS intact_{b}, CAST(SUM(kept_{b}) AS BIGINT) AS k_{b},"
+        f" CAST(SUM(drop_{b}) AS BIGINT) AS d_{b}"
         for b in CONTEXT_BUDGETS
     )
     rows = " UNION ALL ".join(
@@ -1072,7 +1074,7 @@ def duck_conv_context_budget() -> str:
             SELECT conv_id, COUNT(*) AS n_turns, {kept}
             FROM per_turn GROUP BY conv_id
         ),
-        one AS (SELECT SUM(n_turns) AS tot_turns, {glob} FROM per_conv)
+        one AS (SELECT CAST(SUM(n_turns) AS BIGINT) AS tot_turns, {glob} FROM per_conv)
         {rows}
     """
 
@@ -1128,7 +1130,7 @@ def duck_tool_effect() -> str:
               ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
         )
         SELECT tool, COUNT(*) AS n_turns,
-               SUM(next_len) AS sum_next_len,
+               CAST(SUM(next_len) AS BIGINT) AS sum_next_len,
                CAST((SUM(next_len) * 100 + COUNT(*) // 2) // COUNT(*)
                     AS BIGINT) AS mean_next_len_e2
         FROM led GROUP BY tool
@@ -1179,7 +1181,7 @@ def duck_tool_latency() -> str:
               ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
             WHERE a.tool IS NOT NULL
         )
-        SELECT tool, COUNT(*) AS n, SUM(gap_ms) AS sum_ms,
+        SELECT tool, COUNT(*) AS n, CAST(SUM(gap_ms) AS BIGINT) AS sum_ms,
                MIN(gap_ms) AS min_ms, MAX(gap_ms) AS max_ms
         FROM gaps GROUP BY tool
     """

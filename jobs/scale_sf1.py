@@ -531,6 +531,18 @@ def main() -> None:
     if ONLY:
         queries = {k: v for k, v in queries.items() if k in ONLY}
     out: dict[str, dict] = {}
+    # steady-window protocol (VERDICT r4 next-#7): gate the recording on
+    # the SAME host-capacity probe floors as bench.py, so sf1 rows from
+    # different sessions are comparable and a scale regression is
+    # distinguishable from a degraded host window.
+    import bench as _bench
+
+    probe, probe_attempts, probe_healthy = _bench.probe_gate()
+    sys.stderr.write(
+        f"scale_sf1 probe: healthy={probe_healthy} "
+        f"attempts={probe_attempts} {probe}\n"
+    )
+
     for name, fn in queries.items():
         release_caches()
         spark.catalog.clearCache()
@@ -541,6 +553,7 @@ def main() -> None:
         after = stage_metrics(spark)
         new = {sid: m for sid, m in after.items() if sid not in before}
         out[name] = {
+            "probe_healthy": probe_healthy,
             "sec": round(sec, 3),
             "rows": rows,
             "n_stages": len(new),
@@ -568,11 +581,23 @@ def main() -> None:
         "n_docs": n_docs,
         "n_turns": n_turns,
         "cpus": CPUS,
+        # probe blocks, same shape as BENCH (VERDICT r4 next-#7): the
+        # pre-recording gated probe + a post-run probe bracketing the
+        # whole window; per-query rows also carry probe_healthy so
+        # incremental merges stay self-describing
+        "host_cpu_probe": probe,
+        "host_cpu_probe_after": _bench.host_cpu_probe(),
+        "probe_attempts": probe_attempts,
+        "probe_healthy": probe_healthy,
+        "probe_floors": _bench._probe_floors(),
         "queries": out,
     }
     if ONLY and os.path.exists(path):
         prior = json.load(open(path))
         prior["queries"].update(out)
+        for k in ("host_cpu_probe", "host_cpu_probe_after",
+                  "probe_attempts", "probe_healthy", "probe_floors"):
+            prior[k] = result[k]
         result = prior
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
