@@ -2335,41 +2335,85 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-tuning. The cheap standing answer to "which dedup should I
     trust here?".
 
-    Plan: both pair subtrees are the audited band/block equi-joins;
-    agreement is ONE full-outer join at pair grain (pair-bounded, far
-    below corpus grain) and a count onto the 3-row grid."""
-    from ..session import track_checkpoint
+    Plan (r5): the SimHash pair set is NEVER materialized. Membership
+    ``(a, b) ∈ SH`` is exactly ``hamming(simhash_a, simhash_b) ≤
+    HAMMING_MAX`` (pigeonhole: hamming ≤ 3 over 4 byte-blocks
+    guarantees the shared-block candidate condition, so the block
+    filter adds nothing to the final set), which gives the census in
+    three MinHash-pair-bounded pieces:
 
-    # eager truncation BEFORE the outer join: composed, the planner
-    # cannot estimate the pair-set cardinality and demotes the
-    # verification join to a sort-merge that shuffles the shingle
-    # arrays (measured 1.46 GB at sf1 vs the audited subtree's 3 MB);
-    # materialized, each family runs its standalone plan and the
-    # agreement join sees two small tables with real stats
-    mh = track_checkpoint(
-        minhash_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .withColumn("in_mh", F.lit(1))
-        .localCheckpoint(eager=True)
+    - ``|MH|`` and ``|MH ∩ SH|``: enrich the (small, verified) MinHash
+      pair set with both endpoint simhashes — two doc-grain equi-joins
+      at MH-PAIR grain — and count pairs with hamming ≤ max. No
+      SH-side volume at all.
+    - ``|SH|``: pure arithmetic over the distinct-signature table
+      (:func:`_simhash_sigs`): Σ n·(n−1)/2 within identical signatures
+      + Σ na·nb over hamming-filtered signature pairs — the
+      :func:`simhash_hamming_histogram` math.
+    - the 3-row grid assembles from the scalar aggregates; zero-count
+      families are dropped (matching the groupBy-census semantics).
+
+    The earlier shapes paid the full SH pair volume through a shuffle
+    (checkpoint + full-outer join in r4: 1.46-1.71 GB peak at sf1 on
+    the rotation fixture, whose identical cross-copy simhashes make
+    |SH| ≈ 215 M; a tagged-union groupBy pays it once but still pays
+    it). This plan's exchanges are the audited MinHash subtree, two
+    MH-pair-grain enrichment joins, and signature-grain arithmetic —
+    peak shuffle tracks the SMALLER family, which is the 100 TB
+    shape an ensemble-audit census must have."""
+    mh = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sim = simhash_docs(spark, sf_dir)
+    tagged = mh.join(
+        sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")),
+        "doc_b",
     )
-    sh = track_checkpoint(
-        simhash_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .withColumn("in_sh", F.lit(1))
-        .localCheckpoint(eager=True)
+    in_sh = (
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= HAMMING_MAX
     )
-    joined = mh.join(sh, ["doc_a", "doc_b"], "full")
-    family = (
-        F.when(
-            F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(),
-            F.lit("both"),
-        )
-        .when(F.col("in_mh").isNotNull(), F.lit("minhash_only"))
-        .otherwise(F.lit("simhash_only"))
+    mh_counts = tagged.agg(
+        F.count("*").cast("long").alias("n_mh"),
+        F.coalesce(
+            F.sum(F.when(in_sh, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_both"),
     )
-    return joined.select(family.alias("family")).groupBy("family").agg(
-        F.count("*").alias("n_pairs")
+    sigs = _simhash_sigs(spark, sf_dir)
+    within = sigs.agg(
+        F.coalesce(F.sum(F.expr("(n * (n - 1)) div 2")), F.lit(0))
+        .cast("long")
+        .alias("w")
     )
+    sp = _simhash_sig_pairs(sigs)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    cross = sp.filter(ham <= HAMMING_MAX).agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("long")
+        .alias("c")
+    )
+    counts = mh_counts.crossJoin(within).crossJoin(cross).select(
+        "n_mh", "n_both", (F.col("w") + F.col("c")).alias("n_sh")
+    )
+    grid = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("both").alias("family"),
+                    F.col("n_both").alias("n_pairs"),
+                ),
+                F.struct(
+                    F.lit("minhash_only").alias("family"),
+                    (F.col("n_mh") - F.col("n_both")).alias("n_pairs"),
+                ),
+                F.struct(
+                    F.lit("simhash_only").alias("family"),
+                    (F.col("n_sh") - F.col("n_both")).alias("n_pairs"),
+                ),
+            )
+        ).alias("r")
+    )
+    return grid.select("r.family", "r.n_pairs").filter(F.col("n_pairs") > 0)
 
 
 def duck_dedup_family_agreement() -> str:

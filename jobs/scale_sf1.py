@@ -153,6 +153,7 @@ def stage_metrics(spark) -> dict[int, dict]:
 
 def main() -> None:
     from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import minhash_pairs
+    from cross_sentence_relation_extraction_idepnn_spark.operators import dedup as _dedup_mod
     from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
         extract_triples,
         materialize_kg,
@@ -350,6 +351,12 @@ def main() -> None:
         "kg_triangles": lambda s, d: kg_triangles(materialize_kg(s, d)),
         "transe_step": lambda s, d: transe_step(materialize_kg(s, d)),
         "minhash_pairs": minhash_pairs,
+        # r5: standalone simhash family rows — evidence that the
+        # signature-grain hot-bucket guard bounds the CANDIDATE join on
+        # the identical-simhash-heavy rotation fixture (the remaining
+        # dedup_family_agreement volume is the TRUE pair set itself)
+        "simhash_pairs": _dedup_mod.simhash_pairs,
+        "simhash_hamming_histogram": _dedup_mod.simhash_hamming_histogram,
         "chunk_documents": chunk_documents,
         "quality_classifier": quality_classifier,
         "hll_registers": hll_registers,

@@ -967,21 +967,35 @@ def test_session21_wave_plan_shapes(spark, sf_dir):
 
 
 def test_session22_wave_plan_shapes(spark, sf_dir):
-    """dedup_family_agreement: the two pair families are eagerly
-    truncated (each runs its own audited standalone plan — composing
-    them un-truncated demoted the verification join to a shingle-array
-    shuffle, 1.46 GB at sf1), so the visible plan is exactly ONE
-    pair-grain full-outer join over two materialized tables."""
+    """dedup_family_agreement (r5 shape): the SimHash pair set is never
+    materialized — |SH| is signature-grain arithmetic and the
+    intersection rides two MH-pair-grain enrichment joins, so the plan
+    is bounded by the SMALLER family (the r4 checkpoint+full-outer form
+    paid the full SH pair volume: 1.46-1.71 GB peak at sf1). Pins: no
+    Union of pair sets, no pair-expansion Generate from the simhash
+    member lists (the within-pair explode marker), joins = MinHash
+    subtree + 2 enrichments + the signature-grain block join."""
     from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
         dedup_family_agreement,
+        minhash_pairs,
     )
 
     plan = plan_of(dedup_family_agreement(spark, sf_dir))
-    assert count_op(plan, "SortMergeJoin") + count_op(
+    n_mh_joins = count_op(plan_of(minhash_pairs(spark, sf_dir)), "SortMergeJoin") + count_op(
+        plan_of(minhash_pairs(spark, sf_dir)), "BroadcastHashJoin"
+    )
+    n_joins = count_op(plan, "SortMergeJoin") + count_op(
         plan, "BroadcastHashJoin"
-    ) == 1, plan
+    )
+    # MH subtree + 2 simhash enrichments + 1 signature block join
+    assert n_joins == n_mh_joins + 3, plan
+    assert count_op(plan, "Union") == 0, plan
     assert "Window" not in plan and "EvalPython" not in plan, plan
-    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # the only nested-loop joins are the two 1-row scalar-aggregate
+    # crossJoins assembling the 3-row grid (the documented scalar-
+    # broadcast pattern) — never a data-grain cartesian
+    assert count_op(plan, "BroadcastNestedLoopJoin") == 2, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_session23_wave_plan_shapes(spark, sf_dir):
