@@ -1149,7 +1149,8 @@ _DRIVER_PRIORITY = [
     "kg_reciprocity", "role_balance", "simhash_bit_bias", "turn_reassembly",
     "pii_cooccurrence", "zipf_profile", "alias_hit_rate", "mask_census",
     "conv_context_budget", "tool_effect",
-    # -- remaining never-sampled --
+    # -- remaining never-sampled (r5 wave additions lead) --
+    "simhash_signature_stats",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "kg_linkpred", "events_anomalies", "containment_pairs",
     "kg_ppr", "tfidf_keywords", "cooc_ktruss", "kg_condense",
@@ -1601,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_partitioned_write": _kg_partitioned_write,
         "alias_hit_rate": _alias_hit_rate,
         "simhash_hamming_histogram": dedup.simhash_hamming_histogram,
+        "simhash_signature_stats": dedup.simhash_signature_stats,
         "extraction_funnel": _extraction_funnel,
         "mask_census": lambda s, d: textstats.mask_census(s, d, plant=True),
         "conv_context_budget": conv_context_budget,
@@ -2289,6 +2291,8 @@ def oracle_sql() -> dict[str, str]:
         "alias_hit_rate": _duck_alias_hit_rate(),
         "simhash_hamming_histogram": f"{shingles_prefix}"
         f" {dedup.duck_simhash_hamming_histogram()}",
+        "simhash_signature_stats": f"{shingles_prefix}"
+        f" {dedup.duck_simhash_signature_stats()}",
         "extraction_funnel": _duck_extraction_funnel(),
         "dedup_family_agreement": f"{shingles_prefix}"
         f" {dedup.duck_dedup_family_agreement()}",

@@ -480,6 +480,7 @@ def main() -> None:
     timed("kg_partitioned_write", _entry.queries()["kg_partitioned_write"])
     timed("alias_hit_rate", _entry.queries()["alias_hit_rate"])
     timed("simhash_hamming_histogram", dedup.simhash_hamming_histogram)
+    timed("simhash_signature_stats", dedup.simhash_signature_stats)
     timed("extraction_funnel", _entry.queries()["extraction_funnel"])
     timed("mask_census", _entry.queries()["mask_census"])
     timed("conv_context_budget", _entry.queries()["conv_context_budget"])
@@ -521,8 +522,9 @@ def main() -> None:
     # just the headline queries after the full map guarantees the tail
     # always contains driver-parseable headline numbers (last line wins).
     headline = [
-        "kg_pipeline", "kg_materialize", "minhash_pairs", "triples",
-        "canonicalize", "kg_incremental", "kg_pagerank", "featurized_sdp",
+        "kg_pipeline", "kg_materialize", "minhash_pairs", "simhash_pairs",
+        "ngram_pairs", "canonicalize", "dedup_family_agreement",
+        "extraction_funnel",
     ]
     compact = {
         "metric": "kg_pipeline_sec",

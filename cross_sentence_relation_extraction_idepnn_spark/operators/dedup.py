@@ -2534,3 +2534,51 @@ def duck_length_dup_matrix(tau: float = MINHASH_TAU) -> str:
         FROM lens l JOIN dup d ON d.doc_id = l.doc_id
         GROUP BY 1, 2
     """
+
+
+# ------------------------------- simhash signature multiplicity audit
+
+
+def simhash_signature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(mult_bucket, n_signatures, n_docs, n_pairs_within) — the
+    standing monitor for the exact condition the signature-grain
+    hot-bucket guard (round 5, :func:`_simhash_sigs`) exists to absorb:
+    how many docs share a byte-identical SimHash, bucketed by
+    ``floor(log2(multiplicity))``. A template- or boilerplate-heavy
+    ingest shows up here as mass in high buckets BEFORE it becomes a
+    quadratic pair set downstream — ``n_pairs_within`` (Σ n·(n−1)/2
+    per signature) is literally the hamming-0 pair volume the dedup
+    family will emit, so this table is the capacity forecast for every
+    pair-grain consumer. All-integer (log2 bucket boundaries are exact
+    powers of two — the ``zipf_profile`` engine-stability argument).
+
+    100 TB shape: one groupBy to signature grain (the shuffle the
+    guard already pays), then a |buckets|-sized aggregation; nothing
+    pair-grain, nothing corpus-grain after the first exchange."""
+    sigs = _simhash_sigs(spark, sf_dir)
+    bucket = F.expr("CAST(FLOOR(LOG2(n)) AS BIGINT)")
+    return (
+        sigs.select(bucket.alias("mult_bucket"), "n")
+        .groupBy("mult_bucket")
+        .agg(
+            F.count("*").alias("n_signatures"),
+            F.sum("n").alias("n_docs"),
+            F.sum(F.expr("(n * (n - 1)) div 2")).alias("n_pairs_within"),
+        )
+    )
+
+
+def duck_simhash_signature_stats() -> str:
+    """Oracle: the same signature collapse + log2 multiplicity grid."""
+    return f"""
+        , sim AS ({duck_simhash_cte()})
+        , sigs AS (
+            SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sim GROUP BY simhash
+        )
+        SELECT CAST(FLOOR(LOG2(n)) AS BIGINT) AS mult_bucket,
+               COUNT(*) AS n_signatures,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS n_pairs_within
+        FROM sigs GROUP BY 1
+    """

@@ -357,6 +357,7 @@ def main() -> None:
         # dedup_family_agreement volume is the TRUE pair set itself)
         "simhash_pairs": _dedup_mod.simhash_pairs,
         "simhash_hamming_histogram": _dedup_mod.simhash_hamming_histogram,
+        "simhash_signature_stats": _dedup_mod.simhash_signature_stats,
         "chunk_documents": chunk_documents,
         "quality_classifier": quality_classifier,
         "hll_registers": hll_registers,

@@ -465,3 +465,48 @@ def test_simhash_boilerplate_corpus_brute_force_parity(spark, tmp_path):
     assert (count_op(plan, "ObjectHashAggregate")
             + count_op(plan, "HashAggregate")
             + count_op(plan, "SortAggregate")) >= 2, plan
+
+
+def test_simhash_signature_stats_crafted_multiplicity(spark, tmp_path):
+    """50 identical docs + 4 distinct docs: the 50-clone signature lands
+    in mult_bucket floor(log2(50)) = 5 with C(50,2) within-pairs; the
+    singletons land in bucket 0 with zero pairs; doc mass conserves."""
+    import math
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        simhash_docs,
+        simhash_signature_stats,
+    )
+
+    rows = [(i, "the same boilerplate template text", "en", "t", 1)
+            for i in range(1, 51)]
+    rows += [(100 + j, f"distinct doc {j} tokens {j*13}", "en", "u", 1)
+             for j in range(4)]
+    path = str(tmp_path / "ss")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+    # independent recompute from the signature table
+    from collections import Counter
+    mult = Counter(
+        r.simhash for r in simhash_docs(spark, path).collect()
+    )
+    expect = {}
+    for n in mult.values():
+        b = int(math.floor(math.log2(n)))
+        s, d, p = expect.get(b, (0, 0, 0))
+        expect[b] = (s + 1, d + n, p + n * (n - 1) // 2)
+
+    got = {
+        r.mult_bucket: (r.n_signatures, r.n_docs, r.n_pairs_within)
+        for r in simhash_signature_stats(spark, path).collect()
+    }
+    assert got == expect
+    assert got[5][2] >= 50 * 49 // 2  # the clone signature's pair mass
+    assert sum(v[1] for v in got.values()) == 54  # doc conservation
