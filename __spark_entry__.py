@@ -1150,7 +1150,7 @@ _DRIVER_PRIORITY = [
     "pii_cooccurrence", "zipf_profile", "alias_hit_rate", "mask_census",
     "conv_context_budget", "tool_effect",
     # -- remaining never-sampled (r5 wave additions lead) --
-    "simhash_signature_stats",
+    "simhash_signature_stats", "simhash_delta",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "kg_linkpred", "events_anomalies", "containment_pairs",
     "kg_ppr", "tfidf_keywords", "cooc_ktruss", "kg_condense",
@@ -1603,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_hit_rate": _alias_hit_rate,
         "simhash_hamming_histogram": dedup.simhash_hamming_histogram,
         "simhash_signature_stats": dedup.simhash_signature_stats,
+        "simhash_delta": dedup.simhash_delta,
         "extraction_funnel": _extraction_funnel,
         "mask_census": lambda s, d: textstats.mask_census(s, d, plant=True),
         "conv_context_budget": conv_context_budget,
@@ -2293,6 +2294,8 @@ def oracle_sql() -> dict[str, str]:
         f" {dedup.duck_simhash_hamming_histogram()}",
         "simhash_signature_stats": f"{shingles_prefix}"
         f" {dedup.duck_simhash_signature_stats()}",
+        "simhash_delta": f"{shingles_prefix}"
+        f" {dedup.duck_simhash_delta()}",
         "extraction_funnel": _duck_extraction_funnel(),
         "dedup_family_agreement": f"{shingles_prefix}"
         f" {dedup.duck_dedup_family_agreement()}",

@@ -563,13 +563,29 @@ def _simhash_sig_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
+def _within_pairs_expr(col: str) -> str:
+    """Ordered pair expansion over a SORTED array column ``col``:
+    (a, b) for every a before b in the list — codegen-only, no join.
+    Shared by simhash_pairs (within-signature hamming-0 pairs) and
+    simhash_delta (batch-internal pairs)."""
+    return (
+        f"flatten(transform({col}, (a, i) -> "
+        f"transform(slice({col}, i + 2, size({col}) - i - 1), "
+        "b -> named_struct('doc_a', a, 'doc_b', b))))"
+    )
+
+
+def _cross_pairs_expr(col_a: str, col_b: str) -> str:
+    """All (a, b) pairs across two array columns — codegen-only."""
+    return (
+        f"flatten(transform({col_a}, a -> "
+        f"transform({col_b}, b -> named_struct('doc_a', a, 'doc_b', b))))"
+    )
+
+
 # ordered within-signature pair expansion: members is sorted ascending,
 # so (a, b) with b after a in the list satisfies doc_a < doc_b
-_WITHIN_PAIRS_EXPR = (
-    "flatten(transform(members, (a, i) -> "
-    "transform(slice(members, i + 2, size(members) - i - 1), "
-    "b -> named_struct('doc_a', a, 'doc_b', b))))"
-)
+_WITHIN_PAIRS_EXPR = _within_pairs_expr("members")
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str, max_ham: int = HAMMING_MAX) -> DataFrame:
@@ -2581,4 +2597,150 @@ def duck_simhash_signature_stats() -> str:
                CAST(SUM(n) AS BIGINT) AS n_docs,
                CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS n_pairs_within
         FROM sigs GROUP BY 1
+    """
+
+
+# ----------------------------------- incremental simhash near-dup
+
+
+def simhash_delta(
+    spark: SparkSession, sf_dir: str, max_ham: int = HAMMING_MAX
+) -> DataFrame:
+    """(doc_a, doc_b, hamming, n_new) — INCREMENTAL near-dup
+    maintenance for the SimHash family: the continual-ingestion twin of
+    :func:`simhash_pairs`, same split convention as ``minhash_delta`` /
+    ``kg_incremental`` (even ``doc_id`` = the already-indexed corpus,
+    odd = the new ingest batch). Emits exactly the Hamming ≤ ``max_ham``
+    pairs with AT LEAST ONE new endpoint; ``n_new`` ∈ {1, 2}
+    distinguishes new-vs-index from batch-internal pairs. Provably
+    equal to ``simhash_pairs`` filtered to ≥ 1 odd endpoint (tested).
+
+    Plan: the signature-grain guard carries over unchanged — signatures
+    collapse with their member lists SPLIT BY BATCH PARITY, so index ↔
+    index pairs are never generated at any grain: within-signature mass
+    expands arithmetically as new×new + new×index (codegen, no join),
+    and the one equi-join is the distinct-signature block join with
+    new-side pair expansion after it. At 100 TB the signature table is
+    the persisted index; per-batch cost is the batch's signature build
+    + a signature-grain probe — never a corpus rescan."""
+    sim = simhash_docs(spark, sf_dir)
+    sigs = (
+        sim.groupBy("simhash")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("doc_id") % 2 == 1, F.col("doc_id"))
+                )
+            ).alias("m_new"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
+                )
+            ).alias("m_idx"),
+        )
+    )
+    n_new_col = (F.col("doc_a") % 2 + F.col("doc_b") % 2).cast("int")
+
+    within = (
+        sigs.select(
+            F.explode(
+                F.concat(
+                    F.expr(_within_pairs_expr("m_new")),
+                    F.expr(_cross_pairs_expr("m_new", "m_idx")),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.least("p.doc_a", "p.doc_b").alias("doc_a"),
+            F.greatest("p.doc_a", "p.doc_b").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+        .withColumn("n_new", n_new_col)
+    )
+
+    blocks = sigs.select(
+        "simhash",
+        "m_new",
+        "m_idx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        F.shiftright(F.col("simhash"), j * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "simhash", "m_new", "m_idx",
+        F.col("b.blk").alias("blk"), F.col("b.val").alias("val"),
+    )
+    sig_pairs = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["blk", "val"])
+        .filter(F.col("x.simhash") < F.col("y.simhash"))
+        .select(
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+            F.col("x.m_new").alias("an"),
+            F.col("x.m_idx").alias("ai"),
+            F.col("y.m_new").alias("bn"),
+            F.col("y.m_idx").alias("bi"),
+        )
+        .dropDuplicates(["sh_a", "sh_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_ham)
+    )
+    # >=1 new endpoint across signatures: new_a x all_b  UNION  idx_a x new_b
+    # (disjoint: the second set's left endpoint is index-side)
+    cross = (
+        sig_pairs.select(
+            "hamming",
+            F.explode(
+                F.concat(
+                    F.expr(_cross_pairs_expr("an", "bn")),
+                    F.expr(_cross_pairs_expr("an", "bi")),
+                    F.expr(_cross_pairs_expr("ai", "bn")),
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.least("p.doc_a", "p.doc_b").alias("doc_a"),
+            F.greatest("p.doc_a", "p.doc_b").alias("doc_b"),
+            "hamming",
+        )
+        .withColumn("n_new", n_new_col)
+    )
+    return within.unionByName(cross)
+
+
+def duck_simhash_delta(max_ham: int = HAMMING_MAX) -> str:
+    """Oracle: the doc-grain candidate formulation (independent of the
+    signature-grain Spark plan) filtered to >=1 odd endpoint."""
+    return f"""
+        , sim AS ({duck_simhash_cte()})
+        , blocks AS (
+            SELECT doc_id, simhash, j AS blk,
+                   (simhash >> (j * 8)) & 255 AS val
+            FROM sim, (SELECT UNNEST(range(4)) AS j)
+        )
+        , cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            x.simhash AS sh_a, y.simhash AS sh_b
+            FROM blocks x JOIN blocks y
+              ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming,
+               CAST(doc_a % 2 + doc_b % 2 AS INT) AS n_new
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_ham}
+          AND (doc_a % 2 = 1 OR doc_b % 2 = 1)
     """

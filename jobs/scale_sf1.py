@@ -358,6 +358,7 @@ def main() -> None:
         "simhash_pairs": _dedup_mod.simhash_pairs,
         "simhash_hamming_histogram": _dedup_mod.simhash_hamming_histogram,
         "simhash_signature_stats": _dedup_mod.simhash_signature_stats,
+        "simhash_delta": _dedup_mod.simhash_delta,
         "chunk_documents": chunk_documents,
         "quality_classifier": quality_classifier,
         "hll_registers": hll_registers,

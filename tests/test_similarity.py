@@ -510,3 +510,60 @@ def test_simhash_signature_stats_crafted_multiplicity(spark, tmp_path):
     assert got == expect
     assert got[5][2] >= 50 * 49 // 2  # the clone signature's pair mass
     assert sum(v[1] for v in got.values()) == 54  # doc conservation
+
+
+def test_simhash_delta_equals_filtered_pairs(spark, sf_dir):
+    """The incremental result equals simhash_pairs filtered to >=1 new
+    (odd doc_id) endpoint, with n_new = endpoint parity sum — the
+    delta ≡ rebuild law for the simhash family."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        simhash_delta,
+        simhash_pairs,
+    )
+
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(spark, sf_dir).collect()
+        if r.doc_a % 2 == 1 or r.doc_b % 2 == 1
+    }
+    delta = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_delta(spark, sf_dir).collect()
+    }
+    assert delta == full
+    for r in simhash_delta(spark, sf_dir).collect():
+        assert r.n_new == r.doc_a % 2 + r.doc_b % 2
+        assert r.n_new in (1, 2)
+
+
+def test_simhash_delta_boilerplate_no_index_pairs(spark, tmp_path):
+    """Hot-signature incremental pin: 40 index clones (even ids) + 10
+    new clones (odd ids) of the same template. The delta must emit
+    exactly the new-internal C(10,2) + new-vs-index 10x40 hamming-0
+    pairs — and NEVER an index-index pair, however hot the signature."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        simhash_delta,
+    )
+
+    rows = [(2 * i, "the same boilerplate template text", "en", "t", 1)
+            for i in range(1, 41)]
+    rows += [(2 * j + 1, "the same boilerplate template text", "en", "t", 1)
+             for j in range(10)]
+    path = str(tmp_path / "sd")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    got = simhash_delta(spark, path).collect()
+    assert all(r.doc_a % 2 == 1 or r.doc_b % 2 == 1 for r in got)
+    assert all(r.hamming == 0 for r in got)
+    n_internal = sum(1 for r in got if r.n_new == 2)
+    n_vs_index = sum(1 for r in got if r.n_new == 1)
+    assert n_internal == 10 * 9 // 2
+    assert n_vs_index == 10 * 40
+    assert len(got) == len({(r.doc_a, r.doc_b) for r in got})
