@@ -1150,7 +1150,7 @@ _DRIVER_PRIORITY = [
     "pii_cooccurrence", "zipf_profile", "alias_hit_rate", "mask_census",
     "conv_context_budget", "tool_effect",
     # -- remaining never-sampled (r5 wave additions lead) --
-    "simhash_signature_stats", "simhash_delta",
+    "simhash_signature_stats", "simhash_delta", "ivf_probe_sweep",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "kg_linkpred", "events_anomalies", "containment_pairs",
     "kg_ppr", "tfidf_keywords", "cooc_ktruss", "kg_condense",
@@ -1435,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # measured recall@k of the LSH ANN vs exact top-k
         "ann_recall": _ann_recall,
         "ivf_recall": similarity.ivf_recall,
+        "ivf_probe_sweep": similarity.ivf_probe_sweep,
         # first-order Markov tool-transition stats over conversations
         "tool_transition": tool_transition,
         # exact conv-size count-of-counts + salting advisor
@@ -2192,6 +2193,7 @@ def oracle_sql() -> dict[str, str]:
         "cooc_ktruss": _duck_cooc_ktruss(),
         "ann_recall": similarity.duck_ann_recall(),
         "ivf_recall": similarity.duck_ivf_recall(),
+        "ivf_probe_sweep": similarity.duck_ivf_probe_sweep(),
         "tool_transition": f"WITH transcripts AS ({duck_transcripts_cte()})"
         f" {duck_tool_transition()}",
         "events_cohorts": temporal.duck_events_cohorts(),

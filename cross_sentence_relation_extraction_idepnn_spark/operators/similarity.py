@@ -912,3 +912,174 @@ def duck_embedding_dim_profile() -> str:
                    AS mean_e6
         FROM ({rows})
     """
+
+
+# ----------------------------------------- IVF nprobe recall sweep
+
+PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def ivf_probe_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    cells: int = IVF_CELLS,
+    probes: tuple[int, ...] = PROBE_SWEEP,
+) -> DataFrame:
+    """(nprobe, possible, hits, recall_e6) — the MEASURED quality/cost
+    curve of the IVF index: recall@k against the exact cosine top-k as
+    a function of how many coarse cells each query probes. This is the
+    number a production nprobe decision reads off (``ivf_recall`` is
+    the single-cell point; this is the whole curve), and the last row
+    (nprobe = cells) is a built-in self-check: probing every cell IS
+    the exact search, so recall_e6 = 1_000_000 there by construction
+    — an always-on canary for quantizer/scoring drift. Integer
+    half-up recall in micro-units; no float crosses the engine hash.
+
+    Plan: corpus cell assignment stays the literal-quantizer codegen
+    projection (no corpus shuffle); the query→cell probe ranking is
+    |queries|×|cells| rows (tiny, exploded from the same literal); ONE
+    equi-join lands corpus candidates on probed cells; per (nprobe,
+    query) top-k is a window over cell-filtered candidates — candidate
+    volume is bounded by the probed cells' population, exactly an IVF
+    probe's cost model, and the sweep reuses the one scored candidate
+    table for every nprobe value."""
+    cent_rows = [
+        (int(r["cell_id"]), [float(x) for x in r["cv"]])
+        for r in _ivf_centroids(spark, sf_dir, cells=cells).collect()
+    ]
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    assigned = assign_cells(emb, cent_rows, vec_col="embedding", metric="dot")
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cents = _cent_literal(cent_rows)
+    qrank = (
+        q.select("query_id", "qv", F.explode(cents).alias("c"))
+        .select(
+            "query_id",
+            "qv",
+            F.col("c.cell_id").alias("cell_id"),
+            (-_dot(F.col("qv"), F.col("c.cv"))).alias("negdot"),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("negdot", "cell_id")
+            ),
+        )
+        .select("query_id", "qv", "cell_id", "cell_rank")
+    )
+    cand = (
+        assigned.join(F.broadcast(qrank), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell_rank",
+            F.round(
+                _dot(F.col("qv"), F.col("embedding"))
+                / (_norm(F.col("qv")) * _norm(F.col("embedding"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    exact = cosine_topk(spark, sf_dir, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    rows = []
+    for p in probes:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        ap = (
+            cand.filter(F.col("cell_rank") <= p)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        rows.append(
+            exact.join(ap, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(p).cast("int").alias("nprobe"),
+                F.count("*").cast("long").alias("possible"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("hits"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.withColumn(
+        "recall_e6",
+        F.expr("(hits * 1000000 + possible div 2) div possible").cast("long"),
+    )
+
+
+def duck_ivf_probe_sweep(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    cells: int = IVF_CELLS,
+    probes: tuple[int, ...] = PROBE_SWEEP,
+) -> str:
+    """Oracle: shared assignment/probe-rank/candidate CTEs + one
+    UNION ALL block per nprobe value."""
+    blocks = []
+    for p in probes:
+        blocks.append(f"""
+        SELECT CAST({p} AS INT) AS nprobe,
+               CAST(COUNT(*) AS BIGINT) AS possible,
+               CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+               CAST((SUM(CASE WHEN ap.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) * 1000000 + COUNT(*) // 2)
+                    // COUNT(*) AS BIGINT) AS recall_e6
+        FROM exact ex
+        LEFT JOIN (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM cand WHERE cell_rank <= {p}
+            ) WHERE rnk <= {k}
+        ) ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+        """)
+    body = " UNION ALL ".join(blocks)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < {cells}),
+        assigned AS (
+            SELECT vec_id, v, cell_id FROM (
+                SELECT e.vec_id, e.v, c.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_sum(list_transform(range(1, len(e.v) + 1),
+                                                            i -> e.v[i] * c.cv[i])) DESC,
+                                    c.cell_id) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv
+              FROM assigned WHERE vec_id < {n_queries}),
+        qrank AS (
+            SELECT q.query_id, q.qv, c.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_sum(list_transform(range(1, len(q.qv) + 1),
+                                                        i -> q.qv[i] * c.cv[i])) DESC,
+                                c.cell_id) AS cell_rank
+            FROM q CROSS JOIN cents c
+        ),
+        cand AS (
+            SELECT r.query_id, a.vec_id AS neighbor_id, r.cell_rank,
+                   ROUND(list_sum(list_transform(range(1, len(r.qv) + 1),
+                                                 i -> r.qv[i] * a.v[i]))
+                         / (sqrt(list_sum(list_transform(r.qv, x -> x * x)))
+                            * sqrt(list_sum(list_transform(a.v, x -> x * x)))),
+                         6) AS cosine
+            FROM assigned a
+            JOIN qrank r ON a.cell_id = r.cell_id AND a.vec_id != r.query_id
+        ),
+        exact AS (SELECT query_id, neighbor_id
+                  FROM ({duck_cosine_topk(k=k, n_queries=n_queries)}))
+        {body}
+    """

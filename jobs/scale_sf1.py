@@ -154,6 +154,7 @@ def stage_metrics(spark) -> dict[int, dict]:
 def main() -> None:
     from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import minhash_pairs
     from cross_sentence_relation_extraction_idepnn_spark.operators import dedup as _dedup_mod
+    from cross_sentence_relation_extraction_idepnn_spark.operators import similarity as _sim_mod
     from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
         extract_triples,
         materialize_kg,
@@ -359,6 +360,7 @@ def main() -> None:
         "simhash_hamming_histogram": _dedup_mod.simhash_hamming_histogram,
         "simhash_signature_stats": _dedup_mod.simhash_signature_stats,
         "simhash_delta": _dedup_mod.simhash_delta,
+        "ivf_probe_sweep": _sim_mod.ivf_probe_sweep,
         "chunk_documents": chunk_documents,
         "quality_classifier": quality_classifier,
         "hll_registers": hll_registers,

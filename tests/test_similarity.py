@@ -567,3 +567,45 @@ def test_simhash_delta_boilerplate_no_index_pairs(spark, tmp_path):
     assert n_internal == 10 * 9 // 2
     assert n_vs_index == 10 * 40
     assert len(got) == len({(r.doc_a, r.doc_b) for r in got})
+
+
+def test_ivf_probe_sweep_monotone_with_exact_canary(spark, sf_dir):
+    """Recall@k is non-decreasing in nprobe, possible = k·n_queries on
+    every row, and the nprobe = IVF_CELLS row is EXACT by construction
+    (probing every cell is the brute-force search) — the standing
+    canary for quantizer/scoring drift."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.similarity import (
+        IVF_CELLS,
+        N_QUERIES,
+        TOP_K,
+        ivf_probe_sweep,
+    )
+
+    rows = sorted(
+        ivf_probe_sweep(spark, sf_dir).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    assert all(r.possible == TOP_K * N_QUERIES for r in rows)
+    hits = [r.hits for r in rows]
+    assert hits == sorted(hits)
+    last = rows[-1]
+    assert last.nprobe == IVF_CELLS
+    assert last.hits == last.possible
+    assert last.recall_e6 == 1_000_000
+    for r in rows:
+        assert r.recall_e6 == (r.hits * 1_000_000 + r.possible // 2) // r.possible
+
+
+def test_ivf_probe_sweep_single_cell_matches_ivf_recall(spark, sf_dir):
+    """The nprobe = 1 row of the sweep equals the summed per-query
+    ivf_recall rollup — the curve's first point is the existing
+    single-probe audit."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.similarity import (
+        ivf_probe_sweep,
+        ivf_recall,
+    )
+
+    p1 = [r for r in ivf_probe_sweep(spark, sf_dir).collect() if r.nprobe == 1][0]
+    per_q = ivf_recall(spark, sf_dir).collect()
+    assert p1.hits == sum(r.hits for r in per_q)
+    assert p1.possible == sum(r.k_exact for r in per_q)
