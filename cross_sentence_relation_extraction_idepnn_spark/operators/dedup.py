@@ -2744,3 +2744,118 @@ def duck_simhash_delta(max_ham: int = HAMMING_MAX) -> str:
         WHERE bit_count(xor(sh_a, sh_b)) <= {max_ham}
           AND (doc_a % 2 = 1 OR doc_b % 2 = 1)
     """
+
+
+# -------------------------------------------- LSH band-budget sweep
+
+
+def lsh_band_sweep(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) -> DataFrame:
+    """(n_bands, possible, hits, recall_e6) — the measured band-budget
+    curve of the MinHash LSH index: what fraction of the full-index
+    verified near-dup pairs (Jaccard ≥ τ over all ``NUM_PERMS //
+    BAND_ROWS`` bands) would already be recovered by only the first
+    ``n_bands`` bands. The production bands/rows sizing decision read
+    off a curve instead of the one-point answer; the last row
+    (n_bands = all) is a built-in exactness canary (every verified
+    pair matched some band, so recall_e6 = 1_000_000 by construction
+    — the ``ivf_probe_sweep`` pattern applied to the LSH family).
+    Integer half-up micro-unit recall.
+
+    Plan: ONE band equi-join tagged with the MINIMAL matching band
+    index per pair (the same candidate join minhash_pairs pays,
+    re-aggregated to pair grain), one pair-grain join against the
+    verified set, then the whole sweep is conditional aggregation over
+    a single row — no per-budget re-join, no extra corpus pass."""
+    n_total = NUM_PERMS // BAND_ROWS
+    bands = _band_sigs(spark, sf_dir)
+    pair_first = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_sig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .agg(F.min("band").alias("first_band"))
+    )
+    verified = minhash_pairs(spark, sf_dir, tau=tau).select("doc_a", "doc_b")
+    vb = verified.join(pair_first, ["doc_a", "doc_b"])
+    agg = vb.agg(
+        F.count("*").cast("long").alias("possible"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("first_band") < nb, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"h{nb}")
+            for nb in range(1, n_total + 1)
+        ],
+    )
+    out = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nb).cast("int").alias("n_bands"),
+                        F.col("possible").alias("possible"),
+                        F.col(f"h{nb}").alias("hits"),
+                    )
+                    for nb in range(1, n_total + 1)
+                ]
+            )
+        ).alias("r")
+    ).select("r.n_bands", "r.possible", "r.hits")
+    return out.withColumn(
+        "recall_e6",
+        F.expr(
+            "(hits * 1000000 + greatest(possible, 1) div 2)"
+            " div greatest(possible, 1)"
+        ).cast("long"),
+    )
+
+
+def duck_lsh_band_sweep(tau: float = MINHASH_TAU) -> str:
+    """Oracle: the minhash CTE chain + minimal-band tagging + one
+    UNION ALL block per band budget."""
+    n_total = NUM_PERMS // BAND_ROWS
+    ctes, _final = _duck_minhash_pair_parts(tau)
+    blocks = []
+    for nb in range(1, n_total + 1):
+        blocks.append(f"""
+        SELECT CAST({nb} AS INT) AS n_bands,
+               CAST(COUNT(*) AS BIGINT) AS possible,
+               CAST(SUM(CASE WHEN first_band < {nb} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits,
+               CAST((SUM(CASE WHEN first_band < {nb} THEN 1 ELSE 0 END)
+                     * 1000000 + GREATEST(COUNT(*), 1) // 2)
+                    // GREATEST(COUNT(*), 1) AS BIGINT) AS recall_e6
+        FROM vb
+        """)
+    body = " UNION ALL ".join(blocks)
+    return f"""
+        {ctes}
+        , firstband AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   MIN(x.band) AS first_band
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.band_sig = y.band_sig
+             AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        , verified AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            JOIN counts ca ON ca.doc_id = c.doc_a
+            JOIN counts cb ON cb.doc_id = c.doc_b
+            WHERE COALESCE(i.n_inter, 0) * 1.0
+                  / (ca.n + cb.n - COALESCE(i.n_inter, 0)) >= {tau}
+        )
+        , vb AS (
+            SELECT v.doc_a, v.doc_b, f.first_band
+            FROM verified v
+            JOIN firstband f ON f.doc_a = v.doc_a AND f.doc_b = v.doc_b
+        )
+        {body}
+    """

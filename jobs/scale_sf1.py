@@ -361,6 +361,7 @@ def main() -> None:
         "simhash_signature_stats": _dedup_mod.simhash_signature_stats,
         "simhash_delta": _dedup_mod.simhash_delta,
         "ivf_probe_sweep": _sim_mod.ivf_probe_sweep,
+        "lsh_band_sweep": _dedup_mod.lsh_band_sweep,
         "chunk_documents": chunk_documents,
         "quality_classifier": quality_classifier,
         "hll_registers": hll_registers,

@@ -609,3 +609,26 @@ def test_ivf_probe_sweep_single_cell_matches_ivf_recall(spark, sf_dir):
     per_q = ivf_recall(spark, sf_dir).collect()
     assert p1.hits == sum(r.hits for r in per_q)
     assert p1.possible == sum(r.k_exact for r in per_q)
+
+
+def test_lsh_band_sweep_monotone_with_full_band_canary(spark, sf_dir):
+    """Band-budget recall is non-decreasing, possible equals the
+    verified minhash pair count on every row, and the all-bands row is
+    exact by construction (every verified pair matched some band)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        BAND_ROWS,
+        NUM_PERMS,
+        lsh_band_sweep,
+        minhash_pairs,
+    )
+
+    n_total = NUM_PERMS // BAND_ROWS
+    rows = sorted(lsh_band_sweep(spark, sf_dir).collect(),
+                  key=lambda r: r.n_bands)
+    assert [r.n_bands for r in rows] == list(range(1, n_total + 1))
+    n_pairs = minhash_pairs(spark, sf_dir).count()
+    assert all(r.possible == n_pairs for r in rows)
+    hits = [r.hits for r in rows]
+    assert hits == sorted(hits)
+    assert rows[-1].hits == n_pairs
+    assert rows[-1].recall_e6 == 1_000_000
