@@ -1151,7 +1151,7 @@ _DRIVER_PRIORITY = [
     "conv_context_budget", "tool_effect",
     # -- remaining never-sampled (r5 wave additions lead) --
     "simhash_signature_stats", "simhash_delta", "ivf_probe_sweep",
-    "lsh_band_sweep",
+    "lsh_band_sweep", "pack_efficiency",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "kg_linkpred", "events_anomalies", "containment_pairs",
     "kg_ppr", "tfidf_keywords", "cooc_ktruss", "kg_condense",
@@ -1341,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greedy sequence packing: grouped-sequential applyInPandas vs
         # a recursive-CTE walk of the same recurrence
         "pack_sequences": curation.pack_sequences,
+        "pack_efficiency": curation.pack_efficiency,
         # context-window chunking with stride (complement of packing)
         "chunk_documents": curation.chunk_documents,
         # distributed BPE merge learning over the vocab-grain word counts
@@ -2131,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture": curation.duck_domain_mixture(),
         "line_dedup": curation.duck_line_dedup(plant=True),
         "pack_sequences": curation.duck_pack_sequences(),
+        "pack_efficiency": curation.duck_pack_efficiency(),
         "chunk_documents": curation.duck_chunk_documents(),
         "bpe_merges": bpe.duck_bpe_merges(),
         "bpe_token_counts": bpe.duck_bpe_token_counts(),

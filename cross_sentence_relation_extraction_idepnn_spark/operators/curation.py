@@ -1601,3 +1601,66 @@ def duck_pii_cooccurrence(plant: bool = True) -> str:
         WITH flags AS (SELECT {sel} FROM documents)
         {body}
     """
+
+
+# ----------------------------------------- packing efficiency audit
+
+
+def pack_efficiency(
+    spark: SparkSession,
+    sf_dir: str,
+    max_tokens: int = PACK_MAX_TOKENS,
+    n_bins: int = PACK_BINS,
+) -> DataFrame:
+    """(fill_decile, n_packs, n_docs, sum_tokens) — fill-rate census of
+    the :func:`pack_sequences` output: every pretraining pack bucketed
+    by ``least(10, fill·10 div max_tokens)`` (decile 10 = exactly-full
+    or oversize packs — a single doc above the budget lands there too). The number a
+    data-pipeline team actually watches about packing: mass in low
+    deciles is padding the trainer pays for, and a drift here (corpus
+    length distribution changed, max_tokens mis-sized) shows up before
+    the loss curves do. Σ n_docs conserves the corpus and
+    Σ sum_tokens conserves the token count — both pinned in tests.
+
+    Plan: the cost is the pack_sequences subtree itself (one shuffle
+    on ``bin`` + per-bin sequential Arrow kernel); the audit on top is
+    a pack-grain aggregation (packs ≪ docs) and a ≤ 11-row grid."""
+    packs = pack_sequences(spark, sf_dir, max_tokens=max_tokens, n_bins=n_bins)
+    per_pack = packs.groupBy("bin", "pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("fill"),
+    )
+    decile = F.expr(f"least(10, (fill * 10) div {max_tokens})").cast("int")
+    return (
+        per_pack.select(
+            decile.alias("fill_decile"), "n_docs", "fill"
+        )
+        .groupBy("fill_decile")
+        .agg(
+            F.count("*").cast("long").alias("n_packs"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("fill").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+def duck_pack_efficiency(
+    max_tokens: int = PACK_MAX_TOKENS, n_bins: int = PACK_BINS
+) -> str:
+    """Oracle: the pack_sequences recursive walk re-aggregated to the
+    fill-decile grid."""
+    return f"""
+        WITH packed AS ({duck_pack_sequences(max_tokens, n_bins)}),
+        per_pack AS (
+            SELECT bin, pack_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS fill
+            FROM packed GROUP BY 1, 2
+        )
+        SELECT CAST(LEAST(10, (fill * 10) // {max_tokens}) AS INT)
+                   AS fill_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_packs,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(fill) AS BIGINT) AS sum_tokens
+        FROM per_pack GROUP BY 1
+    """

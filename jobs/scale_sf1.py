@@ -155,6 +155,7 @@ def main() -> None:
     from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import minhash_pairs
     from cross_sentence_relation_extraction_idepnn_spark.operators import dedup as _dedup_mod
     from cross_sentence_relation_extraction_idepnn_spark.operators import similarity as _sim_mod
+    from cross_sentence_relation_extraction_idepnn_spark.operators import curation as _cur_mod
     from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
         extract_triples,
         materialize_kg,
@@ -362,6 +363,7 @@ def main() -> None:
         "simhash_delta": _dedup_mod.simhash_delta,
         "ivf_probe_sweep": _sim_mod.ivf_probe_sweep,
         "lsh_band_sweep": _dedup_mod.lsh_band_sweep,
+        "pack_efficiency": _cur_mod.pack_efficiency,
         "chunk_documents": chunk_documents,
         "quality_classifier": quality_classifier,
         "hll_registers": hll_registers,

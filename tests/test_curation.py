@@ -587,3 +587,29 @@ def test_tool_effect_and_latency_crafted(spark, tmp_path):
         for r in tool_latency(spark, path).collect()
     }
     assert lat == {"search": (1, 13000, 13000, 13000)}
+
+
+def test_pack_efficiency_conserves_docs_and_tokens(spark, sf_dir):
+    """The fill-decile census partitions the pack set exactly: doc mass
+    equals the corpus, token mass equals the corpus token count, pack
+    mass equals the distinct (bin, pack_id) count, and deciles stay in
+    [0, 10]."""
+    from pyspark.sql import functions as F
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.curation import (
+        pack_efficiency,
+        pack_sequences,
+    )
+
+    rows = pack_efficiency(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).first()["s"]
+    packs = pack_sequences(spark, sf_dir)
+    n_packs = packs.select("bin", "pack_id").distinct().count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.sum_tokens for r in rows) == n_tokens
+    assert sum(r.n_packs for r in rows) == n_packs
+    assert all(0 <= r.fill_decile <= 10 for r in rows)
