@@ -1151,7 +1151,7 @@ _DRIVER_PRIORITY = [
     "conv_context_budget", "tool_effect",
     # -- remaining never-sampled (r5 wave additions lead) --
     "simhash_signature_stats", "simhash_delta", "ivf_probe_sweep",
-    "lsh_band_sweep", "pack_efficiency",
+    "lsh_band_sweep", "pack_efficiency", "ngram_block_overflow",
     "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
     "transe_epochs", "kg_linkpred", "events_anomalies", "containment_pairs",
     "kg_ppr", "tfidf_keywords", "cooc_ktruss", "kg_condense",
@@ -1608,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signature_stats": dedup.simhash_signature_stats,
         "simhash_delta": dedup.simhash_delta,
         "lsh_band_sweep": dedup.lsh_band_sweep,
+        "ngram_block_overflow": dedup.ngram_block_overflow,
         "extraction_funnel": _extraction_funnel,
         "mask_census": lambda s, d: textstats.mask_census(s, d, plant=True),
         "conv_context_budget": conv_context_budget,
@@ -2304,6 +2305,8 @@ def oracle_sql() -> dict[str, str]:
         f" {dedup.duck_simhash_delta()}",
         "lsh_band_sweep": f"{shingles_prefix}"
         f" {dedup.duck_lsh_band_sweep()}",
+        "ngram_block_overflow": f"{shingles_prefix}"
+        f" {dedup.duck_ngram_block_overflow()}",
         "extraction_funnel": _duck_extraction_funnel(),
         "dedup_family_agreement": f"{shingles_prefix}"
         f" {dedup.duck_dedup_family_agreement()}",

@@ -485,6 +485,7 @@ def main() -> None:
     timed("ivf_probe_sweep", similarity.ivf_probe_sweep)
     timed("lsh_band_sweep", dedup.lsh_band_sweep)
     timed("pack_efficiency", curation.pack_efficiency)
+    timed("ngram_block_overflow", dedup.ngram_block_overflow)
     timed("extraction_funnel", _entry.queries()["extraction_funnel"])
     timed("mask_census", _entry.queries()["mask_census"])
     timed("conv_context_budget", _entry.queries()["conv_context_budget"])

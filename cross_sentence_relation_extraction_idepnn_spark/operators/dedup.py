@@ -2859,3 +2859,93 @@ def duck_lsh_band_sweep(tau: float = MINHASH_TAU) -> str:
         )
         {body}
     """
+
+
+# ------------------------------------------- ngram block-cap census
+
+
+def ngram_block_overflow(
+    spark: SparkSession, sf_dir: str, max_block: int = NGRAM_MAX_BLOCK
+) -> DataFrame:
+    """(stage, n_blocks, n_docs, max_block_size) — the no-silent-caps
+    census for the :func:`ngram_jaccard_pairs` frequency guard: how
+    much of the corpus survives at blocking level 1 (min-shingle key
+    ≤ cap), how much was re-blocked to level 2 (second-distinct min),
+    and exactly how many docs the cap DROPS from candidate generation
+    (level-2 blocks still over the cap). Task-rule compliance made
+    queryable: a capped pipeline must report what it dropped, and a
+    drift here (boilerplate shingle going viral → dropped mass
+    spiking) is the early warning that the near-dup recall story is
+    changing. All-integer.
+
+    Plan: the same doc-grain blocking derivation ngram_jaccard_pairs
+    pays (array folds, two block-size aggregations) WITHOUT the pair
+    join — the census never touches candidate pairs, so its cost is
+    the blocking prefix alone, grid output ≤ 3 rows."""
+    hs = F.transform("shs", lambda s: spark_h15(s))
+    per_doc = (
+        _shingle_arrays(spark, sf_dir)
+        .select("doc_id", hs.alias("hs"))
+        .select("doc_id", "hs", F.array_min("hs").alias("h1"))
+        .select(
+            "doc_id",
+            "h1",
+            F.coalesce(
+                F.array_min(F.filter("hs", lambda h: h > F.col("h1"))),
+                F.col("h1"),
+            ).alias("h2"),
+        )
+    )
+    sz1 = per_doc.groupBy("h1").agg(F.count("*").alias("bsz1"))
+    keyed0 = per_doc.join(sz1, "h1").select(
+        "doc_id",
+        F.when(F.col("bsz1") <= max_block, F.lit(1)).otherwise(F.lit(2)).alias("lvl"),
+        F.when(F.col("bsz1") <= max_block, F.col("h1"))
+        .otherwise(F.col("h2"))
+        .alias("block"),
+    )
+    blocks = keyed0.groupBy("lvl", "block").agg(F.count("*").alias("bsz2"))
+    stage = (
+        F.when((F.col("lvl") == 1) & (F.col("bsz2") <= max_block), F.lit("level1_kept"))
+        .when((F.col("lvl") == 2) & (F.col("bsz2") <= max_block), F.lit("level2_kept"))
+        .otherwise(F.lit("dropped"))
+    )
+    return (
+        blocks.select(stage.alias("stage"), "bsz2")
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("bsz2").cast("long").alias("n_docs"),
+            F.max("bsz2").cast("long").alias("max_block_size"),
+        )
+    )
+
+
+def duck_ngram_block_overflow(max_block: int = NGRAM_MAX_BLOCK) -> str:
+    """Oracle: the ngram blocking CTEs re-aggregated to the 3-row
+    stage grid (compose after a shingles CTE)."""
+    return f"""
+        , hs AS (SELECT doc_id, {duck_h15("shingle")} AS hs FROM shingles)
+        , per_doc AS (
+            SELECT doc_id, MIN(hs) AS h1,
+                   COALESCE((list_sort(list_distinct(list(hs))))[2], MIN(hs)) AS h2
+            FROM hs GROUP BY doc_id
+        )
+        , sz1 AS (SELECT h1, COUNT(*) AS bsz1 FROM per_doc GROUP BY h1)
+        , keyed0 AS (
+            SELECT p.doc_id,
+                   CASE WHEN s.bsz1 <= {max_block} THEN 1 ELSE 2 END AS lvl,
+                   CASE WHEN s.bsz1 <= {max_block} THEN p.h1 ELSE p.h2 END AS block
+            FROM per_doc p JOIN sz1 s ON p.h1 = s.h1
+        )
+        , blocks AS (
+            SELECT lvl, block, COUNT(*) AS bsz2 FROM keyed0 GROUP BY lvl, block
+        )
+        SELECT CASE WHEN lvl = 1 AND bsz2 <= {max_block} THEN 'level1_kept'
+                    WHEN lvl = 2 AND bsz2 <= {max_block} THEN 'level2_kept'
+                    ELSE 'dropped' END AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(bsz2) AS BIGINT) AS n_docs,
+               CAST(MAX(bsz2) AS BIGINT) AS max_block_size
+        FROM blocks GROUP BY 1
+    """

@@ -364,6 +364,7 @@ def main() -> None:
         "ivf_probe_sweep": _sim_mod.ivf_probe_sweep,
         "lsh_band_sweep": _dedup_mod.lsh_band_sweep,
         "pack_efficiency": _cur_mod.pack_efficiency,
+        "ngram_block_overflow": _dedup_mod.ngram_block_overflow,
         "chunk_documents": chunk_documents,
         "quality_classifier": quality_classifier,
         "hll_registers": hll_registers,

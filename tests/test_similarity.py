@@ -632,3 +632,59 @@ def test_lsh_band_sweep_monotone_with_full_band_canary(spark, sf_dir):
     assert hits == sorted(hits)
     assert rows[-1].hits == n_pairs
     assert rows[-1].recall_e6 == 1_000_000
+
+
+def test_ngram_block_overflow_conserves_and_caps(spark, sf_dir):
+    """Stage doc-mass partitions the shingled corpus exactly, kept
+    stages respect the cap, and a crafted viral-shingle corpus routes
+    mass through level-2 re-blocking with the overflow REPORTED."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        NGRAM_MAX_BLOCK,
+        _shingle_arrays,
+        ngram_block_overflow,
+    )
+
+    rows = {r.stage: r for r in ngram_block_overflow(spark, sf_dir).collect()}
+    n_shingled = _shingle_arrays(spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows.values()) == n_shingled
+    for stage in ("level1_kept", "level2_kept"):
+        if stage in rows:
+            assert rows[stage].max_block_size <= NGRAM_MAX_BLOCK
+    if "dropped" in rows:
+        assert rows["dropped"].max_block_size > NGRAM_MAX_BLOCK
+
+
+def test_ngram_block_overflow_viral_shingle(spark, tmp_path):
+    """A corpus where every doc shares its minimal shingle (one viral
+    boilerplate prefix) but has a distinct second shingle: level 1
+    overflows, re-blocking spreads docs across level-2 singleton
+    blocks, and nothing is silently lost — the census accounts for
+    every doc."""
+    import os
+
+    from cross_sentence_relation_extraction_idepnn_spark.operators.dedup import (
+        NGRAM_MAX_BLOCK,
+        _shingle_arrays,
+        ngram_block_overflow,
+    )
+
+    n_docs = NGRAM_MAX_BLOCK + 20
+    # NGRAM_N-token shingles: give every doc the same long prefix (the
+    # viral min shingle comes from there) + a unique tail
+    rows = [
+        (i, "aaa bbb ccc ddd eee fff ggg hhh " + f"tail{i} t{i}x t{i}y t{i}z",
+         "en", "v", 1)
+        for i in range(1, n_docs + 1)
+    ]
+    path = str(tmp_path / "vs")
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+    got = {r.stage: r for r in ngram_block_overflow(spark, path).collect()}
+    n_shingled = _shingle_arrays(spark, path).count()
+    assert sum(r.n_docs for r in got.values()) == n_shingled
+    assert "level1_kept" not in got or got["level1_kept"].n_docs < n_docs
