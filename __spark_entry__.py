@@ -844,26 +844,37 @@ def _extraction_funnel(spark: SparkSession, sf: str) -> DataFrame:
         dedup_triples,
         rekey_canonical,
     )
+    from cross_sentence_relation_extraction_idepnn_spark.operators.scoring import (
+        emit_triples,
+    )
+    from cross_sentence_relation_extraction_idepnn_spark.plans.pipeline import (
+        scored_from_shared,
+    )
     from cross_sentence_relation_extraction_idepnn_spark.session import track_checkpoint
 
-    # stages 1-4 share the memoized sentence/mention subtrees; the
-    # expensive fused featurize+score kernel runs once for stage 5 and
-    # once for the triple set, which is then eagerly truncated so
-    # stage 7's canonical dedup reuses it instead of re-scoring the
-    # corpus a third time (51 s → ~2 scoring passes at sf1)
-    t_chk = track_checkpoint(
-        extract_triples(spark, sf).localCheckpoint(eager=True)
+    # ONE fused featurize+score kernel pass (r6, guide §1.2/§5: the
+    # round-5 shape ran it twice — once for stage 5's featurized count
+    # and once inside extract_triples for the triple set). The scored
+    # table carries every candidate with its ok flag AND the scores, so
+    # after one eager truncation it serves stage 4 (candidates — the
+    # kernel is row-preserving over candidate pairs), stage 5 (ok
+    # rows), stage 6 (threshold), and stage 7 (canonical dedup). The
+    # sentence/mention subtrees come from the shared session memos —
+    # built once, reused by the kernel prefix and canonicalization.
+    sents = _sentences(spark, sf)
+    mens = _mentions(spark, sf)
+    scored = track_checkpoint(
+        scored_from_shared(sents, mens).localCheckpoint(eager=True)
     )
-    kg_df = dedup_triples(
-        rekey_canonical(t_chk, canonicalize(_mentions(spark, sf)))
-    )
+    t_df = emit_triples(scored)
+    kg_df = dedup_triples(rekey_canonical(t_df, canonicalize(mens)))
     stages = [
         ("1_turns", transcripts(spark, sf)),
-        ("2_sentences", _sentences(spark, sf)),
-        ("3_mentions", _mentions(spark, sf)),
-        ("4_candidates", _candidates(spark, sf)),
-        ("5_featurized_ok", _featurized(spark, sf).filter("ok")),
-        ("6_triples", t_chk),
+        ("2_sentences", sents),
+        ("3_mentions", mens),
+        ("4_candidates", scored),
+        ("5_featurized_ok", scored.filter("ok")),
+        ("6_triples", t_df),
         ("7_kg", kg_df),
     ]
     parts = [
@@ -1133,28 +1144,13 @@ def _kg_diff(spark: SparkSession, sf: str) -> DataFrame:
 # green driver rows (and standing PARITY_SELF coverage) cede their
 # slots to the tail.
 _DRIVER_PRIORITY = [
-    # ROUND-5 ORDER (VERDICT r4 next-#5): the driver checks a disjoint
-    # ~50-query sample per round; 100 of 218 queries got rows in r3+r4.
-    # Slots 1-118 are the never-driver-sampled set, led by the 32
-    # dtype-hardened censuses (highest-risk rows incl. the north-rule
-    # invariant turn_reassembly); driver-green r3/r4 rows move to the
-    # tail (PARITY_SELF.json re-records ALL queries at sf0.01 anyway).
-    # -- dtype-fixed, never sampled --
-    "span_coverage", "bloom_prefilter", "ivf_recall", "props_profile",
-    "disorder_profile", "cdc_snapshot", "rollup_delta", "turn_latency",
-    "source_bigram_sim", "response_drift", "activity_gini", "conv_survival",
-    "echo_rate", "readability", "truncation_loss", "dialog_acts",
-    "conv_cohesion", "gram_coverage", "lsh_bucket_stats",
-    "session_gap_whatif", "tool_funnel", "partition_balance",
-    "kg_reciprocity", "role_balance", "simhash_bit_bias", "turn_reassembly",
-    "pii_cooccurrence", "zipf_profile", "alias_hit_rate", "mask_census",
-    "conv_context_budget", "tool_effect",
-    # -- remaining never-sampled (r5 wave additions lead) --
-    "simhash_signature_stats", "simhash_delta", "ivf_probe_sweep",
-    "lsh_band_sweep", "pack_efficiency", "ngram_block_overflow",
-    "events_cms", "bpe_token_counts", "events_hll", "heavy_hitters",
-    "transe_epochs", "kg_linkpred", "events_anomalies", "containment_pairs",
-    "kg_ppr", "tfidf_keywords", "cooc_ktruss", "kg_condense",
+    # ROUND-6 ORDER (VERDICT r5 next-#2): the driver samples the ~50
+    # head entries each round; 150 of 224 queries have green rows across
+    # rounds 1-5 (r5 sampled exactly the first 50 of the round-5 order).
+    # Slots 1-74 are the still-never-driver-sampled set (relative order
+    # preserved); every driver-green row moves to the tail. PARITY_SELF
+    # re-records ALL 224 at sf0.01 under the driver-strict gate anyway.
+    # -- never driver-sampled (74) --
     "split_leakage", "minhash_error", "dedup_keep_best",
     "embedding_quantize", "surface_editsim", "watermark_sim",
     "kg_provenance", "zonemap_prune", "events_quantiles", "skew_profile",
@@ -1177,13 +1173,26 @@ _DRIVER_PRIORITY = [
     "mention_recurrence", "turn_dedup", "kg_partitioned_write",
     "simhash_hamming_histogram", "extraction_funnel",
     "dedup_family_agreement", "length_dup_matrix", "tool_latency",
-    # -- driver-green in r3/r4 (tail; outside the next sample window) --
-    "triples", "kg", "kg_incremental", "kg_pagerank", "kg_neighbors",
-    "kg_temporal", "kg_negatives", "kg_edge_lift", "kg_communities",
-    "kg_triangles", "kg_components", "kg_node_sim", "transe_step",
-    "hll_registers", "cms_sketch", "a2_lines", "multimodal_features",
-    "semantic_dedup", "dedup_clusters", "dup_spans", "bm25_topk",
-    "overlap_topk", "hybrid_topk", "collocations", "lm_score",
+    # -- driver-green in r1-r5 (tail; outside the next sample window) --
+    "span_coverage", "bloom_prefilter", "ivf_recall", "props_profile",
+    "disorder_profile", "cdc_snapshot", "rollup_delta", "turn_latency",
+    "source_bigram_sim", "response_drift", "activity_gini", "conv_survival",
+    "echo_rate", "readability", "truncation_loss", "dialog_acts",
+    "conv_cohesion", "gram_coverage", "lsh_bucket_stats",
+    "session_gap_whatif", "tool_funnel", "partition_balance",
+    "kg_reciprocity", "role_balance", "simhash_bit_bias", "turn_reassembly",
+    "pii_cooccurrence", "zipf_profile", "alias_hit_rate", "mask_census",
+    "conv_context_budget", "tool_effect", "simhash_signature_stats",
+    "simhash_delta", "ivf_probe_sweep", "lsh_band_sweep", "pack_efficiency",
+    "ngram_block_overflow", "events_cms", "bpe_token_counts", "events_hll",
+    "heavy_hitters", "transe_epochs", "kg_linkpred", "events_anomalies",
+    "containment_pairs", "kg_ppr", "tfidf_keywords", "cooc_ktruss",
+    "kg_condense", "triples", "kg", "kg_incremental", "kg_pagerank",
+    "kg_neighbors", "kg_temporal", "kg_negatives", "kg_edge_lift",
+    "kg_communities", "kg_triangles", "kg_components", "kg_node_sim",
+    "transe_step", "hll_registers", "cms_sketch", "a2_lines",
+    "multimodal_features", "semantic_dedup", "dedup_clusters", "dup_spans",
+    "bm25_topk", "overlap_topk", "hybrid_topk", "collocations", "lm_score",
     "quality_classifier", "chunk_documents", "bpe_merges", "events_asof",
     "scd2_users", "events_interval_join", "events_rollup", "kg_rollup",
     "quality_bands", "kg_paths", "zorder_files", "events_fill",

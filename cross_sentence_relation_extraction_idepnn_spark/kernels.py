@@ -683,33 +683,65 @@ def feature_batch(
     X, lens, mask = build_inputs(rows, use_ent_pres=use_ent_pres)
     L = X.shape[1]
 
+    # Length-sorted active-prefix evaluation (r6, guide §1.2 step 2 —
+    # per-task work): rows sorted by sequence length DESC, so at step t
+    # exactly the first k_t rows are still live and every timestep op
+    # runs on a [:k_t] slice instead of the full padded batch. The mask
+    # semantics froze finished rows anyway (their h never changed), so
+    # slicing them out is value-identical — each row's recurrence only
+    # ever reads that row's own state. Measured: the padded form spent
+    # ~2.3× the live work (mean len 4.3 vs padded 10) plus two fancy-
+    # gather ops per backward step; this form removes both.
+    order = np.argsort(-lens, kind="stable")
+    inv = np.empty(B, dtype=np.int64)
+    inv[order] = np.arange(B)
+    Xs = np.ascontiguousarray(X[order])
+    ls = lens[order]
+    # k_arr[t] = number of rows with len > t (sorted desc → live prefix)
+    k_arr = (ls[:, None] > np.arange(L)[None, :]).sum(axis=0)
+
     W = weights
     h_f = np.zeros((B, L, HIDDEN))
     h = np.zeros((B, HIDDEN))
     for t in range(L):
-        m = mask[:, t : t + 1]
-        h_new = np.tanh(X[:, t] @ W["W_xh_f"] + h @ W["W_hh_f"] + W["b_f"])
-        h = m * h_new + (1 - m) * h
-        h_f[:, t] = h
-    h_b = np.zeros((B, L, HIDDEN))
+        k = int(k_arr[t])
+        if k == 0:
+            break
+        hk = np.tanh(
+            Xs[:k, t] @ W["W_xh_f"] + h[:k] @ W["W_hh_f"] + W["b_f"]
+        )
+        h[:k] = hk
+        h_f[:k, t] = hk
+    # backward pass: reverse each row's VALID prefix once (single
+    # vectorized gather), run the same live-prefix loop, gather back.
+    # rev_idx is an involution (t ↔ len-1-t), so one index array maps
+    # both directions; padded steps are zeroed after the gather-back.
+    rev_idx = ls[:, None] - 1 - np.arange(L)[None, :]
+    rev_safe = np.clip(rev_idx, 0, L - 1)[:, :, None]
+    Xr = np.take_along_axis(Xs, rev_safe, axis=1)
+    h_r = np.zeros((B, L, HIDDEN))
     h = np.zeros((B, HIDDEN))
-    # backward pass runs on the reversed *valid* sequence per row: pad
-    # is at the tail, so step indices are lens-1 .. 0 per row — emulate
-    # with index gather.
-    for step in range(L):
-        t_idx = lens - 1 - step  # per-row timestep, may be negative
-        valid = (t_idx >= 0).astype(np.float64)[:, None]
-        t_safe = np.clip(t_idx, 0, L - 1)
-        x_t = X[np.arange(B), t_safe]
-        h_new = np.tanh(x_t @ W["W_xh_b"] + h @ W["W_hh_b"] + W["b_b"])
-        h = valid * h_new + (1 - valid) * h
-        h_b[np.arange(B), t_safe] = np.where(valid > 0, h, h_b[np.arange(B), t_safe])
+    for s in range(L):
+        k = int(k_arr[s])
+        if k == 0:
+            break
+        hk = np.tanh(
+            Xr[:k, s] @ W["W_xh_b"] + h[:k] @ W["W_hh_b"] + W["b_b"]
+        )
+        h[:k] = hk
+        h_r[:k, s] = hk
+    h_b = np.take_along_axis(h_r, rev_safe, axis=1)
+    h_b *= (rev_idx >= 0)[:, :, None]
     # bi-combiner: h_bi_t = tanh(h_f_t + h_b_t + h_bi_{t-1} W)
     h_bi = np.zeros((B, HIDDEN))
     for t in range(L):
-        m = mask[:, t : t + 1]
-        h_new = np.tanh(h_f[:, t] + h_b[:, t] + h_bi @ W["W_hh_bi"] + W["b_bi"])
-        h_bi = m * h_new + (1 - m) * h_bi
+        k = int(k_arr[t])
+        if k == 0:
+            break
+        h_bi[:k] = np.tanh(
+            h_f[:k, t] + h_b[:k, t] + h_bi[:k] @ W["W_hh_bi"] + W["b_bi"]
+        )
+    h_bi = h_bi[inv]
 
     if use_adp:
         tree_feat = tree_mean_states(rows, W) @ W["W_tree_proj"]
@@ -732,14 +764,36 @@ def tree_mean_states(rows: list[dict], W: dict[str, np.ndarray]) -> np.ndarray:
     out = np.zeros((B, HIDDEN))
     if B == 0:
         return out
-    offs = np.cumsum([0] + [len(r["win_words"]) for r in rows])
+    # Distinct-window dedup (r6, guide §1.2 step 2): node hidden states
+    # depend ONLY on the window (win_words + parents), never on the
+    # candidate, and the fused path hands every same-window candidate
+    # the SAME memoized list objects (``_window_structures``), so
+    # object identity finds the duplicates for free. Node states
+    # evaluate once per DISTINCT window (measured ~53% distinct at
+    # sf0.1); only the per-candidate SDP segment mean stays row-grain.
+    # Rows from the staged/Arrow path carry fresh lists → every id is
+    # distinct → identical behavior, no dedup. Trees are disjoint
+    # blocks of the global node array, so per-window computations are
+    # value-identical to the all-rows form.
+    win_of: dict[int, int] = {}
+    row_win = np.empty(B, dtype=np.int64)
+    uniq: list[dict] = []
+    for b, r in enumerate(rows):
+        key = id(r["win_words"])
+        u = win_of.get(key)
+        if u is None:
+            u = len(uniq)
+            win_of[key] = u
+            uniq.append(r)
+        row_win[b] = u
+    offs = np.cumsum([0] + [len(r["win_words"]) for r in uniq])
     N = int(offs[-1])
     vocab: dict[str, int] = {}
     setdefault = vocab.setdefault
     wid = np.empty(N, dtype=np.int64)
     par = np.empty(N, dtype=np.int64)  # global parent id; dummy → sink N
     lvl = np.empty(N, dtype=np.int64)
-    for b, r in enumerate(rows):
+    for b, r in enumerate(uniq):
         o = int(offs[b])
         n = int(offs[b + 1]) - o
         wid[o : o + n] = [setdefault(w.lower(), len(vocab)) for w in r["win_words"]]
@@ -767,9 +821,13 @@ def tree_mean_states(rows: list[dict], W: dict[str, np.ndarray]) -> np.ndarray:
         pidx = par[idx]
         for j in range(HIDDEN):  # scatter-add via C-speed bincount
             acc[:, j] += np.bincount(pidx, weights=hi[:, j], minlength=N + 1)
-    # segment means over each row's SDP token states
+    # segment means over each row's SDP token states (row grain: the
+    # SDP indices are candidate-specific even when the window repeats)
     g_all = np.concatenate(
-        [np.asarray(r["sdp_gidx"], dtype=np.int64) + int(offs[b]) for b, r in enumerate(rows)]
+        [
+            np.asarray(r["sdp_gidx"], dtype=np.int64) + int(offs[row_win[b]])
+            for b, r in enumerate(rows)
+        ]
     )
     counts = np.array([len(r["sdp_gidx"]) for r in rows])
     bounds = np.zeros(B, dtype=np.int64)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import read_parquet_cached, track_cache
+from ..session import plan_memo, read_parquet_cached, track_cache
 
 from ..hashing import (
     MERSENNE_P,
@@ -105,9 +105,15 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     Keeping the set on its row is what lets the whole MinHash family
     run without a single document-grain shuffle: signatures are
     ``array_min`` projections, set sizes are ``size``, and
-    verification intersects two arrays natively."""
-    return _shingle_arrays_df(
-        read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    verification intersects two arrays natively. Plan-memoized (r6):
+    every dedup-family member rebuilds this subtree — the memo returns
+    one lazy plan per (app, sf); nothing is persisted."""
+    return plan_memo(
+        spark,
+        ("shingle_arrays", sf_dir),
+        lambda: _shingle_arrays_df(
+            read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+        ),
     )
 
 
@@ -199,25 +205,35 @@ def minhash_pairs(spark: SparkSession, sf_dir: str, tau: float = MINHASH_TAU) ->
     shuffles keyed by (band, band_sig) and doc id — never all-pairs,
     no document-grain aggregation anywhere. The old four-consumer
     shingle recompute (and its persist-vs-recompute tension) is moot:
-    each consumer is now a narrow map over the scan."""
-    bands = _band_sigs(spark, sf_dir)
-    cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "band_sig"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    each consumer is now a narrow map over the scan. Plan-memoized
+    (r6): five composite censuses rebuild this subtree per call."""
+
+    def build() -> DataFrame:
+        bands = _band_sigs(spark, sf_dir)
+        cand = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band", "band_sig"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    return _verify_jaccard(spark, sf_dir, cand, tau)
+        return _verify_jaccard(spark, sf_dir, cand, tau)
+
+    return plan_memo(spark, ("minhash_pairs", sf_dir, tau), build)
 
 
 def _band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_sig): LSH band signatures as one map-only
     pass over the corpus scan (per-row ``array_min`` folds + a single
-    literal-struct explode — zero exchanges)."""
-    return _band_sigs_df(_shingle_arrays(spark, sf_dir))
+    literal-struct explode — zero exchanges). Plan-memoized (r6): the
+    8-perm fold Column tree costs ~0.3 s of py4j build per caller."""
+    return plan_memo(
+        spark,
+        ("band_sigs", sf_dir),
+        lambda: _band_sigs_df(_shingle_arrays(spark, sf_dir)),
+    )
 
 
 def _band_sigs_df(sets: DataFrame) -> DataFrame:
@@ -454,7 +470,16 @@ def duck_dedup_clusters(tau: float = MINHASH_TAU) -> str:
 # ------------------------------------------------------------------ simhash
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit SimHash over distinct-token hashes."""
+    """(doc_id, simhash): 32-bit SimHash over distinct-token hashes.
+    Plan-memoized (r6): shared by the whole simhash family + the
+    ensemble censuses; the 32-aggregate Column tree is expensive to
+    build (~0.4 s py4j per caller)."""
+    return plan_memo(
+        spark, ("simhash_docs", sf_dir), lambda: _simhash_docs_build(spark, sf_dir)
+    )
+
+
+def _simhash_docs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     toks = docs.select(
         "doc_id",
@@ -515,22 +540,39 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures FIRST means the candidate join runs at signature grain —
     a hot signature is ONE row however many members it has — and member
     pair expansion happens after the join in codegen (explode), never
-    through a shuffle."""
-    return simhash_docs(spark, sf_dir).groupBy("simhash").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
-        F.count("*").alias("n"),
+    through a shuffle. Plan-memoized (r6, same contract as
+    :func:`simhash_docs`)."""
+    return plan_memo(
+        spark,
+        ("simhash_sigs", sf_dir),
+        lambda: simhash_docs(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.count("*").alias("n"),
+        ),
     )
 
 
-def _simhash_sig_pairs(sigs: DataFrame) -> DataFrame:
+def _simhash_sig_pairs(
+    sigs: DataFrame,
+    carry: tuple[tuple[str, str, str], ...] = (
+        ("members", "ma", "mb"),
+        ("n", "na", "nb"),
+    ),
+) -> DataFrame:
     """Distinct-signature candidate pairs (shared 8-bit block at the
-    same position, sh_a < sh_b) carrying both member lists and sizes.
-    The self-join input is 4 rows per DISTINCT signature — bounded by
-    corpus signature diversity, not corpus size."""
+    same position, sh_a < sh_b) carrying each side's ``carry`` columns
+    ((source, left-alias, right-alias) triples). The self-join input is
+    4 rows per DISTINCT signature — bounded by corpus signature
+    diversity, not corpus size. Parameterized over the carried columns
+    (ADVICE r5 #4) so :func:`simhash_delta` reuses THIS candidate
+    generation with its parity-split member lists instead of
+    hand-rolling a second block join that could drift."""
+    cols = [c for c, _, _ in carry]
     blocks = sigs.select(
         "simhash",
-        "members",
-        "n",
+        *cols,
         F.explode(
             F.array(
                 *[
@@ -545,7 +587,7 @@ def _simhash_sig_pairs(sigs: DataFrame) -> DataFrame:
             )
         ).alias("b"),
     ).select(
-        "simhash", "members", "n", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+        "simhash", *cols, F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
     return (
         blocks.alias("x")
@@ -554,38 +596,35 @@ def _simhash_sig_pairs(sigs: DataFrame) -> DataFrame:
         .select(
             F.col("x.simhash").alias("sh_a"),
             F.col("y.simhash").alias("sh_b"),
-            F.col("x.members").alias("ma"),
-            F.col("y.members").alias("mb"),
-            F.col("x.n").alias("na"),
-            F.col("y.n").alias("nb"),
+            *[F.col(f"x.{c}").alias(la) for c, la, _ in carry],
+            *[F.col(f"y.{c}").alias(rb) for c, _, rb in carry],
         )
         .dropDuplicates(["sh_a", "sh_b"])
     )
 
 
-def _within_pairs_expr(col: str) -> str:
-    """Ordered pair expansion over a SORTED array column ``col``:
-    (a, b) for every a before b in the list — codegen-only, no join.
-    Shared by simhash_pairs (within-signature hamming-0 pairs) and
-    simhash_delta (batch-internal pairs)."""
-    return (
-        f"flatten(transform({col}, (a, i) -> "
-        f"transform(slice({col}, i + 2, size({col}) - i - 1), "
-        "b -> named_struct('doc_a', a, 'doc_b', b))))"
+def _expand_within_pairs(df: DataFrame, col: str) -> DataFrame:
+    """All ordered pairs (a strictly before b) of the sorted array
+    column ``col``, emitted as rows ``(doc_a, doc_b)`` — MEMORY-BOUNDED
+    (VERDICT r5 next-#1, guide §5): the round-5 single-expression form
+    (``flatten(transform(...))``) materialized every one of the
+    n·(n−1)/2 pair structs of a signature inside ONE row buffer before
+    ``explode`` — a per-task memory cliff for a hot template signature
+    (10⁶ members ⇒ 10¹² structs). This two-stage form posexplodes the
+    LEFT element first and generates each left element's suffix with a
+    per-output-row ``slice``, so peak per-row state is O(n) — the
+    member list itself — never O(n²), and downstream operators (or a
+    ``limit``) consume pairs as a stream. Output multiset identical;
+    ``doc_a < doc_b`` holds because the array is sorted ascending."""
+    return df.select(
+        F.col(col).alias("_m"),
+        F.expr(f"posexplode(slice({col}, 1, size({col}) - 1))").alias(
+            "_i", "doc_a"
+        ),
+    ).select(
+        "doc_a",
+        F.expr("explode(slice(_m, _i + 2, size(_m) - _i - 1))").alias("doc_b"),
     )
-
-
-def _cross_pairs_expr(col_a: str, col_b: str) -> str:
-    """All (a, b) pairs across two array columns — codegen-only."""
-    return (
-        f"flatten(transform({col_a}, a -> "
-        f"transform({col_b}, b -> named_struct('doc_a', a, 'doc_b', b))))"
-    )
-
-
-# ordered within-signature pair expansion: members is sorted ascending,
-# so (a, b) with b after a in the list satisfies doc_a < doc_b
-_WITHIN_PAIRS_EXPR = _within_pairs_expr("members")
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str, max_ham: int = HAMMING_MAX) -> DataFrame:
@@ -601,27 +640,31 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, max_ham: int = HAMMING_MAX) 
     are expanded arithmetically from the sorted member list without any
     join, and cross-signature member pairs are exploded AFTER the
     signature join. Same output, shuffle bounded by signature
-    diversity."""
-    sigs = _simhash_sigs(spark, sf_dir)
-    within = (
-        sigs.filter(F.col("n") >= 2)
-        .select(F.explode(F.expr(_WITHIN_PAIRS_EXPR)).alias("p"))
-        .select("p.doc_a", "p.doc_b", F.lit(0).cast("int").alias("hamming"))
-    )
-    sp = _simhash_sig_pairs(sigs)
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    cross = (
-        sp.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_ham)
-        .select(F.explode("ma").alias("doc_a"), "mb", "hamming")
-        .select("doc_a", F.explode("mb").alias("doc_b"), "hamming")
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
-            "hamming",
+    diversity. Plan-memoized (r6)."""
+
+    def build() -> DataFrame:
+        sigs = _simhash_sigs(spark, sf_dir)
+        within = _expand_within_pairs(
+            sigs.filter(F.col("n") >= 2), "members"
+        ).select(
+            "doc_a", "doc_b", F.lit(0).cast("int").alias("hamming")
         )
-    )
-    return within.unionByName(cross)
+        sp = _simhash_sig_pairs(sigs)
+        ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        cross = (
+            sp.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_ham)
+            .select(F.explode("ma").alias("doc_a"), "mb", "hamming")
+            .select("doc_a", F.explode("mb").alias("doc_b"), "hamming")
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+                "hamming",
+            )
+        )
+        return within.unionByName(cross)
+
+    return plan_memo(spark, ("simhash_pairs", sf_dir, max_ham), build)
 
 
 def duck_simhash_pairs(max_ham: int = HAMMING_MAX) -> str:
@@ -645,6 +688,56 @@ def duck_simhash_pairs(max_ham: int = HAMMING_MAX) -> str:
 
 
 # -------------------------------------------------------------- ngram block
+
+def _ngram_keyed_blocks(
+    spark: SparkSession, sf_dir: str, max_block: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared blocking prefix of :func:`ngram_jaccard_pairs` AND the
+    :func:`ngram_block_overflow` census — ONE definition site
+    (ADVICE r5 #3: the census previously re-implemented the
+    h1/h2/level-1/level-2 derivation, so a cap-semantics change could
+    silently desynchronize what the census reports from what the
+    operator drops). Returns ``(keyed0, blocks)``: ``keyed0`` =
+    (doc_id, n, lvl, block) after the re-block decision, ``blocks`` =
+    (lvl, block, bsz2) UNCAPPED level-2 block sizes.
+
+    ``per_doc`` is doc-count-sized (4 scalar columns) but its lineage
+    holds the md5-per-shingle array fold — the one genuinely expensive
+    projection here (higher-order-function lambdas run interpreted,
+    not whole-stage codegen'd). Every caller fans ≥2 consumers off it
+    (sz1/keyed0, and the pair operator adds both self-join sides), so
+    the tiny result persists to compute the hash fold exactly once."""
+    from pyspark.storagelevel import StorageLevel
+
+    hs = F.transform("shs", lambda s: spark_h15(s))
+    per_doc = (
+        _shingle_arrays(spark, sf_dir)
+        .select("doc_id", F.size("shs").alias("n"), hs.alias("hs"))
+        .select("doc_id", "n", "hs", F.array_min("hs").alias("h1"))
+        .select(
+            "doc_id",
+            "n",
+            "h1",
+            F.coalesce(
+                F.array_min(F.filter("hs", lambda h: h > F.col("h1"))),
+                F.col("h1"),
+            ).alias("h2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_cache(per_doc)
+    sz1 = per_doc.groupBy("h1").agg(F.count("*").alias("bsz1"))
+    keyed0 = per_doc.join(sz1, "h1").select(
+        "doc_id",
+        "n",
+        F.when(F.col("bsz1") <= max_block, F.lit(1)).otherwise(F.lit(2)).alias("lvl"),
+        F.when(F.col("bsz1") <= max_block, F.col("h1"))
+        .otherwise(F.col("h2"))
+        .alias("block"),
+    )
+    blocks = keyed0.groupBy("lvl", "block").agg(F.count("*").alias("bsz2"))
+    return keyed0, blocks
+
 
 def ngram_jaccard_pairs(
     spark: SparkSession,
@@ -674,48 +767,12 @@ def ngram_jaccard_pairs(
     shingle-level self-join + per-pair groupBy + left join."""
     from pyspark.storagelevel import StorageLevel
 
-    hs = F.transform("shs", lambda s: spark_h15(s))
-    per_doc = (
-        _shingle_arrays(spark, sf_dir)
-        .select("doc_id", F.size("shs").alias("n"), hs.alias("hs"))
-        .select(
-            "doc_id", "n", "hs", F.array_min("hs").alias("h1")
-        )
-        .select(
-            "doc_id",
-            "n",
-            "h1",
-            F.coalesce(
-                F.array_min(F.filter("hs", lambda h: h > F.col("h1"))),
-                F.col("h1"),
-            ).alias("h2"),
-        )
-        # per_doc is doc-count-sized (4 scalar columns) but its lineage
-        # holds the md5-per-shingle array fold — the one genuinely
-        # expensive projection here (higher-order-function lambdas run
-        # interpreted, not whole-stage codegen'd). sz1/keyed0/sz2 and
-        # both self-join sides all hang off it, so persist the tiny
-        # result to compute the hash fold exactly once.
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    track_cache(per_doc)
-    sz1 = per_doc.groupBy("h1").agg(F.count("*").alias("bsz1"))
-    keyed0 = per_doc.join(sz1, "h1").select(
-        "doc_id",
-        "n",
-        F.when(F.col("bsz1") <= max_block, F.lit(1)).otherwise(F.lit(2)).alias("lvl"),
-        F.when(F.col("bsz1") <= max_block, F.col("h1"))
-        .otherwise(F.col("h2"))
-        .alias("block"),
-    )
-    from pyspark.storagelevel import StorageLevel
-
+    keyed0, sz2 = _ngram_keyed_blocks(spark, sf_dir, max_block)
     # keyed is DOC-count-sized (4 small columns) and its lineage holds
     # several joins; without a persist the self-join + the downstream
     # consumers re-expand that whole subtree ~10× (measured: 66
     # exchanges in the final plan). Persisting the tiny aggregate — not
     # the fat shingle table — collapses it to compute-once.
-    sz2 = keyed0.groupBy("lvl", "block").agg(F.count("*").alias("bsz2"))
     keyed = (
         keyed0.join(sz2, ["lvl", "block"])
         .filter(F.col("bsz2") <= max_block)
@@ -2641,57 +2698,38 @@ def simhash_delta(
     )
     n_new_col = (F.col("doc_a") % 2 + F.col("doc_b") % 2).cast("int")
 
+    # Memory-bounded expansion (VERDICT r5 next-#1, same two-stage
+    # shape as _expand_within_pairs): for the i-th new member, the
+    # partner list is its new-side suffix (batch-internal ordered
+    # pairs) concatenated with the whole index side — per-output-row
+    # state is O(members), never the O(n²) single-row struct buffer
+    # the round-5 flatten/transform form built.
     within = (
         sigs.select(
-            F.explode(
-                F.concat(
-                    F.expr(_within_pairs_expr("m_new")),
-                    F.expr(_cross_pairs_expr("m_new", "m_idx")),
-                )
-            ).alias("p")
+            F.col("m_new").alias("_mn"),
+            F.col("m_idx").alias("_mi"),
+            F.expr("posexplode(m_new)").alias("_i", "_a"),
         )
         .select(
-            F.least("p.doc_a", "p.doc_b").alias("doc_a"),
-            F.greatest("p.doc_a", "p.doc_b").alias("doc_b"),
+            "_a",
+            F.expr(
+                "explode(concat(slice(_mn, _i + 2, size(_mn) - _i - 1), _mi))"
+            ).alias("_b"),
+        )
+        .select(
+            F.least("_a", "_b").alias("doc_a"),
+            F.greatest("_a", "_b").alias("doc_b"),
             F.lit(0).cast("int").alias("hamming"),
         )
         .withColumn("n_new", n_new_col)
     )
 
-    blocks = sigs.select(
-        "simhash",
-        "m_new",
-        "m_idx",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("blk"),
-                        F.shiftright(F.col("simhash"), j * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("val"),
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select(
-        "simhash", "m_new", "m_idx",
-        F.col("b.blk").alias("blk"), F.col("b.val").alias("val"),
-    )
+    # candidate generation reuses the SAME block join as simhash_pairs,
+    # parameterized over the parity-split member lists (ADVICE r5 #4)
     sig_pairs = (
-        blocks.alias("x")
-        .join(blocks.alias("y"), ["blk", "val"])
-        .filter(F.col("x.simhash") < F.col("y.simhash"))
-        .select(
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
-            F.col("x.m_new").alias("an"),
-            F.col("x.m_idx").alias("ai"),
-            F.col("y.m_new").alias("bn"),
-            F.col("y.m_idx").alias("bi"),
+        _simhash_sig_pairs(
+            sigs, carry=(("m_new", "an", "bn"), ("m_idx", "ai", "bi"))
         )
-        .dropDuplicates(["sh_a", "sh_b"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
@@ -2699,21 +2737,34 @@ def simhash_delta(
         .filter(F.col("hamming") <= max_ham)
     )
     # >=1 new endpoint across signatures: new_a x all_b  UNION  idx_a x new_b
-    # (disjoint: the second set's left endpoint is index-side)
+    # (disjoint: the second set's left endpoint is index-side). Two-
+    # stage explode — (left-list, partner-list) groups first, then the
+    # left elements, then each left element's partners — bounds
+    # per-row state by the member-list length (VERDICT r5 next-#1).
     cross = (
         sig_pairs.select(
             "hamming",
             F.explode(
-                F.concat(
-                    F.expr(_cross_pairs_expr("an", "bn")),
-                    F.expr(_cross_pairs_expr("an", "bi")),
-                    F.expr(_cross_pairs_expr("ai", "bn")),
+                F.array(
+                    F.struct(
+                        F.col("an").alias("aside"),
+                        F.concat("bn", "bi").alias("bside"),
+                    ),
+                    F.struct(
+                        F.col("ai").alias("aside"), F.col("bn").alias("bside")
+                    ),
                 )
-            ).alias("p"),
+            ).alias("g"),
         )
         .select(
-            F.least("p.doc_a", "p.doc_b").alias("doc_a"),
-            F.greatest("p.doc_a", "p.doc_b").alias("doc_b"),
+            "hamming",
+            F.col("g.bside").alias("_bs"),
+            F.explode("g.aside").alias("_a"),
+        )
+        .select("hamming", "_a", F.explode("_bs").alias("_b"))
+        .select(
+            F.least("_a", "_b").alias("doc_a"),
+            F.greatest("_a", "_b").alias("doc_b"),
             "hamming",
         )
         .withColumn("n_new", n_new_col)
@@ -2878,33 +2929,12 @@ def ngram_block_overflow(
     spiking) is the early warning that the near-dup recall story is
     changing. All-integer.
 
-    Plan: the same doc-grain blocking derivation ngram_jaccard_pairs
-    pays (array folds, two block-size aggregations) WITHOUT the pair
-    join — the census never touches candidate pairs, so its cost is
-    the blocking prefix alone, grid output ≤ 3 rows."""
-    hs = F.transform("shs", lambda s: spark_h15(s))
-    per_doc = (
-        _shingle_arrays(spark, sf_dir)
-        .select("doc_id", hs.alias("hs"))
-        .select("doc_id", "hs", F.array_min("hs").alias("h1"))
-        .select(
-            "doc_id",
-            "h1",
-            F.coalesce(
-                F.array_min(F.filter("hs", lambda h: h > F.col("h1"))),
-                F.col("h1"),
-            ).alias("h2"),
-        )
-    )
-    sz1 = per_doc.groupBy("h1").agg(F.count("*").alias("bsz1"))
-    keyed0 = per_doc.join(sz1, "h1").select(
-        "doc_id",
-        F.when(F.col("bsz1") <= max_block, F.lit(1)).otherwise(F.lit(2)).alias("lvl"),
-        F.when(F.col("bsz1") <= max_block, F.col("h1"))
-        .otherwise(F.col("h2"))
-        .alias("block"),
-    )
-    blocks = keyed0.groupBy("lvl", "block").agg(F.count("*").alias("bsz2"))
+    Plan: the SAME doc-grain blocking derivation ngram_jaccard_pairs
+    pays — literally the same subtree via :func:`_ngram_keyed_blocks`
+    (ADVICE r5 #3) — WITHOUT the pair join: the census never touches
+    candidate pairs, so its cost is the blocking prefix alone, grid
+    output ≤ 3 rows."""
+    _keyed0, blocks = _ngram_keyed_blocks(spark, sf_dir, max_block)
     stage = (
         F.when((F.col("lvl") == 1) & (F.col("bsz2") <= max_block), F.lit("level1_kept"))
         .when((F.col("lvl") == 2) & (F.col("bsz2") <= max_block), F.lit("level2_kept"))

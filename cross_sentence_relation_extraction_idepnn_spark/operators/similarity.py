@@ -942,9 +942,16 @@ def ivf_probe_sweep(
     |queries|×|cells| rows (tiny, exploded from the same literal); ONE
     equi-join lands corpus candidates on probed cells; per (nprobe,
     query) top-k is a window over cell-filtered candidates — candidate
-    volume is bounded by the probed cells' population, exactly an IVF
-    probe's cost model, and the sweep reuses the one scored candidate
-    table for every nprobe value."""
+    volume is bounded by the population of the max(probes) highest-
+    ranked cells per query (the ``cell_rank <= max(probes)`` pushdown
+    below; ADVICE r5 #1 — with the default sweep ending at nprobe =
+    cells this bound equals the full corpus BY DESIGN, since the last
+    point is the exact-search canary), and the sweep reuses the one
+    scored candidate table for every nprobe value. The sweep points
+    are clamped to the cell count and always end at nprobe = cells
+    (ADVICE r5 #2), so the last row's recall_e6 = 1_000_000 canary
+    holds for ANY ``cells`` argument, not just the default."""
+    probes = tuple(p for p in probes if p < cells) + (cells,)
     cent_rows = [
         (int(r["cell_id"]), [float(x) for x in r["cv"]])
         for r in _ivf_centroids(spark, sf_dir, cells=cells).collect()
@@ -970,6 +977,11 @@ def ivf_probe_sweep(
             ),
         )
         .select("query_id", "qv", "cell_id", "cell_rank")
+        # pushdown (ADVICE r5 #1): cells ranked beyond the deepest sweep
+        # point can never survive the per-nprobe filters — dropping them
+        # here bounds the scored candidate table by the probed cells'
+        # population for any probes ⊊ cells configuration
+        .filter(F.col("cell_rank") <= max(probes))
     )
     cand = (
         assigned.join(F.broadcast(qrank), "cell_id")

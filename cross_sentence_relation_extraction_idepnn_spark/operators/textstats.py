@@ -128,16 +128,16 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio", F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
         )
     )
-    n = F.col("n_tokens").cast("long")
-    df = df.withColumn(
-        "_numer",
-        F.least(n, F.lit(64).cast("long")) * n
-        + F.lit(48).cast("long") * n
-        + F.lit(48).cast("long")
-        * (F.col("n_distinct").cast("long") - F.col("n_stop").cast("long")),
-    ).withColumn("_denom", F.lit(160).cast("long") * n)
-    # true integer div — numer*1e6 can exceed 2^53, so float floor is unsafe
-    q_e6 = F.expr("(_numer * 1000000 + _denom div 2) div _denom")
+    # ONE definition site for the rational (VERDICT r5 next-#4): the
+    # same quality_rational_e6 string feeds this Column expr, the
+    # quality_bands expr, and both DuckDB oracles. Long casts first —
+    # numer*1e6 exceeds int32 AND 2^53, so neither int nor float is safe.
+    df = (
+        df.withColumn("n", F.col("n_tokens").cast("long"))
+        .withColumn("s", F.col("n_stop").cast("long"))
+        .withColumn("d", F.col("n_distinct").cast("long"))
+    )
+    q_e6 = F.expr(quality_rational_e6("div"))
     return df.select(
         "doc_id",
         "n_chars",
@@ -375,20 +375,17 @@ def quality_bands(
         F.filter(toks, lambda t: F.array_contains(stop, t))
     ).cast("long")
     n_dist = F.size(F.array_distinct(toks)).cast("long")
-    numer = (
-        F.least(n, F.lit(64).cast("long")) * n
-        + F.lit(48).cast("long") * n
-        + F.lit(48).cast("long") * (n_dist - n_stop)
-    )
+    # shared quality_rational_e6 definition (VERDICT r5 next-#4)
     base = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
-        numer.alias("_numer"),
-        (F.lit(160).cast("long") * n).alias("_denom"),
+        n.alias("n"),
+        n_stop.alias("s"),
+        n_dist.alias("d"),
     ).select(
         "doc_id",
         "lang",
-        F.expr("(_numer * 1000000 + _denom div 2) div _denom").alias("q_e6"),
+        F.expr(quality_rational_e6("div")).alias("q_e6"),
     )
     from ..plans.rangenum import exclusive_prefix, ranged_by
 

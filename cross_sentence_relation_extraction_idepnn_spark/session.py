@@ -88,6 +88,34 @@ def invalidate_parquet_cache(path: str | None = None) -> None:
         del _READER_CACHE[k]
 
 
+# ---------------------------------------------------- lazy plan memo (r6)
+
+_PLAN_CACHE: dict[tuple, "object"] = {}
+
+
+def plan_memo(spark: SparkSession, key: tuple, build):
+    """Per-(application, key) memo of a LAZY DataFrame plan — the
+    :func:`read_parquet_cached` pattern generalized to operator
+    subtrees. Measured round 6: driver-side plan CONSTRUCTION (py4j
+    Column-tree building) was 0.5-4.5 s per composite dedup query —
+    up to half the end-to-end query time at sf0.1 — and the same
+    subtree (shingle arrays, band signatures, simhash table) is
+    rebuilt by every family member. DataFrames are immutable and
+    these inputs are static per sf_dir, so handing every consumer the
+    same lazy plan is safe; NOTHING is persisted or precomputed —
+    every action on the memoized plan recomputes from parquet (the
+    memo holds a query plan, not data). Callers must include every
+    non-default parameter in ``key``."""
+    k = (spark.sparkContext.applicationId,) + tuple(key)
+    df = _PLAN_CACHE.get(k)
+    if df is None:
+        if len(_PLAN_CACHE) > 512:
+            _PLAN_CACHE.clear()
+        df = build()
+        _PLAN_CACHE[k] = df
+    return df
+
+
 # ------------------------------------------------- operator cache registry
 
 _TRACKED_CACHES: list = []
