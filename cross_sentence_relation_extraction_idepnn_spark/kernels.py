@@ -80,13 +80,28 @@ REL_LIST = ["root", "det", "dep", "mod", "link"]
 IOB_LIST = ["O", "E1", "E2"]
 
 
+_pos_cache: dict[str, str] = {}
+_POS_CACHE_MAX = 200_000
+
+
 def pos_tag(word: str) -> str:
+    # word-level memo (r6): the SDP extraction tags ~4 words per
+    # candidate over a small vocabulary — measured 1.2M calls for a
+    # few thousand distinct words at sf0.1
+    t = _pos_cache.get(word)
+    if t is not None:
+        return t
     w = word.lower()
     if w in FUNCTION_WORDS:
-        return FUNCTION_WORDS[w]
-    if w in ENTITY_ALIASES:
-        return "OP" if ENTITY_ALIASES[w][1] == "OP" else "NN"
-    return "JJ" if _h15w(w) % 2 == 0 else "VB"
+        t = FUNCTION_WORDS[w]
+    elif w in ENTITY_ALIASES:
+        t = "OP" if ENTITY_ALIASES[w][1] == "OP" else "NN"
+    else:
+        t = "JJ" if _h15w(w) % 2 == 0 else "VB"
+    if len(_pos_cache) >= _POS_CACHE_MAX:
+        _pos_cache.clear()
+    _pos_cache[word] = t
+    return t
 
 
 def head_of(words: list[str], i: int) -> int:
@@ -297,6 +312,66 @@ def tree_schedule(parents: list[int]) -> list[int]:
     return order  # post-order: children before parents, dummy root last
 
 
+_post_cache: dict[str, list[int]] = {}
+
+
+def _sentence_postorder(words: list[str]) -> list[int]:
+    """Per-sentence DFS post-order (local indices), memoized like
+    ``heads_of``. Node-for-node identical to the order
+    :func:`tree_schedule` emits for that sentence's subtree: the
+    window-level DFS visits each sentence root's subtree
+    independently (roots are the dummy root's children), pushing
+    children onto the stack in ascending order — which is exactly
+    what this per-sentence visit does."""
+    key = "\x00".join(words)
+    v = _post_cache.get(key)
+    if v is None:
+        if len(_post_cache) >= _HEAD_CACHE_MAX:
+            _post_cache.clear()
+        n = len(words)
+        heads = heads_of(words)
+        children: list[list[int]] = [[] for _ in range(n)]
+        for i, h in enumerate(heads):
+            if h >= 0:
+                children[h].append(i)
+        order: list[int] = []
+        stack = [(0, False)]  # token 0 is the sentence root
+        while stack:
+            node, done = stack.pop()
+            if done:
+                order.append(node)
+                continue
+            stack.append((node, True))
+            for c in children[node]:
+                stack.append((c, False))
+        v = order
+        _post_cache[key] = v
+    return v
+
+
+def window_schedule(sent_words: list[list[str]]) -> list[int]:
+    """:func:`tree_schedule` over :func:`combined_parents`, decomposed
+    into memoized per-sentence post-orders (r6, guide §1.2 step 2:
+    the DFS was re-run for every distinct WINDOW, but windows overlap
+    heavily and the order is sentence-separable). The window-level
+    stack pops the dummy root's children (= sentence roots, pushed
+    ascending) in REVERSE, so the full order is the reversed
+    concatenation of shifted per-sentence post-orders + dummy root —
+    list-for-list identical to ``tree_schedule(combined_parents(...))``
+    (pinned by ``test_window_schedule_matches_tree_schedule``)."""
+    total = sum(len(w) for w in sent_words)
+    offsets: list[int] = []
+    o = 0
+    for words in sent_words:
+        offsets.append(o)
+        o += len(words)
+    order: list[int] = []
+    for words, off in zip(reversed(sent_words), reversed(offsets)):
+        order.extend(off + u for u in _sentence_postorder(words))
+    order.append(total)  # dummy root last
+    return order
+
+
 # ----------------------------------------------------- W6: context windows
 
 def context_windows(idxs: list[int], win: int) -> list[list[int]]:
@@ -494,6 +569,9 @@ def weights_from_lists(d: dict[str, list]) -> dict[str, np.ndarray]:
 
 _win_cache: dict = {}
 _WIN_CACHE_MAX = 20_000  # bound executor-resident memory
+# id(parents) → (parents ref, parents as int64 array, per-node levels);
+# filled by _window_structures, consumed by tree_mean_states
+_tree_arrays: dict[int, tuple] = {}
 
 
 def _window_structures(key: tuple, tokenize):
@@ -526,7 +604,26 @@ def _window_structures(key: tuple, tokenize):
         adj[a].append(b)
         adj[b].append(a)
     parents = combined_parents(sent_words)
-    order = tree_schedule(parents)
+    order = window_schedule(sent_words)  # == tree_schedule(parents), memoized
+    # Per-window TreeRNN arrays, computed once per DISTINCT window per
+    # executor (r6): tree_mean_states previously re-derived the level
+    # array and the numpy parent array for every (window, batch) pair.
+    # Keyed on the parents list's identity; the entry holds the list so
+    # the id stays valid for the entry's lifetime.
+    n = len(parents)
+    l = [0] * (n + 1)
+    for u in order:
+        if u < n:
+            pu = parents[u]
+            if pu < n and l[u] + 1 > l[pu]:
+                l[pu] = l[u] + 1
+    if len(_tree_arrays) >= _WIN_CACHE_MAX:
+        _tree_arrays.clear()
+    _tree_arrays[id(parents)] = (
+        parents,
+        np.asarray(parents, dtype=np.int64),
+        np.asarray(l[:n], dtype=np.int64),
+    )
     out = (offsets, all_words, adj, parents, order)
     _win_cache[ckey] = out
     return out
@@ -798,6 +895,15 @@ def tree_mean_states(rows: list[dict], W: dict[str, np.ndarray]) -> np.ndarray:
         n = int(offs[b + 1]) - o
         wid[o : o + n] = [setdefault(w.lower(), len(vocab)) for w in r["win_words"]]
         p = r["parents"]
+        ent = _tree_arrays.get(id(p))
+        if ent is not None and ent[0] is p:
+            # fused path: the same memoized parents object —
+            # per-window arrays were computed once in
+            # _window_structures (r6)
+            parr, larr = ent[1], ent[2]
+            par[o : o + n] = np.where(parr >= n, N, o + parr)
+            lvl[o : o + n] = larr
+            continue
         l = [0] * (n + 1)
         for u in r["tree_order"]:
             if u < n:

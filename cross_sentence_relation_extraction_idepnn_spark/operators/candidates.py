@@ -44,7 +44,18 @@ def candidate_pairs(mentions: DataFrame, max_k: int = MAX_K) -> DataFrame:
 
     Output: ``(conv_id, e1_id, e2_id, e1_surface, e2_surface,
     sent1, tok1, sent2, tok2, k, cand_seq, cand_id)``.
+    Construction memoized on the mention table's identity (r6).
     """
+    from ..session import input_plan_memo
+
+    return input_plan_memo(
+        ("candidate_pairs", max_k),
+        (mentions,),
+        lambda: _candidate_pairs_build(mentions, max_k),
+    )
+
+
+def _candidate_pairs_build(mentions: DataFrame, max_k: int) -> DataFrame:
     m1 = mentions.filter(F.col("ner_tag") == "OP").select(
         "conv_id",
         F.col("entity_id").alias("e1_id"),

@@ -148,6 +148,55 @@ def duck_repetition() -> str:
     """
 
 
+def _fanned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text), repartitioned iff under-parallel: a small local
+    file reads as ONE split and per-doc n-gram construction is the
+    dominant cost — at cluster scale the scan already has ≥ cores
+    splits and the branch never fires."""
+    raw = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < par:
+        raw = raw.repartition(par)
+    return raw.select("doc_id", "text")
+
+
+def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """Per-doc DISTINCT word-``n``-gram rows ``(doc_id, gram)`` via ONE
+    ``mapInArrow`` (r6 re-plan, guide §4.2): the r5 Column-algebra
+    build (``transform`` → ``array_join(slice)`` → explode) evaluates
+    its higher-order lambdas INTERPRETED per element — measured 4.8 s
+    of bloom_prefilter's 7 s at sf0.1 — vs C-speed ``str.join`` inside
+    Arrow batches. Semantics identical: grams only when
+    ``size(ws) >= n`` (shorter docs yield no rows), first-occurrence
+    dedup per doc. Callers push their doc_id filters BELOW the map so
+    each Python pass touches only its slice."""
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o_doc: list[int] = []
+            o_gram: list[str] = []
+            for did, text in zip(doc_ids, texts):
+                ws = (text or "").split(" ")
+                if len(ws) < n:
+                    continue
+                uniq = dict.fromkeys(
+                    " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                )
+                o_doc.extend([did] * len(uniq))
+                o_gram.extend(uniq)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_doc, type=pa.int64()), pa.array(o_gram)],
+                names=["doc_id", "gram"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        run, schema="doc_id bigint, gram string"
+    )
+
+
 def decontaminate(
     spark: SparkSession,
     sf_dir: str,
@@ -158,34 +207,16 @@ def decontaminate(
     contaminated when it shares ANY word-``n``-gram with a benchmark
     document (deterministic benchmark subset ``doc_id % bench_every
     == 0``). The benchmark shingle set is dimension-sized → broadcast
-    semi-join; the corpus side is explode + distinct per doc."""
-    ws = F.split(F.col("text"), " ")
-    grams = F.array_distinct(
-        F.when(
-            F.size(ws) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(ws) - n),
-                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
-    # fan out BEFORE the gram build: a small local file reads as ONE
-    # split and n-gram string construction is the dominant per-row
-    # cost — at cluster scale the scan already has ≥ cores splits and
-    # this branch never fires
-    raw = _docs(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    if raw.rdd.getNumPartitions() < par:
-        raw = raw.repartition(par)
-    docs = raw.select("doc_id", grams.alias("g"))
+    semi-join; the corpus side is the :func:`_gram_rows` Arrow pass."""
+    raw = _fanned_docs(spark, sf_dir)
     bench_g = (
-        docs.filter(F.col("doc_id") % bench_every == 0)
-        .select(F.explode("g").alias("gram"))
+        _gram_rows(raw.filter(F.col("doc_id") % bench_every == 0), n)
+        .select("gram")
         .distinct()
     )
-    corpus = docs.filter(F.col("doc_id") % bench_every != 0)
+    corpus = raw.filter(F.col("doc_id") % bench_every != 0)
     hit = (
-        corpus.select("doc_id", F.explode("g").alias("gram"))
+        _gram_rows(corpus, n)
         .join(F.broadcast(bench_g), "gram")
         .select("doc_id")
         .distinct()
@@ -798,28 +829,10 @@ def bloom_prefilter(
     join then runs only on the candidate subset. Integer bit
     positions and counts make the whole surface hash-exact across
     engines."""
-    ws = F.split(F.col("text"), " ")
-    grams = F.array_distinct(
-        F.when(
-            F.size(ws) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(ws) - n),
-                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
-    # fan out BEFORE the gram build: a small local file reads as ONE
-    # split and n-gram string construction is the dominant per-row
-    # cost — at cluster scale the scan already has ≥ cores splits and
-    # this branch never fires
-    raw = _docs(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    if raw.rdd.getNumPartitions() < par:
-        raw = raw.repartition(par)
-    docs = raw.select("doc_id", grams.alias("g"))
+    raw = _fanned_docs(spark, sf_dir)
     bench_g = (
-        docs.filter(F.col("doc_id") % bench_every == 0)
-        .select(F.explode("g").alias("gram"))
+        _gram_rows(raw.filter(F.col("doc_id") % bench_every == 0), n)
+        .select("gram")
         .distinct()
     )
 
@@ -850,9 +863,7 @@ def bloom_prefilter(
         lambda a, b: a & b,
         [F.element_at(lit_mask, bit(j) + 1) for j in range(k)],
     )
-    cg = docs.filter(F.col("doc_id") % bench_every != 0).select(
-        "doc_id", F.explode("g").alias("gram")
-    )
+    cg = _gram_rows(raw.filter(F.col("doc_id") % bench_every != 0), n)
     flagged = cg.withColumn("cand", cand).join(
         F.broadcast(bench_g.withColumn("exact", F.lit(True))), "gram", "left"
     )

@@ -416,9 +416,21 @@ def dedup_clusters(
     large-star/small-star rounds above — the same machinery the
     entity-canonicalization path already stress-tests on
     diameter-1999 chains."""
+    from pyspark.storagelevel import StorageLevel
+
     from .linking import connected_components
 
-    pairs = minhash_pairs(spark, sf_dir, tau)
+    # Persist the (pair-bounded, tiny) verified pair set before the CC:
+    # its node derivation and edge collect are separate actions, and
+    # without the persist EACH re-evaluates the full MinHash shingle +
+    # band + verify prefix (r6, guide §5 — measured: dedup_clusters ran
+    # the pair subtree 3×; with the capped-collect CC + this persist it
+    # runs once).
+    pairs = track_cache(
+        minhash_pairs(spark, sf_dir, tau)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def sid(c: str):
         # lexicographic order == numeric order after zero-padding, so

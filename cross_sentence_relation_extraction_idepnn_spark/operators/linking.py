@@ -221,7 +221,20 @@ def connected_components(
     identical (surface, min-reachable-label) mapping.
     """
     if n_nodes is None:
-        n_nodes = nodes.count()
+        # ONE capped collect both sizes the node set and, when it fits
+        # the driver union-find, delivers the surfaces — replacing the
+        # count + collect pair (r6, guide §1.2: the node subtree of a
+        # pair-bounded CC embeds the whole pair-generation prefix, so
+        # every extra action over it re-evaluates that prefix).
+        head = nodes.select("surface").limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            surfaces = [r[0] for r in head]
+            pairs = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
+            return nodes.sparkSession.createDataFrame(
+                _uf_components(surfaces, pairs),
+                schema="surface string, component string",
+            )
+        n_nodes = driver_threshold + 1  # distributed path; exact n unused
     if n_nodes <= driver_threshold:
         surfaces = [r[0] for r in nodes.select("surface").collect()]
         pairs = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]

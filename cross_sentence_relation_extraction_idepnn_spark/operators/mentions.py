@@ -64,6 +64,19 @@ def detect_mentions(
     """
     if tokenizer == "treebank":
         return _detect_mentions_treebank(spark, sentences)
+    # Construction memoized on the sentence table's identity (r6):
+    # segment() is itself memoized, so every default-path consumer
+    # builds this subtree once per session.
+    from ..session import input_plan_memo
+
+    return input_plan_memo(
+        ("detect_mentions",),
+        (sentences,),
+        lambda: _detect_mentions_build(spark, sentences),
+    )
+
+
+def _detect_mentions_build(spark: SparkSession, sentences: DataFrame) -> DataFrame:
     # selectExpr strings: one parser round trip per stage (cold-build
     # driver cost — this subtree underlies every pipeline query)
     toks = (

@@ -37,7 +37,20 @@ def segment(transcripts: DataFrame, sent_words: int = SENT_WORDS) -> DataFrame:
     Built with ``selectExpr`` strings — one parser round trip per
     stage instead of dozens of py4j Column calls (the cold-build
     driver cost matters: this subtree underlies every pipeline query).
+    Construction is memoized on the input DataFrame's identity (r6):
+    ``transcripts()`` hands every caller the same object, so the
+    sentence plan builds once per session.
     """
+    from ..session import input_plan_memo
+
+    return input_plan_memo(
+        ("segment", sent_words),
+        (transcripts,),
+        lambda: _segment_build(transcripts, sent_words),
+    )
+
+
+def _segment_build(transcripts: DataFrame, sent_words: int) -> DataFrame:
     k = sent_words
     return (
         transcripts.selectExpr(

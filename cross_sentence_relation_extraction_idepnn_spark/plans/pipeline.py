@@ -147,15 +147,32 @@ def scored_from_shared(
     and mention tables. ``materialize_kg`` uses this to share ONE
     mention subtree between candidate generation and canonicalization
     instead of re-deriving mentions per consumer (VERDICT r3 #3: the
-    duplicated mention pass was the kg_materialize growth)."""
+    duplicated mention pass was the kg_materialize growth).
+
+    Construction is memoized on (sents, mens, weights) identity (r6):
+    ``segment``/``detect_mentions``/``load_weights`` all hand back
+    stable objects on the default path, so the candidate + fused-
+    kernel plan (the most expensive py4j tree in the engine) builds
+    once per session. The memo holds a LAZY plan — every action still
+    recomputes from parquet."""
+    from ..session import input_plan_memo
+
     weights = weights if weights is not None else load_weights()
-    cands = (
-        salted_candidate_pairs(mens, max_k=max_k)
-        if salted
-        else candidate_pairs_fast(mens, max_k=max_k)
-    )
-    return featurize_and_score(
-        candidate_windows(cands, sents), weights=weights, tokenizer=tokenizer
+
+    def build() -> DataFrame:
+        cands = (
+            salted_candidate_pairs(mens, max_k=max_k)
+            if salted
+            else candidate_pairs_fast(mens, max_k=max_k)
+        )
+        return featurize_and_score(
+            candidate_windows(cands, sents), weights=weights, tokenizer=tokenizer
+        )
+
+    if weights is not load_weights():
+        return build()  # caller-supplied weights: id not GC-stable
+    return input_plan_memo(
+        ("scored_from_shared", max_k, salted, tokenizer), (sents, mens), build
     )
 
 

@@ -93,6 +93,28 @@ def invalidate_parquet_cache(path: str | None = None) -> None:
 _PLAN_CACHE: dict[tuple, "object"] = {}
 
 
+def input_plan_memo(key: tuple, inputs: tuple, build):
+    """:func:`plan_memo` for operators that take DataFrames (not
+    ``(spark, sf_dir)``) as inputs: the memo key includes the input
+    DataFrames' object identities, and the entry holds strong
+    references to them so the ids stay valid for the entry's
+    lifetime. Because upstream sources are themselves memoized
+    (``read_parquet_cached`` → ``transcripts`` → ``segment`` → ...),
+    identical query text converges on identical input objects and the
+    whole prefix chain is built exactly once per session. Same
+    contract as :func:`plan_memo`: the memo holds a LAZY plan, never
+    data — every action recomputes from parquet."""
+    app = inputs[0].sparkSession.sparkContext.applicationId
+    k = (app,) + tuple(key) + tuple(id(x) for x in inputs)
+    entry = _PLAN_CACHE.get(k)
+    if entry is None:
+        if len(_PLAN_CACHE) > 512:
+            _PLAN_CACHE.clear()
+        entry = (build(), inputs)
+        _PLAN_CACHE[k] = entry
+    return entry[0]
+
+
 def plan_memo(spark: SparkSession, key: tuple, build):
     """Per-(application, key) memo of a LAZY DataFrame plan — the
     :func:`read_parquet_cached` pattern generalized to operator

@@ -76,6 +76,17 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selectExpr strings keep the build at a handful of py4j round
     # trips (the Column-by-Column form cost ~0.3 s of driver time per
     # cold build — measured, round 4); the parsed plan is identical.
+    # Plan-memoized (r6): every pipeline-prefix consumer receives the
+    # SAME lazy DataFrame object, which lets downstream operators
+    # memoize on input identity (session.input_plan_memo).
+    from ..session import plan_memo
+
+    return plan_memo(
+        spark, ("transcripts", sf_dir), lambda: _transcripts_build(spark, sf_dir)
+    )
+
+
+def _transcripts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = TURN_WORDS
     docs = _fanned_documents(spark, sf_dir)
     return (

@@ -354,12 +354,25 @@ def save_weights(weights: dict[str, np.ndarray], path: str = ARTIFACT) -> None:
         json.dump(kernels.weights_to_lists(weights), f)
 
 
+_WEIGHTS_CACHE: dict[str, dict] = {}
+
+
 def load_weights(path: str = ARTIFACT) -> dict[str, np.ndarray]:
     """Frozen weights. Resolution order: explicit file path →
     package resource (works when the package ships as a
     ``spark-submit --py-files`` zip, where ``__file__`` paths do not
     exist on disk) → deterministic init (fresh checkout before
-    training ran)."""
+    training ran). Memoized per path (r6): consumers are read-only
+    (inference scoring), and a stable object identity lets the
+    scored-prefix plan memo key on it."""
+    w = _WEIGHTS_CACHE.get(path)
+    if w is None:
+        w = _load_weights_fresh(path)
+        _WEIGHTS_CACHE[path] = w
+    return w
+
+
+def _load_weights_fresh(path: str) -> dict[str, np.ndarray]:
     if os.path.exists(path):
         with open(path) as f:
             return kernels.weights_from_lists(json.load(f))

@@ -393,3 +393,49 @@ def test_annotator_agreement_hand_computed_kappa(spark):
     # degenerate: both annotators constant -> pe = 1, defined as 0
     const = annotator_agreement(pairs([(1, 1)] * 4)).first()
     assert const.kappa_e6 == 0
+
+
+def test_window_schedule_matches_tree_schedule():
+    """r6 optimization pin: the memoized per-sentence decomposition of
+    the ADP evaluation order must be list-for-list identical to the
+    window-level DFS it replaced (tree_mean_states' level derivation
+    and the bit-parity TreeRNN both consume it)."""
+    import random
+
+    from cross_sentence_relation_extraction_idepnn_spark import kernels
+
+    random.seed(11)
+    words = ["alpha", "beta", "tool", "run", "x1", "code", "omega", "k9"]
+    for _ in range(200):
+        sw = [
+            [random.choice(words) for _ in range(random.randint(1, 9))]
+            for _ in range(random.randint(1, 4))
+        ]
+        assert kernels.window_schedule(sw) == kernels.tree_schedule(
+            kernels.combined_parents(sw)
+        )
+
+
+def test_tree_arrays_cache_matches_fallback_levels():
+    """The _tree_arrays fast path (per-window parent/level arrays) must
+    agree with the tree_order fallback used by the staged/Arrow path."""
+    import numpy as np
+
+    from cross_sentence_relation_extraction_idepnn_spark import kernels
+
+    sw = [["alpha", "beta", "tool"], ["run", "x1", "code", "omega"]]
+    win = kernels._window_structures(
+        tuple(" ".join(w) for w in sw), None
+    )
+    offsets, all_words, adj, parents, order = win
+    ent = kernels._tree_arrays[id(parents)]
+    assert ent[0] is parents
+    n = len(parents)
+    l = [0] * (n + 1)
+    for u in order:
+        if u < n:
+            pu = parents[u]
+            if pu < n and l[u] + 1 > l[pu]:
+                l[pu] = l[u] + 1
+    assert np.array_equal(ent[1], np.asarray(parents))
+    assert np.array_equal(ent[2], np.asarray(l[:n]))

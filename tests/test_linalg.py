@@ -25,7 +25,8 @@ def _plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
-    return buf.getvalue()
+    # final plan only (an executed memoized df appends the AQE initial plan)
+    return buf.getvalue().split("== Initial Plan ==")[0]
 
 
 def _numpy_gram(sf_dir: str) -> np.ndarray:

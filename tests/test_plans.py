@@ -28,11 +28,44 @@ from cross_sentence_relation_extraction_idepnn_spark.sources.transcripts import 
 )
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fresh_plan_memo():
+    """Plan-shape tests assert on UN-EXECUTED plans. Plan-memoized
+    operators hand every caller the same DataFrame object, and once an
+    action ran on it, explain() shows the AQE-finalized plan (join
+    strategies rewritten, Initial Plan appended) — operator counts
+    would then depend on test execution order. Clearing the memo gives
+    every test freshly-built plans."""
+    from cross_sentence_relation_extraction_idepnn_spark import session
+
+    session._PLAN_CACHE.clear()
+    # bench.py hygiene: operator-internal persists from a previous
+    # test would otherwise substitute InMemoryTableScan for whole
+    # subtrees of this test's plan (hiding its joins/exchanges)
+    session.release_caches()
+    try:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.catalog.clearCache()
+    except Exception:
+        pass
+    yield
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
-    return buf.getvalue()
+    plan = buf.getvalue()
+    # belt-and-braces: if an executed df still reaches a test, count
+    # only the final-plan section (the Initial Plan would double every
+    # operator count)
+    return plan.split("== Initial Plan ==")[0]
 
 
 def count_op(plan: str, op: str) -> int:

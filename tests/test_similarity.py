@@ -456,6 +456,12 @@ def test_simhash_boilerplate_corpus_brute_force_parity(spark, tmp_path):
     assert hist[0] >= 50 * 49 // 2
     assert sum(v for h, v in hist.items() if h <= HAMMING_MAX) == len(got)
 
+    # plan-shape pin needs a FRESH (un-executed) plan: the memoized df
+    # was collected above, so its explain would show the AQE-finalized
+    # tree (joins inside reused query stages)
+    from cross_sentence_relation_extraction_idepnn_spark import session as _session
+
+    _session._PLAN_CACHE.clear()
     plan = plan_of(simhash_pairs(spark, path))
     n_joins = count_op(plan, "SortMergeJoin") + count_op(plan, "BroadcastHashJoin")
     assert n_joins == 1, plan
