@@ -59,13 +59,17 @@ def _segment_build(transcripts: DataFrame, sent_words: int) -> DataFrame:
         .selectExpr(
             "conv_id",
             "turn_idx",
-            # begin = chars of all prior words + one separator space if i > 0
+            # begin = chars of all prior words + one separator space if
+            # i > 0; n_tok = slice width (== size(split(sent_text)) —
+            # the r5 form re-split the joined text per sentence, r6
+            # derives the count from the slice bounds instead)
             f"explode(transform(sequence(0, CAST(greatest(ceil(size(ws) / {k}), 1) "
             "AS INT) - 1, 1), i -> struct("
             "CAST(i AS INT) AS sent_in_turn, "
             f"array_join(slice(ws, i * {k} + 1, {k}), ' ') AS sent_text, "
             f"CAST(length(array_join(slice(ws, 1, i * {k}), ' ')) "
-            "+ IF(i > 0, 1, 0) AS INT) AS begin))) AS s",
+            "+ IF(i > 0, 1, 0) AS INT) AS begin, "
+            f"CAST(least({k}, size(ws) - i * {k}) AS INT) AS n_tok))) AS s",
         )
         .selectExpr(
             "conv_id",
@@ -76,7 +80,7 @@ def _segment_build(transcripts: DataFrame, sent_words: int) -> DataFrame:
             "s.sent_text AS sent_text",
             "s.begin AS begin",
             "CAST(s.begin + length(s.sent_text) AS INT) AS end",
-            "size(split(s.sent_text, ' ')) AS n_tokens",
+            "s.n_tok AS n_tokens",
         )
     )
 
