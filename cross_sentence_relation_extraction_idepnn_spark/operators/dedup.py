@@ -872,25 +872,46 @@ SPAN_K = 8  # tokens per rolling span shingle
 
 def _span_hashes(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """(doc_id, pos, span_h): md5 of every rolling k-token span
-    (1-based pos; docs shorter than k tokens emit nothing). Narrow
-    per-doc Column algebra — the k× blowup happens inside one
-    projection, never as a join."""
+    (1-based pos; docs shorter than k tokens emit nothing). ONE
+    map-side ``mapInArrow`` pass (r6 re-plan, guide §4.2 — the r5
+    Column form ran the per-span md5 inside an interpreted
+    ``transform`` lambda, the same cost class the winnowing re-plan
+    removed); hex digests from C-speed ``hashlib.md5`` are identical
+    to Spark's ``md5()``, pinned by the unchanged DuckDB oracles."""
+    import pyarrow as pa
+
+    def run(batches):
+        from hashlib import md5 as _md5
+
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o_doc: list[int] = []
+            o_pos: list[int] = []
+            o_h: list[str] = []
+            for did, text in zip(doc_ids, texts):
+                ws = (text or "").split(" ")
+                n = len(ws) - (k - 1)
+                if n <= 0:
+                    continue
+                o_doc.extend([did] * n)
+                o_pos.extend(range(1, n + 1))
+                o_h.extend(
+                    _md5(" ".join(ws[i : i + k]).encode("utf-8")).hexdigest()
+                    for i in range(n)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, type=pa.int64()),
+                    pa.array(o_pos, type=pa.int32()),
+                    pa.array(o_h),
+                ],
+                names=["doc_id", "pos", "span_h"],
+            )
+
     docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
-    ws = F.col("ws")
-    spans = F.when(
-        F.size(ws) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (k - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.array_join(F.slice(ws, i, k), " ")).alias("span_h"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,span_h:string>>"))
-    return (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-        .select("doc_id", F.explode(spans).alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.span_h").alias("span_h"))
+    return docs.select("doc_id", "text").mapInArrow(
+        run, schema="doc_id bigint, pos int, span_h string"
     )
 
 

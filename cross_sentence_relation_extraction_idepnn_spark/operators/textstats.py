@@ -215,21 +215,52 @@ def duck_token_counts() -> str:
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp_min, fp_xor): rolling char-shingle fingerprint —
-    min-hash and xor-fold of H over width-8 step-4 character windows."""
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.length("text") - (FP_WIN - 1), F.lit(1)),
-        F.lit(FP_STEP),
-    )
-    hs = F.transform(
-        starts, lambda p: spark_h15(F.col("text").substr(p, F.lit(FP_WIN)))
-    )
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.array_min(hs).alias("fp_min"),
-        F.aggregate(hs, F.lit(0).cast("long"), lambda a, v: a.bitwiseXOR(v)).alias(
-            "fp_xor"
-        ),
+    min-hash and xor-fold of H over width-8 step-4 character windows.
+    ONE map-side ``mapInArrow`` pass (r6 re-plan, guide §4.2 — the r5
+    Column form ran the per-window md5 inside interpreted
+    ``transform``/``aggregate`` lambdas, the winnowing cost class;
+    values are identical: H(s) is the md5 digest's top 60 bits,
+    pinned by the unchanged DuckDB oracle)."""
+    import pyarrow as pa
+
+    def run(batches):
+        from hashlib import md5 as _md5
+
+        K, S = FP_WIN, FP_STEP
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            o_min: list[int] = []
+            o_xor: list[int] = []
+            for text in texts:
+                text = text or ""
+                n_max = max(len(text) - (K - 1), 1)
+                mn = (1 << 62)
+                xr = 0
+                for p in range(0, n_max, S):
+                    h = (
+                        int.from_bytes(
+                            _md5(text[p : p + K].encode("utf-8")).digest()[:8],
+                            "big",
+                        )
+                        >> 4
+                    )
+                    if h < mn:
+                        mn = h
+                    xr ^= h
+                o_min.append(mn)
+                o_xor.append(xr)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, type=pa.int64()),
+                    pa.array(o_min, type=pa.int64()),
+                    pa.array(o_xor, type=pa.int64()),
+                ],
+                names=["doc_id", "fp_min", "fp_xor"],
+            )
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInArrow(
+        run, schema="doc_id bigint, fp_min bigint, fp_xor bigint"
     )
 
 
