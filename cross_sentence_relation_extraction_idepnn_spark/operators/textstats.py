@@ -216,11 +216,37 @@ def duck_token_counts() -> str:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp_min, fp_xor): rolling char-shingle fingerprint —
     min-hash and xor-fold of H over width-8 step-4 character windows.
-    ONE map-side ``mapInArrow`` pass (r6 re-plan, guide §4.2 — the r5
-    Column form ran the per-window md5 inside interpreted
-    ``transform``/``aggregate`` lambdas, the winnowing cost class;
-    values are identical: H(s) is the md5 digest's top 60 bits,
-    pinned by the unchanged DuckDB oracle)."""
+
+    Kept as TRANSPARENT Column algebra deliberately (r6): Catalyst can
+    prune the fingerprint computation entirely under a bare count()
+    (the projection is provably non-filtering), which an opaque Arrow
+    map would forfeit. Consumers that force the VALUES
+    (``fingerprint_collisions``) use :func:`_doc_fingerprint_arrow` —
+    2× faster when the fingerprints are actually computed (guide
+    §4.2: the per-window md5 runs interpreted inside the
+    ``transform`` lambda here)."""
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - (FP_WIN - 1), F.lit(1)),
+        F.lit(FP_STEP),
+    )
+    hs = F.transform(
+        starts, lambda p: spark_h15(F.col("text").substr(p, F.lit(FP_WIN)))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_min(hs).alias("fp_min"),
+        F.aggregate(hs, F.lit(0).cast("long"), lambda a, v: a.bitwiseXOR(v)).alias(
+            "fp_xor"
+        ),
+    )
+
+
+def _doc_fingerprint_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`doc_fingerprint` as ONE map-side ``mapInArrow`` pass —
+    value-identical (H(s) is the md5 digest's top 60 bits; pinned by
+    the shared DuckDB oracle and the equality test), ~2× faster when
+    the fingerprint values are actually materialized."""
     import pyarrow as pa
 
     def run(batches):
@@ -1630,10 +1656,12 @@ def fingerprint_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate rate means the 15-bit hash family needs widening before
     the fingerprint becomes a dedup key at corpus scale.
 
-    Plan: reuses the audited ``doc_fingerprint`` narrow subtree, then
-    one fingerprint-grain count and one count onto the k grid —
-    monotonically shrinking grains."""
-    fp = doc_fingerprint(spark, sf_dir)
+    Plan: reuses the audited fingerprint derivation (the Arrow twin —
+    this query forces the values, where the transparent Column form
+    pays the interpreted-lambda md5 tax), then one fingerprint-grain
+    count and one count onto the k grid — monotonically shrinking
+    grains."""
+    fp = _doc_fingerprint_arrow(spark, sf_dir)
     per_fp = fp.groupBy("fp_min", "fp_xor").agg(
         F.count("*").alias("n_docs_per_fp")
     )

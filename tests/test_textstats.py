@@ -620,3 +620,19 @@ def test_mask_census_crafted_spans(spark, tmp_path):
         "number": (1, 2),
         "url": (1, 1),
     }
+
+
+def test_doc_fingerprint_arrow_twin_matches_column_form(spark, sf_dir):
+    """r6 optimization pin: the Arrow fingerprint twin (used by
+    fingerprint_collisions, which forces the values) must be
+    row-identical to the transparent Column form (kept prunable for
+    the bare query)."""
+    from cross_sentence_relation_extraction_idepnn_spark.operators.textstats import (
+        _doc_fingerprint_arrow,
+        doc_fingerprint,
+    )
+
+    a = doc_fingerprint(spark, sf_dir)
+    b = _doc_fingerprint_arrow(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
