@@ -174,26 +174,30 @@ def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
 
     def run(batches):
         for batch in batches:
-            doc_ids = batch.column("doc_id").to_pylist()
+            did_col = batch.column("doc_id")
             texts = batch.column("text").to_pylist()
-            o_doc: list[int] = []
+            idx: list[int] = []  # row index per emitted gram (take)
             o_gram: list[str] = []
-            for did, text in zip(doc_ids, texts):
+            for row, text in enumerate(texts):
                 ws = (text or "").split(" ")
                 if len(ws) < n:
                     continue
                 uniq = dict.fromkeys(
                     " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
                 )
-                o_doc.extend([did] * len(uniq))
+                idx.extend([row] * len(uniq))
                 o_gram.extend(uniq)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(o_doc, type=pa.int64()), pa.array(o_gram)],
+                [
+                    did_col.take(pa.array(idx, type=pa.int64())),
+                    pa.array(o_gram, type=pa.string()),
+                ],
                 names=["doc_id", "gram"],
             )
 
+    did_t = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", "text").mapInArrow(
-        run, schema="doc_id bigint, gram string"
+        run, schema=f"doc_id {did_t}, gram string"
     )
 
 

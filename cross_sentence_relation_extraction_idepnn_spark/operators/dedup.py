@@ -884,17 +884,17 @@ def _span_hashes(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         from hashlib import md5 as _md5
 
         for batch in batches:
-            doc_ids = batch.column("doc_id").to_pylist()
+            did_col = batch.column("doc_id")
             texts = batch.column("text").to_pylist()
-            o_doc: list[int] = []
+            idx: list[int] = []  # row index per emitted span (take)
             o_pos: list[int] = []
             o_h: list[str] = []
-            for did, text in zip(doc_ids, texts):
+            for row, text in enumerate(texts):
                 ws = (text or "").split(" ")
                 n = len(ws) - (k - 1)
                 if n <= 0:
                     continue
-                o_doc.extend([did] * n)
+                idx.extend([row] * n)
                 o_pos.extend(range(1, n + 1))
                 o_h.extend(
                     _md5(" ".join(ws[i : i + k]).encode("utf-8")).hexdigest()
@@ -902,16 +902,17 @@ def _span_hashes(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
                 )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(o_doc, type=pa.int64()),
+                    did_col.take(pa.array(idx, type=pa.int64())),
                     pa.array(o_pos, type=pa.int32()),
-                    pa.array(o_h),
+                    pa.array(o_h, type=pa.string()),
                 ],
                 names=["doc_id", "pos", "span_h"],
             )
 
     docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    did_t = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", "text").mapInArrow(
-        run, schema="doc_id bigint, pos int, span_h string"
+        run, schema=f"doc_id {did_t}, pos int, span_h string"
     )
 
 

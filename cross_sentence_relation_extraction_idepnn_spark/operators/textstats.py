@@ -254,7 +254,7 @@ def _doc_fingerprint_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         K, S = FP_WIN, FP_STEP
         for batch in batches:
-            doc_ids = batch.column("doc_id").to_pylist()
+            did_col = batch.column("doc_id")
             texts = batch.column("text").to_pylist()
             o_min: list[int] = []
             o_xor: list[int] = []
@@ -278,15 +278,17 @@ def _doc_fingerprint_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 o_xor.append(xr)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(doc_ids, type=pa.int64()),
+                    did_col,
                     pa.array(o_min, type=pa.int64()),
                     pa.array(o_xor, type=pa.int64()),
                 ],
                 names=["doc_id", "fp_min", "fp_xor"],
             )
 
-    return _docs(spark, sf_dir).select("doc_id", "text").mapInArrow(
-        run, schema="doc_id bigint, fp_min bigint, fp_xor bigint"
+    docs = _docs(spark, sf_dir)
+    did_t = docs.schema["doc_id"].dataType.simpleString()
+    return docs.select("doc_id", "text").mapInArrow(
+        run, schema=f"doc_id {did_t}, fp_min bigint, fp_xor bigint"
     )
 
 
@@ -958,12 +960,12 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         K, W = FP_WIN, WINNOW_W
         for batch in batches:
-            doc_ids = batch.column("doc_id").to_pylist()
+            did_col = batch.column("doc_id")
             texts = batch.column("text").to_pylist()
-            o_doc: list[int] = []
+            idx_rows: list[int] = []  # row index per fingerprint (take)
             o_pos: list[int] = []
             o_fp: list[int] = []
-            for did, text in zip(doc_ids, texts):
+            for row, text in enumerate(texts):
                 text = text or ""
                 n_kg = max(len(text) - (K - 1), 1)
                 hs = np.fromiter(
@@ -989,20 +991,22 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # argmin on the REVERSED window → rightmost tie wins
                     am = M[:, ::-1].argmin(axis=1)
                     sel = np.unique(np.arange(n_win) + (W - 1) - am)
-                o_doc.extend([did] * len(sel))
+                idx_rows.extend([row] * len(sel))
                 o_pos.extend((sel + 1).tolist())
                 o_fp.extend(hs[sel].tolist())
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(o_doc, type=pa.int64()),
+                    did_col.take(pa.array(idx_rows, type=pa.int64())),
                     pa.array(o_pos, type=pa.int32()),
                     pa.array(o_fp, type=pa.int64()),
                 ],
                 names=["doc_id", "pos", "fp"],
             )
 
-    return _docs(spark, sf_dir).select("doc_id", "text").mapInArrow(
-        run, schema="doc_id bigint, pos int, fp bigint"
+    docs = _docs(spark, sf_dir)
+    did_t = docs.schema["doc_id"].dataType.simpleString()
+    return docs.select("doc_id", "text").mapInArrow(
+        run, schema=f"doc_id {did_t}, pos int, fp bigint"
     )
 
 
